@@ -1,0 +1,151 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen-friendly, no UDFs), each with
+an exactly-equivalent ANSI-SQL formulation used by the DuckDB correctness
+oracle. Covers: token counting, language-ID (stopword-hit heuristic),
+quality scoring (length/punct/stopword ratios), and document fingerprinting.
+
+These extend the reference's metadata fields ``token_count``/``sha256``
+(src/vector_db_api/models/metadata.py:15-18) into computed, testable
+operators over the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _c(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# Tiny per-language marker vocabularies for the heuristic language-ID.
+# Counting is substring-occurrence based (portable to any SQL engine via
+# length-difference), padded with spaces so only whole words match.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "to"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "y", "es", "los"],
+}
+
+
+def normalize_text(col: ColumnOrName) -> Column:
+    """lower + trim + collapse runs of whitespace to single spaces."""
+    return F.regexp_replace(F.trim(F.lower(_c(col))), " +", " ")
+
+
+def token_count(col: ColumnOrName) -> Column:
+    """Whitespace token count of normalized text (0 for empty)."""
+    n = normalize_text(col)
+    return F.when(F.length(n) == 0, F.lit(0)).otherwise(
+        F.size(F.split(n, " "))
+    ).cast("int")
+
+
+def substring_occurrences(col: ColumnOrName, needle: str) -> Column:
+    """Occurrences of ``needle`` in the column via length-difference
+    (portable: no regex dialect involved)."""
+    c = _c(col)
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(needle)))) / F.lit(len(needle))
+    ).cast("long")
+
+
+def word_occurrences(col: ColumnOrName, word: str) -> Column:
+    """Whole-word occurrences: count ``' word '`` inside ``' ' || text || ' '``."""
+    padded = F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
+    return substring_occurrences(padded, f" {word} ")
+
+
+def lang_scores(col: ColumnOrName) -> dict[str, Column]:
+    """Marker-hit count per language."""
+    out: dict[str, Column] = {}
+    for lang, words in LANG_MARKERS.items():
+        score: Column = F.lit(0).cast("long")
+        for w in words:
+            score = score + word_occurrences(col, w)
+        out[lang] = score
+    return out
+
+
+def lang_id(col: ColumnOrName) -> Column:
+    """Heuristic language-ID: argmax of marker hits, ties broken by the fixed
+    language order en > de > fr > es; 'und' (undetermined) when all zero."""
+    scores = lang_scores(col)
+    langs = list(LANG_MARKERS)
+    expr = F.lit("und")
+    # Build from the lowest-priority language upward so the highest-priority
+    # winner is the outermost WHEN.
+    for lang in reversed(langs):
+        cond = scores[lang] > 0
+        for other in langs[: langs.index(lang)]:
+            cond = cond & (scores[lang] > scores[other])
+        for other in langs[langs.index(lang) + 1 :]:
+            cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def punct_ratio(col: ColumnOrName) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] after normalization."""
+    n = normalize_text(col)
+    stripped = F.regexp_replace(n, "[a-z0-9 ]", "")
+    return F.when(F.length(n) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped).cast("double") / F.length(n).cast("double")
+    )
+
+
+def stopword_ratio(col: ColumnOrName, stopwords: tuple[str, ...] = ("the", "a", "of", "and", "is", "to", "in")) -> Column:
+    """Fraction of tokens that are stopwords."""
+    hits: Column = F.lit(0).cast("long")
+    for w in stopwords:
+        hits = hits + word_occurrences(col, w)
+    toks = token_count(col)
+    return F.when(toks == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / toks.cast("double")
+    )
+
+
+def mean_token_len(col: ColumnOrName) -> Column:
+    """Average token length of normalized text."""
+    n = normalize_text(col)
+    toks = token_count(col)
+    chars = F.length(F.replace(n, F.lit(" ")))
+    return F.when(toks == 0, F.lit(0.0)).otherwise(
+        chars.cast("double") / toks.cast("double")
+    )
+
+
+def quality_score(col: ColumnOrName) -> Column:
+    """Composite quality heuristic in [0, 1]:
+    length factor (saturates at 256 chars) * 0.4
+    + (1 - punct_ratio) * 0.3
+    + stopword presence factor (saturates at 0.15 ratio) * 0.3.
+
+    Deterministic double arithmetic, same formula in the SQL oracle.
+    """
+    n = normalize_text(col)
+    length_factor = F.least(F.length(n).cast("double") / F.lit(256.0), F.lit(1.0))
+    sw_factor = F.least(stopword_ratio(col) / F.lit(0.15), F.lit(1.0))
+    return (
+        length_factor * F.lit(0.4)
+        + (F.lit(1.0) - punct_ratio(col)) * F.lit(0.3)
+        + sw_factor * F.lit(0.3)
+    )
+
+
+def fingerprint(col: ColumnOrName) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text.
+
+    Stands in for the reference's content sha256 metadata
+    (src/vector_db_api/models/metadata.py:17-18,22-23)."""
+    return F.md5(normalize_text(col))
+
+
+def sha256_fingerprint(col: ColumnOrName) -> Column:
+    """sha256 of raw text — exact parity with the reference's sha256 field."""
+    return F.sha2(_c(col), 256)

@@ -1,0 +1,255 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families over a ``documents(doc_id, text, ...)`` table, each
+returning a DataFrame and each built shuffle-consciously:
+
+- exact          : hash-groupBy on a content fingerprint (one shuffle)
+- ngram jaccard  : shingle → explode → self-join on shingle → pair-count /
+                   union-size (blocked by shingle, never all-pairs)
+- minhash LSH    : shingle hashes → P minhash aggregates → band buckets →
+                   candidate pairs only within equal buckets
+- simhash        : 60-bit sign fingerprint of token hashes; near-dups =
+                   equal fingerprint (or banded hamming buckets)
+- embedding      : cosine near-dup pairs blocked by a partition key
+                   (label / IVF centroid) so the self-join never goes
+                   quadratic in the corpus
+
+Hashes come from ``functions.hashing`` (md5-derived, engine-portable) so the
+DuckDB oracle can reproduce every value bit-for-bit.
+
+All pair emitters return each unordered pair once (left id < right id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_db_api_spark.functions import hashing as H
+from vector_db_api_spark.functions import text as T
+from vector_db_api_spark.functions import vector as V
+
+
+# -- exact ------------------------------------------------------------------
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (after normalization) documents.
+
+    Returns (fingerprint, keeper_id, dup_count) for every content group;
+    dup_count > 1 marks duplicates. One hash-shuffle; map-side partial agg.
+    """
+    return (
+        docs.select(T.fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def dedup_exact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one row (min id) per identical content group."""
+    keepers = exact_duplicates(docs, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return docs.join(keepers, id_col, "left_semi")
+
+
+# -- shingles / n-gram jaccard ------------------------------------------------
+
+def shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, shingle_hash) — distinct h32 of the k-word shingles per doc."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(H.word_shingles(T.normalize_text(text_col), k)).alias("shingle"),
+        )
+        .select(id_col, H.h32(F.col("shingle")).alias("shingle_hash"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by exact Jaccard over k-word shingle sets.
+
+    Blocked self-join on shingle_hash (pairs only materialize for docs that
+    SHARE a shingle — never a full cross product), then
+    ``|A∩B| / (|A|+|B|-|A∩B|)``. Returns (left_id, right_id, jaccard).
+    """
+    sh = shingle_hashes(docs, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("left_id"), "shingle_hash")
+    b = sh.select(F.col(id_col).alias("right_id"), "shingle_hash")
+    inter = (
+        a.join(b, "shingle_hash")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "left_id").withColumnRenamed("sz", "lsz"), "left_id")
+        .join(sizes.withColumnRenamed(id_col, "right_id").withColumnRenamed("sz", "rsz"), "right_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("lsz") + F.col("rsz") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+# -- minhash LSH ---------------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    seed: int = H.MINHASH_SEED,
+) -> DataFrame:
+    """(id, mh0..mh{P-1}) — minimum of each universal hash over the doc's
+    shingle h32 set. One explode + one groupBy (map-side partial min)."""
+    sh = shingle_hashes(docs, id_col, text_col, k)
+    return sh.groupBy(id_col).agg(*H.minhash_agg_exprs(num_hashes, "shingle_hash", seed))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    seed: int = H.MINHASH_SEED,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    bands × rows_per_band = num_hashes; with (16, 4) the match threshold is
+    ≈ (1/4)^(1/4) ≈ 0.71 Jaccard. Returns (left_id, right_id, n_bands)
+    distinct pairs; feed to ``ngram_jaccard_pairs`` of the pair subset (or
+    accept as-is) for verification.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, id_col, text_col, k, seed)
+    sig_cols = [f"mh{i}" for i in range(num_hashes)]
+    banded = sigs.select(
+        id_col,
+        *[
+            H.band_id(sig_cols, b, rows).alias(f"band{b}")
+            for b in range(bands)
+        ],
+    )
+    stacked = banded.selectExpr(
+        id_col,
+        "stack({n}, {args}) as (band_no, bucket)".format(
+            n=bands,
+            args=", ".join(f"{b}, band{b}" for b in range(bands)),
+        ),
+    )
+    a = stacked.select(F.col(id_col).alias("left_id"), "band_no", "bucket")
+    b = stacked.select(F.col(id_col).alias("right_id"), "band_no", "bucket")
+    return (
+        a.join(b, ["band_no", "bucket"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+# -- simhash ---------------------------------------------------------------------
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbits: int = 60,
+) -> DataFrame:
+    """(id, simhash) — 60-bit sign fingerprint over token h60 hashes.
+
+    Explode tokens → per (doc, bit) majority vote via sum(±1) — expressed as
+    one groupBy(doc) with nbits conditional sums (map-side combinable, single
+    shuffle), then bit-pack. Engine-portable (h60 is md5-derived).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(T.normalize_text(text_col), " ")).alias("tok"),
+    ).select(id_col, H.h60(F.col("tok")).alias("th"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(nbits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    packed: Column = F.lit(0).cast("long")
+    for i in range(nbits):
+        packed = packed + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return agg.select(id_col, packed.alias("simhash"))
+
+
+def simhash_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Docs whose simhash collides exactly (near-identical token bags).
+    Returns (simhash, keeper_id, dup_count)."""
+    return (
+        simhash(docs, id_col, text_col)
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# -- embedding cosine near-dup ------------------------------------------------
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    With ``block_col`` (a label / cluster / IVF-centroid column) the
+    self-join is equi-keyed on the block — candidate pairs stay linear-ish in
+    the corpus instead of quadratic. Without it this is a full O(n²)
+    cross-join: correct, but only for small corpora (the IVF/LSH operators
+    provide blocking keys at scale).
+    Returns (left_id, right_id, cosine).
+    """
+    e = vectors.filter(F.col(vec_col).isNotNull())
+    lcols = [F.col(id_col).alias("left_id"), F.col(vec_col).alias("__lv")]
+    rcols = [F.col(id_col).alias("right_id"), F.col(vec_col).alias("__rv")]
+    if block_col is not None:
+        a = e.select(F.col(block_col).alias("__blk"), *lcols)
+        b = e.select(F.col(block_col).alias("__blk"), *rcols)
+        pairs = a.join(b, "__blk")
+    else:
+        pairs = e.select(*lcols).crossJoin(e.select(*rcols))
+    return (
+        pairs.filter(F.col("left_id") < F.col("right_id"))
+        .withColumn(
+            "cosine",
+            V.cosine_similarity(V.as_double_array("__lv"), V.as_double_array("__rv")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+    )

@@ -1,0 +1,189 @@
+"""Brute-force (exact) kNN — the Spark re-expression of the reference's
+FlatIndex (src/vector_db_api/indexing/flat.py:8-28) plus the search service's
+hydration and post-filter semantics (src/vector_db_api/services/search.py:18-75).
+
+Execution model at scale:
+
+- Single query: the query vector is a literal folded into the score
+  expression → one scan of the corpus, whole-stage codegen, partial top-k per
+  partition merged on the driver (TakeOrderedAndProject). No shuffle.
+- Query batch: broadcast the (small) query side, crossJoin against the
+  corpus, window top-k per query_id. One shuffle, partitioned by query_id.
+- Arrow/numpy path (``knn_batch_numpy``): for throughput-bound batches, a
+  mapInPandas matmul scores an entire Arrow batch of corpus rows against all
+  queries at once (~10-100× over row-at-a-time Python; still scan-parallel).
+
+Reference-parity details:
+- ties broken by id ascending (reference order is arbitrary; we are stricter)
+- rows with NULL embeddings are never scored (services/library.py:84-86)
+- post-filters apply AFTER top-k, so fewer than k rows may return
+  (services/search.py:52-62)
+- ``k > corpus`` returns the whole corpus, scored (test_flat.py:162-174)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from datetime import datetime
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_db_api_spark.functions import vector as V
+from vector_db_api_spark.operators.topk import topk, topk_per_group
+
+
+def _query_literal(query_vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def knn(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact top-k over a corpus for ONE query vector.
+
+    Returns (id_col, *extra_cols, score) ordered by score desc, id asc.
+    """
+    q = V.as_double_array(_query_literal(query_vec))
+    e = V.as_double_array(vec_col)
+    scored = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .withColumn("score", V.similarity(metric, e, q))
+        .select(id_col, *extra_cols, "score")
+    )
+    return topk(scored, [F.desc("score"), F.col(id_col).asc()], k)
+
+
+def knn_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k per query for a BATCH of queries.
+
+    Broadcast the small query side; score with a JVM fold; window top-k per
+    query. Returns (query_id, id, score).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            V.as_double_array(query_vec_col).alias("__qv"),
+        )
+    )
+    scored = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .crossJoin(q)
+        .withColumn("score", V.similarity(metric, V.as_double_array(vec_col), F.col("__qv")))
+        .select(F.col("__qid").alias(query_id_col), F.col(id_col), F.col("score"))
+    )
+    return topk_per_group(
+        scored,
+        [query_id_col],
+        [F.desc("score"), F.col(id_col).asc()],
+        k,
+    )
+
+
+def knn_batch_numpy(
+    corpus: DataFrame,
+    queries: list[tuple[str, list[float]]],
+    k: int,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized exact kNN: numpy matmul per Arrow batch via
+    mapInPandas, then window top-k. The fast path for large query batches
+    (avoids one fold evaluation per (row, query) pair).
+
+    Partial top-k happens inside each batch (heap-free: argpartition), so
+    only ~k rows per (batch, query) reach the shuffle.
+    """
+    import numpy as np
+
+    qids = [str(qid) for qid, _ in queries]
+    qmat = np.asarray([v for _, v in queries], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id string, {id_col} {id_type}, score double"
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if metric == "cosine":
+                norms = np.linalg.norm(mat, axis=1)
+                denom = np.outer(norms, qnorm)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    scores = np.where(denom > 0, (mat @ qmat.T) / np.where(denom == 0, 1, denom), 0.0)
+            elif metric == "dot_product":
+                scores = mat @ qmat.T
+            elif metric == "euclidean":
+                d2 = (
+                    (mat * mat).sum(axis=1)[:, None]
+                    - 2.0 * (mat @ qmat.T)
+                    + (qmat * qmat).sum(axis=1)[None, :]
+                )
+                scores = 1.0 / (1.0 + np.sqrt(np.maximum(d2, 0.0)))
+            else:
+                raise ValueError(f"Unknown metric: {metric!r}")
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            kk = min(k, scores.shape[0])
+            for j, qid in enumerate(qids):
+                col = scores[:, j]
+                idx = np.argpartition(-col, kk - 1)[:kk] if kk < col.size else np.arange(col.size)
+                frames.append(
+                    pd.DataFrame({"query_id": qid, id_col: ids[idx], "score": col[idx]})
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    partial = corpus.filter(F.col(vec_col).isNotNull()).mapInPandas(
+        score_batches, schema=out_schema
+    )
+    return topk_per_group(
+        partial, ["query_id"], [F.desc("score"), F.col(id_col).asc()], k
+    )
+
+
+def apply_post_filters(
+    hits: DataFrame,
+    doc_ids: Sequence[str] | None = None,
+    tags: Sequence[str] | None = None,
+    author: str | None = None,
+    created_after: datetime | None = None,
+    doc_id_col: str = "document_id",
+    tags_col: str = "tags",
+    author_col: str = "author",
+    created_at_col: str = "created_at",
+) -> DataFrame:
+    """Reference post-filter semantics (services/search.py:40-62), applied
+    AFTER top-k: doc-id membership, ANY-overlap tags, author equality,
+    strictly-after created_at."""
+    out = hits
+    if doc_ids is not None:
+        out = out.filter(F.col(doc_id_col).isin([str(d) for d in doc_ids]))
+    if tags is not None:
+        out = out.filter(
+            F.arrays_overlap(F.col(tags_col), F.array(*[F.lit(t) for t in tags]))
+        )
+    if author is not None:
+        out = out.filter(F.col(author_col) == F.lit(author))
+    if created_after is not None:
+        out = out.filter(F.col(created_at_col) > F.lit(created_after))
+    return out

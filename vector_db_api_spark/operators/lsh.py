@@ -1,0 +1,186 @@
+"""Sign (random-hyperplane) LSH for cosine kNN.
+
+Spark re-expression of the reference LSHIndex
+(src/vector_db_api/indexing/lsh.py:13-131): L tables × H hyperplanes per
+table; a vector's signature in table t packs the sign bits of its dots with
+that table's hyperplanes; query probes its own bucket in each table, unions
+candidates, exact-re-ranks.
+
+Scale design:
+- Hyperplanes are a tiny seeded matrix (L×H×d doubles) generated on the
+  driver and shipped inside a Pandas UDF closure → one numpy matmul per
+  Arrow batch computes ALL tables' signatures for every row (no per-row
+  Python, no JVM fold over H·d elements).
+- The bucket table (table_id, signature, id) is a DataFrame; persisted
+  partitioned/bucketed by (table_id, signature) the probe becomes a
+  partition-pruned scan. The probe itself is a broadcast semi-join of L
+  (table_id, signature) keys against the bucket table — no shuffle of the
+  corpus.
+- Re-rank: exact scoring of the candidate set only (inner join back to the
+  corpus), then TakeOrderedAndProject top-k.
+
+Deliberate deviations from the reference (SURVEY.md §2.10):
+- re-rank ALL candidates (reference arbitrarily caps at 6·k in set order);
+- ``update`` rehashes (reference LSH update is a silent no-op);
+- pad-to-k falls back to an exact full scan when the buckets under-deliver
+  (reference pads from arbitrary dict order up to 2·k).
+
+MLlib's BucketedRandomProjectionLSH is Euclidean-only, hence hand-built.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_db_api_spark.operators.knn import knn
+from vector_db_api_spark.operators.topk import topk
+
+DEFAULT_NUM_TABLES = 8          # registry.py:47-49 defaults
+DEFAULT_HYPERPLANES = 16
+
+
+class SignLSH:
+    """Random-hyperplane LSH model. Deterministic given (dim, seed)."""
+
+    def __init__(
+        self,
+        dim: int,
+        num_tables: int = DEFAULT_NUM_TABLES,
+        hyperplanes_per_table: int = DEFAULT_HYPERPLANES,
+        seed: int = 42,
+    ) -> None:
+        if hyperplanes_per_table > 60:
+            raise ValueError("hyperplanes_per_table must be <= 60 (packed into a signed 64-bit signature)")
+        self.dim = dim
+        self.num_tables = num_tables
+        self.hyperplanes_per_table = hyperplanes_per_table
+        self.seed = seed
+        rng = np.random.default_rng(seed)
+        # (L, H, d) Gaussian hyperplanes — the reference draws per-component
+        # Gaussians too (lsh.py:17, seeded at lsh.py:53).
+        self.hyperplanes = rng.standard_normal(
+            (num_tables, hyperplanes_per_table, dim)
+        )
+
+    # -- signature computation -------------------------------------------
+
+    def _signatures_np(self, mat: np.ndarray) -> np.ndarray:
+        """(n, d) → (n, L) packed int64 signatures."""
+        n = mat.shape[0]
+        l, h, _ = self.hyperplanes.shape
+        # (n, L*H) dots → sign bits → pack little-endian per table
+        dots = mat @ self.hyperplanes.reshape(l * h, self.dim).T
+        bits = (dots >= 0).reshape(n, l, h)
+        weights = (1 << np.arange(h, dtype=np.int64))
+        return (bits * weights).sum(axis=2).astype(np.int64)
+
+    def signatures(
+        self, corpus: DataFrame, id_col: str = "id", vec_col: str = "embedding"
+    ) -> DataFrame:
+        """(id, table_id, signature) for every embedded, non-zero row.
+
+        Zero vectors are excluded — the reference drops them from the index
+        because normalize() returns None (lsh.py:59, 67-69).
+        """
+        model = self
+        out_schema = f"{id_col} string, table_id int, signature long"
+
+        def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                norms = np.linalg.norm(mat, axis=1)
+                keep = norms > 0
+                if not keep.any():
+                    continue
+                sigs = model._signatures_np(mat[keep])  # (n, L)
+                ids = pdf[id_col].astype(str).to_numpy()[keep]
+                n, l = sigs.shape
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(ids, l),
+                        "table_id": np.tile(np.arange(l, dtype=np.int32), n),
+                        "signature": sigs.reshape(-1),
+                    }
+                )
+
+        return corpus.filter(F.col(vec_col).isNotNull()).mapInPandas(
+            hash_batches, schema=out_schema
+        )
+
+    def query_signatures(self, query_vec: Sequence[float]) -> list[tuple[int, int]]:
+        """[(table_id, signature)] for one query (driver-side, L·H·d flops)."""
+        q = np.asarray(query_vec, dtype=np.float64)[None, :]
+        if np.linalg.norm(q) == 0:
+            return []  # zero query → no buckets (lsh.py:86-87)
+        sigs = self._signatures_np(q)[0]
+        return [(t, int(s)) for t, s in enumerate(sigs)]
+
+    # -- search ------------------------------------------------------------
+
+    def candidates(
+        self,
+        buckets: DataFrame,
+        query_vec: Sequence[float],
+        id_col: str = "id",
+    ) -> DataFrame:
+        """Distinct candidate ids across the query's L buckets.
+
+        The L probe keys are a tiny literal DataFrame → broadcast hash
+        semi-join; with the bucket table sorted/bucketed by (table_id,
+        signature) this prunes to L buckets regardless of corpus size.
+        """
+        probes = self.query_signatures(query_vec)
+        spark = buckets.sparkSession
+        if not probes:
+            return spark.createDataFrame([], f"{id_col} string")
+        probe_df = spark.createDataFrame(probes, "table_id int, signature long")
+        return (
+            buckets.join(F.broadcast(probe_df), ["table_id", "signature"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+
+    def search(
+        self,
+        corpus: DataFrame,
+        buckets: DataFrame,
+        query_vec: Sequence[float],
+        k: int,
+        metric: str = "cosine",
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        pad_to_k: bool = True,
+    ) -> DataFrame:
+        """ANN top-k: probe buckets → exact re-rank of candidates.
+
+        If the buckets yield fewer than k candidates and ``pad_to_k`` is set,
+        falls back to an exact full scan (deterministic, strictly better than
+        the reference's arbitrary-order padding — lsh.py:101-110).
+        """
+        cand = self.candidates(buckets, query_vec, id_col=id_col)
+        if pad_to_k and cand.limit(k).count() < k:
+            return knn(corpus, query_vec, k, metric=metric, id_col=id_col, vec_col=vec_col)
+        hydrated = corpus.join(cand, id_col, "left_semi")
+        return knn(hydrated, query_vec, k, metric=metric, id_col=id_col, vec_col=vec_col)
+
+
+def build_bucket_table(
+    model: SignLSH,
+    corpus: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materializable bucket table, repartitioned by probe key so a persisted
+    copy supports pruned probes (write with
+    ``.write.partitionBy('table_id').bucketBy(...)`` or sort by signature)."""
+    return model.signatures(corpus, id_col=id_col, vec_col=vec_col).repartition(
+        "table_id", "signature"
+    )
