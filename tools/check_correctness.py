@@ -1,0 +1,106 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at the given sf dir, runs the
+matching ``oracle_sql()`` in DuckDB over the same parquet files, and compares
+row count, sorted column names, and values (exact for ints/strings, bit-exact
+for floats — the driver hashes values, so we hold ourselves to equality).
+
+Usage: python tools/check_correctness.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from vector_db_api_spark.session import get_spark
+from vector_db_api_spark.sources.tables import TABLE_NAMES
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def canon(rows: list[tuple], cols: list[str]):
+    """Sort columns by name, then rows; normalize values for compare."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm_val(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return ("nan",)
+            return v
+        return v
+
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr), [cols[i] for i in order]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check-correctness")
+    con = duck_con(sf_dir)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        s_canon, s_cols = canon(srows, scols)
+        d_canon, d_cols = canon(drows, dcols)
+        if s_cols != d_cols:
+            print(f"FAIL  {name}: columns differ: spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        if len(s_canon) != len(d_canon):
+            print(f"FAIL  {name}: rowcount spark={len(s_canon)} duck={len(d_canon)}")
+            n_fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(s_canon, d_canon) if a != b]
+        if bad:
+            print(f"FAIL  {name}: {len(bad)}/{len(s_canon)} rows differ; first: spark={bad[0][0]} duck={bad[0][1]}")
+            n_fail += 1
+            continue
+        print(f"PASS  {name}: {len(s_canon)} rows [{time.time()-t0:.1f}s]")
+        n_pass += 1
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

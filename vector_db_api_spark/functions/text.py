@@ -56,9 +56,14 @@ def substring_occurrences(col: ColumnOrName, needle: str) -> Column:
 
 
 def word_occurrences(col: ColumnOrName, word: str) -> Column:
-    """Whole-word occurrences: count ``' word '`` inside ``' ' || text || ' '``."""
-    padded = F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
-    return substring_occurrences(padded, f" {word} ")
+    """Exact whole-word occurrence count: filter the token array.
+
+    (A padded-substring count undercounts consecutive repeats — 'the the the'
+    shares delimiting spaces — so tokens are counted directly; the DuckDB
+    oracle uses the equivalent ``len(list_filter(string_split(...)))``.)
+    """
+    toks = F.split(normalize_text(col), " ")
+    return F.size(F.filter(toks, lambda t: t == F.lit(word))).cast("long")
 
 
 def lang_scores(col: ColumnOrName) -> dict[str, Column]:

@@ -22,6 +22,8 @@ All pair emitters return each unordered pair once (left id < right id).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -82,14 +84,29 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by exact Jaccard over k-word shingle sets.
 
     Blocked self-join on shingle_hash (pairs only materialize for docs that
     SHARE a shingle — never a full cross product), then
     ``|A∩B| / (|A|+|B|-|A∩B|)``. Returns (left_id, right_id, jaccard).
+
+    ``max_shingle_df`` drops shingles shared by more than that many documents
+    BEFORE the self-join (standard MinHash practice): one boilerplate
+    stop-phrase shared by 1M docs would otherwise make its block quadratic at
+    100 TB. Jaccard is then computed over the capped shingle universe (sizes
+    counted after the cap, so the ratio stays internally consistent).
     """
     sh = shingle_hashes(docs, id_col, text_col, k)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle_hash")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle_hash")
+        )
+        sh = sh.join(rare, "shingle_hash", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("left_id"), "shingle_hash")
     b = sh.select(F.col(id_col).alias("right_id"), "shingle_hash")
@@ -225,14 +242,16 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    allow_full_cross: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
-    With ``block_col`` (a label / cluster / IVF-centroid column) the
-    self-join is equi-keyed on the block — candidate pairs stay linear-ish in
-    the corpus instead of quadratic. Without it this is a full O(n²)
-    cross-join: correct, but only for small corpora (the IVF/LSH operators
-    provide blocking keys at scale).
+    ``block_col`` (a label / cluster / IVF-centroid column) is REQUIRED at
+    scale: the self-join is equi-keyed on the block, so candidate pairs stay
+    linear-ish in the corpus instead of quadratic. Derive one with
+    ``block_by_ivf`` when the data has no natural blocking key. The unblocked
+    O(n²) cross-join only runs with an explicit ``allow_full_cross=True``
+    (small-corpus/testing escape hatch) and is logged.
     Returns (left_id, right_id, cosine).
     """
     e = vectors.filter(F.col(vec_col).isNotNull())
@@ -242,8 +261,17 @@ def embedding_neardup_pairs(
         a = e.select(F.col(block_col).alias("__blk"), *lcols)
         b = e.select(F.col(block_col).alias("__blk"), *rcols)
         pairs = a.join(b, "__blk")
-    else:
+    elif allow_full_cross:
+        logging.getLogger(__name__).warning(
+            "embedding_neardup_pairs: running UNBLOCKED O(n^2) cross-join; "
+            "pass block_col (e.g. via block_by_ivf) for any real corpus"
+        )
         pairs = e.select(*lcols).crossJoin(e.select(*rcols))
+    else:
+        raise ValueError(
+            "embedding_neardup_pairs requires block_col (derive one with "
+            "block_by_ivf) or an explicit allow_full_cross=True"
+        )
     return (
         pairs.filter(F.col("left_id") < F.col("right_id"))
         .withColumn(
@@ -253,3 +281,26 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )
+
+
+def block_by_ivf(
+    vectors: DataFrame,
+    num_centroids: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Attach an IVF-centroid blocking column for embedding near-dup at scale.
+
+    Trains a small spherical k-means (MLlib) and joins the nearest-centroid
+    assignment back as ``block_id``. Pairs straddling a centroid boundary are
+    missed — the standard recall/cost tradeoff; raise num_centroids for
+    smaller blocks or run multi-probe assignment for higher recall.
+    """
+    from vector_db_api_spark.operators.ivf import IVFIndex
+
+    ivf = IVFIndex.train(vectors, num_centroids=num_centroids, vec_col=vec_col, seed=seed)
+    assign = ivf.assign(vectors, id_col=id_col, vec_col=vec_col).withColumnRenamed(
+        "centroid_id", "block_id"
+    )
+    return vectors.join(assign, id_col)

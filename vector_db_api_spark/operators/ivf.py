@@ -77,7 +77,9 @@ class IVFIndex:
             .filter(F.col("__nrm") > 0)
             .select(array_to_vector(F.col("__arr")).alias("features"))
         )
-        n = vecs.count()
+        # Clamp k without a full corpus scan: limit(k).count() stops after
+        # finding num_centroids rows, so this never double-scans at 100 TB.
+        n = vecs.limit(num_centroids).count()
         k = max(1, min(num_centroids, n))
         model = KMeans(
             k=k, seed=seed, maxIter=max_iter, distanceMeasure="cosine"
@@ -98,7 +100,10 @@ class IVFIndex:
         import pandas as pd
 
         cent = self.centroids
-        out_schema = f"{id_col} string, centroid_id int"
+        # Match the corpus id type exactly so downstream semi-joins never
+        # implicitly coerce (string=bigint loses precision on large int64).
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        out_schema = f"{id_col} {id_type}, centroid_id int"
 
         def assign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -112,7 +117,7 @@ class IVFIndex:
                 unit = mat[keep] / norms[keep, None]
                 best = (unit @ cent.T).argmax(axis=1).astype(np.int32)
                 yield pd.DataFrame(
-                    {id_col: pdf[id_col].astype(str).to_numpy()[keep], "centroid_id": best}
+                    {id_col: pdf[id_col].to_numpy()[keep], "centroid_id": best}
                 )
 
         return corpus.filter(F.col(vec_col).isNotNull()).mapInPandas(
@@ -147,7 +152,8 @@ class IVFIndex:
         → exact re-rank of ALL candidates."""
         probe = self.probe_centroids(query_vec)
         if not probe:
-            return corpus.sparkSession.createDataFrame([], f"{id_col} string, score double")
+            id_type = corpus.schema[id_col].dataType.simpleString()
+            return corpus.sparkSession.createDataFrame([], f"{id_col} {id_type}, score double")
         cand = assignments.filter(F.col("centroid_id").isin(probe)).select(id_col)
         hydrated = corpus.join(cand, id_col, "left_semi")
         return knn(hydrated, query_vec, k, metric=metric, id_col=id_col, vec_col=vec_col)

@@ -30,6 +30,8 @@ MLlib's BucketedRandomProjectionLSH is Euclidean-only, hence hand-built.
 
 from __future__ import annotations
 
+import logging
+
 from collections.abc import Iterator, Sequence
 
 import numpy as np
@@ -89,7 +91,11 @@ class SignLSH:
         because normalize() returns None (lsh.py:59, 67-69).
         """
         model = self
-        out_schema = f"{id_col} string, table_id int, signature long"
+        # Derive the id type from the corpus schema so the later candidate
+        # semi-join is an exact-type equi-join (no implicit string↔bigint
+        # coercion that loses precision for large int64 ids).
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        out_schema = f"{id_col} {id_type}, table_id int, signature long"
 
         def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -101,7 +107,7 @@ class SignLSH:
                 if not keep.any():
                     continue
                 sigs = model._signatures_np(mat[keep])  # (n, L)
-                ids = pdf[id_col].astype(str).to_numpy()[keep]
+                ids = pdf[id_col].to_numpy()[keep]
                 n, l = sigs.shape
                 yield pd.DataFrame(
                     {
@@ -139,8 +145,9 @@ class SignLSH:
         """
         probes = self.query_signatures(query_vec)
         spark = buckets.sparkSession
+        id_type = buckets.schema[id_col].dataType.simpleString()
         if not probes:
-            return spark.createDataFrame([], f"{id_col} string")
+            return spark.createDataFrame([], f"{id_col} {id_type}")
         probe_df = spark.createDataFrame(probes, "table_id int, signature long")
         return (
             buckets.join(F.broadcast(probe_df), ["table_id", "signature"], "left_semi")
@@ -161,15 +168,28 @@ class SignLSH:
     ) -> DataFrame:
         """ANN top-k: probe buckets → exact re-rank of candidates.
 
-        If the buckets yield fewer than k candidates and ``pad_to_k`` is set,
-        falls back to an exact full scan (deterministic, strictly better than
-        the reference's arbitrary-order padding — lsh.py:101-110).
+        Runs ONE job: semi-join the candidate buckets, re-rank, collect the
+        ≤k result rows. Only if the re-ranked result has fewer than k rows
+        AND ``pad_to_k`` is set does a second, *logged* exact full scan run
+        (deterministic, strictly better than the reference's arbitrary-order
+        padding — lsh.py:101-110). At 100 TB a recall shortfall therefore
+        costs one visible fallback job, never a silent full scan inside the
+        probe path.
         """
         cand = self.candidates(buckets, query_vec, id_col=id_col)
-        if pad_to_k and cand.limit(k).count() < k:
-            return knn(corpus, query_vec, k, metric=metric, id_col=id_col, vec_col=vec_col)
         hydrated = corpus.join(cand, id_col, "left_semi")
-        return knn(hydrated, query_vec, k, metric=metric, id_col=id_col, vec_col=vec_col)
+        hits = knn(hydrated, query_vec, k, metric=metric, id_col=id_col, vec_col=vec_col)
+        if not pad_to_k:
+            return hits
+        rows = hits.collect()  # ≤ k rows — the search job itself
+        if len(rows) >= k:
+            spark = corpus.sparkSession
+            return spark.createDataFrame(rows, hits.schema)
+        logging.getLogger(__name__).warning(
+            "SignLSH.search: buckets yielded %d < k=%d hits; falling back to "
+            "exact full scan (pad_to_k=True)", len(rows), k,
+        )
+        return knn(corpus, query_vec, k, metric=metric, id_col=id_col, vec_col=vec_col)
 
 
 def build_bucket_table(

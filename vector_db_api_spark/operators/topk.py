@@ -36,3 +36,38 @@ def topk_per_group(
         F.col(rank_col) <= k
     )
     return out if keep_rank else out.drop(rank_col)
+
+
+def partial_topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sort_cols: Sequence[tuple[str, bool]],
+    k: int,
+) -> DataFrame:
+    """Map-side partial top-k: inside each Arrow batch keep only the best k
+    rows per group, BEFORE any shuffle. Rows surviving are a superset of the
+    global per-group top-k (any globally-top row is top within its own batch),
+    so following with :func:`topk_per_group` is exact — but the shuffle input
+    shrinks from N rows to ~(num_batches × groups × k).
+
+    ``sort_cols`` is [(col, ascending)]. Values pass through untouched (no
+    float re-computation), so bit-exactness of upstream scores is preserved.
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    gcols = list(group_cols)
+    by = [c for c, _ in sort_cols]
+    asc = [a for _, a in sort_cols]
+    schema = df.schema
+
+    def reduce_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield (
+                pdf.sort_values(by, ascending=asc, kind="mergesort")
+                .groupby(gcols, sort=False)
+                .head(k)
+            )
+
+    return df.mapInPandas(reduce_batches, schema=schema)

@@ -36,6 +36,16 @@ def get_spark(
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
 
+    # spark.driver.memory must reach the JVM BEFORE it launches; a builder
+    # .config() is a no-op for an in-process driver. Inject it through
+    # PYSPARK_SUBMIT_ARGS, which the Py4J gateway reads at JVM start. If the
+    # JVM is already up this (correctly) has no effect.
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+    if "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            f"--driver-memory {driver_mem} pyspark-shell"
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -51,7 +61,7 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,592 @@
+"""Driver-facing query suite: every implemented operator registered as a
+``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible) a
+bit-exact DuckDB oracle from :mod:`vector_db_api_spark.oracle`.
+
+This is the proving layer the round-1 verdict asked for: each SURVEY.md §2
+operator that exists in ``operators/`` / ``functions/`` has a named entry
+here, so the driver's CORRECTNESS run exercises the real engine code paths.
+
+Column names are aliased identically on both sides (the driver's compare
+sorts columns by name and hashes values).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_db_api_spark import oracle as O
+from vector_db_api_spark.functions import hashing as H
+from vector_db_api_spark.functions import text as T
+from vector_db_api_spark.functions import vector as V
+from vector_db_api_spark.operators import dedup as D
+from vector_db_api_spark.operators import knn as KNN
+from vector_db_api_spark.operators import listing as L
+from vector_db_api_spark.operators.topk import topk_per_group
+from vector_db_api_spark.sources.tables import load_table
+
+# Deterministic 64-dim query vectors (seed fixed; embedded as literals in
+# both the Spark plan and the generated oracle SQL).
+_QVECS = np.random.default_rng(7).standard_normal((4, 64))
+Q0 = [float(x) for x in _QVECS[0]]
+QUERY_BATCH = [(f"q{i}", [float(x) for x in _QVECS[i]]) for i in range(4)]
+
+MINHASH_P = 16
+MINHASH_BANDS = 4
+JACCARD_K = 3
+JACCARD_THRESHOLD = 0.05
+NEARDUP_THRESHOLD = 0.3
+
+
+def _q0_lit():
+    return F.array(*[F.lit(x) for x in Q0])
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Vector kernel (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+def q_vec_kernel_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = V.as_double_array("embedding")
+    q = V.as_double_array(_q0_lit())
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        V.cosine_similarity(e, q).alias("cos_q"),
+        V.euclidean_distance(e, q).alias("euc_dist_q"),
+        V.euclidean_similarity(e, q).alias("euc_sim_q"),
+        V.dot_product_similarity(e, q).alias("dot_q"),
+    )
+
+
+def _sql_vec_kernel_scores() -> str:
+    a, b = "e.embedding", "qv"
+    return f"""
+WITH q AS (SELECT {O.vec_literal(Q0)} AS qv)
+SELECT e.vec_id,
+       {O.cosine(a, b)} AS cos_q,
+       {O.euclidean_distance(a, b)} AS euc_dist_q,
+       {O.euclidean_similarity(a, b)} AS euc_sim_q,
+       {O.dot(a, b)} AS dot_q
+FROM embeddings e, q
+"""
+
+
+def q_vec_norm_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = V.as_double_array("embedding")
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        V.norm(e).alias("l2_norm"),
+        V.argmax_idx(e).alias("argmax_i"),
+        F.element_at(V.normalize(e), 1).alias("unit0"),
+    )
+
+
+def _sql_vec_norm_argmax() -> str:
+    a = "embedding"
+    return f"""
+SELECT vec_id,
+       {O.norm(a)} AS l2_norm,
+       {O.argmax_idx(a)} AS argmax_i,
+       CASE WHEN {O.norm(a)} = 0.0 THEN NULL
+            ELSE CAST(embedding[1] AS DOUBLE) / {O.norm(a)} END AS unit0
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact kNN — FlatIndex parity (SURVEY §2.9 / §2.6)
+# ---------------------------------------------------------------------------
+
+def _q_knn(metric: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return KNN.knn(_emb(spark, sf_dir), Q0, 10, metric=metric, id_col="vec_id")
+    return fn
+
+
+def _sql_knn(metric: str) -> str:
+    return f"""
+WITH q AS (SELECT {O.vec_literal(Q0)} AS qv)
+SELECT vec_id, score FROM (
+  SELECT e.vec_id, {O.similarity(metric, 'e.embedding', 'qv')} AS score
+  FROM embeddings e, q WHERE e.embedding IS NOT NULL
+) ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries = spark.createDataFrame(
+        QUERY_BATCH, "query_id string, query_vec array<double>"
+    )
+    return KNN.knn_batch(_emb(spark, sf_dir), queries, 5, id_col="vec_id")
+
+
+def _sql_knn_batch() -> str:
+    parts = []
+    for qid, vec in QUERY_BATCH:
+        parts.append(f"""
+(SELECT '{qid}' AS query_id, vec_id, score FROM (
+   SELECT e.vec_id, {O.cosine('e.embedding', O.vec_literal(vec))} AS score
+   FROM embeddings e WHERE e.embedding IS NOT NULL
+ ) ORDER BY score DESC, vec_id ASC LIMIT 5)""")
+    return " UNION ALL ".join(parts)
+
+
+def q_knn_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 then label-membership post-filter AFTER top-k — the reference's
+    search-filter semantics (services/search.py:52-62): may return < k."""
+    hits = KNN.knn(
+        _emb(spark, sf_dir), Q0, 50, id_col="vec_id", extra_cols=("label",)
+    )
+    return hits.filter(F.col("label").isin(1, 2, 3)).select("vec_id", "label", "score")
+
+
+def _sql_knn_postfilter() -> str:
+    return f"""
+WITH q AS (SELECT {O.vec_literal(Q0)} AS qv),
+hits AS (
+  SELECT vec_id, label, score FROM (
+    SELECT e.vec_id, e.label, {O.cosine('e.embedding', 'qv')} AS score
+    FROM embeddings e, q WHERE e.embedding IS NOT NULL
+  ) ORDER BY score DESC, vec_id ASC LIMIT 50
+)
+SELECT vec_id, label, score FROM hits WHERE label IN (1, 2, 3)
+"""
+
+
+def q_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = V.as_double_array("embedding")
+    q = V.as_double_array(_q0_lit())
+    scored = _emb(spark, sf_dir).select(
+        "label", "vec_id", V.cosine_similarity(e, q).alias("score")
+    )
+    return topk_per_group(
+        scored, ["label"], [F.desc("score"), F.col("vec_id").asc()], 3
+    )
+
+
+def _sql_topk_per_label() -> str:
+    return f"""
+WITH q AS (SELECT {O.vec_literal(Q0)} AS qv),
+scored AS (
+  SELECT e.label, e.vec_id, {O.cosine('e.embedding', 'qv')} AS score
+  FROM embeddings e, q
+)
+SELECT label, vec_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (LLM-pipeline operators)
+# ---------------------------------------------------------------------------
+
+def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", T.token_count("text").alias("n_tokens"))
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", T.lang_id("text").alias("lang_pred"))
+
+
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.stopword_ratio("text").alias("stopword_ratio"),
+        T.mean_token_len("text").alias("mean_token_len"),
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", T.quality_score("text").alias("quality"))
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        T.fingerprint("text").alias("fp_md5"),
+        T.sha256_fingerprint("text").alias("fp_sha256"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite (LLM-pipeline operators)
+# ---------------------------------------------------------------------------
+
+def q_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(_docs(spark, sf_dir))
+
+
+def _sql_exact_duplicates() -> str:
+    n = O.normalize_text("text")
+    return f"""
+SELECT md5({n}) AS fingerprint, MIN(doc_id) AS keeper_id,
+       COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(_docs(spark, sf_dir), num_hashes=MINHASH_P, k=JACCARD_K)
+
+
+def _sql_minhash_signatures() -> str:
+    return f"""
+WITH sh AS ({O.shingle_hashes_cte('documents', 'doc_id', 'text', JACCARD_K)})
+SELECT doc_id, {O.minhash_select(MINHASH_P)} FROM sh GROUP BY doc_id
+"""
+
+
+def q_minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_no, bucket): the LSH banding layer itself — a strong
+    full-coverage check even when the corpus has no near-duplicate pairs."""
+    sigs = D.minhash_signatures(_docs(spark, sf_dir), num_hashes=MINHASH_P, k=JACCARD_K)
+    rows = MINHASH_P // MINHASH_BANDS
+    sig_cols = [f"mh{i}" for i in range(MINHASH_P)]
+    banded = sigs.select(
+        "doc_id",
+        *[H.band_id(sig_cols, b, rows).alias(f"band{b}") for b in range(MINHASH_BANDS)],
+    )
+    return banded.selectExpr(
+        "doc_id",
+        "stack({n}, {args}) as (band_no, bucket)".format(
+            n=MINHASH_BANDS,
+            args=", ".join(f"{b}, band{b}" for b in range(MINHASH_BANDS)),
+        ),
+    )
+
+
+def _sql_minhash_band_buckets() -> str:
+    rows = MINHASH_P // MINHASH_BANDS
+    band_exprs = []
+    for b in range(MINHASH_BANDS):
+        cols = ", ".join(
+            f"CAST(mh{i} AS VARCHAR)" for i in range(b * rows, (b + 1) * rows)
+        )
+        band_exprs.append(f"SELECT doc_id, {b} AS band_no, md5(concat_ws(',', {cols})) AS bucket FROM sigs")
+    union = " UNION ALL ".join(band_exprs)
+    return f"""
+WITH sh AS ({O.shingle_hashes_cte('documents', 'doc_id', 'text', JACCARD_K)}),
+sigs AS (SELECT doc_id, {O.minhash_select(MINHASH_P)} FROM sh GROUP BY doc_id)
+{union}
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=MINHASH_P, bands=MINHASH_BANDS, k=JACCARD_K
+    )
+
+
+def _sql_minhash_lsh_pairs() -> str:
+    rows = MINHASH_P // MINHASH_BANDS
+    band_exprs = []
+    for b in range(MINHASH_BANDS):
+        cols = ", ".join(
+            f"CAST(mh{i} AS VARCHAR)" for i in range(b * rows, (b + 1) * rows)
+        )
+        band_exprs.append(f"SELECT doc_id, {b} AS band_no, md5(concat_ws(',', {cols})) AS bucket FROM sigs")
+    union = " UNION ALL ".join(band_exprs)
+    return f"""
+WITH sh AS ({O.shingle_hashes_cte('documents', 'doc_id', 'text', JACCARD_K)}),
+sigs AS (SELECT doc_id, {O.minhash_select(MINHASH_P)} FROM sh GROUP BY doc_id),
+stacked AS ({union})
+SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS n_bands
+FROM stacked a JOIN stacked b
+  ON a.band_no = b.band_no AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD, k=JACCARD_K
+    )
+
+
+def _sql_ngram_jaccard_pairs() -> str:
+    return f"""
+WITH sh0 AS ({O.shingle_hashes_cte('documents', 'doc_id', 'text', JACCARD_K)}),
+rare AS (SELECT shingle_hash FROM sh0 GROUP BY 1 HAVING COUNT(*) <= 1000),
+sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle_hash)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT left_id, right_id,
+       CAST(inter AS DOUBLE) / CAST(ls.sz + rs.sz - inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes ls ON ls.doc_id = left_id
+JOIN sizes rs ON rs.doc_id = right_id
+WHERE CAST(inter AS DOUBLE) / CAST(ls.sz + rs.sz - inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def q_simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_duplicates(_docs(spark, sf_dir))
+
+
+def _sql_simhash_dup_groups() -> str:
+    return f"""
+WITH s AS ({O.simhash_sql('documents', 'doc_id', 'text')})
+SELECT simhash, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+FROM s GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_neardup_pairs(
+        _emb(spark, sf_dir),
+        threshold=NEARDUP_THRESHOLD,
+        id_col="vec_id",
+        block_col="label",
+    )
+
+
+def _sql_embedding_neardup() -> str:
+    c = O.cosine("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS left_id, b.vec_id AS right_id, {c} AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+  AND {c} >= {NEARDUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events (grouped agg; batch equivalent of the streaming ingest)
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "value_cents")
+    )
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Listing / pagination (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+def q_doc_listing_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return L.list_page(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        order_by=[F.desc("n_chars"), F.col("doc_id").asc()],
+        offset=5,
+        limit=20,
+        filters=[F.col("lang") == "en", F.col("n_chars") >= 200],
+    )
+
+
+_SQL_DOC_LISTING_PAGE = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE lang = 'en' AND n_chars >= 200
+ORDER BY n_chars DESC, doc_id ASC LIMIT 20 OFFSET 5
+"""
+
+
+def q_doc_listing_has_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    page_len, more = L.page_stats(
+        docs, offset=5, limit=20,
+        filters=[F.col("lang") == "en", F.col("n_chars") >= 200],
+    )
+    return spark.createDataFrame(
+        [(page_len, more)], "page_len bigint, has_more boolean"
+    )
+
+
+_SQL_DOC_LISTING_HAS_MORE = """
+WITH probe AS (
+  SELECT 1 FROM documents WHERE lang = 'en' AND n_chars >= 200
+  LIMIT 21 OFFSET 5
+)
+SELECT CAST(least(COUNT(*), 20) AS BIGINT) AS page_len, COUNT(*) > 20 AS has_more
+FROM probe
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational headliners (joins + grouped agg over the star schema)
+# ---------------------------------------------------------------------------
+
+def q_rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("total_cents"), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+_SQL_REL_TOP_CUSTOMERS = """
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2 ORDER BY total_cents DESC, c_custkey ASC LIMIT 10
+"""
+
+
+def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("price_cents"),
+            F.sum(F.floor(F.col("l_discount") * 10000).cast("long")).alias("disc_bps"),
+        )
+    )
+
+
+_SQL_REL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+       CAST(SUM(CAST(FLOOR(l_discount * 10000) AS BIGINT)) AS BIGINT) AS disc_bps
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN paths — rows-only (KMeans / numpy matmul are not SQL-expressible
+# bit-for-bit; pytest bounds their recall against the exact path instead)
+# ---------------------------------------------------------------------------
+
+def q_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_db_api_spark.operators.lsh import SignLSH, build_bucket_table
+
+    emb = _emb(spark, sf_dir)
+    # H=8 → 256 buckets/table: sized so the sf0.01 corpus (500 rows) actually
+    # populates the probed buckets; the reference default H=16 suits corpora
+    # ≥ ~100k rows (bucket occupancy ~ n / 2^H).
+    model = SignLSH(dim=64, num_tables=8, hyperplanes_per_table=8, seed=42)
+    buckets = build_bucket_table(model, emb, id_col="vec_id")
+    return model.search(emb, buckets, Q0, 10, id_col="vec_id")
+
+
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_db_api_spark.operators.ivf import IVFIndex
+
+    emb = _emb(spark, sf_dir)
+    ivf = IVFIndex.train(emb, num_centroids=16, nprobe=4, seed=42)
+    assignments = ivf.assign(emb, id_col="vec_id")
+    return ivf.search(emb, assignments, Q0, 10, id_col="vec_id")
+
+
+def q_knn_batch_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return KNN.knn_batch_numpy(_emb(spark, sf_dir), QUERY_BATCH, 5, id_col="vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # vector kernel
+    "vec_kernel_scores": (q_vec_kernel_scores, _sql_vec_kernel_scores()),
+    "vec_norm_argmax": (q_vec_norm_argmax, _sql_vec_norm_argmax()),
+    # exact kNN (FlatIndex parity)
+    "knn_cosine_top10": (_q_knn("cosine"), _sql_knn("cosine")),
+    "knn_euclidean_top10": (_q_knn("euclidean"), _sql_knn("euclidean")),
+    "knn_dot_top10": (_q_knn("dot_product"), _sql_knn("dot_product")),
+    "knn_batch_top5": (q_knn_batch, _sql_knn_batch()),
+    "knn_postfilter": (q_knn_postfilter, _sql_knn_postfilter()),
+    "topk_per_label": (q_topk_per_label, _sql_topk_per_label()),
+    # text analysis
+    "doc_token_count": (
+        q_doc_token_count,
+        f"SELECT doc_id, {O.token_count('text')} AS n_tokens FROM documents",
+    ),
+    "doc_lang_id": (
+        q_doc_lang_id,
+        f"SELECT doc_id, {O.lang_id('text')} AS lang_pred FROM documents",
+    ),
+    "doc_text_stats": (
+        q_doc_text_stats,
+        f"SELECT doc_id, {O.punct_ratio('text')} AS punct_ratio, "
+        f"{O.stopword_ratio('text')} AS stopword_ratio, "
+        f"{O.mean_token_len('text')} AS mean_token_len FROM documents",
+    ),
+    "doc_quality": (
+        q_doc_quality,
+        f"SELECT doc_id, {O.quality_score('text')} AS quality FROM documents",
+    ),
+    "doc_fingerprints": (
+        q_doc_fingerprints,
+        f"SELECT doc_id, md5({O.normalize_text('text')}) AS fp_md5, "
+        f"sha256(text) AS fp_sha256 FROM documents",
+    ),
+    # dedup
+    "exact_duplicates": (q_exact_duplicates, _sql_exact_duplicates()),
+    "minhash_signatures": (q_minhash_signatures, _sql_minhash_signatures()),
+    "minhash_band_buckets": (q_minhash_band_buckets, _sql_minhash_band_buckets()),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh_pairs()),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _sql_ngram_jaccard_pairs()),
+    "simhash": (q_simhash, f"{O.simhash_sql('documents', 'doc_id', 'text')}"),
+    "simhash_dup_groups": (q_simhash_dup_groups, _sql_simhash_dup_groups()),
+    "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup()),
+    # events / grouped agg
+    "events_hourly": (q_events_hourly, _SQL_EVENTS_HOURLY),
+    # listing / pagination
+    "doc_listing_page": (q_doc_listing_page, _SQL_DOC_LISTING_PAGE),
+    "doc_listing_has_more": (q_doc_listing_has_more, _SQL_DOC_LISTING_HAS_MORE),
+    # relational headliners
+    "rel_top_customers": (q_rel_top_customers, _SQL_REL_TOP_CUSTOMERS),
+    "rel_pricing_summary": (q_rel_pricing_summary, _SQL_REL_PRICING_SUMMARY),
+    # ANN paths — rows-only checks
+    "lsh_search_top10": (q_lsh_search, None),
+    "ivf_search_top10": (q_ivf_search, None),
+    "knn_batch_numpy_top5": (q_knn_batch_numpy, None),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in SUITE.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in SUITE.items() if sql is not None}
