@@ -1,0 +1,102 @@
+"""Dedup suite on constructed fixtures: planted exact/near/far duplicates."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vector_db_api_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    far = "completely different words about spark shuffles and parquet scans"
+    rows = [
+        (1, base),
+        (2, base),          # exact dup of 1
+        (3, "  THE  quick brown fox jumps over the lazy dog again and again today "),  # dup after normalize
+        (4, near),          # near dup
+        (5, far),
+        (6, "unique short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_duplicates_groups(docs):
+    groups = {r["keeper_id"]: r["dup_count"] for r in D.exact_duplicates(docs).collect()}
+    assert groups[1] == 3  # 1, 2, 3 normalize to identical content
+    assert groups[4] == 1 and groups[5] == 1 and groups[6] == 1
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    kept = sorted(r["doc_id"] for r in D.dedup_exact(docs).collect())
+    assert kept == [1, 4, 5, 6]
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sigs = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(16))
+            for r in D.minhash_signatures(docs, num_hashes=16).collect()}
+    assert sigs[1] == sigs[2] == sigs[3]
+    assert sigs[1] != sigs[5]
+
+
+def test_ngram_jaccard_planted_pair(docs):
+    pairs = {(r["left_id"], r["right_id"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert pairs[(1, 3)] == pytest.approx(1.0)
+    # near-dup shares most shingles
+    assert 0.5 <= pairs[(1, 4)] < 1.0
+    # far doc pairs with nothing
+    assert not any(5 in p for p in pairs)
+
+
+def test_ngram_jaccard_df_cap_drops_hot_shingle(spark):
+    # every doc shares one boilerplate phrase; cap df=2 → phrase shingles
+    # (df=4) are dropped, so docs that ONLY share boilerplate never pair
+    boiler = "copyright acme corp all rights reserved"
+    rows = [(i, f"{boiler} unique{i} tail{i} words{i} here{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = D.ngram_jaccard_pairs(df, threshold=0.01, k=3, max_shingle_df=2).collect()
+    assert pairs == []
+    # without the cap the boilerplate shingles pair everything
+    pairs_nocap = D.ngram_jaccard_pairs(df, threshold=0.01, k=3, max_shingle_df=None).collect()
+    assert len(pairs_nocap) == 6
+
+
+def test_simhash_exact_collision(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert sh[1] == sh[2] == sh[3]
+    dup_groups = D.simhash_duplicates(docs).collect()
+    assert any(r["keeper_id"] == 1 and r["dup_count"] == 3 for r in dup_groups)
+
+
+def test_simhash_near_docs_small_hamming(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    ham_near = bin(sh[1] ^ sh[4]).count("1")
+    ham_far = bin(sh[1] ^ sh[5]).count("1")
+    assert ham_near < ham_far
+
+
+def test_embedding_neardup_requires_block(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="block_col"):
+        D.embedding_neardup_pairs(df)
+
+
+def test_embedding_neardup_blocked(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),   # near dup of 1, same block
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [1.0, 0.0, 0.0], 1),      # identical to 1 but different block → unseen
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, blk int")
+    pairs = [
+        (r["left_id"], r["right_id"])
+        for r in D.embedding_neardup_pairs(df, threshold=0.99, block_col="blk").collect()
+    ]
+    assert pairs == [(1, 2)]

@@ -1,0 +1,127 @@
+"""ANN paths: determinism, recall@k bounds on clustered data (what the
+reference never tested), zero-vector handling, and id-type preservation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vector_db_api_spark.operators.ivf import IVFIndex
+from vector_db_api_spark.operators.knn import knn
+from vector_db_api_spark.operators.lsh import SignLSH, build_bucket_table
+
+
+def _recall(hits, exact):
+    return len(set(hits) & set(exact)) / len(exact)
+
+
+@pytest.fixture(scope="module")
+def lsh_model():
+    return SignLSH(dim=32, num_tables=8, hyperplanes_per_table=8, seed=42)
+
+
+@pytest.fixture(scope="module")
+def lsh_buckets(lsh_model, clustered_df):
+    return build_bucket_table(lsh_model, clustered_df).cache()
+
+
+def test_lsh_signature_determinism():
+    a = SignLSH(dim=16, num_tables=4, hyperplanes_per_table=8, seed=7)
+    b = SignLSH(dim=16, num_tables=4, hyperplanes_per_table=8, seed=7)
+    mat = np.random.default_rng(0).standard_normal((10, 16))
+    assert (a._signatures_np(mat) == b._signatures_np(mat)).all()
+    c = SignLSH(dim=16, num_tables=4, hyperplanes_per_table=8, seed=8)
+    assert (a._signatures_np(mat) != c._signatures_np(mat)).any()
+
+
+def test_lsh_hyperplane_cap():
+    with pytest.raises(ValueError, match="<= 60"):
+        SignLSH(dim=4, hyperplanes_per_table=61)
+
+
+def test_lsh_bucket_table_id_type(lsh_buckets, clustered_df):
+    # id type follows the corpus (bigint), not a hardcoded string
+    assert dict(lsh_buckets.dtypes)["id"] == dict(clustered_df.dtypes)["id"]
+
+
+def test_lsh_zero_query_empty_probe(lsh_model):
+    assert lsh_model.query_signatures([0.0] * 32) == []
+
+
+def test_lsh_recall_on_clustered(lsh_model, lsh_buckets, clustered_df, clustered_vectors):
+    _, mat, _ = clustered_vectors
+    recalls = []
+    for qi in (10, 260, 490):
+        q = [float(x) for x in mat[qi]]
+        exact = [r["id"] for r in knn(clustered_df, q, 10).collect()]
+        approx = [
+            r["id"]
+            for r in lsh_model.search(
+                clustered_df, lsh_buckets, q, 10, pad_to_k=False
+            ).collect()
+        ]
+        recalls.append(_recall(approx, exact))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_lsh_pad_to_k_returns_k(lsh_model, lsh_buckets, clustered_df, clustered_vectors):
+    _, mat, _ = clustered_vectors
+    q = [float(x) for x in mat[42]]
+    hits = lsh_model.search(clustered_df, lsh_buckets, q, 10, pad_to_k=True).collect()
+    assert len(hits) == 10
+
+
+@pytest.fixture(scope="module")
+def ivf_index(clustered_df):
+    return IVFIndex.train(clustered_df, num_centroids=20, nprobe=3, seed=42)
+
+
+@pytest.fixture(scope="module")
+def ivf_assignments(ivf_index, clustered_df):
+    return ivf_index.assign(clustered_df).cache()
+
+
+def test_ivf_centroids_normalized(ivf_index):
+    norms = np.linalg.norm(ivf_index.centroids, axis=1)
+    assert np.allclose(norms[norms > 0], 1.0)
+
+
+def test_ivf_assignment_id_type(ivf_assignments, clustered_df):
+    assert dict(ivf_assignments.dtypes)["id"] == dict(clustered_df.dtypes)["id"]
+
+
+def test_ivf_zero_query_empty(ivf_index, clustered_df, ivf_assignments):
+    assert ivf_index.probe_centroids([0.0] * 32) == []
+    out = ivf_index.search(clustered_df, ivf_assignments, [0.0] * 32, 5)
+    assert out.count() == 0
+
+
+def test_ivf_probe_ordering(ivf_index, clustered_vectors):
+    _, mat, _ = clustered_vectors
+    probe = ivf_index.probe_centroids([float(x) for x in mat[0]])
+    assert len(probe) == 3
+    q = mat[0] / np.linalg.norm(mat[0])
+    scores = ivf_index.centroids @ q
+    assert scores[probe[0]] >= scores[probe[1]] >= scores[probe[2]]
+
+
+def test_ivf_recall_on_clustered(ivf_index, ivf_assignments, clustered_df, clustered_vectors):
+    _, mat, _ = clustered_vectors
+    recalls = []
+    for qi in (5, 255, 480):
+        q = [float(x) for x in mat[qi]]
+        exact = [r["id"] for r in knn(clustered_df, q, 10).collect()]
+        approx = [
+            r["id"]
+            for r in ivf_index.search(clustered_df, ivf_assignments, q, 10).collect()
+        ]
+        recalls.append(_recall(approx, exact))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ivf_train_fewer_points_than_centroids(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id bigint, embedding array<float>"
+    )
+    idx = IVFIndex.train(df, num_centroids=64, seed=1)
+    assert 1 <= len(idx.centroids) <= 2

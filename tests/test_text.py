@@ -1,0 +1,67 @@
+"""Text-analysis functions: exact token semantics, language-ID, quality
+bounds, fingerprint stability."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vector_db_api_spark.functions import text as T
+
+
+def _eval(spark, text, expr):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(expr.alias("v")).collect()[0]["v"]
+
+
+def test_token_count_basic(spark):
+    assert _eval(spark, "one two three", T.token_count("text")) == 3
+    assert _eval(spark, "  one   two  ", T.token_count("text")) == 2
+    assert _eval(spark, "", T.token_count("text")) == 0
+
+
+def test_word_occurrences_consecutive_repeats(spark):
+    # the ADVICE bug: 'the the the' must count 3, not 2
+    assert _eval(spark, "the the the", T.word_occurrences("text", "the")) == 3
+    assert _eval(spark, "The THE the.", T.word_occurrences("text", "the")) == 2  # 'the.' ≠ 'the'
+
+
+def test_lang_id_clear_samples(spark):
+    assert _eval(spark, "the cat and the dog is to blame", T.lang_id("text")) == "en"
+    assert _eval(spark, "der hund und die katze ist das", T.lang_id("text")) == "de"
+    assert _eval(spark, "le chat et la maison est les", T.lang_id("text")) == "fr"
+    assert _eval(spark, "xyzzy plugh", T.lang_id("text")) == "und"
+
+
+def test_punct_ratio(spark):
+    assert _eval(spark, "abc def", T.punct_ratio("text")) == 0.0
+    assert _eval(spark, "a!b?", T.punct_ratio("text")) == pytest.approx(0.5)
+    assert _eval(spark, "", T.punct_ratio("text")) == 0.0
+
+
+def test_stopword_and_mean_token_len(spark):
+    assert _eval(spark, "the cat", T.stopword_ratio("text")) == pytest.approx(0.5)
+    assert _eval(spark, "ab abcd", T.mean_token_len("text")) == pytest.approx(3.0)
+    assert _eval(spark, "", T.mean_token_len("text")) == 0.0
+
+
+def test_quality_score_bounds(spark):
+    for text in ["", "x", "the " * 100, "!!!???", "a reasonable english sentence about things"]:
+        q = _eval(spark, text, T.quality_score("text"))
+        assert 0.0 <= q <= 1.0, text
+    rich = _eval(spark, "the quick brown fox is of great interest to all of us " * 6, T.quality_score("text"))
+    junk = _eval(spark, "?!?!#$%^", T.quality_score("text"))
+    assert rich > junk
+
+
+def test_fingerprints_match_hashlib(spark):
+    text = "Some Document  Text"
+    norm = "some document text"
+    assert _eval(spark, text, T.fingerprint("text")) == hashlib.md5(norm.encode()).hexdigest()
+    assert (
+        _eval(spark, text, T.sha256_fingerprint("text"))
+        == hashlib.sha256(text.encode()).hexdigest()
+    )
