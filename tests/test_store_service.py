@@ -1,0 +1,164 @@
+"""EntityStore persistence (versioned snapshots, atomic flip, crash safety)
+and the composed Engine services (validation, error taxonomy, index swap)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vector_db_api_spark.api.errors import ConflictError, NotFoundError, ValidationError
+from vector_db_api_spark.api.service import Engine
+from vector_db_api_spark.lifecycle import IndexConfig
+from vector_db_api_spark.sources.store import EntityStore
+
+CHUNK_SCHEMA = (
+    "id string, library_id string, document_id string, position int, "
+    "text string, embedding array<float>, "
+    "metadata struct<source_uri:string,author:string,lang:string,"
+    "mime_type:string,tags:array<string>,page_number:int,token_count:int,"
+    "sha256:string>"
+)
+
+
+def _chunk_rows(spark, rows):
+    return spark.createDataFrame(
+        [(i, lib, doc, pos, text, emb, None) for i, lib, doc, pos, text, emb in rows],
+        CHUNK_SCHEMA,
+    )
+
+
+# -- store ------------------------------------------------------------------
+
+def test_store_versioned_write_read(spark, tmp_path):
+    store = EntityStore(spark, str(tmp_path))
+    assert store.read("libraries").count() == 0  # empty before first write
+    df = spark.createDataFrame(
+        [("L1", "lib", 4, None, None, None, None, 1)],
+        "id string, name string, embedding_dim int, index_config struct<type:string,lsh_num_tables:int,lsh_hyperplanes_per_table:int,ivf_num_centroids:int,ivf_nprobe:int>, metadata struct<source_uri:string,author:string,lang:string,mime_type:string,tags:array<string>,description:string>, created_at timestamp, updated_at timestamp, version int",
+    )
+    assert store.write("libraries", df) == 1
+    assert store.read("libraries").count() == 1
+    assert store.write("libraries", df.union(df)) == 2
+    assert store.read("libraries").count() == 2
+    assert store.current_version("libraries") == 2
+
+
+def test_store_crash_leaves_pointer_intact(spark, tmp_path):
+    store = EntityStore(spark, str(tmp_path))
+    df = spark.createDataFrame([("L1",)], "id string")
+    # minimal table contract: use the libraries DDL path via a real write
+    full = store.read("libraries")
+    store.write("libraries", full)  # v1 (empty)
+    # simulate a crashed writer: dangling v=99 dir, pointer untouched
+    os.makedirs(tmp_path / "libraries" / "v=99")
+    assert store.current_version("libraries") == 1
+    assert store.read("libraries").count() == 0  # still reads v1 cleanly
+
+
+def test_store_vacuum_keeps_live(spark, tmp_path):
+    store = EntityStore(spark, str(tmp_path))
+    empty = store.read("documents")
+    for _ in range(4):
+        store.write("documents", empty)
+    removed = store.vacuum("documents", keep=1)
+    assert removed == [1, 2, 3]
+    assert store.current_version("documents") == 4
+    assert store.read("documents").count() == 0
+
+
+# -- engine services --------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    eng = Engine(spark, str(tmp_path_factory.mktemp("engine")))
+    eng.create_library("libA", 4, library_id="libA")
+    eng.create_document("libA", document_id="docA")
+    eng.upsert_chunks(
+        "libA",
+        _chunk_rows(
+            eng.spark,
+            [
+                ("c1", "libA", "docA", 0, "alpha", [1.0, 0.0, 0.0, 0.0]),
+                ("c2", "libA", "docA", 1, "beta", [0.0, 1.0, 0.0, 0.0]),
+                ("c3", "libA", "docA", 2, "unembedded", None),
+            ],
+        ),
+    )
+    return eng
+
+
+def test_search_flat_hydrated(engine):
+    hits = engine.search("libA", [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert [r["id"] for r in hits] == ["c1", "c2"]
+    assert hits[0]["text"] == "alpha"  # full-row hydration
+    assert hits[0]["score"] == pytest.approx(1.0)
+
+
+def test_search_error_taxonomy(engine):
+    with pytest.raises(NotFoundError):
+        engine.search("missing", [1.0, 0.0, 0.0, 0.0])
+    with pytest.raises(ValidationError, match="dim"):
+        engine.search("libA", [1.0, 0.0])
+    with pytest.raises(ValidationError, match="k must"):
+        engine.search("libA", [1.0, 0.0, 0.0, 0.0], k=0)
+    with pytest.raises(ValidationError, match="metric"):
+        engine.search("libA", [1.0, 0.0, 0.0, 0.0], metric="hamming")
+
+
+def test_upsert_validation(engine):
+    with pytest.raises(ValidationError, match="dim"):
+        engine.upsert_chunks(
+            "libA", _chunk_rows(engine.spark, [("cz", "libA", "docA", 0, "x", [1.0])])
+        )
+    with pytest.raises(NotFoundError, match="documents"):
+        engine.upsert_chunks(
+            "libA",
+            _chunk_rows(engine.spark, [("cz", "libA", "ghost-doc", 0, "x", [1.0, 0.0, 0.0, 0.0])]),
+        )
+
+
+def test_cas_conflict_raises_and_preserves(engine):
+    upd = engine.spark.createDataFrame(
+        [("c1", "newtext", 99)], "id string, text string, expected_version int"
+    )
+    with pytest.raises(ConflictError):
+        engine.update_chunks_cas(upd)
+    row = engine.store.read("chunks").filter(F.col("id") == "c1").collect()[0]
+    assert row["text"] == "alpha"  # conflict left the stored row untouched
+
+
+def test_index_swap_lsh_then_ivf(engine):
+    d1 = engine.update_index_config("libA", IndexConfig("lsh", {"hyperplanes_per_table": 4}))
+    assert (d1["type"], d1["version"]) == ("lsh", 1)
+    assert [r["id"] for r in engine.search("libA", [1.0, 0, 0, 0], k=1).collect()] == ["c1"]
+    d2 = engine.update_index_config("libA", IndexConfig("ivf", {"num_centroids": 2}))
+    assert (d2["type"], d2["version"]) == ("ivf", 2)
+    assert [r["id"] for r in engine.search("libA", [0.0, 1.0, 0, 0], k=1).collect()] == ["c2"]
+
+
+def test_unknown_index_type_rejected():
+    with pytest.raises(ValidationError, match="unknown index type"):
+        IndexConfig("btree")
+
+
+def test_list_documents_and_chunks(engine):
+    page, more = engine.list_documents("libA", limit=10)
+    assert [r["id"] for r in page.collect()] == ["docA"]
+    assert more is False
+    chunks = engine.list_chunks("docA").collect()
+    assert [r["id"] for r in chunks] == ["c1", "c2", "c3"]  # position order
+
+
+def test_move_and_delete_cascade(engine):
+    engine.create_library("libB", 4, library_id="libB")
+    engine.move_document("docA", "libB")
+    docs = {r["id"]: r for r in engine.store.read("documents").collect()}
+    assert docs["docA"]["library_id"] == "libB"
+    assert engine.store.read("chunks").filter(F.col("library_id") == "libB").count() == 3
+    engine.delete_library("libB")
+    assert engine.store.read("chunks").count() == 0
+    with pytest.raises(NotFoundError):
+        engine.search("libB", [1.0, 0, 0, 0])

@@ -1,0 +1,267 @@
+"""Composed services — the reference's service layer
+(services/search.py:18-75, services/chunk.py:23-139,
+services/document.py:24-212, services/library.py:24-119) over the
+EntityStore + IndexLifecycle.
+
+Each service validates (error taxonomy 404/409/422 via api.errors), computes
+the mutation as a pure DataFrame rewrite (operators.mutations), persists via
+the store's atomic publish, and keeps the library's index fresh. The
+reference's per-entity locks disappear: snapshot tables + atomic pointer
+flips give readers isolation for free.
+
+Fixed reference quirks (SURVEY.md §2.10): upserting an embedding onto a
+previously-unembedded chunk DOES reach the index here (the index delta runs
+on the written batch, not gated on the old row's embedding), and LSH update
+is a real rehash, not a silent no-op.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Sequence
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_db_api_spark.api.errors import ConflictError, NotFoundError, ValidationError
+from vector_db_api_spark.functions import vector as V
+from vector_db_api_spark.lifecycle import IndexConfig, IndexLifecycle
+from vector_db_api_spark.operators import mutations as M
+from vector_db_api_spark.operators.knn import apply_post_filters
+from vector_db_api_spark.operators.listing import list_page, page_stats
+from vector_db_api_spark.sources.store import CHUNKS_DDL, EntityStore
+
+MAX_K = 1000          # api/dto.py:153
+MAX_EMBEDDING_DIM = 8192  # models/entities.py:54-60
+METRICS = V.METRICS
+
+
+class Engine:
+    """One store + one index catalog + the four services' operations."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.store = EntityStore(spark, root)
+        self.indexes = IndexLifecycle(spark, f"{root}/_indexes")
+
+    # -- helpers -------------------------------------------------------------
+
+    def _get_library_row(self, library_id: str):
+        rows = self.store.read("libraries").filter(F.col("id") == library_id).collect()
+        if not rows:
+            raise NotFoundError(f"library {library_id!r} not found")  # 404
+        return rows[0]
+
+    def _library_chunks(self, library_id: str) -> DataFrame:
+        # chunks is partitioned by library_id → this is a pruned scan
+        return self.store.read("chunks").filter(F.col("library_id") == library_id)
+
+    # -- LibraryService ------------------------------------------------------
+
+    def create_library(
+        self,
+        name: str,
+        embedding_dim: int,
+        index_config: IndexConfig | None = None,
+        library_id: str | None = None,
+    ) -> str:
+        if not (0 < embedding_dim <= MAX_EMBEDDING_DIM):
+            raise ValidationError(f"embedding_dim must be in (0, {MAX_EMBEDDING_DIM}]")
+        cfg = index_config or IndexConfig()
+        lib_id = library_id or str(uuid.uuid4())
+        p = cfg.params
+        row = self.spark.sql(
+            "SELECT {id} AS id, {name} AS name, {dim} AS embedding_dim, "
+            "named_struct('type', {t}, 'lsh_num_tables', {lt}, "
+            "'lsh_hyperplanes_per_table', {lh}, 'ivf_num_centroids', {ik}, "
+            "'ivf_nprobe', {ip}) AS index_config, "
+            "CAST(NULL AS struct<source_uri:string,author:string,lang:string,"
+            "mime_type:string,tags:array<string>,description:string>) AS metadata, "
+            "current_timestamp() AS created_at, current_timestamp() AS updated_at, "
+            "1 AS version",
+            id=lib_id, name=name, dim=embedding_dim, t=cfg.type,
+            lt=p.get("num_tables", 0), lh=p.get("hyperplanes_per_table", 0),
+            ik=p.get("num_centroids", 0), ip=p.get("nprobe", 0),
+        )
+        self.store.write("libraries", self.store.read("libraries").unionByName(row))
+        return lib_id
+
+    def update_index_config(self, library_id: str, config: IndexConfig) -> dict:
+        """Config swap → full rebuild → atomic publish
+        (services/library.py:58-93)."""
+        lib = self._get_library_row(library_id)
+        desc = self.indexes.rebuild(
+            library_id, self._library_chunks(library_id), config, lib["embedding_dim"]
+        )
+        return desc
+
+    def delete_library(self, library_id: str) -> None:
+        self._get_library_row(library_id)
+        libs, docs, chunks = M.delete_libraries(
+            self.store.read("libraries"),
+            self.store.read("documents"),
+            self.store.read("chunks"),
+            [library_id],
+        )
+        self.store.write("libraries", libs)
+        self.store.write("documents", docs)
+        self.store.write("chunks", chunks)
+
+    # -- DocumentService -----------------------------------------------------
+
+    def create_document(self, library_id: str, document_id: str | None = None) -> str:
+        self._get_library_row(library_id)
+        doc_id = document_id or str(uuid.uuid4())
+        row = self.spark.sql(
+            "SELECT {id} AS id, {lib} AS library_id, "
+            "CAST(NULL AS struct<source_uri:string,author:string,lang:string,"
+            "mime_type:string,tags:array<string>,title:string,summary:string,"
+            "sha256:string>) AS metadata, "
+            "current_timestamp() AS created_at, current_timestamp() AS updated_at, "
+            "1 AS version",
+            id=doc_id, lib=library_id,
+        )
+        self.store.write("documents", self.store.read("documents").unionByName(row))
+        return doc_id
+
+    def delete_document(self, library_id: str, doc_id: str) -> None:
+        docs, chunks = M.delete_documents(
+            self.store.read("documents"), self.store.read("chunks"), [doc_id]
+        )
+        self.store.write("documents", docs)
+        self.store.write("chunks", chunks)
+
+    def move_document(self, doc_id: str, dst_library_id: str) -> None:
+        """services/document.py:160-212 — re-home doc + chunks, then refresh
+        both libraries' indexes would go stale; rebuild is the caller's call."""
+        self._get_library_row(dst_library_id)
+        docs, chunks = M.move_document(
+            self.store.read("documents"), self.store.read("chunks"),
+            doc_id, dst_library_id,
+        )
+        self.store.write("documents", docs)
+        self.store.write("chunks", chunks)
+
+    def list_documents(
+        self,
+        library_id: str,
+        has_tag: str | None = None,
+        created_after: datetime | None = None,
+        sort_by: str = "created_at",
+        ascending: bool = True,
+        offset: int = 0,
+        limit: int = 50,
+    ):
+        """repos/documents.py:22-47 parity + has_more probe
+        (routers/libraries.py:69-75). Returns (page_df, has_more)."""
+        docs = self.store.read("documents").filter(F.col("library_id") == library_id)
+        filters = []
+        if has_tag is not None:
+            filters.append(F.array_contains(F.col("metadata.tags"), has_tag))
+        if created_after is not None:
+            filters.append(F.col("created_at") > F.lit(created_after))
+        order = [
+            F.col(sort_by).asc() if ascending else F.col(sort_by).desc(),
+            F.col("id").asc(),
+        ]
+        page = list_page(docs, order, offset=offset, limit=limit, filters=filters)
+        _, more = page_stats(docs, offset=offset, limit=limit, filters=filters)
+        return page, more
+
+    # -- ChunkService --------------------------------------------------------
+
+    def upsert_chunks(self, library_id: str, incoming: DataFrame) -> None:
+        """Bulk upsert with full validation (services/chunk.py:76-116):
+        library exists (404), chunks belong to existing documents of that
+        library (404/422), embedding dims match (422). MERGE-style rewrite +
+        version bump, then an incremental index delta would append to the
+        live index version (full rebuild keeps this simple for now)."""
+        lib = self._get_library_row(library_id)
+        dim = lib["embedding_dim"]
+        bad_dim = incoming.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") != dim)
+        ).count()
+        if bad_dim:
+            raise ValidationError(
+                f"{bad_dim} chunk(s) have embedding dim != {dim}"
+            )  # 422 — services/chunk.py:98-99
+        docs = self.store.read("documents").filter(F.col("library_id") == library_id)
+        orphan = incoming.join(
+            docs.select(F.col("id").alias("document_id")), "document_id", "left_anti"
+        ).count()
+        if orphan:
+            raise NotFoundError(
+                f"{orphan} chunk(s) reference documents not in library {library_id!r}"
+            )  # services/chunk.py:77-83
+        merged = M.upsert(self.store.read("chunks"), incoming)
+        self.store.write("chunks", merged)
+
+    def update_chunks_cas(self, updates: DataFrame) -> DataFrame:
+        """CAS update_on_version (repos/chunks.py:38-60): applies matching
+        rows, raises ConflictError when any row misses; conflicts DataFrame
+        is attached to the error for reporting."""
+        new_table, conflicts = M.cas_apply(self.store.read("chunks"), updates)
+        rows = conflicts.collect()
+        if rows:
+            err = ConflictError(f"{len(rows)} CAS conflict(s); first: {rows[0].asDict()}")
+            err.conflicts = rows
+            raise err  # 409
+        self.store.write("chunks", new_table)
+        return new_table
+
+    def list_chunks(
+        self, document_id: str, offset: int = 0, limit: int = 50
+    ) -> DataFrame:
+        """repos/chunks.py:28-31 — by-document listing, position order."""
+        return list_page(
+            self.store.read("chunks").filter(F.col("document_id") == document_id),
+            [F.col("position").asc(), F.col("id").asc()],
+            offset=offset,
+            limit=limit,
+        )
+
+    # -- SearchService -------------------------------------------------------
+
+    def search(
+        self,
+        library_id: str,
+        query_embedding: Sequence[float],
+        k: int = 10,
+        metric: str = "cosine",
+        doc_ids: Sequence[str] | None = None,
+        tags: Sequence[str] | None = None,
+        author: str | None = None,
+        created_after: datetime | None = None,
+    ) -> DataFrame:
+        """The flagship composed query (services/search.py:18-75):
+        404 → 422 dim → 422 k/metric → index dispatch → top-k → hydrate full
+        chunk rows → post-filter AFTER top-k (may return < k rows)."""
+        lib = self._get_library_row(library_id)
+        if len(query_embedding) != lib["embedding_dim"]:
+            raise ValidationError(
+                f"query dim {len(query_embedding)} != library dim {lib['embedding_dim']}"
+            )  # 422 — services/search.py:23-24
+        if not (1 <= k <= MAX_K):
+            raise ValidationError(f"k must be in [1, {MAX_K}]")  # api/dto.py:153
+        if metric not in METRICS:
+            raise ValidationError(f"metric must be one of {METRICS}")
+
+        chunks = self._library_chunks(library_id)
+        hits = self.indexes.search(
+            library_id, chunks, list(query_embedding), k, metric=metric
+        )
+        # hydrate: inner join back to full rows — vanished ids drop, exactly
+        # the reference's dict-lookup-and-skip (services/search.py:46-49)
+        hydrated = hits.join(chunks.drop("embedding"), "id", "inner").select(
+            "id", "library_id", "document_id", "position", "text",
+            F.col("metadata.tags").alias("tags"),
+            F.col("metadata.author").alias("author"),
+            "created_at", "score",
+        )
+        return apply_post_filters(
+            hydrated, doc_ids=doc_ids, tags=tags, author=author,
+            created_after=created_after,
+            doc_id_col="document_id", tags_col="tags",
+            author_col="author", created_at_col="created_at",
+        ).orderBy(F.desc("score"), F.asc("id"))

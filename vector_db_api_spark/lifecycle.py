@@ -1,0 +1,214 @@
+"""Index lifecycle: per-library ANN index catalog with versioned rebuild,
+atomic publish, and startup bootstrap.
+
+Reference parity:
+- IndexRegistry.get_or_create/swap/remove + factory defaults
+  (indexing/registry.py:14-56: LSH L=8 H=16; IVF k=64 nprobe=4)
+- config change → full rebuild → atomic swap (services/library.py:58-93)
+- startup bootstrap rebuilds every missing index (main.py:61-76)
+
+Spark design: an index VERSION is a directory of parquet tables
+(``lsh_buckets`` or ``ivf_centroids`` + ``ivf_assignments``) plus a params
+JSON; the live version is named by a pointer file flipped atomically after
+the tables are fully written (write-new → flip → old readers finish on the
+old snapshot). Flat needs no materialized state. Models are reconstructed
+deterministically: SignLSH from (dim, L, H, seed), IVF from the stored
+centroid matrix.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_db_api_spark.api.errors import NotFoundError, ValidationError
+from vector_db_api_spark.operators.ivf import IVFIndex
+from vector_db_api_spark.operators.knn import knn
+from vector_db_api_spark.operators.lsh import SignLSH, build_bucket_table
+
+# factory defaults — reference indexing/registry.py:47-54
+DEFAULTS = {
+    "flat": {},
+    "lsh": {"num_tables": 8, "hyperplanes_per_table": 16, "seed": 42},
+    "ivf": {"num_centroids": 64, "nprobe": 4, "seed": 42},
+}
+INDEX_TYPES = tuple(DEFAULTS)
+
+
+@dataclass
+class IndexConfig:
+    type: str = "flat"  # reference default — models/indexing.py:8
+    params: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.type not in INDEX_TYPES:
+            raise ValidationError(f"unknown index type: {self.type!r}")
+        merged = dict(DEFAULTS[self.type])
+        merged.update(self.params)
+        self.params = merged
+
+
+class IndexLifecycle:
+    """Catalog + build/publish/load for per-library index versions."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- catalog -------------------------------------------------------------
+
+    def _lib_dir(self, library_id: str) -> str:
+        return os.path.join(self.root, str(library_id))
+
+    def _pointer(self, library_id: str) -> str:
+        return os.path.join(self._lib_dir(library_id), "_CURRENT")
+
+    def current(self, library_id: str) -> dict | None:
+        """The live index descriptor {version, type, params, dim} or None."""
+        try:
+            with open(self._pointer(library_id)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _flip(self, library_id: str, desc: dict) -> None:
+        d = self._lib_dir(library_id)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix="_CURRENT.")
+        with os.fdopen(fd, "w") as f:
+            json.dump(desc, f)
+        os.replace(tmp, self._pointer(library_id))
+
+    # -- build / publish ------------------------------------------------------
+
+    def rebuild(
+        self,
+        library_id: str,
+        chunks: DataFrame,
+        config: IndexConfig,
+        dim: int,
+        id_col: str = "id",
+        vec_col: str = "embedding",
+    ) -> dict:
+        """Build the next index version from the library's embedded chunks,
+        write its tables, then atomically publish (services/library.py:58-93
+        semantics: readers keep the old index until the flip)."""
+        cur = self.current(library_id)
+        version = 1 if cur is None else cur["version"] + 1
+        vdir = os.path.join(self._lib_dir(library_id), f"v={version}")
+        embedded = chunks.filter(F.col(vec_col).isNotNull())
+
+        if config.type == "lsh":
+            p = config.params
+            model = SignLSH(
+                dim=dim,
+                num_tables=p["num_tables"],
+                hyperplanes_per_table=p["hyperplanes_per_table"],
+                seed=p["seed"],
+            )
+            build_bucket_table(model, embedded, id_col=id_col, vec_col=vec_col) \
+                .write.mode("errorifexists").parquet(os.path.join(vdir, "lsh_buckets"))
+        elif config.type == "ivf":
+            p = config.params
+            ivf = IVFIndex.train(
+                embedded,
+                num_centroids=p["num_centroids"],
+                nprobe=p["nprobe"],
+                vec_col=vec_col,
+                seed=p["seed"],
+            )
+            cent_rows = [
+                (int(i), [float(x) for x in ivf.centroids[i]])
+                for i in range(len(ivf.centroids))
+            ]
+            self.spark.createDataFrame(
+                cent_rows, "centroid_id int, vec array<double>"
+            ).coalesce(1).write.mode("errorifexists").parquet(
+                os.path.join(vdir, "ivf_centroids")
+            )
+            # partitioned by centroid_id → the nprobe probe partition-prunes
+            ivf.assign(embedded, id_col=id_col, vec_col=vec_col).write.mode(
+                "errorifexists"
+            ).partitionBy("centroid_id").parquet(os.path.join(vdir, "ivf_assignments"))
+        elif config.type != "flat":  # pragma: no cover — IndexConfig validates
+            raise ValidationError(f"unknown index type: {config.type!r}")
+
+        desc = {
+            "version": version,
+            "type": config.type,
+            "params": config.params,
+            "dim": dim,
+            "built_at": time.time(),
+        }
+        self._flip(library_id, desc)
+        return desc
+
+    def bootstrap(
+        self,
+        libraries: list[tuple[str, IndexConfig, int]],
+        chunks_by_library,
+    ) -> list[str]:
+        """Build every missing index at startup (main.py:61-76 parity).
+
+        ``libraries`` is [(library_id, config, dim)];
+        ``chunks_by_library(library_id)`` returns that library's chunk
+        DataFrame (partition-pruned scan when chunks is partitioned by
+        library_id). Returns the library ids that were (re)built.
+        """
+        built = []
+        for lib_id, config, dim in libraries:
+            if self.current(lib_id) is None:
+                self.rebuild(lib_id, chunks_by_library(lib_id), config, dim)
+                built.append(lib_id)
+        return built
+
+    # -- search dispatch ------------------------------------------------------
+
+    def search(
+        self,
+        library_id: str,
+        chunks: DataFrame,
+        query_vec: list[float],
+        k: int,
+        metric: str = "cosine",
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        extra_cols: tuple = (),
+    ) -> DataFrame:
+        """Dispatch on the live index type; flat (or no index yet) scans
+        exactly — the reference's untrained-IVF fallback (ivf.py:96-99)
+        generalized."""
+        desc = self.current(library_id)
+        if desc is None or desc["type"] == "flat":
+            return knn(chunks, query_vec, k, metric=metric, id_col=id_col,
+                       vec_col=vec_col, extra_cols=extra_cols)
+        vdir = os.path.join(self._lib_dir(library_id), f"v={desc['version']}")
+        if desc["type"] == "lsh":
+            p = desc["params"]
+            model = SignLSH(
+                dim=desc["dim"],
+                num_tables=p["num_tables"],
+                hyperplanes_per_table=p["hyperplanes_per_table"],
+                seed=p["seed"],
+            )
+            buckets = self.spark.read.parquet(os.path.join(vdir, "lsh_buckets"))
+            return model.search(chunks, buckets, query_vec, k, metric=metric,
+                                id_col=id_col, vec_col=vec_col)
+        if desc["type"] == "ivf":
+            cent = self.spark.read.parquet(os.path.join(vdir, "ivf_centroids"))
+            rows = sorted(cent.collect(), key=lambda r: r["centroid_id"])
+            mat = np.asarray([r["vec"] for r in rows], dtype=np.float64)
+            ivf = IVFIndex(mat, nprobe=desc["params"]["nprobe"])
+            assignments = self.spark.read.parquet(os.path.join(vdir, "ivf_assignments"))
+            return ivf.search(chunks, assignments, query_vec, k, metric=metric,
+                              id_col=id_col, vec_col=vec_col)
+        raise NotFoundError(f"no usable index for library {library_id!r}")

@@ -492,6 +492,309 @@ FROM lineitem GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# CRUD / mutation layer (SURVEY §2.8) over deterministically-derived entity
+# tables (sources.synthetic_entities) so DuckDB can replay the same MERGE
+# ---------------------------------------------------------------------------
+
+# Derived-entity CTEs shared by every CRUD oracle (mirror of
+# sources.synthetic_entities.derive_chunks, minus embedding/metadata)
+_SQL_CHUNKS0 = """
+chunks0 AS (
+  SELECT 'c' || doc_id || '-0' AS id, source AS library_id,
+         'd' || doc_id AS document_id, 0 AS position,
+         substring(text, 1, CAST(FLOOR(length(text) / 2.0) AS INT)) AS text,
+         1 AS version
+  FROM documents
+  UNION ALL
+  SELECT 'c' || doc_id || '-1', source, 'd' || doc_id, 1,
+         substring(text, CAST(FLOOR(length(text) / 2.0) AS INT) + 1), 1
+  FROM documents
+)"""
+
+
+def _base_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_db_api_spark.sources.synthetic_entities import derive_chunks
+
+    return derive_chunks(_docs(spark, sf_dir), _emb(spark, sf_dir))
+
+
+def _incoming_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replacements for doc_id < 20 chunk 0 (uppercased text) + 5 brand-new
+    chunks for doc_id < 5 — same recipe as the oracle's `incoming` CTE."""
+    docs = _docs(spark, sf_dir)
+    repl = docs.filter(F.col("doc_id") < 20).select(
+        F.concat(F.lit("c"), F.col("doc_id"), F.lit("-0")).alias("id"),
+        F.col("source").alias("library_id"),
+        F.concat(F.lit("d"), F.col("doc_id")).alias("document_id"),
+        F.lit(0).alias("position"),
+        F.upper("text").alias("text"),
+    )
+    new = docs.filter(F.col("doc_id") < 5).select(
+        F.concat(F.lit("cnew-"), F.col("doc_id")).alias("id"),
+        F.col("source").alias("library_id"),
+        F.concat(F.lit("d"), F.col("doc_id")).alias("document_id"),
+        F.lit(2).alias("position"),
+        F.concat(F.lit("brand new chunk "), F.col("doc_id")).alias("text"),
+    )
+    return repl.unionByName(new)
+
+
+_SQL_INCOMING = """
+incoming AS (
+  SELECT 'c' || doc_id || '-0' AS id, source AS library_id,
+         'd' || doc_id AS document_id, 0 AS position, upper(text) AS text
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT 'cnew-' || doc_id, source, 'd' || doc_id, 2,
+         'brand new chunk ' || doc_id
+  FROM documents WHERE doc_id < 5
+)"""
+
+
+def q_crud_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_db_api_spark.operators.mutations import upsert
+
+    base = _base_chunks(spark, sf_dir).select(
+        "id", "library_id", "document_id", "position", "text", "version",
+        F.lit(None).cast("timestamp").alias("created_at"),
+        F.lit(None).cast("timestamp").alias("updated_at"),
+    )
+    merged = upsert(base, _incoming_chunks(spark, sf_dir))
+    return merged.select(
+        "id", "document_id", "position",
+        F.sha2("text", 256).alias("text_sha"), "version",
+    )
+
+
+_SQL_CRUD_UPSERT = f"""
+WITH {_SQL_CHUNKS0}, {_SQL_INCOMING}
+SELECT id, document_id, position, sha256(text) AS text_sha, version FROM (
+  SELECT c.id, c.document_id, c.position, c.text, c.version
+  FROM chunks0 c
+  WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.id = c.id)
+  UNION ALL
+  SELECT i.id, i.document_id, i.position, i.text,
+         COALESCE(c.version + 1, 1) AS version
+  FROM incoming i LEFT JOIN chunks0 c ON c.id = i.id
+)
+"""
+
+
+def _cas_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ok = docs.filter(F.col("doc_id") < 10).select(
+        F.concat(F.lit("c"), F.col("doc_id"), F.lit("-0")).alias("id"),
+        F.concat(F.lit("cas "), F.col("doc_id")).alias("text"),
+        F.lit(1).alias("expected_version"),
+    )
+    stale = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15)).select(
+        F.concat(F.lit("c"), F.col("doc_id"), F.lit("-0")).alias("id"),
+        F.lit("stale").alias("text"),
+        F.lit(5).alias("expected_version"),
+    )
+    missing = docs.filter(F.col("doc_id") < 3).select(
+        F.concat(F.lit("cmissing-"), F.col("doc_id")).alias("id"),
+        F.lit("ghost").alias("text"),
+        F.lit(1).alias("expected_version"),
+    )
+    return ok.unionByName(stale).unionByName(missing)
+
+
+_SQL_CAS_UPDATES = """
+updates AS (
+  SELECT 'c' || doc_id || '-0' AS id, 'cas ' || doc_id AS text,
+         1 AS expected_version
+  FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT 'c' || doc_id || '-0', 'stale', 5
+  FROM documents WHERE doc_id >= 10 AND doc_id < 15
+  UNION ALL
+  SELECT 'cmissing-' || doc_id, 'ghost', 1
+  FROM documents WHERE doc_id < 3
+)"""
+
+
+def q_crud_cas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAS-applied table state: updated rows bump to version 2 with the CAS
+    text; conflicted targets keep their stored row (repos/chunks.py:38-60)."""
+    from vector_db_api_spark.operators.mutations import cas_apply
+
+    base = _base_chunks(spark, sf_dir).select(
+        "id", "library_id", "document_id", "position", "text", "version"
+    )
+    new_table, _ = cas_apply(
+        base, _cas_updates(spark, sf_dir),
+        created_col=None, updated_col=None,
+    )
+    return new_table.select(
+        "id", F.sha2("text", 256).alias("text_sha"), "version"
+    )
+
+
+_SQL_CRUD_CAS = f"""
+WITH {_SQL_CHUNKS0}, {_SQL_CAS_UPDATES}
+SELECT id, sha256(text) AS text_sha, version FROM (
+  SELECT c.id, c.text, c.version
+  FROM chunks0 c
+  WHERE NOT EXISTS (SELECT 1 FROM updates u
+                    WHERE u.id = c.id AND u.expected_version = c.version)
+  UNION ALL
+  SELECT c.id, u.text, c.version + 1
+  FROM updates u JOIN chunks0 c ON c.id = u.id AND c.version = u.expected_version
+)
+"""
+
+
+def q_crud_cas_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_db_api_spark.operators.mutations import cas_apply
+
+    base = _base_chunks(spark, sf_dir).select(
+        "id", "library_id", "document_id", "position", "text", "version"
+    )
+    _, conflicts = cas_apply(
+        base, _cas_updates(spark, sf_dir),
+        created_col=None, updated_col=None,
+    )
+    return conflicts.select("id", "expected_version", "reason")
+
+
+_SQL_CRUD_CAS_CONFLICTS = f"""
+WITH {_SQL_CHUNKS0}, {_SQL_CAS_UPDATES}
+SELECT u.id, u.expected_version,
+       CASE WHEN c.version IS NULL THEN 'not_found'
+            ELSE 'version_mismatch' END AS reason
+FROM updates u LEFT JOIN chunks0 c ON c.id = u.id
+WHERE c.version IS NULL OR c.version != u.expected_version
+"""
+
+
+def q_crud_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining-entity counts after cascade-deleting two libraries
+    (services/library.py:95-119)."""
+    from vector_db_api_spark.operators.mutations import delete_libraries
+    from vector_db_api_spark.sources.synthetic_entities import (
+        derive_documents, derive_libraries,
+    )
+
+    docs_src = _docs(spark, sf_dir)
+    libs, docs, chunks = delete_libraries(
+        derive_libraries(docs_src),
+        derive_documents(docs_src),
+        _base_chunks(spark, sf_dir),
+        ["src0", "src1"],
+    )
+    return spark.createDataFrame(
+        [(libs.count(), docs.count(), chunks.count())],
+        "n_libs bigint, n_docs bigint, n_chunks bigint",
+    )
+
+
+_SQL_CRUD_DELETE_CASCADE = f"""
+WITH {_SQL_CHUNKS0}
+SELECT
+  (SELECT COUNT(DISTINCT source) FROM documents
+   WHERE source NOT IN ('src0', 'src1')) AS n_libs,
+  (SELECT COUNT(*) FROM documents
+   WHERE source NOT IN ('src0', 'src1')) AS n_docs,
+  (SELECT COUNT(*) FROM chunks0
+   WHERE library_id NOT IN ('src0', 'src1')) AS n_chunks
+"""
+
+
+def q_crud_move_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-move state of document d7 and its chunks
+    (services/document.py:160-212): library re-homed, doc version bumped."""
+    from vector_db_api_spark.operators.mutations import move_document
+    from vector_db_api_spark.sources.synthetic_entities import derive_documents
+
+    docs, chunks = move_document(
+        derive_documents(_docs(spark, sf_dir)),
+        _base_chunks(spark, sf_dir),
+        "d7",
+        "src0",
+    )
+    moved_doc = docs.filter(F.col("id") == "d7").select(
+        F.lit("doc").alias("kind"), "id", "library_id", "version"
+    )
+    moved_chunks = chunks.filter(F.col("document_id") == "d7").select(
+        F.lit("chunk").alias("kind"), "id", "library_id", "version"
+    )
+    return moved_doc.unionByName(moved_chunks)
+
+
+_SQL_CRUD_MOVE_DOCUMENT = f"""
+WITH {_SQL_CHUNKS0}
+SELECT 'doc' AS kind, 'd' || doc_id AS id, 'src0' AS library_id, 2 AS version
+FROM documents WHERE doc_id = 7
+UNION ALL
+SELECT 'chunk', id, 'src0', version FROM chunks0 WHERE document_id = 'd7'
+"""
+
+
+def q_chunks_by_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """By-document chunk listing, position order (repos/chunks.py:28-31)."""
+    chunks = _base_chunks(spark, sf_dir)
+    return L.list_page(
+        chunks.select(
+            "id", "position", F.col("metadata.token_count").alias("n_tokens")
+        ),
+        order_by=[F.asc("position"), F.asc("id")],
+        limit=10,
+        filters=[F.col("document_id") == "d3"],
+    )
+
+
+def _sql_chunks_by_document() -> str:
+    return f"""
+WITH {_SQL_CHUNKS0}
+SELECT id, position, {O.token_count('text')} AS n_tokens
+FROM chunks0 WHERE document_id = 'd3'
+ORDER BY position ASC, id ASC LIMIT 10
+"""
+
+
+def q_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed search pipeline (services/search.py:18-75): kNN within one
+    library's chunks → hydrate full rows → doc-id post-filter AFTER top-k."""
+    chunks = _base_chunks(spark, sf_dir)
+    lib_chunks = chunks.filter(F.col("library_id") == "src3")
+    hits = KNN.knn(lib_chunks, Q0, 10, metric="cosine", id_col="id")
+    hydrated = hits.join(lib_chunks.drop("embedding"), "id", "inner").select(
+        "id", "document_id", "position",
+        F.col("metadata.author").alias("author"), "score",
+    )
+    # doc-membership post-filter AFTER top-k (returns < k rows by design);
+    # src3 owns docs with doc_id ≡ 3 (mod 20), this keeps the ≡ 3 (mod 40)
+    # half of them at every scale factor
+    return hydrated.filter(
+        F.expr("CAST(substring(document_id, 2) AS BIGINT) % 40 = 3")
+    )
+
+
+def _sql_search_e2e() -> str:
+    chunks_emb = """
+chunks_emb AS (
+  SELECT c.*, e.embedding
+  FROM chunks0 c LEFT JOIN embeddings e
+    ON c.position = 0 AND e.vec_id = CAST(substring(c.document_id, 2) AS BIGINT)
+)"""
+    return f"""
+WITH {_SQL_CHUNKS0}, {chunks_emb},
+q AS (SELECT {O.vec_literal(Q0)} AS qv),
+hits AS (
+  SELECT id, score FROM (
+    SELECT c.id, {O.cosine('c.embedding', 'qv')} AS score
+    FROM chunks_emb c, q
+    WHERE c.library_id = 'src3' AND c.embedding IS NOT NULL
+  ) ORDER BY score DESC, id ASC LIMIT 10
+)
+SELECT h.id, c.document_id, c.position, c.library_id AS author, h.score
+FROM hits h JOIN chunks_emb c ON c.id = h.id
+WHERE CAST(substring(c.document_id, 2) AS BIGINT) % 40 = 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # ANN paths — rows-only (KMeans / numpy matmul are not SQL-expressible
 # bit-for-bit; pytest bounds their recall against the exact path instead)
 # ---------------------------------------------------------------------------
@@ -577,6 +880,14 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # relational headliners
     "rel_top_customers": (q_rel_top_customers, _SQL_REL_TOP_CUSTOMERS),
     "rel_pricing_summary": (q_rel_pricing_summary, _SQL_REL_PRICING_SUMMARY),
+    # CRUD / mutation layer + composed search
+    "crud_upsert": (q_crud_upsert, _SQL_CRUD_UPSERT),
+    "crud_cas": (q_crud_cas, _SQL_CRUD_CAS),
+    "crud_cas_conflicts": (q_crud_cas_conflicts, _SQL_CRUD_CAS_CONFLICTS),
+    "crud_delete_cascade": (q_crud_delete_cascade, _SQL_CRUD_DELETE_CASCADE),
+    "crud_move_document": (q_crud_move_document, _SQL_CRUD_MOVE_DOCUMENT),
+    "chunks_by_document": (q_chunks_by_document, _sql_chunks_by_document()),
+    "search_e2e": (q_search_e2e, _sql_search_e2e()),
     # ANN paths — rows-only checks
     "lsh_search_top10": (q_lsh_search, None),
     "ivf_search_top10": (q_ivf_search, None),
