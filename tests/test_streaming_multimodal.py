@@ -1,0 +1,129 @@
+"""Structured Streaming ingest (rollup == batch; incremental index delta)
+and multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vector_db_api_spark.operators import dedup as D
+from vector_db_api_spark.operators.lsh import SignLSH
+from vector_db_api_spark.operators.multimodal import (
+    derive_media,
+    extract_features,
+    media_stats,
+)
+from vector_db_api_spark.sources.tables import load_table
+from vector_db_api_spark.streaming.ingest import (
+    hourly_event_rollup,
+    incremental_index_ingest,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_rollup_matches_batch(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "in")
+    events.write.parquet(src)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = hourly_event_rollup(spark, src, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    want = windowed_event_counts(events)
+    # append mode holds back windows still inside the watermark horizon
+    # (window_end > max_ts - 2h) — every CLOSED window must be emitted
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    closed = want.filter(
+        F.col("window_start") + F.expr("INTERVAL 3 HOURS") <= F.lit(max_ts)
+    )
+    key = ["window_start", "event_type"]
+    assert got.join(closed, key, "left_semi").count() == closed.count()
+    assert (
+        got.join(want, key)
+        .filter(
+            (got["n_events"] != want["n_events"])
+            | (got["value_cents"] != want["value_cents"])
+        )
+        .count()
+        == 0
+    )
+    # nothing emitted that the batch plan doesn't have
+    assert got.join(want, key, "left_anti").count() == 0
+
+
+def test_incremental_index_ingest_appends_delta(spark, tmp_path, clustered_df):
+    model = SignLSH(dim=32, num_tables=2, hyperplanes_per_table=8, seed=3)
+    src = str(tmp_path / "chunks")
+    first = clustered_df.filter(F.col("id") < 100)
+    first.write.parquet(src)
+
+    buckets, ckpt = str(tmp_path / "buckets"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(
+        "id bigint, embedding array<float>, label int"
+    ).parquet(src)
+    q = incremental_index_ingest(stream, model, buckets, ckpt, available_now=True)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(buckets).count()
+    assert n1 == 100 * 2  # rows × tables
+
+    # new files arriving later are hashed as a DELTA, not a rebuild
+    clustered_df.filter((F.col("id") >= 100) & (F.col("id") < 150)).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = incremental_index_ingest(stream, model, buckets, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(buckets).count() == n1 + 50 * 2
+    # delta signatures identical to batch-computed ones
+    batch_sigs = model.signatures(clustered_df.filter(F.col("id") < 150))
+    streamed = spark.read.parquet(buckets)
+    assert (
+        streamed.join(batch_sigs, ["id", "table_id"])
+        .filter(streamed["signature"] != batch_sigs["signature"])
+        .count()
+        == 0
+    )
+
+
+def test_simhash_hamming_pairs_planted(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # 1-token change
+        (3, "totally different content about spark and parquet files"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {
+        (r["left_id"], r["right_id"]): r["hamming"]
+        for r in D.simhash_hamming_pairs(docs, max_distance=10).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 10
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_media_stats_and_features(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(30)
+    media = derive_media(docs)
+    stats = media_stats(media).collect()
+    assert len(stats) == 30
+    assert all(r["byte_len"] > 0 and len(r["content_sha"]) == 64 for r in stats)
+    assert {r["modality"] for r in stats} <= {"image", "audio", "video"}
+
+    feats = extract_features(media, n_frames=3).collect()
+    assert len(feats) == 90  # one row per (media, frame)
+    assert all(len(r["features"]) == 8 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["features"])
+    # deterministic across runs
+    feats2 = extract_features(media, n_frames=3).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+
+def test_extract_features_error_stub(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(2)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_features(derive_media(docs), decode_stub="error").collect()

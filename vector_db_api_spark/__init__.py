@@ -8,10 +8,18 @@ Layout
 ------
 - ``session``    — tuned SparkSession builder (AQE, Arrow, shuffle sizing)
 - ``functions``  — vector kernel, text analysis, portable hashing
-- ``operators``  — kNN search, sign-LSH, IVF, top-k, dedup suite
-- ``sources``    — table loaders and the parquet-backed entity store
-- ``streaming``  — Structured Streaming ingest of the events stream
-- ``api``        — reference-parity facade (libraries/documents/chunks CRUD + search)
+- ``operators``  — kNN search, sign-LSH, IVF, top-k, dedup suite, listing,
+  mutations (upsert/CAS/delete/move), multimodal binary columns
+- ``sources``    — table loaders, the versioned parquet entity store
+  (atomic pointer-flip publish), synthetic entity derivation
+- ``streaming``  — Structured Streaming ingest: watermarked event rollup +
+  foreachBatch incremental index maintenance
+- ``lifecycle``  — per-library index catalog: versioned rebuild, atomic
+  swap, startup bootstrap
+- ``api``        — service facade (validation + 404/409/422 error taxonomy,
+  composed search) over the store
+- ``oracle`` / ``suite`` — bit-exact DuckDB oracle generators and the
+  driver-facing query registry
 """
 
 __version__ = "0.1.0"

@@ -234,6 +234,57 @@ def simhash_duplicates(
     )
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_distance: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbits: int = 60,
+) -> DataFrame:
+    """Near-duplicate pairs by simhash hamming distance ≤ ``max_distance``.
+
+    Banded by the pigeonhole principle: split the fingerprint into
+    ``max_distance + 1`` bit-bands — any pair within the distance bound must
+    agree EXACTLY on at least one band, so candidates come from equality
+    joins on (band_no, band_bits), never an all-pairs scan. The true
+    distance (xor popcount) then filters candidates. One banded self-join +
+    one projection; fully SQL-expressible (bit_count is ANSI-ish in both
+    Spark and DuckDB).
+    """
+    bands = max_distance + 1
+    width = nbits // bands
+    sh = simhash(docs, id_col, text_col, nbits)
+    mask = (1 << width) - 1
+    stacked = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_no"),
+                    F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("band_bits"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bd"),
+    ).select(id_col, "simhash", "bd.band_no", "bd.band_bits")
+    a = stacked.select(
+        F.col(id_col).alias("left_id"), F.col("simhash").alias("__lh"),
+        "band_no", "band_bits",
+    )
+    b = stacked.select(
+        F.col(id_col).alias("right_id"), F.col("simhash").alias("__rh"),
+        "band_no", "band_bits",
+    )
+    return (
+        a.join(b, ["band_no", "band_bits"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", F.bit_count(F.col("__lh").bitwiseXOR(F.col("__rh"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
 # -- embedding cosine near-dup ------------------------------------------------
 
 def embedding_neardup_pairs(

@@ -1,0 +1,119 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, with Arrow-batched decode/feature plumbing.
+
+The container has no image/audio codecs, so the DECODE step is stubbed two
+ways (clearly marked):
+
+- ``decode_stub="fake"`` — a deterministic fake decoder (bytes → pseudo
+  pixels/frames) so the Spark-side plumbing (schema, batch shape, UDF
+  signature, partitioning) is fully real and testable;
+- ``decode_stub="error"`` — raises ``NotImplementedError`` at the decode
+  call site, the hook where a real ``PIL.Image.open`` / ``av.open`` drops
+  in unchanged.
+
+Everything around the stub is production-shaped: binary columns flow
+through Arrow ``mapInPandas`` in columnar batches (never row-at-a-time
+Python), byte-level ops (length, hash) stay JVM-side, and per-modality
+metadata is a typed struct, mirroring how the reference types chunk
+metadata (models/metadata.py:15-18).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id string, modality string, content binary, "
+    "meta struct<mime_type:string, byte_len:long, sha256:string>"
+)
+
+
+def derive_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stand-in media table: UTF-8 bytes of the text as the opaque payload,
+    modality assigned round-robin. Deterministic → oracle-able byte math."""
+    content = F.encode(F.col(text_col), "UTF-8")
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.concat(F.lit("m"), F.col(id_col)).alias("media_id"),
+        modality.alias("modality"),
+        content.alias("content"),
+        F.struct(
+            F.concat(F.lit("application/x-fake-"), modality).alias("mime_type"),
+            F.length(content).cast("long").alias("byte_len"),
+            F.sha2(content, 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """JVM-side byte stats — no decode needed, no Python in the path."""
+    return media.select(
+        "media_id",
+        "modality",
+        F.length("content").cast("long").alias("byte_len"),
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
+def _fake_decode(payload: bytes, modality: str, n_frames: int) -> list[list[float]]:
+    """Deterministic fake decoder: n_frames 'frames', each an 8-dim feature
+    from evenly-spaced payload bytes (/255). Replace with a real codec here."""
+    if not payload:
+        return [[0.0] * 8 for _ in range(n_frames)]
+    out = []
+    step = max(1, len(payload) // n_frames)
+    for f in range(n_frames):
+        base = (f * step) % len(payload)
+        frame = [(payload[(base + j) % len(payload)]) / 255.0 for j in range(8)]
+        out.append(frame)
+    return out
+
+
+def extract_features(
+    media: DataFrame,
+    n_frames: int = 4,
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """binary → per-frame feature vectors via Arrow-batched mapInPandas.
+
+    Output: (media_id, modality, frame_no, features array<float>) — one row
+    per sampled frame; the real decode would slot into ``_fake_decode``.
+    """
+    import pandas as pd
+
+    if decode_stub not in ("fake", "error"):
+        raise ValueError("decode_stub must be 'fake' or 'error'")
+    out_schema = "media_id string, modality string, frame_no int, features array<float>"
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, mods, frames, feats = [], [], [], []
+            for mid, mod, content in zip(
+                pdf["media_id"], pdf["modality"], pdf["content"]
+            ):
+                if decode_stub == "error":
+                    raise NotImplementedError(
+                        "real image/audio/video decode is not available in "
+                        "this environment — swap _fake_decode for a codec"
+                    )
+                payload = bytes(content) if content is not None else b""
+                for fno, fv in enumerate(_fake_decode(payload, mod, n_frames)):
+                    ids.append(mid)
+                    mods.append(mod)
+                    frames.append(fno)
+                    feats.append(fv)
+            yield pd.DataFrame(
+                {"media_id": ids, "modality": mods, "frame_no": frames, "features": feats}
+            )
+
+    return media.select("media_id", "modality", "content").mapInPandas(
+        decode_batches, schema=out_schema
+    )

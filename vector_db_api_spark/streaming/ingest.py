@@ -1,0 +1,116 @@
+"""Structured Streaming ingest — the engine's streaming extension
+(SURVEY.md §2.11: the reference is request-driven and has no streams; the
+driver's ``events`` table is the stand-in stream source).
+
+Two streaming jobs:
+
+1. ``hourly_event_rollup`` — watermarked tumbling-window aggregation of the
+   events stream. The aggregation body is shared with the batch query
+   (suite ``events_hourly``), so the batch oracle IS the streaming oracle:
+   run the stream with ``availableNow`` over the same files and the results
+   must match the batch plan.
+
+2. ``incremental_index_ingest`` — ``foreachBatch`` maintenance of a
+   library's ANN index: each micro-batch of chunk upserts appends its LSH
+   signature delta (or IVF assignment delta) to the index tables — the
+   reference's ``index.add`` semantics (lsh.py:58-75, ivf.py:40-49) as a
+   streaming job. Only the DELTA is hashed/assigned; the existing index is
+   never rebuilt.
+
+At 100 TB both are shuffle-light: the rollup's state is bounded by the
+watermark; the index delta is embarrassingly parallel (mapInPandas matmul)
+and appends partition-locally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour rollup per event_type; identical logic for batch and
+    stream (withWatermark is a no-op on batch frames)."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over parquet event files (new files = new data)."""
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+
+
+def hourly_event_rollup(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream → watermarked window agg → parquet sink. ``available_now``
+    drains everything currently present and stops (batch-equivalent runs,
+    used by tests and backfills); leave False for a continuous run."""
+    agg = windowed_event_counts(read_event_stream(spark, input_path))
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def incremental_index_ingest(
+    chunk_stream: DataFrame,
+    model,
+    buckets_path: str,
+    checkpoint: str,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch LSH-delta maintenance: hash each micro-batch of chunk
+    upserts and APPEND to the bucket table (reference ``LSHIndex.add``,
+    lsh.py:58-75 — but actually wired to streaming).
+
+    The same shape works for IVF: swap ``model.signatures`` for
+    ``ivf.assign`` and append to the assignments table.
+    """
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            model.signatures(batch_df, id_col=id_col, vec_col=vec_col)
+            .write.mode("append")
+            .parquet(buckets_path)
+        )
+
+    writer = chunk_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

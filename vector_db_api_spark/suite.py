@@ -354,6 +354,30 @@ FROM s GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_hamming_pairs(_docs(spark, sf_dir), max_distance=8)
+
+
+def _sql_simhash_hamming_pairs() -> str:
+    bands, width = 9, 60 // 9  # max_distance 8 → 9 bands of 6 bits
+    mask = (1 << width) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_no, "
+        f"(simhash >> {b * width}) & {mask} AS band_bits FROM s"
+        for b in range(bands)
+    )
+    return f"""
+WITH s AS ({O.simhash_sql('documents', 'doc_id', 'text')}),
+stacked AS ({band_rows})
+SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM stacked a JOIN stacked b
+  ON a.band_no = b.band_no AND a.band_bits = b.band_bits
+     AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_neardup_pairs(
         _emb(spark, sf_dir),
@@ -372,6 +396,32 @@ FROM embeddings a JOIN embeddings b
 WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
   AND {c} >= {NEARDUP_THRESHOLD}
 """
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (binary payload plumbing; decode is a deterministic
+# fake — the real codec slots into operators.multimodal._fake_decode)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_db_api_spark.operators.multimodal import derive_media, media_stats
+
+    return media_stats(derive_media(_docs(spark, sf_dir)))
+
+
+_SQL_MULTIMODAL_STATS = """
+SELECT 'm' || doc_id AS media_id,
+       (['image', 'audio', 'video'])[CAST((doc_id % 3) + 1 AS INT)] AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS content_sha
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_db_api_spark.operators.multimodal import derive_media, extract_features
+
+    return extract_features(derive_media(_docs(spark, sf_dir)), n_frames=2)
 
 
 # ---------------------------------------------------------------------------
@@ -871,7 +921,11 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _sql_ngram_jaccard_pairs()),
     "simhash": (q_simhash, f"{O.simhash_sql('documents', 'doc_id', 'text')}"),
     "simhash_dup_groups": (q_simhash_dup_groups, _sql_simhash_dup_groups()),
+    "simhash_hamming_pairs": (q_simhash_hamming_pairs, _sql_simhash_hamming_pairs()),
     "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup()),
+    # multimodal
+    "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL_STATS),
+    "multimodal_features": (q_multimodal_features, None),
     # events / grouped agg
     "events_hourly": (q_events_hourly, _SQL_EVENTS_HOURLY),
     # listing / pagination
