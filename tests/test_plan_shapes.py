@@ -1,0 +1,112 @@
+"""Physical-plan shape assertions — the 100-TB design contract.
+
+These tests pin the properties that make each operator survive scale-up:
+filters reach the parquet scan, small sides broadcast, top-k never global-
+sorts, per-group top-k partial-limits BEFORE the shuffle, and ANN probes
+stay selective. A refactor that silently regresses any of these fails here,
+not in a cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vector_db_api_spark import suite
+from vector_db_api_spark.operators import knn as KNN
+from vector_db_api_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def test_knn_single_is_take_ordered_no_shuffle(spark, emb):
+    plan = _plan(KNN.knn(emb, suite.Q0, 10, id_col="vec_id"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # no shuffle at any corpus size
+    assert "PushedFilters: [IsNotNull(embedding)]" in plan
+
+
+def test_knn_batch_partial_limit_before_shuffle(spark, emb):
+    queries = spark.createDataFrame(
+        suite.QUERY_BATCH, "query_id string, query_vec array<double>"
+    )
+    plan = _plan(KNN.knn_batch(emb, queries, 5, id_col="vec_id"))
+    # query side broadcasts; corpus side never shuffles pre-limit
+    assert "Broadcast" in plan
+    # Catalyst's WindowGroupLimit(Partial) bounds each map task's output to
+    # its own top-k per query — the N·Q scored rows never hit the exchange
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_listing_filter_pushdown(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    from vector_db_api_spark.operators.listing import list_page
+
+    plan = _plan(
+        list_page(
+            docs,
+            order_by=[F.desc("n_chars"), F.asc("doc_id")],
+            limit=10,
+            filters=[F.col("lang") == "en", F.col("n_chars") >= 200],
+        )
+    )
+    assert "PushedFilters" in plan
+    assert "EqualTo(lang,en)" in plan and "GreaterThanOrEqual(n_chars,200)" in plan
+    assert "TakeOrderedAndProject" in plan  # limit+sort never global-sorts
+
+
+def test_hydration_join_broadcasts(spark, emb):
+    docs = load_table(spark, SF_DIR, "documents")
+    hits = KNN.knn(emb, suite.Q0, 10, id_col="vec_id")
+    plan = _plan(hits.join(F.broadcast(docs), hits.vec_id == docs.doc_id))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_text_ops_stay_in_codegen(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    from vector_db_api_spark.functions import text as T
+
+    df = docs.select(T.token_count("text"), T.quality_score("text"))
+    plan = _plan(df)
+    # the contract: pure JVM expressions, zero Python evaluation nodes
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_ivf_probe_filter_reaches_assignments_scan(spark, emb, tmp_path):
+    from vector_db_api_spark.operators.ivf import IVFIndex
+
+    ivf = IVFIndex.train(emb, num_centroids=8, nprobe=2, seed=42)
+    path = str(tmp_path / "assign")
+    ivf.assign(emb, id_col="vec_id").write.partitionBy("centroid_id").parquet(path)
+    assignments = spark.read.parquet(path)
+    plan = _plan(ivf.search(emb, assignments, suite.Q0, 5, id_col="vec_id"))
+    # nprobe centroid filter becomes PARTITION pruning on the posting table:
+    # at 100 TB only nprobe/k of the postings bytes are read
+    assert "PartitionFilters" in plan
+    probe = ivf.probe_centroids(suite.Q0)
+    assert f"centroid_id#" in plan and "IN (" in plan or "isin" in plan.lower() or str(probe[0]) in plan
+
+
+def test_exact_dedup_partial_aggregates(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    from vector_db_api_spark.operators.dedup import exact_duplicates
+
+    plan = _plan(exact_duplicates(docs))
+    # map-side partial agg before the single hash shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1

@@ -32,11 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vector_db_api_spark.functions import vector as V
-from vector_db_api_spark.operators.topk import (
-    partial_topk_per_group,
-    topk,
-    topk_per_group,
-)
+from vector_db_api_spark.operators.topk import topk, topk_per_group
 
 
 def _query_literal(query_vec: Sequence[float]) -> Column:
@@ -78,9 +74,15 @@ def knn_batch(
 ) -> DataFrame:
     """Exact top-k per query for a BATCH of queries.
 
-    Broadcast the small query side; score with a JVM fold; map-side partial
-    top-k per (batch, query) so only ~k rows per query per Arrow batch reach
-    the shuffle (NOT the full N·Q scored rows); final window top-k per query.
+    Broadcast the small query side; score with a JVM fold; window top-k per
+    query. The row_number ≤ k predicate makes Catalyst insert
+    ``WindowGroupLimit(Partial)`` BEFORE the shuffle (Spark ≥ 3.5), so each
+    map task forwards only its own top-k rows per query — the full N·Q
+    scored rows never hit the exchange. Verified by the plan-shape test;
+    a hand-rolled map-side reduction (``partial_topk_per_group``) exists for
+    engines without that rule but is strictly slower here (it would drag
+    every scored row through an Arrow round-trip that Catalyst then
+    re-sorts).
     Returns (query_id, id, score).
     """
     q = F.broadcast(
@@ -95,11 +97,8 @@ def knn_batch(
         .withColumn("score", V.similarity(metric, V.as_double_array(vec_col), F.col("__qv")))
         .select(F.col("__qid").alias(query_id_col), F.col(id_col), F.col("score"))
     )
-    partial = partial_topk_per_group(
-        scored, [query_id_col], [("score", False), (id_col, True)], k
-    )
     return topk_per_group(
-        partial,
+        scored,
         [query_id_col],
         [F.desc("score"), F.col(id_col).asc()],
         k,
