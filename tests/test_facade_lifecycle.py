@@ -1,0 +1,77 @@
+"""Facade DTO mapping (status codes, extra-field rejection) and index
+lifecycle bootstrap."""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_db_api_spark.api.facade import Facade
+from vector_db_api_spark.api.service import Engine
+from vector_db_api_spark.lifecycle import IndexConfig, IndexLifecycle
+
+
+@pytest.fixture(scope="module")
+def facade(spark, tmp_path_factory):
+    eng = Engine(spark, str(tmp_path_factory.mktemp("facade")))
+    f = Facade(eng)
+    assert f.create_library({"id": "L1", "name": "lib", "embedding_dim": 4})["status"] == 201
+    assert f.create_document("L1", {"id": "D1"})["status"] == 201
+    return f
+
+
+def _chunk(cid, pos, text, emb):
+    return {"id": cid, "library_id": "L1", "document_id": "D1",
+            "position": pos, "text": text, "embedding": emb}
+
+
+def test_facade_ingest_and_search(facade):
+    res = facade.bulk_upsert_chunks("L1", [
+        _chunk("c1", 0, "hello", [1.0, 0.0, 0.0, 0.0]),
+        _chunk("c2", 1, "world", [0.0, 1.0, 0.0, 0.0]),
+    ])
+    assert res["status"] == 200 and res["data"]["upserted"] == 2
+
+    out = facade.search("L1", {"query_embedding": [1.0, 0.0, 0.0, 0.0], "k": 1})
+    assert out["status"] == 200
+    assert out["data"]["hits"][0]["chunk_id"] == "c1"
+    assert out["data"]["hits"][0]["text"] == "hello"
+
+
+def test_facade_status_codes(facade):
+    assert facade.search("nope", {"query_embedding": [1.0, 0, 0, 0]})["status"] == 404
+    assert facade.search("L1", {"query_embedding": [1.0]})["status"] == 422
+    bad = facade.bulk_upsert_chunks("L1", [{**_chunk("c9", 0, "x", None), "surprise": 1}])
+    assert bad["status"] == 422 and "surprise" in bad["error"]
+    empty = facade.bulk_upsert_chunks("L1", [_chunk("c9", 0, "", None)])
+    assert empty["status"] == 422  # text min_length=1 parity
+
+
+def test_facade_point_gets(facade):
+    assert facade.get_library("L1")["data"]["name"] == "lib"
+    assert facade.get_document("D1")["status"] == 200
+    assert facade.get_chunk("c1")["data"]["text"] == "hello"
+    assert facade.get_chunk("ghost")["status"] == 404
+
+
+def test_facade_list_documents(facade):
+    out = facade.list_documents("L1", limit=10)
+    assert out["status"] == 200
+    assert [d["id"] for d in out["data"]["items"]] == ["D1"]
+    assert out["data"]["has_more"] is False
+
+
+def test_bootstrap_builds_missing_indexes(spark, tmp_path, clustered_df):
+    lc = IndexLifecycle(spark, str(tmp_path / "idx"))
+    libs = [
+        ("libX", IndexConfig("lsh", {"hyperplanes_per_table": 4}), 32),
+        ("libY", IndexConfig("flat"), 32),
+    ]
+    built = lc.bootstrap(libs, lambda _lib: clustered_df)
+    assert built == ["libX", "libY"]
+    assert lc.current("libX")["type"] == "lsh"
+    # second bootstrap is a no-op: nothing missing
+    assert lc.bootstrap(libs, lambda _lib: clustered_df) == []
+    # and the bootstrapped index actually serves searches
+    q = [float(x) for x in clustered_df.limit(1).collect()[0]["embedding"]]
+    hits = lc.search("libX", clustered_df, q, 3)
+    assert hits.count() == 3

@@ -1,0 +1,149 @@
+"""JSON-dict facade — reference router/DTO parity without HTTP.
+
+The reference's routers parse JSON DTOs, call services, and shape responses
+(api/routers/chunks.py:62-92, documents.py:68-100, libraries.py:42-59,
+search.py:20-44; error mapping api/errors.py:5-11). This module is that
+boundary for the Spark engine: dict in → validated DataFrame → service →
+dict out, with EngineError mapped to the same status codes. Wrap it in any
+HTTP framework unchanged (the engine itself stays framework-free).
+
+Schema enforcement replaces Pydantic: ``createDataFrame`` against the
+declared chunk schema rejects unknown/mistyped fields exactly where the
+reference's ``extra="forbid"`` models do (models/entities.py:14,30,43).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from vector_db_api_spark.api.errors import EngineError, ValidationError
+from vector_db_api_spark.api.service import Engine
+
+CHUNK_IN_SCHEMA = (
+    "id string, library_id string, document_id string, position int, "
+    "text string, embedding array<float>, "
+    "metadata struct<source_uri:string,author:string,lang:string,"
+    "mime_type:string,tags:array<string>,page_number:int,token_count:int,"
+    "sha256:string>"
+)
+CHUNK_IN_FIELDS = (
+    "id", "library_id", "document_id", "position", "text", "embedding", "metadata"
+)
+
+
+def _ok(payload: Any, status: int = 200) -> dict:
+    return {"status": status, "data": payload}
+
+
+def _err(e: EngineError) -> dict:
+    return {"status": e.status_code, "error": str(e)}
+
+
+class Facade:
+    def __init__(self, engine: Engine) -> None:
+        self.engine = engine
+
+    # -- ingest (DTO → entity) ---------------------------------------------
+
+    def create_library(self, body: dict) -> dict:
+        try:
+            from vector_db_api_spark.lifecycle import IndexConfig
+
+            cfg = None
+            if "index_config" in body:
+                ic = dict(body["index_config"])
+                cfg = IndexConfig(ic.pop("type", "flat"), ic)
+            lib_id = self.engine.create_library(
+                name=body["name"],
+                embedding_dim=int(body["embedding_dim"]),
+                index_config=cfg,
+                library_id=body.get("id"),
+            )
+            return _ok({"id": lib_id}, 201)
+        except EngineError as e:
+            return _err(e)
+
+    def create_document(self, library_id: str, body: dict) -> dict:
+        try:
+            doc_id = self.engine.create_document(library_id, body.get("id"))
+            return _ok({"id": doc_id}, 201)
+        except EngineError as e:
+            return _err(e)
+
+    def bulk_upsert_chunks(self, library_id: str, chunks: list[dict]) -> dict:
+        """routers/chunks.py:79-92 — JSON chunk list → validated batch."""
+        try:
+            for c in chunks:
+                unknown = set(c) - set(CHUNK_IN_FIELDS)
+                if unknown:
+                    raise ValidationError(
+                        f"unknown chunk fields: {sorted(unknown)}"
+                    )  # extra='forbid' parity
+                if not c.get("text"):
+                    raise ValidationError("chunk.text must be non-empty")
+            rows = [tuple(c.get(f) for f in CHUNK_IN_FIELDS) for c in chunks]
+            df = self.engine.spark.createDataFrame(rows, CHUNK_IN_SCHEMA)
+            self.engine.upsert_chunks(library_id, df)
+            return _ok({"upserted": len(chunks)})
+        except EngineError as e:
+            return _err(e)
+
+    # -- point gets (repos point lookups, repos/chunks.py:24-26 etc.) -------
+
+    def _point_get(self, table: str, entity_id: str) -> dict:
+        rows = (
+            self.engine.store.read(table)
+            .filter(F.col("id") == entity_id)
+            .drop("embedding")
+            .collect()
+        )
+        if not rows:
+            return {"status": 404, "error": f"{table[:-1]} {entity_id!r} not found"}
+        return _ok(rows[0].asDict(recursive=True))
+
+    def get_library(self, library_id: str) -> dict:
+        return self._point_get("libraries", library_id)
+
+    def get_document(self, document_id: str) -> dict:
+        return self._point_get("documents", document_id)
+
+    def get_chunk(self, chunk_id: str) -> dict:
+        return self._point_get("chunks", chunk_id)
+
+    # -- listing + search (response shaping) --------------------------------
+
+    def list_documents(self, library_id: str, **kw) -> dict:
+        try:
+            page, has_more = self.engine.list_documents(library_id, **kw)
+            return _ok({
+                "items": [r.asDict(recursive=True) for r in page.collect()],
+                "has_more": has_more,
+            })
+        except EngineError as e:
+            return _err(e)
+
+    def search(self, library_id: str, body: dict) -> dict:
+        """routers/search.py:20-44 — SearchIn DTO → hits list."""
+        try:
+            filters = body.get("filters") or {}
+            hits = self.engine.search(
+                library_id,
+                body["query_embedding"],
+                k=body.get("k", 10),
+                metric=body.get("metric", "cosine"),
+                doc_ids=filters.get("doc_ids"),
+                tags=filters.get("tags"),
+                author=filters.get("author"),
+                created_after=filters.get("created_after"),
+            )
+            return _ok({
+                "hits": [
+                    {"chunk_id": r["id"], "document_id": r["document_id"],
+                     "score": r["score"], "text": r["text"]}
+                    for r in hits.collect()
+                ]
+            })
+        except EngineError as e:
+            return _err(e)
