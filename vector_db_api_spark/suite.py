@@ -388,13 +388,22 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_embedding_neardup() -> str:
-    c = O.cosine("a.embedding", "b.embedding")
+    # mirror of the unit-vector precompute: normalize per row (same
+    # elementwise x / norm), then ONE dot fold per pair
+    unit = (
+        f"list_transform(range(1, len(embedding)+1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) / {O.norm('embedding')})"
+    )
+    d = O.dot("a.u", "b.u")
     return f"""
-SELECT a.vec_id AS left_id, b.vec_id AS right_id, {c} AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
-  AND {c} >= {NEARDUP_THRESHOLD}
+WITH u AS (
+  SELECT vec_id, label, {unit} AS u
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND {O.norm('embedding')} != 0.0
+)
+SELECT a.vec_id AS left_id, b.vec_id AS right_id, {d} AS cosine
+FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {d} >= {NEARDUP_THRESHOLD}
 """
 
 
