@@ -113,3 +113,38 @@ def similarity(metric: str, a: ColumnOrName, b: ColumnOrName) -> Column:
     if metric == "dot_product":
         return dot_product_similarity(a, b)
     raise ValueError(f"Unknown metric: {metric!r}; expected one of {METRICS}")
+
+
+def const_norm(qvec) -> float:
+    """The query norm as the IDENTICAL IEEE double the Spark fold would
+    produce: Python's left-to-right ``acc += x*x`` is the same operation
+    sequence as ``aggregate(a, 0.0, (acc, x) -> acc + x*x)``, and
+    ``math.sqrt`` is the same correctly-rounded sqrt."""
+    import math
+
+    acc = 0.0
+    for x in qvec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def cosine_similarity_const(vec: ColumnOrName, qvec) -> Column:
+    """Cosine against a CONSTANT query vector with the query norm folded at
+    plan time — per row only dot + norm(vec) evaluate (the naive expression
+    re-aggregates the constant query's norm for every corpus row). Bit-
+    identical to ``cosine_similarity(vec, lit(qvec))`` by construction."""
+    qn = const_norm(qvec)
+    if qn == 0.0:
+        return F.lit(0.0)  # zero query → 0 for every row (utils.py:10-15)
+    e = _c(vec)
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    ne = norm(e)
+    return F.when(ne == 0.0, F.lit(0.0)).otherwise(dot(e, q) / (ne * F.lit(qn)))
+
+
+def similarity_const(metric: str, vec: ColumnOrName, qvec) -> Column:
+    """Metric dispatch against a constant query (driver-known vector)."""
+    if metric == "cosine":
+        return cosine_similarity_const(vec, qvec)
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    return similarity(metric, vec, q)

@@ -52,13 +52,29 @@ def knn(
 
     Returns (id_col, *extra_cols, score) ordered by score desc, id asc.
     """
-    q = V.as_double_array(_query_literal(query_vec))
     e = V.as_double_array(vec_col)
-    scored = (
-        corpus.filter(F.col(vec_col).isNotNull())
-        .withColumn("score", V.similarity(metric, e, q))
-        .select(id_col, *extra_cols, "score")
-    )
+    embedded = corpus.filter(F.col(vec_col).isNotNull())
+    if metric == "cosine":
+        # constant-fold the query norm (Python fold == Spark fold bits) and
+        # materialize the row norm in its own projection so the non-cheap
+        # HOF fold is NOT duplicated into the when-condition and the
+        # denominator (CollapseProject keeps non-cheap aliases separate):
+        # per row exactly two folds run — dot + norm(row)
+        qn = V.const_norm(query_vec)
+        if qn == 0.0:
+            scored = embedded.withColumn("score", F.lit(0.0))
+        else:
+            q = _query_literal(query_vec)
+            scored = embedded.withColumn("__ne", V.norm(e)).withColumn(
+                "score",
+                F.when(F.col("__ne") == 0.0, F.lit(0.0)).otherwise(
+                    V.dot(e, q) / (F.col("__ne") * F.lit(qn))
+                ),
+            )
+    else:
+        q = V.as_double_array(_query_literal(query_vec))
+        scored = embedded.withColumn("score", V.similarity(metric, e, q))
+    scored = scored.select(id_col, *extra_cols, "score")
     return topk(scored, [F.desc("score"), F.col(id_col).asc()], k)
 
 
@@ -85,17 +101,31 @@ def knn_batch(
     re-sorts).
     Returns (query_id, id, score).
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("__qid"),
-            V.as_double_array(query_vec_col).alias("__qv"),
+    e = V.as_double_array(vec_col)
+    qcols = [
+        F.col(query_id_col).alias("__qid"),
+        V.as_double_array(query_vec_col).alias("__qv"),
+    ]
+    if metric == "cosine":
+        # query norms materialize INSIDE the broadcast build (once per
+        # query, not once per corpus×query pair)
+        qcols.append(V.norm(V.as_double_array(query_vec_col)).alias("__qn"))
+    q = F.broadcast(queries.select(*qcols))
+    embedded = corpus.filter(F.col(vec_col).isNotNull())
+    if metric == "cosine":
+        # row norm computed BEFORE the join: once per corpus row, not once
+        # per corpus×query pair
+        scored = embedded.withColumn("__ne", V.norm(e)).crossJoin(q).withColumn(
+            "score",
+            F.when((F.col("__ne") == 0.0) | (F.col("__qn") == 0.0), F.lit(0.0))
+            .otherwise(V.dot(e, F.col("__qv")) / (F.col("__ne") * F.col("__qn"))),
         )
-    )
-    scored = (
-        corpus.filter(F.col(vec_col).isNotNull())
-        .crossJoin(q)
-        .withColumn("score", V.similarity(metric, V.as_double_array(vec_col), F.col("__qv")))
-        .select(F.col("__qid").alias(query_id_col), F.col(id_col), F.col("score"))
+    else:
+        scored = embedded.crossJoin(q).withColumn(
+            "score", V.similarity(metric, e, F.col("__qv"))
+        )
+    scored = scored.select(
+        F.col("__qid").alias(query_id_col), F.col(id_col), F.col("score")
     )
     return topk_per_group(
         scored,

@@ -93,6 +93,28 @@ def similarity(metric: str, a: str, b: str) -> str:
     raise ValueError(f"Unknown metric: {metric!r}")
 
 
+def cosine_const(a: str, qvec: list[float]) -> str:
+    """Mirror of ``vector.cosine_similarity_const`` / the kNN cosine path:
+    the query norm is a plan-time Python fold (bit-identical to the engine
+    fold), so per row only norm(a) and the dot evaluate."""
+    from vector_db_api_spark.functions.vector import const_norm
+
+    qn = const_norm(qvec)
+    if qn == 0.0:
+        return "CAST(0.0 AS DOUBLE)"
+    return (
+        f"CASE WHEN {norm(a)} = 0.0 THEN 0.0 "
+        f"ELSE {dot(a, vec_literal(qvec))} / ({norm(a)} * '{qn!r}'::DOUBLE) END"
+    )
+
+
+def similarity_const(metric: str, a: str, qvec: list[float]) -> str:
+    """Mirror of ``vector.similarity_const``."""
+    if metric == "cosine":
+        return cosine_const(a, qvec)
+    return similarity(metric, a, vec_literal(qvec))
+
+
 def argmax_idx(a: str) -> str:
     """First index of the max element, 0-based (Spark array_position - 1)."""
     return f"CAST(list_position({a}, list_max({a})) - 1 AS INTEGER)"

@@ -117,10 +117,9 @@ def _q_knn(metric: str):
 
 def _sql_knn(metric: str) -> str:
     return f"""
-WITH q AS (SELECT {O.vec_literal(Q0)} AS qv)
 SELECT vec_id, score FROM (
-  SELECT e.vec_id, {O.similarity(metric, 'e.embedding', 'qv')} AS score
-  FROM embeddings e, q WHERE e.embedding IS NOT NULL
+  SELECT e.vec_id, {O.similarity_const(metric, 'e.embedding', Q0)} AS score
+  FROM embeddings e WHERE e.embedding IS NOT NULL
 ) ORDER BY score DESC, vec_id ASC LIMIT 10
 """
 
@@ -137,7 +136,7 @@ def _sql_knn_batch() -> str:
     for qid, vec in QUERY_BATCH:
         parts.append(f"""
 (SELECT '{qid}' AS query_id, vec_id, score FROM (
-   SELECT e.vec_id, {O.cosine('e.embedding', O.vec_literal(vec))} AS score
+   SELECT e.vec_id, {O.cosine_const('e.embedding', vec)} AS score
    FROM embeddings e WHERE e.embedding IS NOT NULL
  ) ORDER BY score DESC, vec_id ASC LIMIT 5)""")
     return " UNION ALL ".join(parts)
@@ -154,11 +153,10 @@ def q_knn_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_knn_postfilter() -> str:
     return f"""
-WITH q AS (SELECT {O.vec_literal(Q0)} AS qv),
-hits AS (
+WITH hits AS (
   SELECT vec_id, label, score FROM (
-    SELECT e.vec_id, e.label, {O.cosine('e.embedding', 'qv')} AS score
-    FROM embeddings e, q WHERE e.embedding IS NOT NULL
+    SELECT e.vec_id, e.label, {O.cosine_const('e.embedding', Q0)} AS score
+    FROM embeddings e WHERE e.embedding IS NOT NULL
   ) ORDER BY score DESC, vec_id ASC LIMIT 50
 )
 SELECT vec_id, label, score FROM hits WHERE label IN (1, 2, 3)
@@ -839,11 +837,10 @@ chunks_emb AS (
 )"""
     return f"""
 WITH {_SQL_CHUNKS0}, {chunks_emb},
-q AS (SELECT {O.vec_literal(Q0)} AS qv),
 hits AS (
   SELECT id, score FROM (
-    SELECT c.id, {O.cosine('c.embedding', 'qv')} AS score
-    FROM chunks_emb c, q
+    SELECT c.id, {O.cosine_const('c.embedding', Q0)} AS score
+    FROM chunks_emb c
     WHERE c.library_id = 'src3' AND c.embedding IS NOT NULL
   ) ORDER BY score DESC, id ASC LIMIT 10
 )
