@@ -152,6 +152,33 @@ def test_list_documents_and_chunks(engine):
     assert [r["id"] for r in chunks] == ["c1", "c2", "c3"]  # position order
 
 
+def test_update_document_metadata_cas(engine):
+    engine.update_document_metadata(
+        "docA", {"title": "T1", "tags": ["x", "y"]}, expected_version=1
+    )
+    row = engine.store.read("documents").filter(F.col("id") == "docA").collect()[0]
+    assert row["metadata"]["title"] == "T1"
+    assert row["metadata"]["tags"] == ["x", "y"]
+    assert row["version"] == 2
+    with pytest.raises(ConflictError):
+        engine.update_document_metadata("docA", {"title": "T2"}, expected_version=1)
+    with pytest.raises(NotFoundError):
+        engine.update_document_metadata("ghost", {"title": "T"}, expected_version=1)
+    with pytest.raises(ValidationError, match="unknown metadata"):
+        engine.update_document_metadata("docA", {"nope": 1}, expected_version=2)
+    # tag filter in listing sees the new metadata
+    page, _ = engine.list_documents("libA", has_tag="x")
+    assert [r["id"] for r in page.collect()] == ["docA"]
+
+
+def test_uuid_defaults(engine):
+    lib_id = engine.create_library("autolib", 4)
+    doc_id = engine.create_document(lib_id)
+    assert len(lib_id) == 36 and lib_id.count("-") == 4  # uuid4 string
+    assert len(doc_id) == 36
+    engine.delete_library(lib_id)
+
+
 def test_move_and_delete_cascade(engine):
     engine.create_library("libB", 4, library_id="libB")
     engine.move_document("docA", "libB")

@@ -91,6 +91,30 @@ def test_incremental_index_ingest_appends_delta(spark, tmp_path, clustered_df):
     )
 
 
+def test_incremental_ivf_delta(spark, tmp_path, clustered_df):
+    from vector_db_api_spark.operators.ivf import IVFIndex
+
+    ivf = IVFIndex.train(clustered_df, num_centroids=8, seed=5)
+    src = str(tmp_path / "chunks")
+    clustered_df.filter(F.col("id") < 80).write.parquet(src)
+    posting, ckpt = str(tmp_path / "postings"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(
+        "id bigint, embedding array<float>, label int"
+    ).parquet(src)
+    q = incremental_index_ingest(
+        stream, ivf, posting, ckpt, available_now=True,
+        partition_by=("centroid_id",),
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(posting)
+    assert streamed.count() == 80
+    batch = ivf.assign(clustered_df.filter(F.col("id") < 80))
+    assert (
+        streamed.join(batch, "id")
+        .filter(streamed["centroid_id"] != batch["centroid_id"]).count() == 0
+    )
+
+
 def test_simhash_hamming_pairs_planted(spark):
     rows = [
         (1, "alpha beta gamma delta epsilon zeta eta theta"),

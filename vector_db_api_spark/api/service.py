@@ -143,6 +143,57 @@ class Engine:
         self.store.write("documents", docs)
         self.store.write("chunks", chunks)
 
+    DOC_META_FIELDS = (
+        "source_uri", "author", "lang", "mime_type", "tags",
+        "title", "summary", "sha256",
+    )
+
+    def update_document_metadata(
+        self, doc_id: str, fields: dict, expected_version: int
+    ) -> None:
+        """Field-wise metadata overwrite under CAS
+        (services/document.py:117-138): provided keys replace, the rest
+        carry over; version must match (409) and the doc must exist (404)."""
+        unknown = set(fields) - set(self.DOC_META_FIELDS)
+        if unknown:
+            raise ValidationError(f"unknown metadata fields: {sorted(unknown)}")
+        docs = self.store.read("documents")
+        rows = docs.filter(F.col("id") == doc_id).collect()
+        if not rows:
+            raise NotFoundError(f"document {doc_id!r} not found")
+        if rows[0]["version"] != expected_version:
+            raise ConflictError(
+                f"document {doc_id!r} version {rows[0]['version']} != "
+                f"expected {expected_version}"
+            )
+
+        def _lit(v):
+            if isinstance(v, (list, tuple)):
+                return F.array(*[F.lit(x) for x in v])
+            return F.lit(v)
+
+        new_meta = F.struct(
+            *[
+                (_lit(fields[f]) if f in fields else F.col(f"metadata.{f}")).alias(f)
+                for f in self.DOC_META_FIELDS
+            ]
+        )
+        is_target = F.col("id") == doc_id
+        updated = (
+            docs.withColumn(
+                "metadata", F.when(is_target, new_meta).otherwise(F.col("metadata"))
+            )
+            .withColumn(
+                "version",
+                F.when(is_target, F.col("version") + 1).otherwise(F.col("version")),
+            )
+            .withColumn(
+                "updated_at",
+                F.when(is_target, F.current_timestamp()).otherwise(F.col("updated_at")),
+            )
+        )
+        self.store.write("documents", updated)
+
     def list_documents(
         self,
         library_id: str,

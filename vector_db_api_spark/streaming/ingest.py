@@ -85,28 +85,37 @@ def hourly_event_rollup(
 def incremental_index_ingest(
     chunk_stream: DataFrame,
     model,
-    buckets_path: str,
+    index_path: str,
     checkpoint: str,
     id_col: str = "id",
     vec_col: str = "embedding",
     available_now: bool = True,
+    partition_by: tuple[str, ...] = (),
 ) -> StreamingQuery:
-    """foreachBatch LSH-delta maintenance: hash each micro-batch of chunk
-    upserts and APPEND to the bucket table (reference ``LSHIndex.add``,
-    lsh.py:58-75 — but actually wired to streaming).
+    """foreachBatch index-delta maintenance: transform each micro-batch of
+    chunk upserts through the index model and APPEND to the index table —
+    the reference's ``index.add`` (lsh.py:58-75, ivf.py:40-49) as a
+    streaming job.
 
-    The same shape works for IVF: swap ``model.signatures`` for
-    ``ivf.assign`` and append to the assignments table.
+    ``model`` is duck-typed: a ``SignLSH`` appends signature rows to the
+    bucket table; a trained ``IVFIndex`` appends assignment rows to the
+    posting table (pass ``partition_by=("centroid_id",)`` so the appended
+    postings stay partition-prunable).
     """
+    from vector_db_api_spark.operators.ivf import IVFIndex
+
+    def delta(batch_df: DataFrame) -> DataFrame:
+        if isinstance(model, IVFIndex):
+            return model.assign(batch_df, id_col=id_col, vec_col=vec_col)
+        return model.signatures(batch_df, id_col=id_col, vec_col=vec_col)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        (
-            model.signatures(batch_df, id_col=id_col, vec_col=vec_col)
-            .write.mode("append")
-            .parquet(buckets_path)
-        )
+        writer = delta(batch_df).write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(index_path)
 
     writer = chunk_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint
