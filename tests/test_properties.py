@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis): the vector kernel against a Python
+reference fold, metric invariants, and minhash/jaccard structure.
+
+Examples are bounded (few, small) so the Spark round-trips stay fast; the
+point is randomized coverage of algebraic invariants the example-based
+tests can't sweep.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from vector_db_api_spark.functions import hashing as H
+from vector_db_api_spark.functions import vector as V
+
+FINITE = st.floats(
+    min_value=-100.0, max_value=100.0, allow_nan=False, allow_infinity=False
+)
+VEC = st.lists(FINITE, min_size=1, max_size=8)
+SLOW = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_cosine(a, b):
+    def fold_dot(x, y):
+        acc = 0.0
+        for p, q in zip(x, y):
+            acc += p * q
+        return acc
+
+    na, nb = math.sqrt(fold_dot(a, a)), math.sqrt(fold_dot(b, b))
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return fold_dot(a, b) / (na * nb)
+
+
+def _eval(spark, expr):
+    return spark.range(1).select(expr.alias("v")).collect()[0]["v"]
+
+
+def _arr(vals):
+    return V.as_double_array(F.array(*[F.lit(float(v)) for v in vals]))
+
+
+@SLOW
+@given(st.tuples(VEC, VEC))
+def test_cosine_matches_python_fold(spark, ab):
+    a, b = ab
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    got = _eval(spark, V.cosine_similarity(_arr(a), _arr(b)))
+    assert got == _py_cosine(a, b)  # bit-exact, same fold order
+
+
+@SLOW
+@given(VEC)
+def test_cosine_self_is_one_or_zero(spark, a):
+    got = _eval(spark, V.cosine_similarity(_arr(a), _arr(a)))
+    # norm, not component zero-ness, decides the branch: tiny subnormals
+    # square-underflow to a zero norm and legitimately take the 0.0 guard
+    if math.sqrt(sum(x * x for x in a)) == 0.0:
+        assert got == 0.0
+    else:
+        assert got == pytest.approx(1.0, abs=1e-9)
+
+
+@SLOW
+@given(st.tuples(VEC, VEC))
+def test_metric_symmetry(spark, ab):
+    a, b = ab
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    for metric in ("cosine", "euclidean", "dot_product"):
+        x = _eval(spark, V.similarity(metric, _arr(a), _arr(b)))
+        y = _eval(spark, V.similarity(metric, _arr(b), _arr(a)))
+        assert x == pytest.approx(y, rel=1e-12), metric
+
+
+@SLOW
+@given(VEC)
+def test_normalize_is_unit_norm(spark, a):
+    out = _eval(spark, V.normalize(_arr(a)))
+    if math.sqrt(sum(x * x for x in a)) == 0.0:  # incl. squared underflow
+        assert out is None
+    else:
+        assert math.sqrt(sum(x * x for x in out)) == pytest.approx(1.0, abs=1e-9)
+
+
+@given(st.integers(min_value=1, max_value=64), st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=50, deadline=None)
+def test_minhash_params_in_range(n, seed):
+    for a, b in H.minhash_params(n, seed):
+        assert 1 <= a < 1 << 31 and 0 <= b < 1 << 31
+        # (a*x + b) % p never overflows int64 for x < 2^32
+        assert a * ((1 << 32) - 1) + b < (1 << 63)
+
+
+@SLOW
+@given(st.lists(st.text(alphabet="ab ", min_size=1, max_size=30), min_size=1, max_size=4))
+def test_minhash_distinct_invariance(spark, texts):
+    """min over multiset == min over set: signatures computed with and
+    without the distinct shuffle are identical."""
+    from vector_db_api_spark.operators.dedup import shingle_hashes
+    from vector_db_api_spark.functions.hashing import minhash_agg_exprs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    with_d = (
+        shingle_hashes(docs, distinct=True)
+        .groupBy("doc_id").agg(*minhash_agg_exprs(4, "shingle_hash")).collect()
+    )
+    without_d = (
+        shingle_hashes(docs, distinct=False)
+        .groupBy("doc_id").agg(*minhash_agg_exprs(4, "shingle_hash")).collect()
+    )
+    assert sorted(map(tuple, with_d)) == sorted(map(tuple, without_d))

@@ -171,6 +171,29 @@ class IndexLifecycle:
                 built.append(lib_id)
         return built
 
+    def vacuum(self, library_id: str, keep: int = 2) -> list[int]:
+        """Drop index snapshot dirs older than the newest ``keep`` (never
+        the live one) — readers of an old version finish before their
+        pointer resolution goes stale, so keep ≥ 2 during live traffic."""
+        import shutil
+
+        d = self._lib_dir(library_id)
+        if not os.path.isdir(d):
+            return []
+        versions = sorted(
+            int(x.split("=", 1)[1])
+            for x in os.listdir(d)
+            if x.startswith("v=") and x.split("=", 1)[1].isdigit()
+        )
+        cur = self.current(library_id)
+        live = cur["version"] if cur else None
+        removable = [v for v in versions[:-keep] if v != live] if keep else [
+            v for v in versions if v != live
+        ]
+        for v in removable:
+            shutil.rmtree(os.path.join(d, f"v={v}"), ignore_errors=True)
+        return removable
+
     # -- search dispatch ------------------------------------------------------
 
     def search(

@@ -32,6 +32,18 @@ from vector_db_api_spark.functions import text as T
 from vector_db_api_spark.functions import vector as V
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Spread CPU-heavy per-row work across the cluster when the source has
+    fewer splits than cores (a small parquet file arrives as ONE split, so
+    shingling/hashing would otherwise serialize on a single task). At real
+    scale inputs have >= cores splits and this is a no-op — the repartition
+    shuffle only ever moves data that was too small to split."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # -- exact ------------------------------------------------------------------
 
 def exact_duplicates(
@@ -65,17 +77,24 @@ def dedup_exact(
 # -- shingles / n-gram jaccard ------------------------------------------------
 
 def shingle_hashes(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, shingle_hash) — distinct h32 of the k-word shingles per doc."""
-    return (
-        docs.select(
-            F.col(id_col),
-            F.explode(H.word_shingles(T.normalize_text(text_col), k)).alias("shingle"),
-        )
-        .select(id_col, H.h32(F.col("shingle")).alias("shingle_hash"))
-        .distinct()
-    )
+    """(id, shingle_hash) — h32 of the k-word shingles per doc.
+
+    ``distinct=True`` (set semantics) costs one shuffle and is required
+    wherever shingle COUNTS matter (Jaccard sizes, df caps). Operators that
+    only take a MIN over the shingle set (minhash) pass ``distinct=False`` —
+    min(multiset) == min(set), so they skip that entire shuffle.
+    """
+    sh = _parallelize(docs).select(
+        F.col(id_col),
+        F.explode(H.word_shingles(T.normalize_text(text_col), k)).alias("shingle"),
+    ).select(id_col, H.h32(F.col("shingle")).alias("shingle_hash"))
+    return sh.distinct() if distinct else sh
 
 
 def ngram_jaccard_pairs(
@@ -140,8 +159,9 @@ def minhash_signatures(
     seed: int = H.MINHASH_SEED,
 ) -> DataFrame:
     """(id, mh0..mh{P-1}) — minimum of each universal hash over the doc's
-    shingle h32 set. One explode + one groupBy (map-side partial min)."""
-    sh = shingle_hashes(docs, id_col, text_col, k)
+    shingle h32 set. One explode + one groupBy (map-side partial min);
+    the dedup shuffle is skipped because min is multiset-invariant."""
+    sh = shingle_hashes(docs, id_col, text_col, k, distinct=False)
     return sh.groupBy(id_col).agg(*H.minhash_agg_exprs(num_hashes, "shingle_hash", seed))
 
 
@@ -204,7 +224,7 @@ def simhash(
     one groupBy(doc) with nbits conditional sums (map-side combinable, single
     shuffle), then bit-pack. Engine-portable (h60 is md5-derived).
     """
-    toks = docs.select(
+    toks = _parallelize(docs).select(
         F.col(id_col),
         F.explode(F.split(T.normalize_text(text_col), " ")).alias("tok"),
     ).select(id_col, H.h60(F.col("tok")).alias("th"))
