@@ -110,3 +110,38 @@ def test_exact_dedup_partial_aggregates(spark):
     # map-side partial agg before the single hash shuffle
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange") == 1
+
+
+def test_lsh_probe_pushes_into_bucket_scan(spark, emb, tmp_path):
+    from vector_db_api_spark.operators.lsh import SignLSH, build_bucket_table
+
+    model = SignLSH(dim=64, num_tables=4, hyperplanes_per_table=8, seed=42)
+    path = str(tmp_path / "buckets")
+    build_bucket_table(model, emb, id_col="vec_id").write.partitionBy(
+        "table_id"
+    ).parquet(path)
+    buckets = spark.read.parquet(path)
+    plan = _plan(
+        model.search(emb, buckets, suite.Q0, 5, id_col="vec_id", pad_to_k=False)
+    )
+    # the L-probe literal disjunction must (a) partition-prune table_id on
+    # the persisted bucket table and (b) push the signature predicate to the
+    # parquet reader — at 100 TB only the L probed buckets are read
+    assert "PartitionFilters" in plan and "table_id" in plan
+    assert "PushedFilters" in plan and "signature" in plan
+    # candidate re-rank joins via broadcast, never a corpus shuffle
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lsh_search_has_no_distinct_shuffle(spark, emb):
+    from vector_db_api_spark.operators.lsh import SignLSH, build_bucket_table
+
+    model = SignLSH(dim=64, num_tables=4, hyperplanes_per_table=8, seed=42)
+    buckets = build_bucket_table(model, emb, id_col="vec_id")
+    plan = _plan(
+        model.search(emb, buckets, suite.Q0, 5, id_col="vec_id", pad_to_k=False)
+    )
+    # semi-join dedups candidates; an explicit distinct would show up as an
+    # extra HashAggregate pair around an Exchange
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

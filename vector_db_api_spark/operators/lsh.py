@@ -13,9 +13,10 @@ Scale design:
   Python, no JVM fold over H·d elements).
 - The bucket table (table_id, signature, id) is a DataFrame; persisted
   partitioned/bucketed by (table_id, signature) the probe becomes a
-  partition-pruned scan. The probe itself is a broadcast semi-join of L
-  (table_id, signature) keys against the bucket table — no shuffle of the
-  corpus.
+  partition-pruned scan. The probe itself is a literal L-way disjunction
+  pushed into that scan (static pruning, no join, no shuffle of the
+  corpus); the matched candidate ids are broadcast into the re-rank
+  semi-join.
 - Re-rank: exact scoring of the candidate set only (inner join back to the
   corpus), then TakeOrderedAndProject top-k.
 
@@ -131,29 +132,36 @@ class SignLSH:
 
     # -- search ------------------------------------------------------------
 
+    def _probe_filter(
+        self, buckets: DataFrame, query_vec: Sequence[float], id_col: str
+    ) -> DataFrame | None:
+        """Bucket rows matching the query's L probe keys, or None for a zero
+        query. The probe is a LITERAL disjunction, not a join: it pushes into
+        the parquet scan (PushedFilters) and prunes a table partitioned by
+        ``table_id`` / sorted by ``signature`` without needing dynamic
+        partition pruning — only the L probed buckets are ever read."""
+        probes = self.query_signatures(query_vec)
+        if not probes:
+            return None
+        cond = None
+        for t, s in probes:
+            leg = (F.col("table_id") == F.lit(t)) & (F.col("signature") == F.lit(s))
+            cond = leg if cond is None else (cond | leg)
+        return buckets.filter(cond).select(id_col)
+
     def candidates(
         self,
         buckets: DataFrame,
         query_vec: Sequence[float],
         id_col: str = "id",
     ) -> DataFrame:
-        """Distinct candidate ids across the query's L buckets.
-
-        The L probe keys are a tiny literal DataFrame → broadcast hash
-        semi-join; with the bucket table sorted/bucketed by (table_id,
-        signature) this prunes to L buckets regardless of corpus size.
-        """
-        probes = self.query_signatures(query_vec)
+        """Distinct candidate ids across the query's L buckets."""
         spark = buckets.sparkSession
-        id_type = buckets.schema[id_col].dataType.simpleString()
-        if not probes:
+        matched = self._probe_filter(buckets, query_vec, id_col)
+        if matched is None:
+            id_type = buckets.schema[id_col].dataType.simpleString()
             return spark.createDataFrame([], f"{id_col} {id_type}")
-        probe_df = spark.createDataFrame(probes, "table_id int, signature long")
-        return (
-            buckets.join(F.broadcast(probe_df), ["table_id", "signature"], "left_semi")
-            .select(id_col)
-            .distinct()
-        )
+        return matched.distinct()
 
     def search(
         self,
@@ -176,8 +184,18 @@ class SignLSH:
         costs one visible fallback job, never a silent full scan inside the
         probe path.
         """
-        cand = self.candidates(buckets, query_vec, id_col=id_col)
-        hydrated = corpus.join(cand, id_col, "left_semi")
+        cand = self._probe_filter(buckets, query_vec, id_col)
+        if cand is None:  # zero query → empty result, no jobs (lsh.py:86-87)
+            id_type = corpus.schema[id_col].dataType.simpleString()
+            return corpus.sparkSession.createDataFrame(
+                [], f"{id_col} {id_type}, score double"
+            )
+        # Candidate ids are bounded by L × bucket occupancy (the caller sizes
+        # H so buckets hold ~corpus/2^H rows), so the semi-join build side is
+        # small by construction → broadcast it. No .distinct() first: a
+        # left-semi join already dedups, and skipping it removes a full
+        # candidate shuffle.
+        hydrated = corpus.join(F.broadcast(cand), id_col, "left_semi")
         hits = knn(hydrated, query_vec, k, metric=metric, id_col=id_col, vec_col=vec_col)
         if not pad_to_k:
             return hits
