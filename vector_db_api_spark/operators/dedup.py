@@ -117,20 +117,28 @@ def ngram_jaccard_pairs(
     100 TB. Jaccard is then computed over the capped shingle universe (sizes
     counted after the cap, so the ratio stays internally consistent).
     """
-    sh = shingle_hashes(docs, id_col, text_col, k)
+    # ONE shuffle groups the multiset into per-shingle doc-id sets
+    # (collect_set dedups, so no separate distinct pass), applies the df cap
+    # to the set size, and keeps the groups in place for pair generation —
+    # the two-sided self-join this replaces shuffled the raw shingle table
+    # twice more and the df-cap a further two times.
+    groups = (
+        shingle_hashes(docs, id_col, text_col, k, distinct=False)
+        .groupBy("shingle_hash")
+        .agg(F.collect_set(id_col).alias("ids"))
+    )
     if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("shingle_hash")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shingle_hash")
-        )
-        sh = sh.join(rare, "shingle_hash", "left_semi")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("left_id"), "shingle_hash")
-    b = sh.select(F.col(id_col).alias("right_id"), "shingle_hash")
+        groups = groups.filter(F.size("ids") <= max_shingle_df)
+    sizes = (
+        groups.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    # pairs explode in place: ≤ df_cap² rows per shingle by construction
     inter = (
-        a.join(b, "shingle_hash")
+        groups.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("left_id"), "ids")
+        .select("left_id", F.explode("ids").alias("right_id"))
         .filter(F.col("left_id") < F.col("right_id"))
         .groupBy("left_id", "right_id")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -173,6 +181,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     k: int = 3,
     seed: int = H.MINHASH_SEED,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
 
@@ -180,6 +189,11 @@ def minhash_lsh_pairs(
     ≈ (1/4)^(1/4) ≈ 0.71 Jaccard. Returns (left_id, right_id, n_bands)
     distinct pairs; feed to ``ngram_jaccard_pairs`` of the pair subset (or
     accept as-is) for verification.
+
+    ``max_bucket_size`` drops degenerate buckets (e.g. the empty-text
+    signature) whose membership exceeds the cap — set it at 100 TB where one
+    pathological bucket would go quadratic; default None preserves exact
+    all-pairs semantics within buckets.
     """
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
@@ -200,10 +214,17 @@ def minhash_lsh_pairs(
             args=", ".join(f"{b}, band{b}" for b in range(bands)),
         ),
     )
-    a = stacked.select(F.col(id_col).alias("left_id"), "band_no", "bucket")
-    b = stacked.select(F.col(id_col).alias("right_id"), "band_no", "bucket")
+    # group each band bucket's members once, explode pairs in place — one
+    # shuffle on (band_no, bucket) instead of a two-sided self-join
+    groups = stacked.groupBy("band_no", "bucket").agg(
+        F.collect_list(id_col).alias("ids")
+    )
+    if max_bucket_size is not None:
+        groups = groups.filter(F.size("ids") <= max_bucket_size)
     return (
-        a.join(b, ["band_no", "bucket"])
+        groups.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("left_id"), "ids")
+        .select("left_id", F.explode("ids").alias("right_id"))
         .filter(F.col("left_id") < F.col("right_id"))
         .groupBy("left_id", "right_id")
         .agg(F.count(F.lit(1)).alias("n_bands"))
@@ -288,18 +309,21 @@ def simhash_hamming_pairs(
             ])
         ).alias("bd"),
     ).select(id_col, "simhash", "bd.band_no", "bd.band_bits")
-    a = stacked.select(
-        F.col(id_col).alias("left_id"), F.col("simhash").alias("__lh"),
-        "band_no", "band_bits",
-    )
-    b = stacked.select(
-        F.col(id_col).alias("right_id"), F.col("simhash").alias("__rh"),
-        "band_no", "band_bits",
+    # group band buckets once, explode member pairs in place (single
+    # shuffle on (band_no, band_bits) instead of a two-sided self-join)
+    groups = stacked.groupBy("band_no", "band_bits").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("h"))).alias("ms")
     )
     return (
-        a.join(b, ["band_no", "band_bits"])
-        .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", F.bit_count(F.col("__lh").bitwiseXOR(F.col("__rh"))).alias("hamming"))
+        groups.filter(F.size("ms") >= 2)
+        .select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.i") < F.col("b.i"))
+        .select(
+            F.col("a.i").alias("left_id"),
+            F.col("b.i").alias("right_id"),
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("hamming"),
+        )
         .distinct()
         .filter(F.col("hamming") <= max_distance)
     )

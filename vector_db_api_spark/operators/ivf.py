@@ -40,6 +40,39 @@ DEFAULT_NUM_CENTROIDS = 64   # registry.py:51-54 defaults
 DEFAULT_NPROBE = 4
 
 
+def _spherical_kmeans(
+    mat: np.ndarray, k: int, seed: int, max_iter: int, tol: float = 1e-6
+) -> np.ndarray:
+    """Seeded spherical Lloyd's over an in-memory (n, d) sample: max-dot
+    assignment against unit centroids, normalized-mean update, empty
+    clusters reseeded from the data — the reference's loop (ivf.py:133-189)
+    vectorized. The sample is bounded by the caller, so n·d·k flops per
+    iteration stay driver-sized."""
+    n = len(mat)
+    if n == 0:
+        raise ValueError("cannot train IVF on an empty/all-zero corpus")
+    k = max(1, min(k, n))
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    unit = mat / np.where(norms == 0, 1.0, norms)
+    rng = np.random.default_rng(seed)
+    cent = unit[rng.choice(n, size=k, replace=False)]
+    for _ in range(max_iter):
+        assign = (unit @ cent.T).argmax(axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, unit)
+        counts = np.bincount(assign, minlength=k)
+        empty = counts == 0
+        if empty.any():
+            sums[empty] = unit[rng.choice(n, size=int(empty.sum()))]
+        cn = np.linalg.norm(sums, axis=1, keepdims=True)
+        new_cent = sums / np.where(cn == 0, 1.0, cn)
+        shift = float(np.abs(new_cent - cent).max())
+        cent = new_cent
+        if shift < tol:
+            break
+    return cent
+
+
 class IVFIndex:
     """Trained IVF model: normalized centroid matrix + assignment table."""
 
@@ -59,12 +92,40 @@ class IVFIndex:
         vec_col: str = "embedding",
         seed: int = 42,
         max_iter: int = 20,
+        method: str = "sample",
+        train_sample_rows: int = 131_072,
     ) -> "IVFIndex":
-        """Spherical k-means via MLlib (distributed, seeded, deterministic).
+        """Train the coarse quantizer.
+
+        ``method="sample"`` (default): ONE distributed pass reservoir-samples
+        ≤ ``train_sample_rows`` vectors per the standard IVF practice (train
+        the quantizer on a bounded sample, assign the full corpus), then runs
+        seeded spherical Lloyd's on the driver — the same normalized-mean /
+        max-dot loop as the reference (ivf.py:133-189), but over a sample
+        that fits in memory by construction. At 100 TB this is the only
+        sane plan: full-corpus k-means costs max_iter corpus scans; sample
+        training costs one.
+
+        ``method="mllib"``: MLlib ``KMeans(distanceMeasure="cosine")`` over
+        the full corpus, for the rare case the quantizer must see every row
+        (distributed, seeded, deterministic).
 
         max_iter=20 mirrors the reference constant IVF_KMEAN_ITERS
         (ivf.py:10). Zero vectors are excluded (ivf.py:41-43).
         """
+        if method == "mllib":
+            cent = cls._train_mllib(corpus, num_centroids, vec_col, seed, max_iter)
+        elif method == "sample":
+            sample = cls._sample_vectors(corpus, vec_col, train_sample_rows, seed)
+            cent = _spherical_kmeans(sample, num_centroids, seed, max_iter)
+        else:
+            raise ValueError(f"unknown train method: {method!r}")
+        return cls(cent, nprobe=nprobe)
+
+    @staticmethod
+    def _train_mllib(
+        corpus: DataFrame, num_centroids: int, vec_col: str, seed: int, max_iter: int
+    ) -> np.ndarray:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -84,7 +145,60 @@ class IVFIndex:
         model = KMeans(
             k=k, seed=seed, maxIter=max_iter, distanceMeasure="cosine"
         ).fit(vecs)
-        return cls(np.asarray(model.clusterCenters(), dtype=np.float64), nprobe=nprobe)
+        return np.asarray(model.clusterCenters(), dtype=np.float64)
+
+    @staticmethod
+    def _sample_vectors(
+        corpus: DataFrame, vec_col: str, n_rows: int, seed: int
+    ) -> np.ndarray:
+        """(m, d) float64 sample, m ≤ n_rows, one pass, no count() action.
+
+        Each partition keeps a seeded uniform reservoir of
+        ``n_rows / num_partitions`` rows inside an Arrow-batched
+        ``mapInPandas`` (so a 100 TB corpus ships at most n_rows vectors to
+        the driver), then the driver trims the concatenation."""
+        from collections.abc import Iterator
+
+        import pandas as pd
+
+        num_parts = max(1, corpus.rdd.getNumPartitions())
+        per_part = max(1, -(-n_rows // num_parts))  # ceil
+
+        def reservoir(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # partition-local: seed from the first rows' content is fragile,
+            # use numpy's SeedSequence spawned off the TaskContext partition id
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+            rng = np.random.default_rng(np.random.SeedSequence([seed, pid]))
+            kept: pd.DataFrame | None = None
+            seen = 0
+            for pdf in batches:
+                pdf = pdf[[vec_col]]
+                seen += len(pdf)
+                pool = pdf if kept is None else pd.concat([kept, pdf], ignore_index=True)
+                if len(pool) > per_part:
+                    # uniform without replacement over the running pool —
+                    # slightly biased toward later batches vs a true
+                    # reservoir, irrelevant for quantizer training
+                    idx = rng.choice(len(pool), size=per_part, replace=False)
+                    pool = pool.iloc[np.sort(idx)].reset_index(drop=True)
+                kept = pool
+            if kept is not None and len(kept):
+                yield kept
+
+        sampled = (
+            corpus.filter(F.col(vec_col).isNotNull())
+            .select(vec_col)
+            .mapInPandas(reservoir, schema=f"{vec_col} array<double>")
+            .collect()
+        )
+        mat = np.asarray([r[vec_col] for r in sampled], dtype=np.float64)
+        if len(mat) > n_rows:
+            rng = np.random.default_rng(seed)
+            mat = mat[rng.choice(len(mat), size=n_rows, replace=False)]
+        norms = np.linalg.norm(mat, axis=1)
+        return mat[norms > 0]
 
     # -- assignment (posting lists) ----------------------------------------
 
