@@ -100,3 +100,36 @@ def test_embedding_neardup_blocked(spark):
         for r in D.embedding_neardup_pairs(df, threshold=0.99, block_col="blk").collect()
     ]
     assert pairs == [(1, 2)]
+
+
+def test_embedding_neardup_numpy_matches_fold(spark):
+    from vector_db_api_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    fold = {
+        (r["left_id"], r["right_id"]): r["cosine"]
+        for r in D.embedding_neardup_pairs(
+            emb, threshold=0.3, id_col="vec_id", block_col="label"
+        ).collect()
+    }
+    fast = {
+        (r["left_id"], r["right_id"]): r["cosine"]
+        for r in D.embedding_neardup_pairs_numpy(
+            emb, threshold=0.3, id_col="vec_id", block_col="label"
+        ).collect()
+    }
+    assert set(fold) == set(fast)
+    for pair, cos in fold.items():
+        assert abs(cos - fast[pair]) < 1e-9
+
+
+def test_embedding_neardup_numpy_zero_and_tiny_blocks(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.0, 0.0], 0),   # zero vector → dropped inside the block
+        (3, [1.0, 0.0], 1),   # singleton block → no pairs
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, blk int")
+    assert D.embedding_neardup_pairs_numpy(
+        df, threshold=0.5, id_col="vec_id", block_col="blk"
+    ).count() == 0

@@ -125,3 +125,47 @@ def test_ivf_train_fewer_points_than_centroids(spark):
     )
     idx = IVFIndex.train(df, num_centroids=64, seed=1)
     assert 1 <= len(idx.centroids) <= 2
+
+
+def test_lsh_multiprobe_raises_recall(spark):
+    """Multi-probe (Hamming-1/2 bucket expansion) must strictly widen the
+    candidate set and never lower recall vs exact-bucket probing."""
+    from vector_db_api_spark.operators.knn import knn
+    from vector_db_api_spark.operators.lsh import SignLSH, build_bucket_table
+    from vector_db_api_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    model = SignLSH(dim=64, num_tables=8, hyperplanes_per_table=8, seed=42)
+    buckets = build_bucket_table(model, emb, id_col="vec_id").cache()
+    exact = {r["vec_id"] for r in knn(emb, qv, 10, id_col="vec_id").collect()}
+
+    def recall(mp):
+        hits = {
+            r["vec_id"]
+            for r in model.search(
+                emb, buckets, qv, 10, id_col="vec_id", pad_to_k=False, multiprobe=mp
+            ).collect()
+        }
+        return len(hits & exact) / len(exact)
+
+    n0 = model.candidates(buckets, qv, id_col="vec_id").count()
+    n1 = model.candidates(buckets, qv, id_col="vec_id", multiprobe=1).count()
+    n2 = model.candidates(buckets, qv, id_col="vec_id", multiprobe=2).count()
+    assert n0 <= n1 <= n2
+    r0, r1, r2 = recall(0), recall(1), recall(2)
+    assert r0 <= r1 <= r2
+    emb.unpersist(); buckets.unpersist()
+
+
+def test_lsh_multiprobe_probe_counts(spark):
+    from vector_db_api_spark.operators.lsh import SignLSH
+
+    model = SignLSH(dim=8, num_tables=2, hyperplanes_per_table=4, seed=1)
+    q = [1.0] * 8
+    assert len(model.query_signatures(q)) == 2
+    assert len(model.query_signatures(q, multiprobe=1)) == 2 * (1 + 4)
+    assert len(model.query_signatures(q, multiprobe=2)) == 2 * (1 + 4 + 6)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        model.query_signatures(q, multiprobe=3)

@@ -383,6 +383,62 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_pairs_numpy(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """``embedding_neardup_pairs`` with the per-block pair scoring done as
+    one numpy gram matrix (``U @ U.T``) per block inside ``applyInPandas``
+    — the BLAS path for the same math. ~10× less CPU than the per-pair
+    fold; use the fold variant only when bit-exact sequential-sum parity
+    with a SQL oracle matters. Block sizes must fit an Arrow batch
+    (the blocking key bounds them by construction).
+
+    Returns (left_id, right_id, cosine) with left < right, like the fold
+    variant; pair sets are identical, cosines differ only by float
+    summation order (≤ ~1e-12 relative).
+    """
+    if block_col is None:
+        raise ValueError(
+            "embedding_neardup_pairs_numpy requires block_col (derive one "
+            "with block_by_ivf)"
+        )
+    import numpy as np
+    import pandas as pd
+
+    id_kind = vectors.schema[id_col].dataType.simpleString()
+    out_schema = f"left_id {id_kind}, right_id {id_kind}, cosine double"
+    thr = float(threshold)
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        keep = norms > 0
+        if keep.sum() < 2:
+            return pd.DataFrame({"left_id": [], "right_id": [], "cosine": []})
+        unit = mat[keep] / norms[keep, None]
+        ids = pdf[id_col].to_numpy()[keep]
+        order = np.argsort(ids)
+        unit, ids = unit[order], ids[order]
+        gram = unit @ unit.T
+        li, ri = np.triu_indices(len(ids), k=1)
+        hit = gram[li, ri] >= thr
+        return pd.DataFrame(
+            {"left_id": ids[li[hit]], "right_id": ids[ri[hit]],
+             "cosine": gram[li[hit], ri[hit]]}
+        )
+
+    return (
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(score_block, schema=out_schema)
+    )
+
+
 def block_by_ivf(
     vectors: DataFrame,
     num_centroids: int = 256,

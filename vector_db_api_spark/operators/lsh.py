@@ -122,30 +122,56 @@ class SignLSH:
             hash_batches, schema=out_schema
         )
 
-    def query_signatures(self, query_vec: Sequence[float]) -> list[tuple[int, int]]:
-        """[(table_id, signature)] for one query (driver-side, L·H·d flops)."""
+    def query_signatures(
+        self, query_vec: Sequence[float], multiprobe: int = 0
+    ) -> list[tuple[int, int]]:
+        """[(table_id, signature)] for one query (driver-side, L·H·d flops).
+
+        ``multiprobe`` > 0 additionally probes every bucket whose signature
+        is within that Hamming distance of the query's (multi-probe LSH):
+        a neighbor that lands one sign-flip away — the most likely miss —
+        is then still found. Probes grow as Σ C(H, i) per table; recall
+        rises steeply for multiprobe 1–2 at H≲16 while the probed fraction
+        of the corpus stays ≈ L·ΣC(H,i)/2^H.
+        """
         q = np.asarray(query_vec, dtype=np.float64)[None, :]
         if np.linalg.norm(q) == 0:
             return []  # zero query → no buckets (lsh.py:86-87)
         sigs = self._signatures_np(q)[0]
-        return [(t, int(s)) for t, s in enumerate(sigs)]
+        h = self.hyperplanes_per_table
+        flips = [0]
+        if multiprobe >= 1:
+            flips += [1 << i for i in range(h)]
+        if multiprobe >= 2:
+            flips += [(1 << i) | (1 << j) for i in range(h) for j in range(i + 1, h)]
+        if multiprobe >= 3:
+            raise ValueError("multiprobe > 2 unsupported (probe count explodes)")
+        return [(t, int(s) ^ m) for t, s in enumerate(sigs) for m in flips]
 
     # -- search ------------------------------------------------------------
 
     def _probe_filter(
-        self, buckets: DataFrame, query_vec: Sequence[float], id_col: str
+        self,
+        buckets: DataFrame,
+        query_vec: Sequence[float],
+        id_col: str,
+        multiprobe: int = 0,
     ) -> DataFrame | None:
-        """Bucket rows matching the query's L probe keys, or None for a zero
-        query. The probe is a LITERAL disjunction, not a join: it pushes into
-        the parquet scan (PushedFilters) and prunes a table partitioned by
+        """Bucket rows matching the query's probe keys, or None for a zero
+        query. The probe is a LITERAL per-table ``signature IN (...)``
+        disjunction, not a join: it pushes into the parquet scan
+        (PushedFilters In/EqualTo) and prunes a table partitioned by
         ``table_id`` / sorted by ``signature`` without needing dynamic
-        partition pruning — only the L probed buckets are ever read."""
-        probes = self.query_signatures(query_vec)
+        partition pruning — only the probed buckets are ever read."""
+        probes = self.query_signatures(query_vec, multiprobe=multiprobe)
         if not probes:
             return None
-        cond = None
+        by_table: dict[int, list[int]] = {}
         for t, s in probes:
-            leg = (F.col("table_id") == F.lit(t)) & (F.col("signature") == F.lit(s))
+            by_table.setdefault(t, []).append(s)
+        cond = None
+        for t, sigs in by_table.items():
+            leg = (F.col("table_id") == F.lit(t)) & F.col("signature").isin(sigs)
             cond = leg if cond is None else (cond | leg)
         return buckets.filter(cond).select(id_col)
 
@@ -154,10 +180,11 @@ class SignLSH:
         buckets: DataFrame,
         query_vec: Sequence[float],
         id_col: str = "id",
+        multiprobe: int = 0,
     ) -> DataFrame:
-        """Distinct candidate ids across the query's L buckets."""
+        """Distinct candidate ids across the query's probed buckets."""
         spark = buckets.sparkSession
-        matched = self._probe_filter(buckets, query_vec, id_col)
+        matched = self._probe_filter(buckets, query_vec, id_col, multiprobe=multiprobe)
         if matched is None:
             id_type = buckets.schema[id_col].dataType.simpleString()
             return spark.createDataFrame([], f"{id_col} {id_type}")
@@ -173,6 +200,7 @@ class SignLSH:
         id_col: str = "id",
         vec_col: str = "embedding",
         pad_to_k: bool = True,
+        multiprobe: int = 0,
     ) -> DataFrame:
         """ANN top-k: probe buckets → exact re-rank of candidates.
 
@@ -184,7 +212,7 @@ class SignLSH:
         costs one visible fallback job, never a silent full scan inside the
         probe path.
         """
-        cand = self._probe_filter(buckets, query_vec, id_col)
+        cand = self._probe_filter(buckets, query_vec, id_col, multiprobe=multiprobe)
         if cand is None:  # zero query → empty result, no jobs (lsh.py:86-87)
             id_type = corpus.schema[id_col].dataType.simpleString()
             return corpus.sparkSession.createDataFrame(

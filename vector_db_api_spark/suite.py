@@ -410,6 +410,18 @@ WHERE {d} >= {NEARDUP_THRESHOLD}
 # fake — the real codec slots into operators.multimodal._fake_decode)
 # ---------------------------------------------------------------------------
 
+def q_embedding_neardup_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS-path variant (per-block gram matrix in applyInPandas); pair set
+    equals the fold variant, cosines differ only in summation order, so the
+    driver check is rows-only and pytest pins 1e-9 agreement."""
+    return D.embedding_neardup_pairs_numpy(
+        _emb(spark, sf_dir),
+        threshold=NEARDUP_THRESHOLD,
+        id_col="vec_id",
+        block_col="label",
+    )
+
+
 def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_api_spark.operators.multimodal import derive_media, media_stats
 
@@ -929,6 +941,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "simhash_dup_groups": (q_simhash_dup_groups, _sql_simhash_dup_groups()),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, _sql_simhash_hamming_pairs()),
     "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup()),
+    "embedding_neardup_np": (q_embedding_neardup_np, None),
     # multimodal
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL_STATS),
     "multimodal_features": (q_multimodal_features, None),
