@@ -16,7 +16,7 @@ from collections.abc import Callable
 
 import numpy as np
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_db_api_spark import oracle as O
@@ -560,6 +560,132 @@ FROM lineitem GROUP BY 1, 2
 """
 
 
+def _rev_cents() -> Column:
+    # revenue-in-cents: floor((extprice * (1 - disc)) * 100) — every step a
+    # single IEEE double op, so Spark and DuckDB produce bit-identical values
+    return F.floor(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) * F.lit(100.0)
+    ).cast("long")
+
+
+_SQL_REV_CENTS = "CAST(FLOOR((l_extendedprice * (1.0 - l_discount)) * 100.0) AS BIGINT)"
+
+
+def q_rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+
+    Scale plan: region/nation are tiny → explicit broadcast; customer⋈orders
+    is a shuffle hash join on custkey (at 100 TB customer is far too large to
+    broadcast); lineitem joins orders on l_orderkey, the fact table's natural
+    key, so AQE can coalesce/skew-split that one big shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    co = customer.join(
+        F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "n_name", "r_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(co, orders.o_custkey == co.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_rev_cents()).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue_cents"), F.col("n_name").asc())
+    )
+
+
+_SQL_REL_REVENUE_BY_NATION = f"""
+SELECT r.r_name, n.n_name,
+       CAST(SUM({_SQL_REV_CENTS}) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2 ORDER BY revenue_cents DESC, n_name ASC
+"""
+
+
+def q_rel_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter (mktsegment) reduces customer
+    before the join; date predicates push into the parquet scans of orders
+    and lineitem (PushedFilters), so the shuffle only carries survivors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cutoff = "1998-06-01"
+    return (
+        li.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev_cents()).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_SQL_REL_SHIP_PRIORITY = f"""
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       CAST(SUM({_SQL_REV_CENTS}) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_shipdate > TIMESTAMP '1998-06-01'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND c.c_mktsegment = 'BUILDING'
+GROUP BY 1, 2, 3 ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q_rel_customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer over order time (window aggregate).
+    The window partitions by o_custkey — one shuffle on the partition key,
+    then a sorted in-partition scan; no driver-side iteration."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.filter(F.col("o_custkey") % 97 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            cents.alias("order_cents"),
+            F.sum(cents).over(w).alias("running_cents"),
+            F.row_number().over(w).cast("long").alias("order_seq"),
+        )
+    )
+
+
+_SQL_REL_CUSTOMER_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS order_cents,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) OVER w AS BIGINT) AS running_cents,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq
+FROM orders WHERE o_custkey % 97 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------------------
 # CRUD / mutation layer (SURVEY §2.8) over deterministically-derived entity
 # tables (sources.synthetic_entities) so DuckDB can replay the same MERGE
@@ -892,6 +1018,27 @@ def q_knn_batch_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KNN.knn_batch_numpy(_emb(spark, sf_dir), QUERY_BATCH, 5, id_col="vec_id")
 
 
+def q_knn_batch_numpy_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactness proof for the Arrow/numpy batch path: the top-5 *id set* per
+    query must equal the SQL fold's. Scores are projected away because numpy's
+    matmul (pairwise/SIMD summation) and a sequential SQL fold round
+    differently in the last ulp — the selected neighbors are the invariant."""
+    return KNN.knn_batch_numpy(
+        _emb(spark, sf_dir), QUERY_BATCH, 5, id_col="vec_id"
+    ).select("query_id", "vec_id")
+
+
+def _sql_knn_batch_ids() -> str:
+    parts = []
+    for qid, vec in QUERY_BATCH:
+        parts.append(f"""
+(SELECT '{qid}' AS query_id, vec_id FROM (
+   SELECT e.vec_id, {O.cosine_const('e.embedding', vec)} AS score
+   FROM embeddings e WHERE e.embedding IS NOT NULL
+ ) ORDER BY score DESC, vec_id ASC LIMIT 5)""")
+    return " UNION ALL ".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -953,6 +1100,12 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # relational headliners
     "rel_top_customers": (q_rel_top_customers, _SQL_REL_TOP_CUSTOMERS),
     "rel_pricing_summary": (q_rel_pricing_summary, _SQL_REL_PRICING_SUMMARY),
+    "rel_revenue_by_nation": (q_rel_revenue_by_nation, _SQL_REL_REVENUE_BY_NATION),
+    "rel_ship_priority": (q_rel_ship_priority, _SQL_REL_SHIP_PRIORITY),
+    "rel_customer_running_total": (
+        q_rel_customer_running_total,
+        _SQL_REL_CUSTOMER_RUNNING_TOTAL,
+    ),
     # CRUD / mutation layer + composed search
     "crud_upsert": (q_crud_upsert, _SQL_CRUD_UPSERT),
     "crud_cas": (q_crud_cas, _SQL_CRUD_CAS),
@@ -965,6 +1118,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "lsh_search_top10": (q_lsh_search, None),
     "ivf_search_top10": (q_ivf_search, None),
     "knn_batch_numpy_top5": (q_knn_batch_numpy, None),
+    "knn_batch_numpy_ids_top5": (q_knn_batch_numpy_ids, _sql_knn_batch_ids()),
 }
 
 
