@@ -687,6 +687,62 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
 
 
 # ---------------------------------------------------------------------------
+# Skew operators — salting must be invisible to results, so the oracles are
+# the PLAIN GROUP BY / JOIN (operators/skew.py)
+# ---------------------------------------------------------------------------
+
+def _events_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").withColumn(
+        "value_cents", F.floor(F.col("value") * F.lit(100.0)).cast("long")
+    )
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_db_api_spark.operators import skew as SK
+
+    return SK.salted_agg(
+        _events_cents(spark, sf_dir),
+        ["event_type"],
+        {
+            "n_events": ("event_id", "count"),
+            "value_cents_sum": ("value_cents", "sum"),
+            "value_cents_min": ("value_cents", "min"),
+            "value_cents_max": ("value_cents", "max"),
+        },
+        num_salts=8,
+    )
+
+
+_SQL_SKEW_SALTED_AGG = """
+SELECT event_type, COUNT(event_id) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents_sum,
+       MIN(CAST(FLOOR(value * 100.0) AS BIGINT)) AS value_cents_min,
+       MAX(CAST(FLOOR(value * 100.0) AS BIGINT)) AS value_cents_max
+FROM events GROUP BY 1
+"""
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_db_api_spark.operators import skew as SK
+
+    ev = _events_cents(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = SK.salted_join(ev, cust, ev.user_id == cust.c_custkey, num_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("value_cents_sum"),
+    )
+
+
+_SQL_SKEW_SALTED_JOIN = """
+SELECT c.c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(e.value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents_sum
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # CRUD / mutation layer (SURVEY §2.8) over deterministically-derived entity
 # tables (sources.synthetic_entities) so DuckDB can replay the same MERGE
 # ---------------------------------------------------------------------------
@@ -1106,6 +1162,9 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_rel_customer_running_total,
         _SQL_REL_CUSTOMER_RUNNING_TOTAL,
     ),
+    # skew mitigation (results must be salt-invariant)
+    "skew_salted_agg": (q_skew_salted_agg, _SQL_SKEW_SALTED_AGG),
+    "skew_salted_join": (q_skew_salted_join, _SQL_SKEW_SALTED_JOIN),
     # CRUD / mutation layer + composed search
     "crud_upsert": (q_crud_upsert, _SQL_CRUD_UPSERT),
     "crud_cas": (q_crud_cas, _SQL_CRUD_CAS),
