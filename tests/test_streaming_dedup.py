@@ -1,0 +1,134 @@
+"""Streaming dedup: the stream must produce the batch answer on the same
+files (first_seen_dedup), and bounded-state dedup must keep exactly one row
+per fingerprint."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_db_api_spark.sources.tables import load_table
+from vector_db_api_spark.streaming.dedup import (
+    content_fingerprint,
+    exact_dedup,
+    first_seen_dedup,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+STREAM_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string, fp string"
+)
+
+
+def _fingerprinted_events(spark):
+    return load_table(spark, SF_DIR, "events").withColumn(
+        "fp", content_fingerprint("event_type", "props")
+    )
+
+
+def test_content_fingerprint_null_safety(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("a", ""), (None, "b")], "x string, y string"
+    ).select(content_fingerprint("x", "y").alias("fp"))
+    fps = [r.fp for r in df.collect()]
+    # null and empty string hash identically (documented coalesce), but
+    # ('a', None) must never collide with (None, 'b')
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_first_seen_batch_keeps_min_order_row(spark):
+    ev = _fingerprinted_events(spark)
+    got = first_seen_dedup(ev, "fp", "event_id")
+    want = ev.groupBy("fp").agg(F.min("event_id").alias("event_id"))
+    assert got.count() == ev.select("fp").distinct().count()
+    assert got.join(want, ["fp", "event_id"]).count() == want.count()
+
+
+def test_first_seen_stream_matches_batch(spark, tmp_path):
+    ev = _fingerprinted_events(spark)
+    src = str(tmp_path / "in")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(STREAM_SCHEMA).parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        first_seen_dedup(stream, "fp", "event_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).select("fp", "event_id")
+    want = first_seen_dedup(ev, "fp", "event_id").select("fp", "event_id")
+    assert got.count() == want.count()
+    assert got.join(want, ["fp", "event_id"]).count() == want.count()
+
+
+def test_first_seen_stream_tombstones_across_batches(spark, tmp_path):
+    ev = _fingerprinted_events(spark)
+    src = str(tmp_path / "in")
+    ev.filter(F.col("event_id") < 100).write.parquet(src)
+
+    stream = spark.readStream.schema(STREAM_SCHEMA).parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            first_seen_dedup(stream, "fp", "event_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+
+    # second batch re-sends the SAME fingerprints (plus nothing new):
+    # every group is tombstoned, so the stream must emit zero new rows
+    ev.filter(F.col("event_id") < 100).withColumn(
+        "event_id", F.col("event_id") + 1000000
+    ).write.mode("append").parquet(src)
+    drain()
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2
+
+
+def test_exact_dedup_stream_bounded_state(spark, tmp_path):
+    ev = _fingerprinted_events(spark)
+    src = str(tmp_path / "in")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(STREAM_SCHEMA).parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        exact_dedup(stream, "fp", ts_col="ts", watermark="2 hours")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    # dropDuplicatesWithinWatermark guarantees: no fingerprint duplicated
+    # within the horizon; every fingerprint represented at least once
+    assert got.groupBy("fp").count().filter("count > 1").count() == 0
+    assert got.select("fp").distinct().count() == ev.select("fp").distinct().count()
+
+
+def test_exact_dedup_batch_one_row_per_fp(spark):
+    ev = _fingerprinted_events(spark)
+    got = exact_dedup(ev, "fp")
+    assert got.count() == ev.select("fp").distinct().count()

@@ -1,0 +1,114 @@
+"""Streaming deduplication — bounded-state and custom-stateful variants.
+
+The batch dedup suite (``operators/dedup.py``) answers "which documents are
+duplicates"; a streaming ingest pipeline needs the online form: "drop rows
+whose content fingerprint was already seen". Two operators, two state models:
+
+1. ``exact_dedup`` — the built-in scale path:
+   ``dropDuplicatesWithinWatermark`` keeps one row per fingerprint and ages
+   state out with the watermark, so state is bounded by (dup horizon ×
+   arrival rate), not by corpus size. This is the right default at 100 TB —
+   state lives in the state store (RocksDB on a real cluster), partitioned by
+   fingerprint, and never grows past the watermark horizon.
+
+2. ``first_seen_dedup`` — custom stateful operator via
+   ``applyInPandasWithState`` (the builder brief's extension point): per
+   fingerprint group, emit the row with the smallest ``order_col`` the first
+   time the group appears, then tombstone the group forever (unbounded state;
+   use when the dedup horizon really is "all history" and fingerprint
+   cardinality is the bounded thing). Batch frames take the equivalent
+   window-top-1 path, so the same function is the driver-oracle query AND the
+   streaming operator — pytest proves stream == batch on the same files.
+
+Semantics note: "first seen" is defined as min(order_col) *within each
+micro-batch*, then first-batch-wins across batches. With one availableNow
+drain over static files this equals the global batch answer, which is what
+the stream-vs-batch test pins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from vector_db_api_spark.operators.topk import topk_per_group
+
+
+def content_fingerprint(*cols: str, sep: str = "|") -> Column:
+    """md5 over the ``sep``-joined content columns (null-safe: nulls become
+    empty strings so a null never collides with the literal 'None')."""
+    parts: list[Column] = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit(sep))
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+    return F.md5(F.concat(*parts))
+
+
+def exact_dedup(
+    df: DataFrame,
+    fingerprint_col: str,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """One surviving row per fingerprint. Streaming: bounded state via
+    ``dropDuplicatesWithinWatermark``. Batch: plain ``dropDuplicates``.
+
+    Which duplicate survives is arbitrary in both modes (matches Spark's
+    contract); use ``first_seen_dedup`` when the survivor must be
+    deterministic."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            [fingerprint_col]
+        )
+    return df.dropDuplicates([fingerprint_col])
+
+
+def first_seen_dedup(
+    df: DataFrame,
+    fingerprint_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Deterministic dedup: per fingerprint, keep the min-``order_col`` row.
+
+    Batch: window top-1 (one shuffle on the fingerprint, partial top-k
+    map-side). Streaming: ``applyInPandasWithState`` with a single boolean
+    tombstone per fingerprint — the minimal custom-stateful shape (state is
+    one flag per distinct fingerprint, independent of row volume)."""
+    if not df.isStreaming:
+        return topk_per_group(
+            df, [fingerprint_col], [F.col(order_col).asc()], 1
+        )
+
+    out_schema = df.schema
+    fields = [f.name for f in out_schema.fields]
+
+    def emit_first(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        best: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            cand = pdf.loc[[pdf[order_col].idxmin()]]
+            if best is None or cand[order_col].iloc[0] < best[order_col].iloc[0]:
+                best = cand
+        if state.exists or best is None:
+            return  # tombstoned in an earlier batch — drop everything
+        state.update((True,))
+        yield best[fields]
+
+    return df.groupBy(fingerprint_col).applyInPandasWithState(
+        emit_first,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

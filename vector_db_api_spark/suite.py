@@ -742,6 +742,35 @@ GROUP BY 1
 """
 
 
+def q_events_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch path of the streaming first-seen dedup operator
+    (streaming/dedup.py): per content fingerprint keep the min-event_id row.
+    The STREAMING path of the same function is proven stream==batch by
+    tests/test_streaming_dedup.py on the same files."""
+    from vector_db_api_spark.streaming.dedup import (
+        content_fingerprint,
+        first_seen_dedup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "fp", content_fingerprint("event_type", "props")
+    )
+    return first_seen_dedup(ev, "fp", "event_id").select(
+        "fp", "event_id", "user_id", "event_type", "props"
+    )
+
+
+_SQL_EVENTS_FIRST_SEEN = """
+SELECT fp, event_id, user_id, event_type, props FROM (
+  SELECT md5(event_type || '|' || props) AS fp, event_id, user_id, event_type,
+         props,
+         row_number() OVER (PARTITION BY md5(event_type || '|' || props)
+                            ORDER BY event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # CRUD / mutation layer (SURVEY §2.8) over deterministically-derived entity
 # tables (sources.synthetic_entities) so DuckDB can replay the same MERGE
@@ -1165,6 +1194,8 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # skew mitigation (results must be salt-invariant)
     "skew_salted_agg": (q_skew_salted_agg, _SQL_SKEW_SALTED_AGG),
     "skew_salted_join": (q_skew_salted_join, _SQL_SKEW_SALTED_JOIN),
+    # streaming dedup, batch path (stream==batch pinned in pytest)
+    "events_first_seen": (q_events_first_seen, _SQL_EVENTS_FIRST_SEEN),
     # CRUD / mutation layer + composed search
     "crud_upsert": (q_crud_upsert, _SQL_CRUD_UPSERT),
     "crud_cas": (q_crud_cas, _SQL_CRUD_CAS),
