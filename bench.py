@@ -60,6 +60,12 @@ HEADLINE = [
     "events_hourly",
     "rel_top_customers",
     "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_ship_priority",
+    "rel_customer_running_total",
+    # skew + streaming-dedup batch paths
+    "skew_salted_join",
+    "events_first_seen",
     # mutations
     "crud_upsert",
 ]
@@ -115,6 +121,9 @@ def main() -> None:
     thunks["ivf_search"] = lambda: _force(
         ivf.search(emb, assignments, qv, 10, id_col="vec_id")
     )
+    thunks["ivf_search_np8"] = lambda: _force(
+        ivf.search(emb, assignments, qv, 10, id_col="vec_id", nprobe=8)
+    )
 
     # -- cold pass + two timed passes -------------------------------------
     cold: dict[str, float] = {}
@@ -156,10 +165,13 @@ def main() -> None:
         multiprobe=1).collect()}
     ivf_ids = {r["vec_id"] for r in ivf.search(
         emb, assignments, qv, 10, id_col="vec_id").collect()}
+    ivf_np8_ids = {r["vec_id"] for r in ivf.search(
+        emb, assignments, qv, 10, id_col="vec_id", nprobe=8).collect()}
     recall = {
         "lsh_search": ann_recall(lsh_ids),
         "lsh_search_mp1": ann_recall(lsh_mp1_ids),
         "ivf_search": ann_recall(ivf_ids),
+        "ivf_search_np8": ann_recall(ivf_np8_ids),
     }
     selectivity = {
         "lsh_search": round(
@@ -170,6 +182,10 @@ def main() -> None:
         "ivf_search": round(
             assignments.filter(
                 F.col("centroid_id").isin(ivf.probe_centroids(qv))
+            ).count() / n_corpus, 3),
+        "ivf_search_np8": round(
+            assignments.filter(
+                F.col("centroid_id").isin(ivf.probe_centroids(qv, nprobe=8))
             ).count() / n_corpus, 3),
     }
 

@@ -119,6 +119,24 @@ def test_ivf_recall_on_clustered(ivf_index, ivf_assignments, clustered_df, clust
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+def test_ivf_nprobe_override_widens_probe(ivf_index, ivf_assignments, clustered_df, clustered_vectors):
+    _, mat, _ = clustered_vectors
+    q = [float(x) for x in mat[7]]
+    default_probe = ivf_index.probe_centroids(q)
+    wide_probe = ivf_index.probe_centroids(q, nprobe=8)
+    assert len(wide_probe) == 8 and len(default_probe) == ivf_index.nprobe
+    # widening the probe keeps the original cells (stable top-nprobe ordering)
+    assert set(default_probe) <= set(wide_probe)
+    # recall is monotone in nprobe: the wider search's result set scores
+    # at least as well (superset of candidates → same-or-better top-k)
+    exact = [r["id"] for r in knn(clustered_df, q, 10).collect()]
+    narrow = {r["id"] for r in ivf_index.search(
+        clustered_df, ivf_assignments, q, 10).collect()}
+    wide = {r["id"] for r in ivf_index.search(
+        clustered_df, ivf_assignments, q, 10, nprobe=8).collect()}
+    assert _recall(wide, exact) >= _recall(narrow, exact)
+
+
 def test_ivf_train_fewer_points_than_centroids(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id bigint, embedding array<float>"

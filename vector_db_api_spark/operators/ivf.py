@@ -240,15 +240,19 @@ class IVFIndex:
 
     # -- search --------------------------------------------------------------
 
-    def probe_centroids(self, query_vec: Sequence[float]) -> list[int]:
+    def probe_centroids(
+        self, query_vec: Sequence[float], nprobe: int | None = None
+    ) -> list[int]:
         """Top-nprobe centroid ids by dot with the normalized query
-        (driver-side; the centroid table is tiny by construction)."""
+        (driver-side; the centroid table is tiny by construction).
+        ``nprobe`` overrides the trained default — the per-query
+        recall/cost knob (probe more cells for a harder query)."""
         q = np.asarray(query_vec, dtype=np.float64)
         qn = np.linalg.norm(q)
         if qn == 0:
             return []  # zero query → empty (ivf.py:92-93)
         scores = self.centroids @ (q / qn)
-        nprobe = min(self.nprobe, len(scores))
+        nprobe = min(nprobe or self.nprobe, len(scores))
         idx = np.argpartition(-scores, nprobe - 1)[:nprobe] if nprobe < len(scores) else np.arange(len(scores))
         return [int(i) for i in idx[np.argsort(-scores[idx], kind="stable")]]
 
@@ -261,10 +265,11 @@ class IVFIndex:
         metric: str = "cosine",
         id_col: str = "id",
         vec_col: str = "embedding",
+        nprobe: int | None = None,
     ) -> DataFrame:
         """ANN top-k: nprobe centroid filter (partition-prunable) → semi-join
         → exact re-rank of ALL candidates."""
-        probe = self.probe_centroids(query_vec)
+        probe = self.probe_centroids(query_vec, nprobe=nprobe)
         if not probe:
             id_type = corpus.schema[id_col].dataType.simpleString()
             return corpus.sparkSession.createDataFrame([], f"{id_col} {id_type}, score double")
