@@ -23,6 +23,22 @@ def test_token_count_basic(spark):
     assert _eval(spark, "", T.token_count("text")) == 0
 
 
+def test_token_count_bpe_pieces(spark):
+    # letter runs, digit runs, and each punctuation mark are separate pieces
+    assert _eval(spark, "Don't stop!", T.token_count_bpe("text")) == 5
+    assert _eval(spark, "abc123!?", T.token_count_bpe("text")) == 4
+    assert _eval(spark, "one two three", T.token_count_bpe("text")) == 3
+    assert _eval(spark, "", T.token_count_bpe("text")) == 0
+    assert _eval(spark, "   ", T.token_count_bpe("text")) == 0
+
+
+def test_token_count_bpe_upper_bounds_whitespace_count(spark):
+    texts = ["Don't stop!", "a,b,c", "hello world", "x" * 50, "1.5e-3"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    bad = df.filter(T.token_count_bpe("text") < T.token_count("text").cast("long"))
+    assert bad.count() == 0
+
+
 def test_word_occurrences_consecutive_repeats(spark):
     # the ADVICE bug: 'the the the' must count 3, not 2
     assert _eval(spark, "the the the", T.word_occurrences("text", "the")) == 3

@@ -46,6 +46,23 @@ def token_count(col: ColumnOrName) -> Column:
     ).cast("int")
 
 
+# GPT-style pre-tokenizer split: letter runs, digit runs, and each
+# punctuation mark are separate tokens. Plain character classes only, so the
+# pattern means the same thing in Java regex (Spark) and RE2 (DuckDB).
+BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def token_count_bpe(col: ColumnOrName) -> Column:
+    """BPE-ish token count: how many pre-tokenizer pieces a byte-pair
+    vocabulary would see. Counts letter runs, digit runs, and individual
+    punctuation marks of the lowercased text (whitespace delimits, counts 0
+    for empty). Upper-bounds whitespace ``token_count`` — 'don't stop!' is
+    3 whitespace tokens but 6 BPE pieces."""
+    return F.size(
+        F.regexp_extract_all(F.lower(_c(col)), F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+    ).cast("long")
+
+
 def substring_occurrences(col: ColumnOrName, needle: str) -> Column:
     """Occurrences of ``needle`` in the column via length-difference
     (portable: no regex dialect involved)."""

@@ -135,6 +135,26 @@ def token_count(c: str) -> str:
     )
 
 
+def token_count_bpe(c: str) -> str:
+    # mirror of functions/text.py BPE_TOKEN_PATTERN — plain character
+    # classes, identical semantics in RE2 and Java regex
+    return (
+        f"CAST(len(regexp_extract_all(lower({c}), "
+        r"'[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)"
+    )
+
+
+def int8_quant_exprs(v: str) -> tuple[str, str]:
+    """(scale_sql, codes_sql) mirroring functions/quant.py: scale =
+    list_max(|x|)/127, code = floor(x/scale + 0.5)::TINYINT, zero-safe."""
+    scale = f"COALESCE(list_max(list_transform({v}, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 0.0)"
+    codes = (
+        f"list_transform({v}, x -> CAST(CASE WHEN {scale} = 0.0 THEN 0 "
+        f"ELSE floor(CAST(x AS DOUBLE) / ({scale}) + 0.5) END AS TINYINT))"
+    )
+    return scale, codes
+
+
 def word_occurrences(c: str, word: str) -> str:
     n = normalize_text(c)
     return f"CAST(len(list_filter(string_split({n}, ' '), t -> t = '{word}')) AS BIGINT)"

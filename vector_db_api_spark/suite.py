@@ -772,6 +772,56 @@ SELECT fp, event_id, user_id, event_type, props FROM (
 
 
 # ---------------------------------------------------------------------------
+# BPE-ish token counting + int8 embedding quantization (LLM-pipeline brief)
+# ---------------------------------------------------------------------------
+
+def q_doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.token_count_bpe("text").alias("n_bpe_tokens")
+    )
+
+
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_db_api_spark.functions import quant as QT
+
+    q = QT.quantize_int8("embedding")
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        q.getField("scale").alias("scale"),
+        q.getField("codes").alias("codes"),
+    )
+
+
+def _sql_emb_quantize_int8() -> str:
+    scale, codes = O.int8_quant_exprs("embedding")
+    return f"SELECT vec_id, {scale} AS scale, {codes} AS codes FROM embeddings"
+
+
+def q_emb_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_db_api_spark.functions import quant as QT
+
+    df = _emb(spark, sf_dir).withColumn("__q", QT.quantize_int8("embedding"))
+    return df.select(
+        "vec_id",
+        F.col("__q").getField("scale").alias("scale"),
+        QT.reconstruction_error("embedding", "__q").alias("max_abs_err"),
+    )
+
+
+def _sql_emb_quantize_roundtrip() -> str:
+    scale, _ = O.int8_quant_exprs("embedding")
+    return f"""
+WITH q AS (SELECT vec_id, embedding, {scale} AS scale FROM embeddings)
+SELECT vec_id, scale,
+       COALESCE(list_max(list_transform(embedding, x -> abs(
+         (CASE WHEN scale = 0.0 THEN CAST(0 AS TINYINT)
+               ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS TINYINT)
+          END) * scale - CAST(x AS DOUBLE)))), 0.0) AS max_abs_err
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
 # CRUD / mutation layer (SURVEY §2.8) over deterministically-derived entity
 # tables (sources.synthetic_entities) so DuckDB can replay the same MERGE
 # ---------------------------------------------------------------------------
@@ -1196,6 +1246,13 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "skew_salted_join": (q_skew_salted_join, _SQL_SKEW_SALTED_JOIN),
     # streaming dedup, batch path (stream==batch pinned in pytest)
     "events_first_seen": (q_events_first_seen, _SQL_EVENTS_FIRST_SEEN),
+    # BPE-ish token counting + int8 quantization
+    "doc_token_count_bpe": (
+        q_doc_token_count_bpe,
+        f"SELECT doc_id, {O.token_count_bpe('text')} AS n_bpe_tokens FROM documents",
+    ),
+    "emb_quantize_int8": (q_emb_quantize_int8, _sql_emb_quantize_int8()),
+    "emb_quantize_roundtrip": (q_emb_quantize_roundtrip, _sql_emb_quantize_roundtrip()),
     # CRUD / mutation layer + composed search
     "crud_upsert": (q_crud_upsert, _SQL_CRUD_UPSERT),
     "crud_cas": (q_crud_cas, _SQL_CRUD_CAS),
