@@ -56,6 +56,8 @@ HEADLINE = [
     "embedding_neardup",
     "embedding_neardup_np",
     "doc_quality",
+    "doc_winnowing",
+    "emb_quantize_int8",
     # relational / events
     "events_hourly",
     "rel_top_customers",

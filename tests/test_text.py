@@ -39,6 +39,44 @@ def test_token_count_bpe_upper_bounds_whitespace_count(spark):
     assert bad.count() == 0
 
 
+def test_winnowing_shared_run_guarantee(spark):
+    # k=3, window=4: any shared run of window+k-1 = 6 words must yield at
+    # least one shared fingerprint (the winnowing coverage guarantee)
+    shared = "alpha beta gamma delta epsilon zeta"
+    a = _eval(spark, f"one two {shared} three four", T.winnowing_fingerprints("text"))
+    b = _eval(spark, f"{shared} nine eight seven six five", T.winnowing_fingerprints("text"))
+    assert set(a) & set(b)
+
+
+def test_winnowing_disjoint_texts_no_overlap(spark):
+    a = _eval(spark, "aa bb cc dd ee ff gg hh", T.winnowing_fingerprints("text"))
+    b = _eval(spark, "zz yy xx ww vv uu tt ss", T.winnowing_fingerprints("text"))
+    assert not (set(a) & set(b))
+
+
+def test_winnow_table_matches_column_variant(spark):
+    texts = [
+        (1, "one two alpha beta gamma delta epsilon zeta three four"),
+        (2, "hi"),
+        (3, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    fast = {r["doc_id"]: list(r["winnow_fps"]) for r in T.winnow_table(df, "doc_id").collect()}
+    slow = {
+        r["doc_id"]: list(r["fps"])
+        for r in df.select("doc_id", T.winnowing_fingerprints("text").alias("fps")).collect()
+    }
+    assert fast == slow
+
+
+def test_winnowing_short_and_stable(spark):
+    short = _eval(spark, "hi", T.winnowing_fingerprints("text"))
+    assert len(short) == 1
+    x1 = _eval(spark, "the quick brown fox jumps", T.winnowing_fingerprints("text"))
+    x2 = _eval(spark, "the quick brown fox jumps", T.winnowing_fingerprints("text"))
+    assert x1 == x2 and list(x1) == sorted(set(x1))
+
+
 def test_word_occurrences_consecutive_repeats(spark):
     # the ADVICE bug: 'the the the' must count 3, not 2
     assert _eval(spark, "the the the", T.word_occurrences("text", "the")) == 3

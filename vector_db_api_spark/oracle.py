@@ -243,6 +243,28 @@ def word_shingles(n: str, k: int = 3) -> str:
     )
 
 
+def winnowing_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> str:
+    """Mirror of functions.text.winnow_table: positional shingle hashes →
+    per-window minima → sorted distinct. The hash list is materialized in a
+    CTE so the per-window lambdas don't recompute the md5 pipeline (same
+    O(S²)→O(S·w) fix as the Spark side). DuckDB ``list_slice`` is 1-based
+    with inclusive end, matching Spark's ``slice(arr, i+1, w)``."""
+    hashes = f"list_transform({word_shingles(normalize_text(text_col), k)}, s -> {h32('s')})"
+    return (
+        f"WITH __wh AS (SELECT {id_col}, {hashes} AS hashes FROM {table}) "
+        f"SELECT {id_col}, list_sort(list_distinct(list_transform("
+        f"range(0, greatest(len(hashes) - {window}, 0) + 1), "
+        f"i -> list_min(list_slice(hashes, i + 1, i + {window}))))) AS winnow_fps "
+        f"FROM __wh"
+    )
+
+
 def shingle_hashes_cte(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> str:

@@ -781,6 +781,10 @@ def q_doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.winnow_table(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_api_spark.functions import quant as QT
 
@@ -1251,6 +1255,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_doc_token_count_bpe,
         f"SELECT doc_id, {O.token_count_bpe('text')} AS n_bpe_tokens FROM documents",
     ),
+    "doc_winnowing": (q_doc_winnowing, O.winnowing_sql()),
     "emb_quantize_int8": (q_emb_quantize_int8, _sql_emb_quantize_int8()),
     "emb_quantize_roundtrip": (q_emb_quantize_roundtrip, _sql_emb_quantize_roundtrip()),
     # CRUD / mutation layer + composed search
