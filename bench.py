@@ -94,7 +94,13 @@ def main() -> None:
     emb = load_table(spark, SF_DIR, "embeddings").cache()
     emb.count()
     # corpus-drawn ANN query: "find items similar to this one"
-    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    qrows = emb.limit(32).collect()
+    qv = [float(x) for x in qrows[0]["embedding"]]
+    qdf = spark.createDataFrame(
+        [(f"q{r['vec_id']}", [float(x) for x in r["embedding"]]) for r in qrows],
+        "query_id string, query_vec array<double>",
+    ).cache()
+    qdf.count()
 
     build: dict[str, float] = {}
 
@@ -125,6 +131,14 @@ def main() -> None:
     )
     thunks["ivf_search_np8"] = lambda: _force(
         ivf.search(emb, assignments, qv, 10, id_col="vec_id", nprobe=8)
+    )
+    # 32-query batches through the index paths: ONE job per batch (the
+    # per-query driver loop would launch 32)
+    thunks["lsh_search_batch32"] = lambda: _force(
+        model.search_batch(emb, buckets, qdf, 10, id_col="vec_id", multiprobe=1)
+    )
+    thunks["ivf_search_batch32"] = lambda: _force(
+        ivf.search_batch(emb, assignments, qdf, 10, id_col="vec_id")
     )
 
     # -- cold pass + two timed passes -------------------------------------

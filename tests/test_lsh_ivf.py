@@ -187,3 +187,77 @@ def test_lsh_multiprobe_probe_counts(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         model.query_signatures(q, multiprobe=3)
+
+
+# -- batch search: one job must equal the per-query loop ---------------------
+
+
+def _query_df(spark, clustered_vectors, idxs, with_zero=True):
+    _, mat, _ = clustered_vectors
+    rows = [(f"q{i}", [float(x) for x in mat[i]]) for i in idxs]
+    if with_zero:
+        rows.append(("qzero", [0.0] * mat.shape[1]))
+    return spark.createDataFrame(rows, "query_id string, query_vec array<double>")
+
+
+def test_lsh_search_batch_matches_per_query(
+    spark, lsh_model, lsh_buckets, clustered_df, clustered_vectors
+):
+    idxs = (5, 255, 480)
+    queries = _query_df(spark, clustered_vectors, idxs)
+    batch = lsh_model.search_batch(
+        clustered_df, lsh_buckets, queries, 10, multiprobe=1
+    )
+    got = {
+        qid: [(r["id"], round(r["score"], 12)) for r in rows]
+        for qid, rows in _group_rows(batch).items()
+    }
+    _, mat, _ = clustered_vectors
+    for i in idxs:
+        single = lsh_model.search(
+            clustered_df, lsh_buckets, [float(x) for x in mat[i]], 10,
+            pad_to_k=False, multiprobe=1,
+        ).collect()
+        assert got[f"q{i}"] == [(r["id"], round(r["score"], 12)) for r in single]
+    assert "qzero" not in got  # zero query contributes no probes, no hits
+
+
+def test_ivf_search_batch_matches_per_query(
+    spark, ivf_index, ivf_assignments, clustered_df, clustered_vectors
+):
+    idxs = (5, 255, 480)
+    queries = _query_df(spark, clustered_vectors, idxs)
+    batch = ivf_index.search_batch(
+        clustered_df, ivf_assignments, queries, 10, nprobe=4
+    )
+    got = {
+        qid: [(r["id"], round(r["score"], 12)) for r in rows]
+        for qid, rows in _group_rows(batch).items()
+    }
+    _, mat, _ = clustered_vectors
+    for i in idxs:
+        single = ivf_index.search(
+            clustered_df, ivf_assignments, [float(x) for x in mat[i]], 10,
+            nprobe=4,
+        ).collect()
+        assert got[f"q{i}"] == [(r["id"], round(r["score"], 12)) for r in single]
+    assert "qzero" not in got
+
+
+def test_lsh_batch_pairs_are_deduped(
+    spark, lsh_model, lsh_buckets, clustered_df, clustered_vectors
+):
+    # a candidate reachable via several tables must appear once per query
+    queries = _query_df(spark, clustered_vectors, (5,), with_zero=False)
+    out = lsh_model.search_batch(clustered_df, lsh_buckets, queries, 10)
+    rows = out.collect()
+    assert len({(r["query_id"], r["id"]) for r in rows}) == len(rows)
+
+
+def _group_rows(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], []).append(r)
+    for rows in out.values():
+        rows.sort(key=lambda r: (-r["score"], r["id"]))
+    return out

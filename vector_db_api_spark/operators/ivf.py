@@ -276,3 +276,88 @@ class IVFIndex:
         cand = assignments.filter(F.col("centroid_id").isin(probe)).select(id_col)
         hydrated = corpus.join(cand, id_col, "left_semi")
         return knn(hydrated, query_vec, k, metric=metric, id_col=id_col, vec_col=vec_col)
+
+    def assign_queries(
+        self,
+        queries: DataFrame,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        nprobe: int | None = None,
+    ) -> DataFrame:
+        """(query_id, centroid_id) probe pairs for a BATCH of queries — the
+        distributed analogue of :meth:`probe_centroids` (top-nprobe by dot
+        with the unit query; the centroid matrix rides in the UDF closure).
+        Zero-vector queries produce no probe rows."""
+        import pandas as pd
+
+        cent = self.centroids
+        nprobe = min(nprobe or self.nprobe, len(cent))
+        id_type = queries.schema[query_id_col].dataType.simpleString()
+        out_schema = f"{query_id_col} {id_type}, centroid_id int"
+
+        def probe_batches(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.asarray(pdf[query_vec_col].tolist(), dtype=np.float64)
+                norms = np.linalg.norm(mat, axis=1)
+                keep = norms > 0
+                if not keep.any():
+                    continue
+                unit = mat[keep] / norms[keep, None]
+                scores = unit @ cent.T  # (n, k_centroids)
+                if nprobe < scores.shape[1]:
+                    top = np.argpartition(-scores, nprobe - 1, axis=1)[:, :nprobe]
+                else:
+                    top = np.broadcast_to(
+                        np.arange(scores.shape[1]), (len(unit), scores.shape[1])
+                    )
+                ids = pdf[query_id_col].to_numpy()[keep]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.repeat(ids, top.shape[1]),
+                        "centroid_id": top.reshape(-1).astype(np.int32),
+                    }
+                )
+
+        return queries.filter(F.col(query_vec_col).isNotNull()).mapInPandas(
+            probe_batches, schema=out_schema
+        )
+
+    def search_batch(
+        self,
+        corpus: DataFrame,
+        assignments: DataFrame,
+        queries: DataFrame,
+        k: int,
+        metric: str = "cosine",
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        nprobe: int | None = None,
+        broadcast_probes: bool = True,
+    ) -> DataFrame:
+        """Batch ANN: ONE job answers every query in ``queries``.
+
+        Plan: (query_id, centroid_id) probe pairs join the posting table on
+        ``centroid_id`` — partition-prunable when the postings are stored
+        partitioned by centroid — giving (query_id, id) candidates with no
+        dedup needed (each id lives in exactly one posting list), then exact
+        re-rank via :func:`rerank_pairs`. ``broadcast_probes`` as in
+        ``SignLSH.search_batch`` (Q × nprobe rows — tiny)."""
+        from vector_db_api_spark.operators.knn import rerank_pairs
+
+        probes = self.assign_queries(
+            queries, query_id_col, query_vec_col, nprobe=nprobe
+        )
+        if broadcast_probes:
+            probes = F.broadcast(probes)
+        pairs = probes.join(assignments, "centroid_id").select(
+            query_id_col, id_col
+        )
+        return rerank_pairs(
+            corpus, queries, pairs, k, metric=metric, id_col=id_col,
+            vec_col=vec_col, query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )

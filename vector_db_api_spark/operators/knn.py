@@ -225,3 +225,44 @@ def apply_post_filters(
     if created_after is not None:
         out = out.filter(F.col(created_at_col) > F.lit(created_after))
     return out
+
+
+def rerank_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    pairs: DataFrame,
+    k: int,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact re-rank of precomputed (query_id, id) candidate pairs — the
+    shared tail of every batch ANN path (LSH/IVF ``search_batch``).
+
+    ``pairs`` must be duplicate-free per (query_id, id): duplicates would
+    occupy two ranks in the window and surface the same hit twice.
+
+    Scale shape: candidates join the corpus on ``id_col`` (the pair set is
+    a tiny fraction of the corpus — AQE picks broadcast when it fits), the
+    query side is explicitly broadcast, and the final per-query top-k is one
+    window shuffle on ``query_id`` over ≤ |pairs| scored rows — never over
+    corpus × queries like a naive crossJoin.
+    """
+    e = V.as_double_array(vec_col)
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            V.as_double_array(query_vec_col).alias("__qv"),
+        )
+    )
+    cand = corpus.join(pairs.select(query_id_col, id_col), id_col, "inner")
+    scored = cand.join(q, query_id_col).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        V.similarity(metric, e, F.col("__qv")).alias("score"),
+    )
+    return topk_per_group(
+        scored, [query_id_col], [F.desc("score"), F.col(id_col).asc()], k
+    )

@@ -138,6 +138,11 @@ class SignLSH:
         if np.linalg.norm(q) == 0:
             return []  # zero query → no buckets (lsh.py:86-87)
         sigs = self._signatures_np(q)[0]
+        flips = self._probe_masks(multiprobe)
+        return [(t, int(s) ^ m) for t, s in enumerate(sigs) for m in flips]
+
+    def _probe_masks(self, multiprobe: int) -> list[int]:
+        """XOR masks for Hamming-``multiprobe`` bucket expansion."""
         h = self.hyperplanes_per_table
         flips = [0]
         if multiprobe >= 1:
@@ -146,7 +151,98 @@ class SignLSH:
             flips += [(1 << i) | (1 << j) for i in range(h) for j in range(i + 1, h)]
         if multiprobe >= 3:
             raise ValueError("multiprobe > 2 unsupported (probe count explodes)")
-        return [(t, int(s) ^ m) for t, s in enumerate(sigs) for m in flips]
+        return flips
+
+    def query_signatures_df(
+        self,
+        queries: DataFrame,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        multiprobe: int = 0,
+    ) -> DataFrame:
+        """(query_id, table_id, signature) probe rows for a BATCH of queries
+        — the distributed analogue of :meth:`query_signatures`. Same Arrow
+        matmul kernel as corpus hashing; zero-vector queries produce no probe
+        rows (and therefore no hits), matching the single-query contract."""
+        model = self
+        flips = np.asarray(self._probe_masks(multiprobe), dtype=np.int64)
+        id_type = queries.schema[query_id_col].dataType.simpleString()
+        out_schema = f"{query_id_col} {id_type}, table_id int, signature long"
+
+        def probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.asarray(pdf[query_vec_col].tolist(), dtype=np.float64)
+                keep = np.linalg.norm(mat, axis=1) > 0
+                if not keep.any():
+                    continue
+                sigs = model._signatures_np(mat[keep])  # (n, L)
+                ids = pdf[query_id_col].to_numpy()[keep]
+                n, l = sigs.shape
+                m = len(flips)
+                expanded = sigs[:, :, None] ^ flips[None, None, :]  # (n, L, m)
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.repeat(ids, l * m),
+                        "table_id": np.tile(
+                            np.repeat(np.arange(l, dtype=np.int32), m), n
+                        ),
+                        "signature": expanded.reshape(-1),
+                    }
+                )
+
+        return queries.filter(F.col(query_vec_col).isNotNull()).mapInPandas(
+            probe_batches, schema=out_schema
+        )
+
+    def search_batch(
+        self,
+        corpus: DataFrame,
+        buckets: DataFrame,
+        queries: DataFrame,
+        k: int,
+        metric: str = "cosine",
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        multiprobe: int = 0,
+        broadcast_probes: bool = True,
+    ) -> DataFrame:
+        """Batch ANN: ONE job answers every query in ``queries``.
+
+        Plan: probe rows (Q × L × masks — small) join the bucket table on
+        (table_id, signature), dedup to (query_id, id) pairs (a candidate
+        reachable through several tables must score once), then exact
+        re-rank via :func:`rerank_pairs` with a per-query window top-k.
+
+        ``broadcast_probes=True`` (default) broadcasts the probe side so the
+        bucket table is never shuffled — right whenever Q × L × masks fits
+        an executor (≈ millions of rows). For larger query sets pass False
+        and let the (table_id, signature)-keyed shuffle join handle it.
+
+        No pad-to-k here: a per-query exact-scan fallback inside a batch job
+        would hide a full corpus scan behind one weak query — callers decide
+        (filter queries with < k hits and re-run exact on just those).
+        """
+        from vector_db_api_spark.operators.knn import rerank_pairs
+
+        probes = self.query_signatures_df(
+            queries, query_id_col, query_vec_col, multiprobe=multiprobe
+        )
+        if broadcast_probes:
+            probes = F.broadcast(probes)
+        pairs = (
+            probes.join(buckets, ["table_id", "signature"])
+            .select(query_id_col, id_col)
+            .distinct()
+        )
+        return rerank_pairs(
+            corpus, queries, pairs, k, metric=metric, id_col=id_col,
+            vec_col=vec_col, query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
 
     # -- search ------------------------------------------------------------
 

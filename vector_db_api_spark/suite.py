@@ -1157,6 +1157,37 @@ def q_knn_batch_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KNN.knn_batch_numpy(_emb(spark, sf_dir), QUERY_BATCH, 5, id_col="vec_id")
 
 
+def _corpus_query_df(spark: SparkSession, sf_dir: str, n: int = 4) -> DataFrame:
+    rows = _emb(spark, sf_dir).orderBy("vec_id").limit(n).collect()
+    return spark.createDataFrame(
+        [(f"q{r['vec_id']}", [float(x) for x in r["embedding"]]) for r in rows],
+        "query_id string, query_vec array<double>",
+    )
+
+
+def q_lsh_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_db_api_spark.operators.lsh import SignLSH, build_bucket_table
+
+    emb = _emb(spark, sf_dir)
+    model = SignLSH(dim=64, num_tables=8, hyperplanes_per_table=8, seed=42)
+    buckets = build_bucket_table(model, emb, id_col="vec_id")
+    return model.search_batch(
+        emb, buckets, _corpus_query_df(spark, sf_dir), 10,
+        id_col="vec_id", multiprobe=1,
+    )
+
+
+def q_ivf_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_db_api_spark.operators.ivf import IVFIndex
+
+    emb = _emb(spark, sf_dir)
+    ivf = IVFIndex.train(emb, num_centroids=16, nprobe=4, seed=42)
+    assignments = ivf.assign(emb, id_col="vec_id")
+    return ivf.search_batch(
+        emb, assignments, _corpus_query_df(spark, sf_dir), 10, id_col="vec_id"
+    )
+
+
 def q_knn_batch_numpy_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactness proof for the Arrow/numpy batch path: the top-5 *id set* per
     query must equal the SQL fold's. Scores are projected away because numpy's
@@ -1269,6 +1300,8 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # ANN paths — rows-only checks
     "lsh_search_top10": (q_lsh_search, None),
     "ivf_search_top10": (q_ivf_search, None),
+    "lsh_search_batch_top10": (q_lsh_search_batch, None),
+    "ivf_search_batch_top10": (q_ivf_search_batch, None),
     "knn_batch_numpy_top5": (q_knn_batch_numpy, None),
     "knn_batch_numpy_ids_top5": (q_knn_batch_numpy_ids, _sql_knn_batch_ids()),
 }
