@@ -151,3 +151,40 @@ def test_extract_features_error_stub(spark):
     docs = load_table(spark, SF_DIR, "documents").limit(2)
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         extract_features(derive_media(docs), decode_stub="error").collect()
+
+
+def test_media_embeddings_pool_and_search(spark):
+    """binary → frames → mean-pooled embedding → exact kNN: the multimodal
+    column feeds the engine's vector operators end-to-end."""
+    from vector_db_api_spark.operators.knn import knn
+    from vector_db_api_spark.operators.multimodal import media_embeddings
+
+    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    # plant an exact duplicate payload of doc 0 under a fresh id
+    dup = docs.limit(1).withColumn("doc_id", F.lit(999999))
+    media = derive_media(docs.union(dup))
+    emb = media_embeddings(media, n_frames=4).cache()
+
+    row0 = emb.filter(F.col("media_id") == "m0").collect()[0]
+    dup_row = emb.filter(F.col("media_id") == "m999999").collect()[0]
+    # identical payloads pool to identical embeddings
+    assert list(row0["embedding"]) == list(dup_row["embedding"])
+    assert len(row0["embedding"]) == 8
+
+    # similarity search over media embeddings finds the planted duplicate
+    # at cosine 1.0
+    q = [float(x) for x in row0["embedding"]]
+    hits = knn(emb, q, 2, id_col="media_id").collect()
+    ids = {r["media_id"] for r in hits}
+    assert ids == {"m0", "m999999"}
+    assert all(abs(r["score"] - 1.0) < 1e-12 for r in hits)
+    emb.unpersist()
+
+
+def test_media_embeddings_frame_count_bounds_pool(spark):
+    from vector_db_api_spark.operators.multimodal import media_embeddings
+
+    docs = load_table(spark, SF_DIR, "documents").limit(10)
+    emb = media_embeddings(derive_media(docs), n_frames=7)
+    assert emb.count() == 10
+    assert all(len(r["embedding"]) == 8 for r in emb.collect())

@@ -117,3 +117,40 @@ def extract_features(
     return media.select("media_id", "modality", "content").mapInPandas(
         decode_batches, schema=out_schema
     )
+
+
+def media_embeddings(
+    media: DataFrame, n_frames: int = 4, decode_stub: str = "fake"
+) -> DataFrame:
+    """(media_id, modality, embedding) — mean-pooled frame features, the
+    bridge from opaque binary columns into every vector operator (kNN, IVF,
+    LSH, embedding near-dup) in this engine.
+
+    The pooling is JVM-side: frames collect per media row (bounded by
+    ``n_frames``, not corpus size), element-wise summed with
+    ``aggregate``/``zip_with`` folds, divided by the frame count. One
+    shuffle, keyed on media_id. Identical payloads pool to identical
+    embeddings (the fake decoder is deterministic), so exact/near dedup
+    composes downstream.
+    """
+    feats = extract_features(media, n_frames=n_frames, decode_stub=decode_stub)
+    frames = feats.groupBy("media_id", "modality").agg(
+        F.collect_list("features").alias("__frames")
+    )
+    dim = F.size(F.element_at("__frames", 1))
+    zero = F.transform(
+        F.sequence(F.lit(1), dim), lambda _: F.lit(0.0)
+    )
+    summed = F.aggregate(
+        "__frames",
+        zero,
+        lambda acc, fr: F.zip_with(
+            acc, fr, lambda a, b: a + b.cast("double")
+        ),
+    )
+    n = F.size("__frames")
+    return frames.select(
+        "media_id",
+        "modality",
+        F.transform(summed, lambda s: s / n).alias("embedding"),
+    )

@@ -443,6 +443,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(derive_media(_docs(spark, sf_dir)), n_frames=2)
 
 
+def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary → frame features → mean-pooled media embedding (the bridge
+    from multimodal columns into the vector operators; fake decoder, so
+    rows-only — the pooling itself is pinned by pytest)."""
+    from vector_db_api_spark.operators.multimodal import derive_media, media_embeddings
+
+    return media_embeddings(derive_media(_docs(spark, sf_dir)), n_frames=4)
+
+
 # ---------------------------------------------------------------------------
 # Events (grouped agg; batch equivalent of the streaming ingest)
 # ---------------------------------------------------------------------------
@@ -1262,6 +1271,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # multimodal
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL_STATS),
     "multimodal_features": (q_multimodal_features, None),
+    "multimodal_embed": (q_multimodal_embed, None),
     # events / grouped agg
     "events_hourly": (q_events_hourly, _SQL_EVENTS_HOURLY),
     # listing / pagination
