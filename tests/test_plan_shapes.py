@@ -145,3 +145,27 @@ def test_lsh_search_has_no_distinct_shuffle(spark, emb):
     # semi-join dedups candidates; an explicit distinct would show up as an
     # extra HashAggregate pair around an Exchange
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_batch_ann_plans_broadcast_probes_and_partial_limit(spark, emb):
+    from vector_db_api_spark.operators.ivf import IVFIndex
+    from vector_db_api_spark.operators.lsh import SignLSH, build_bucket_table
+
+    queries = spark.createDataFrame(
+        suite.QUERY_BATCH, "query_id string, query_vec array<double>"
+    )
+    ivf = IVFIndex.train(emb, num_centroids=8, nprobe=2, seed=42)
+    assignments = ivf.assign(emb, id_col="vec_id")
+    plan = _plan(ivf.search_batch(emb, assignments, queries, 5, id_col="vec_id"))
+    # probe pairs and the query side broadcast; the posting/corpus sides are
+    # never shuffled into a crossJoin; per-query top-k partial-limits
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+    model = SignLSH(dim=64, num_tables=4, hyperplanes_per_table=8, seed=42)
+    buckets = build_bucket_table(model, emb, id_col="vec_id")
+    plan = _plan(model.search_batch(emb, buckets, queries, 5, id_col="vec_id"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
