@@ -169,3 +169,32 @@ def test_batch_ann_plans_broadcast_probes_and_partial_limit(spark, emb):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, emb, tmp_path):
+    from vector_db_api_spark.sources.tables import write_bucketed
+
+    docs = load_table(spark, SF_DIR, "documents")
+    write_bucketed(
+        emb.select("vec_id", "label"), "b_emb", str(tmp_path / "b_emb"),
+        "vec_id", num_buckets=8, sort_col="vec_id",
+    )
+    write_bucketed(
+        docs.select("doc_id", "lang"), "b_docs", str(tmp_path / "b_docs"),
+        "doc_id", num_buckets=8, sort_col="doc_id",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_emb").join(
+            spark.table("b_docs"), F.col("vec_id") == F.col("doc_id")
+        )
+        plan = _plan(j)
+        # co-located buckets: the join runs with ZERO Exchange nodes —
+        # the property that deletes the shuffle from fact⋈fact joins
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_emb")
+        spark.sql("DROP TABLE IF EXISTS b_docs")

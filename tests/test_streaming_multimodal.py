@@ -188,3 +188,50 @@ def test_media_embeddings_frame_count_bounds_pool(spark):
     emb = media_embeddings(derive_media(docs), n_frames=7)
     assert emb.count() == 10
     assert all(len(r["embedding"]) == 8 for r in emb.collect())
+
+
+def test_stream_sessions_match_batch(spark, tmp_path):
+    from vector_db_api_spark.streaming.ingest import sessionized_event_counts
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "sess_in")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ).parquet(src)
+    out, ckpt = str(tmp_path / "sess_out"), str(tmp_path / "sess_ckpt")
+    q = (
+        sessionized_event_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    want = sessionized_event_counts(events)
+    # append mode emits a session once the watermark passes its close
+    # (last_ts + gap); everything safely closed must match the batch plan
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    closed = want.filter(
+        F.col("last_ts") + F.expr("INTERVAL 3 HOURS") <= F.lit(max_ts)
+    )
+    key = ["user_id", "session_start"]
+    assert got.join(closed, key, "left_semi").count() == closed.count()
+    mismatched = (
+        got.alias("g")
+        .join(want.alias("w"), key)
+        .filter(
+            (F.col("g.n_events") != F.col("w.n_events"))
+            | (F.col("g.value_cents") != F.col("w.value_cents"))
+            | (F.col("g.last_ts") != F.col("w.last_ts"))
+        )
+    )
+    assert mismatched.count() == 0
+    # nothing emitted that batch doesn't have
+    assert got.join(want, key, "left_anti").count() == 0

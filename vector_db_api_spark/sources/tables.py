@@ -57,3 +57,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` works on them."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key.
+
+    Two tables bucketed the same way on their join key co-locate: the join's
+    EnsureRequirements sees matching HashPartitioning and inserts NO
+    Exchange — at 100 TB that deletes the single largest cost of every
+    fact-to-fact join (chunks⋈embeddings, postings⋈corpus). Bucket counts
+    must match across join sides; pick a count ≳ cluster cores.
+    (Plan pinned by tests/test_plan_shapes.py::test_bucketed_join_is_shuffle_free.)
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.option("path", path).format("parquet").saveAsTable(name)

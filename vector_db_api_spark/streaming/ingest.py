@@ -55,6 +55,38 @@ def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> Data
     )
 
 
+def sessionized_event_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessionization per user: events closer than ``gap`` merge
+    into one session (``session_window`` — dynamic-width state, the windowed
+    shape tumbling windows can't express). Identical logic batch/stream; in
+    batch mode Catalyst computes the same merge without a state store.
+
+    Session-boundary contract (pinned by the DuckDB oracle, which rebuilds
+    sessions with lag + cumulative flags): a new session starts when
+    ``ts >= prev_ts + gap`` — strictly-less merges.
+    """
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "value_cents",
+            "last_ts",
+        )
+    )
+
+
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over parquet event files (new files = new data)."""
     return spark.readStream.schema(EVENT_SCHEMA).parquet(path)

@@ -784,6 +784,38 @@ SELECT fp, event_id, user_id, event_type, props FROM (
 # BPE-ish token counting + int8 embedding quantization (LLM-pipeline brief)
 # ---------------------------------------------------------------------------
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch path of the streaming sessionization operator
+    (streaming/ingest.py sessionized_event_counts). The oracle rebuilds the
+    same sessions relationally: lag per user → gap flag → cumulative session
+    id — proving the session_window merge semantics exactly."""
+    from vector_db_api_spark.streaming.ingest import sessionized_event_counts
+
+    return sessionized_event_counts(load_table(spark, sf_dir, "events"))
+
+
+_SQL_EVENTS_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       MAX(ts) AS last_ts
+FROM sessioned GROUP BY user_id, session_no
+"""
+
+
 def q_doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", T.token_count_bpe("text").alias("n_bpe_tokens")
@@ -1291,6 +1323,8 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "skew_salted_join": (q_skew_salted_join, _SQL_SKEW_SALTED_JOIN),
     # streaming dedup, batch path (stream==batch pinned in pytest)
     "events_first_seen": (q_events_first_seen, _SQL_EVENTS_FIRST_SEEN),
+    # gap-based sessionization, batch path of session_window
+    "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
     # BPE-ish token counting + int8 quantization
     "doc_token_count_bpe": (
         q_doc_token_count_bpe,
