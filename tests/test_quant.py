@@ -64,3 +64,30 @@ def test_dequantized_search_preserves_topk(spark, clustered_df):
     approx = [r["id"] for r in knn(deq, q, 10).collect()]
     overlap = len(set(exact) & set(approx)) / 10
     assert overlap >= 0.9, (exact, approx)
+
+
+def test_knn_quantized_two_stage_recall(spark, clustered_df):
+    from vector_db_api_spark.operators.knn import knn, knn_quantized
+
+    corpus = clustered_df.withColumn("embedding_q", QT.quantize_int8("embedding"))
+    qs = [r["embedding"] for r in clustered_df.limit(3).collect()]
+    for qv in qs:
+        q = [float(x) for x in qv]
+        exact = [r["id"] for r in knn(clustered_df, q, 10).collect()]
+        approx = [r["id"] for r in knn_quantized(corpus, q, 10, oversample=4).collect()]
+        overlap = len(set(exact) & set(approx)) / 10
+        assert overlap >= 0.9, (exact, approx)
+
+
+def test_knn_quantized_returns_exact_scores(spark, clustered_df):
+    """Stage-2 scores come from the FLOAT column — identical to plain kNN
+    for any id both return."""
+    from vector_db_api_spark.operators.knn import knn, knn_quantized
+
+    corpus = clustered_df.withColumn("embedding_q", QT.quantize_int8("embedding"))
+    q = [float(x) for x in clustered_df.limit(1).collect()[0]["embedding"]]
+    exact = {r["id"]: r["score"] for r in knn(clustered_df, q, 10).collect()}
+    two_stage = {r["id"]: r["score"] for r in knn_quantized(corpus, q, 10).collect()}
+    for i, s in two_stage.items():
+        if i in exact:
+            assert s == exact[i]

@@ -266,3 +266,45 @@ def rerank_pairs(
     return topk_per_group(
         scored, [query_id_col], [F.desc("score"), F.col(id_col).asc()], k
     )
+
+
+def knn_quantized(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    oversample: int = 4,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    quant_col: str = "embedding_q",
+) -> DataFrame:
+    """Two-stage search over int8-quantized embeddings
+    (functions/quant.py): stage 1 scores the dequantized codes and keeps
+    ``oversample × k`` candidates; stage 2 re-ranks exactly those against
+    the float column.
+
+    Why this wins at 100 TB: the quantized column is ~4× smaller, so the
+    full-corpus scan of stage 1 reads a quarter of the bytes; stage 2
+    touches the float vectors of only ``oversample·k`` rows (broadcast
+    semi-join → TakeOrderedAndProject). Reconstruction error is bounded by
+    scale/2 per component, so modest oversampling recovers the exact top-k
+    (recall pinned by test).
+
+    ``corpus`` must carry both ``quant_col`` (struct scale/codes) and
+    ``vec_col``; at deployment they live in separate column families /
+    files so stage 1 never reads the floats.
+    """
+    from vector_db_api_spark.functions.quant import dequantize_int8
+
+    stage1 = topk(
+        corpus.select(
+            id_col,
+            V.similarity_const(
+                metric, dequantize_int8(F.col(quant_col)), query_vec
+            ).alias("__qscore"),
+        ),
+        [F.desc("__qscore"), F.col(id_col).asc()],
+        oversample * k,
+    ).select(id_col)
+    survivors = corpus.join(F.broadcast(stage1), id_col, "left_semi")
+    return knn(survivors, query_vec, k, metric=metric, id_col=id_col, vec_col=vec_col)

@@ -1218,6 +1218,17 @@ def q_lsh_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage search: int8-code scan (4× fewer bytes) → float re-rank of
+    oversample×k survivors (operators/knn.knn_quantized). Rows-only: stage-1
+    truncation is approximate; score exactness pinned by pytest."""
+    from vector_db_api_spark.functions.quant import quantize_int8
+    from vector_db_api_spark.operators.knn import knn_quantized
+
+    corpus = _emb(spark, sf_dir).withColumn("embedding_q", quantize_int8("embedding"))
+    return knn_quantized(corpus, Q0, 10, id_col="vec_id")
+
+
 def q_ivf_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_api_spark.operators.ivf import IVFIndex
 
@@ -1346,6 +1357,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "ivf_search_top10": (q_ivf_search, None),
     "lsh_search_batch_top10": (q_lsh_search_batch, None),
     "ivf_search_batch_top10": (q_ivf_search_batch, None),
+    "knn_quantized_top10": (q_knn_quantized, None),
     "knn_batch_numpy_top5": (q_knn_batch_numpy, None),
     "knn_batch_numpy_ids_top5": (q_knn_batch_numpy_ids, _sql_knn_batch_ids()),
 }
