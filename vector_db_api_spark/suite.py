@@ -816,6 +816,27 @@ FROM sessioned GROUP BY user_id, session_no
 """
 
 
+def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct users + exact percentiles. At 100 TB the
+    approx_count_distinct/approx_percentile sketches replace these (mergeable
+    map-side state, no distinct shuffle) — sketch accuracy vs these exact
+    numbers is pinned in tests/test_sketches.py."""
+    ev = _events_cents(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.percentile("value_cents", 0.5).alias("p50_cents"),
+        F.percentile("value_cents", 0.95).alias("p95_cents"),
+    )
+
+
+_SQL_EVENTS_TYPE_STATS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+       quantile_cont(CAST(FLOOR(value * 100.0) AS BIGINT), 0.5) AS p50_cents,
+       quantile_cont(CAST(FLOOR(value * 100.0) AS BIGINT), 0.95) AS p95_cents
+FROM events GROUP BY 1
+"""
+
+
 def q_doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", T.token_count_bpe("text").alias("n_bpe_tokens")
@@ -1336,6 +1357,8 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "events_first_seen": (q_events_first_seen, _SQL_EVENTS_FIRST_SEEN),
     # gap-based sessionization, batch path of session_window
     "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
+    # exact per-group stats (sketch accuracy pinned against these in pytest)
+    "events_type_stats": (q_events_type_stats, _SQL_EVENTS_TYPE_STATS),
     # BPE-ish token counting + int8 quantization
     "doc_token_count_bpe": (
         q_doc_token_count_bpe,
