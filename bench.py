@@ -68,6 +68,9 @@ HEADLINE = [
     # skew + streaming-dedup batch paths
     "skew_salted_join",
     "events_first_seen",
+    "events_sessions",
+    "events_type_stats",
+    "knn_quantized_top10",
     # mutations
     "crud_upsert",
 ]

@@ -7,13 +7,16 @@ idiomatic Spark DataFrame/SQL programs over Parquet, designed for
 Layout
 ------
 - ``session``    — tuned SparkSession builder (AQE, Arrow, shuffle sizing)
-- ``functions``  — vector kernel, text analysis, portable hashing
-- ``operators``  — kNN search, sign-LSH, IVF, top-k, dedup suite, listing,
-  mutations (upsert/CAS/delete/move), multimodal binary columns
-- ``sources``    — table loaders, the versioned parquet entity store
-  (atomic pointer-flip publish), synthetic entity derivation
-- ``streaming``  — Structured Streaming ingest: watermarked event rollup +
-  foreachBatch incremental index maintenance
+- ``functions``  — vector kernel, int8 quantization, text analysis
+  (tokens/lang-ID/quality/winnowing), portable hashing
+- ``operators``  — kNN search (single/batch/numpy/quantized two-stage),
+  sign-LSH + IVF with batch search, top-k, dedup suite, skew salting,
+  listing, mutations (upsert/CAS/delete/move), multimodal binary columns
+- ``sources``    — table loaders, bucketed-table writer, the versioned
+  parquet entity store (atomic pointer-flip publish), synthetic entities
+- ``streaming``  — Structured Streaming ingest: watermarked event rollup,
+  session_window sessionization, foreachBatch incremental index
+  maintenance, bounded-state + first-seen dedup
 - ``lifecycle``  — per-library index catalog: versioned rebuild, atomic
   swap, startup bootstrap
 - ``api``        — service facade (validation + 404/409/422 error taxonomy,
