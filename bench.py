@@ -58,6 +58,8 @@ HEADLINE = [
     "doc_quality",
     "doc_winnowing",
     "emb_quantize_int8",
+    "knn_self_join_top3",
+    "corpus_clean",
     # relational / events
     "events_hourly",
     "rel_top_customers",

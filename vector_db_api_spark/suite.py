@@ -1239,6 +1239,83 @@ def q_lsh_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus cleaning, composed from the text operators: language
+    gate → quality gate → length window → drop exact duplicates (keep the
+    min-id representative). One pass + one dedup shuffle; every predicate is
+    a Column expression the scan can evaluate."""
+    docs = _docs(spark, sf_dir)
+    fp = T.fingerprint("text")
+    filtered = docs.select(
+        "doc_id", "lang", fp.alias("fp"),
+        T.token_count("text").alias("n_tokens"),
+        T.quality_score("text").alias("quality"),
+    ).filter(
+        (F.col("lang") == "en")
+        & (F.col("quality") > 0.5)
+        & (F.col("n_tokens").between(10, 5000))
+    )
+    keeper = filtered.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return filtered.join(keeper, ["fp", "doc_id"]).select(
+        "doc_id", "fp", "n_tokens", "quality"
+    )
+
+
+_SQL_CORPUS_CLEAN_TMPL = """
+WITH filtered AS (
+  SELECT doc_id, md5({norm}) AS fp, {tok} AS n_tokens, {q} AS quality
+  FROM documents
+  WHERE lang = 'en' AND {q} > 0.5 AND {tok} BETWEEN 10 AND 5000
+),
+keeper AS (SELECT fp, MIN(doc_id) AS doc_id FROM filtered GROUP BY fp)
+SELECT f.doc_id, f.fp, f.n_tokens, f.quality
+FROM filtered f JOIN keeper k ON f.fp = k.fp AND f.doc_id = k.doc_id
+"""
+
+
+def _sql_corpus_clean() -> str:
+    return _SQL_CORPUS_CLEAN_TMPL.format(
+        norm=O.normalize_text("text"),
+        tok=O.token_count("text"),
+        q=O.quality_score("text"),
+    )
+
+
+def q_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN self-join: every vector's top-3 cosine neighbors (excluding
+    itself) — the similarity join a dedup/clustering pipeline runs. Exact
+    (windowed partial top-k over the broadcast query side) at oracle scale;
+    the 100-TB path is the same semantics through ivf.search_batch
+    (approximate, recall-tested)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("embedding").isNotNull()).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    hits = KNN.knn_batch(emb, queries, 4, id_col="vec_id")
+    return hits.filter(F.col("query_id") != F.col("vec_id").cast("string")).select(
+        "query_id", "vec_id", "score"
+    )
+
+
+def _sql_knn_self_join() -> str:
+    return f"""
+WITH scored AS (
+  SELECT CAST(q.vec_id AS VARCHAR) AS query_id, e.vec_id,
+         {O.cosine('e.embedding', 'q.embedding')} AS score
+  FROM embeddings q JOIN embeddings e
+    ON q.embedding IS NOT NULL AND e.embedding IS NOT NULL
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked
+WHERE rn <= 4 AND query_id <> CAST(vec_id AS VARCHAR)
+"""
+
+
 def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage search: int8-code scan (4× fewer bytes) → float re-rank of
     oversample×k survivors (operators/knn.knn_quantized). Rows-only: stage-1
@@ -1381,6 +1458,8 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "lsh_search_batch_top10": (q_lsh_search_batch, None),
     "ivf_search_batch_top10": (q_ivf_search_batch, None),
     "knn_quantized_top10": (q_knn_quantized, None),
+    "knn_self_join_top3": (q_knn_self_join, _sql_knn_self_join()),
+    "corpus_clean": (q_corpus_clean, _sql_corpus_clean()),
     "knn_batch_numpy_top5": (q_knn_batch_numpy, None),
     "knn_batch_numpy_ids_top5": (q_knn_batch_numpy_ids, _sql_knn_batch_ids()),
 }
