@@ -58,7 +58,6 @@ HEADLINE = [
     "doc_quality",
     "doc_winnowing",
     "emb_quantize_int8",
-    "knn_self_join_top3",
     "corpus_clean",
     # relational / events
     "events_hourly",
@@ -144,6 +143,19 @@ def main() -> None:
     )
     thunks["ivf_search_batch32"] = lambda: _force(
         ivf.search_batch(emb, assignments, qdf, 10, id_col="vec_id")
+    )
+    # full exact kNN self-join (every vector × every vector, top-3) via the
+    # Arrow/numpy matmul path — the throughput variant of the oracle-exact
+    # knn_self_join_top3 correctness query (fold path: exact but ~15× the
+    # flops-per-second cost; correctness runs it at sf0.01)
+    from vector_db_api_spark.operators.knn import knn_batch_numpy
+
+    all_queries = [
+        (str(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.collect()
+    ]
+    thunks["knn_self_join_np"] = lambda: _force(
+        knn_batch_numpy(emb, all_queries, 4, id_col="vec_id")
     )
 
     # -- cold pass + two timed passes -------------------------------------
