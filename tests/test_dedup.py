@@ -133,3 +133,31 @@ def test_embedding_neardup_numpy_zero_and_tiny_blocks(spark):
     assert D.embedding_neardup_pairs_numpy(
         df, threshold=0.5, id_col="vec_id", block_col="blk"
     ).count() == 0
+
+
+def test_connected_components_topologies(spark):
+    from vector_db_api_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter > 1), triangle 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    from vector_db_api_spark.operators.dedup import connected_components
+
+    n = 12  # diameter 11: propagation needs several rounds, not one
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1

@@ -460,3 +460,72 @@ def block_by_ivf(
         "centroid_id", "block_id"
     )
     return vectors.join(assign, id_col)
+
+
+def connected_components(
+    pairs: DataFrame,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, component) labeling of the near-dup pair graph — the step that
+    turns pairwise matches (minhash/simhash/jaccard/embedding pairs) into
+    dedup GROUPS with one representative each (component = min member id).
+
+    Algorithm: iterative min-label propagation — each round every node
+    adopts the smallest label among itself and its neighbors; converged when
+    no label changes. Rounds needed = graph diameter (near-dup clusters are
+    shallow — a handful of rounds), each round ONE shuffle-join keyed on the
+    node id plus a min-aggregate; nothing is ever collected to the driver.
+    The convergence probe is a count of changed labels (cheap: sum over the
+    joined frame), so the driver loop runs O(diameter) tiny jobs.
+
+    Cross-engine note: the same grouping is SQL-expressible as a recursive
+    transitive closure + min-over-reachable (see suite oracle), which is the
+    bit-for-bit check — propagation and closure must agree exactly.
+    """
+    a, b = F.col(left_col), F.col(right_col)
+    # undirected edge list, both directions, self-loops for isolated safety
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .union(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+        .cache()
+    )
+    # localCheckpoint (not cache) after every round: iterative joins grow
+    # the logical plan exponentially under AQE — truncating lineage keeps
+    # each round's plan O(1) and the driver heap flat
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            updated = (
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    F.col("component").alias("old_component"),
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_component"), F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = updated.filter(
+                F.col("component") != F.col("old_component")
+            ).count()
+            labels = updated.select("id", "component")
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()

@@ -290,7 +290,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_lsh_pairs() -> str:
+def _minhash_pairs_sql_parts() -> tuple[str, str]:
+    """(cte_list, pair_select) — shared by the pairs oracle and the
+    connected-components oracle (which wraps the pairs in a recursive
+    transitive closure)."""
     rows = MINHASH_P // MINHASH_BANDS
     band_exprs = []
     for b in range(MINHASH_BANDS):
@@ -299,14 +302,52 @@ def _sql_minhash_lsh_pairs() -> str:
         )
         band_exprs.append(f"SELECT doc_id, {b} AS band_no, md5(concat_ws(',', {cols})) AS bucket FROM sigs")
     union = " UNION ALL ".join(band_exprs)
-    return f"""
-WITH sh AS ({O.shingle_hashes_cte('documents', 'doc_id', 'text', JACCARD_K)}),
-sigs AS (SELECT doc_id, {O.minhash_select(MINHASH_P)} FROM sh GROUP BY doc_id),
-stacked AS ({union})
+    ctes = (
+        f"sh AS ({O.shingle_hashes_cte('documents', 'doc_id', 'text', JACCARD_K)}), "
+        f"sigs AS (SELECT doc_id, {O.minhash_select(MINHASH_P)} FROM sh GROUP BY doc_id), "
+        f"stacked AS ({union})"
+    )
+    select = """
 SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS n_bands
 FROM stacked a JOIN stacked b
   ON a.band_no = b.band_no AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+"""
+    return ctes, select
+
+
+def _sql_minhash_lsh_pairs() -> str:
+    ctes, select = _minhash_pairs_sql_parts()
+    return f"WITH {ctes} {select}"
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: minhash-LSH pairs → connected components (iterative
+    min-label propagation). The oracle rebuilds the same grouping as a
+    recursive transitive closure + min-over-reachable — propagation and
+    closure must agree id-for-id."""
+    pairs = D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=MINHASH_P, bands=MINHASH_BANDS, k=JACCARD_K
+    )
+    return D.connected_components(pairs, "left_id", "right_id")
+
+
+def _sql_dedup_components() -> str:
+    ctes, select = _minhash_pairs_sql_parts()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({select}),
+edges AS (
+  SELECT left_id AS src, right_id AS dst FROM pairs
+  UNION
+  SELECT right_id AS src, left_id AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+)
+SELECT id, MIN(r) AS component FROM reach GROUP BY id
 """
 
 
@@ -1403,6 +1444,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "minhash_signatures": (q_minhash_signatures, _sql_minhash_signatures()),
     "minhash_band_buckets": (q_minhash_band_buckets, _sql_minhash_band_buckets()),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh_pairs()),
+    "dedup_components": (q_dedup_components, _sql_dedup_components()),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _sql_ngram_jaccard_pairs()),
     "simhash": (q_simhash, f"{O.simhash_sql('documents', 'doc_id', 'text')}"),
     "simhash_dup_groups": (q_simhash_dup_groups, _sql_simhash_dup_groups()),
