@@ -792,6 +792,47 @@ GROUP BY 1
 """
 
 
+def q_rel_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals: (flag, status), (flag), () levels in one pass —
+    Spark expands the grouping sets in a single shuffle (Expand node), no
+    re-scan per level."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+        )
+    )
+
+
+_SQL_REL_PRICING_ROLLUP = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type pivot (conditional aggregation — what pivot
+    compiles to; explicit labels keep the schema deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").pivot(
+        "event_type", ["click", "view", "purchase", "signup", "error"]
+    ).count().na.fill(0)
+
+
+_SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'view') AS view,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'error') AS error
+FROM events GROUP BY 1
+"""
+
+
 def q_events_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch path of the streaming first-seen dedup operator
     (streaming/dedup.py): per content fingerprint keep the min-event_id row.
@@ -1469,6 +1510,8 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_rel_customer_running_total,
         _SQL_REL_CUSTOMER_RUNNING_TOTAL,
     ),
+    "rel_pricing_rollup": (q_rel_pricing_rollup, _SQL_REL_PRICING_ROLLUP),
+    "events_pivot": (q_events_pivot, _SQL_EVENTS_PIVOT),
     # skew mitigation (results must be salt-invariant)
     "skew_salted_agg": (q_skew_salted_agg, _SQL_SKEW_SALTED_AGG),
     "skew_salted_join": (q_skew_salted_join, _SQL_SKEW_SALTED_JOIN),
