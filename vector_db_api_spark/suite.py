@@ -290,10 +290,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_pairs_sql_parts() -> tuple[str, str]:
-    """(cte_list, pair_select) — shared by the pairs oracle and the
-    connected-components oracle (which wraps the pairs in a recursive
-    transitive closure)."""
+def _minhash_pairs_sql_parts(table: str = "documents") -> tuple[str, str]:
+    """(cte_list, pair_select) — shared by the pairs oracle, the
+    connected-components oracle, and the end-to-end cleaning oracle (which
+    run the same pipeline over a CTE-restricted document set)."""
     rows = MINHASH_P // MINHASH_BANDS
     band_exprs = []
     for b in range(MINHASH_BANDS):
@@ -303,7 +303,7 @@ def _minhash_pairs_sql_parts() -> tuple[str, str]:
         band_exprs.append(f"SELECT doc_id, {b} AS band_no, md5(concat_ws(',', {cols})) AS bucket FROM sigs")
     union = " UNION ALL ".join(band_exprs)
     ctes = (
-        f"sh AS ({O.shingle_hashes_cte('documents', 'doc_id', 'text', JACCARD_K)}), "
+        f"sh AS ({O.shingle_hashes_cte(table, 'doc_id', 'text', JACCARD_K)}), "
         f"sigs AS (SELECT doc_id, {O.minhash_select(MINHASH_P)} FROM sh GROUP BY doc_id), "
         f"stacked AS ({union})"
     )
@@ -1363,6 +1363,53 @@ def _sql_corpus_clean() -> str:
     )
 
 
+def q_corpus_clean_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline in one query: quality/lang/length
+    gates → exact-dup keep-min (corpus_clean) → minhash-LSH pairs over the
+    survivors → connected components → keep one representative per near-dup
+    group. Every stage is the real operator; the oracle replays all of it
+    relationally (including the recursive closure)."""
+    cleaned = q_corpus_clean(spark, sf_dir).select("doc_id")
+    docs = _docs(spark, sf_dir).join(cleaned, "doc_id")
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=MINHASH_P, bands=MINHASH_BANDS, k=JACCARD_K
+    )
+    comp = D.connected_components(pairs, "left_id", "right_id")
+    reps = comp.filter(F.col("component") == F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    ungrouped = cleaned.join(
+        comp.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    return ungrouped.union(reps)
+
+
+def _sql_corpus_clean_near() -> str:
+    clean_sql = _sql_corpus_clean()
+    ctes, select = _minhash_pairs_sql_parts(table="cdocs")
+    return f"""
+WITH RECURSIVE cleaned AS ({clean_sql}),
+cdocs AS (SELECT d.doc_id, d.text FROM documents d
+          JOIN cleaned c ON d.doc_id = c.doc_id),
+{ctes},
+pairs AS ({select}),
+edges AS (
+  SELECT left_id AS src, right_id AS dst FROM pairs
+  UNION
+  SELECT right_id AS src, left_id AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT c.doc_id FROM cleaned c WHERE c.doc_id NOT IN (SELECT id FROM comp)
+UNION ALL
+SELECT id AS doc_id FROM comp WHERE id = component
+"""
+
+
 def q_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact kNN self-join: every vector's top-3 cosine neighbors (excluding
     itself) — the similarity join a dedup/clustering pipeline runs. Exact
@@ -1545,6 +1592,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "knn_quantized_top10": (q_knn_quantized, None),
     "knn_self_join_top3": (q_knn_self_join, _sql_knn_self_join()),
     "corpus_clean": (q_corpus_clean, _sql_corpus_clean()),
+    "corpus_clean_near": (q_corpus_clean_near, _sql_corpus_clean_near()),
     "knn_batch_numpy_top5": (q_knn_batch_numpy, None),
     "knn_batch_numpy_ids_top5": (q_knn_batch_numpy_ids, _sql_knn_batch_ids()),
 }
