@@ -132,3 +132,41 @@ def test_exact_dedup_batch_one_row_per_fp(spark):
     ev = _fingerprinted_events(spark)
     got = exact_dedup(ev, "fp")
     assert got.count() == ev.select("fp").distinct().count()
+
+
+def test_incremental_neardup_flags_cross_batch(spark, tmp_path):
+    from vector_db_api_spark.streaming.dedup import incremental_neardup_ingest
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = str(tmp_path / "nd_in")
+    first = docs.filter(F.col("doc_id") < 50)
+    first.write.parquet(src)
+
+    buckets = str(tmp_path / "nd_buckets")
+    flags = str(tmp_path / "nd_flags")
+    ckpt = str(tmp_path / "nd_ckpt")
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+
+    def drain():
+        q = incremental_neardup_ingest(stream, buckets, flags, ckpt)
+        q.awaitTermination(180)
+
+    drain()
+    n_buckets_1 = spark.read.parquet(buckets).count()
+    assert n_buckets_1 == 50 * 4  # 50 docs × 4 bands
+
+    # batch 2: exact copies of docs 0-4 under new ids → must flag against
+    # the PERSISTED state from batch 1, not a rescan
+    dup = (
+        docs.filter(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + 900000)
+    )
+    dup.write.mode("append").parquet(src)
+    drain()
+
+    got = spark.read.parquet(flags)
+    cross = {(r["new_id"], r["dup_of"]) for r in got.collect()}
+    for i in range(5):
+        assert (str(900000 + i), str(i)) in cross, cross
+    # bucket state grew by the delta only
+    assert spark.read.parquet(buckets).count() == n_buckets_1 + 5 * 4

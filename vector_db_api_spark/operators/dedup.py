@@ -173,6 +173,41 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*H.minhash_agg_exprs(num_hashes, "shingle_hash", seed))
 
 
+def minhash_band_table(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    seed: int = H.MINHASH_SEED,
+) -> DataFrame:
+    """(id, band_no, bucket) rows — the persistable LSH membership table.
+
+    Two docs are near-dup candidates iff they share a (band_no, bucket) row,
+    so this table is the incremental-dedup state: append each new batch's
+    rows and join new rows against it (streaming/dedup.py)."""
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, id_col, text_col, k, seed)
+    sig_cols = [f"mh{i}" for i in range(num_hashes)]
+    banded = sigs.select(
+        id_col,
+        *[
+            H.band_id(sig_cols, b, rows).alias(f"band{b}")
+            for b in range(bands)
+        ],
+    )
+    return banded.selectExpr(
+        id_col,
+        "stack({n}, {args}) as (band_no, bucket)".format(
+            n=bands,
+            args=", ".join(f"{b}, band{b}" for b in range(bands)),
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -195,25 +230,7 @@ def minhash_lsh_pairs(
     pathological bucket would go quadratic; default None preserves exact
     all-pairs semantics within buckets.
     """
-    if num_hashes % bands != 0:
-        raise ValueError("bands must divide num_hashes")
-    rows = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, id_col, text_col, k, seed)
-    sig_cols = [f"mh{i}" for i in range(num_hashes)]
-    banded = sigs.select(
-        id_col,
-        *[
-            H.band_id(sig_cols, b, rows).alias(f"band{b}")
-            for b in range(bands)
-        ],
-    )
-    stacked = banded.selectExpr(
-        id_col,
-        "stack({n}, {args}) as (band_no, bucket)".format(
-            n=bands,
-            args=", ".join(f"{b}, band{b}" for b in range(bands)),
-        ),
-    )
+    stacked = minhash_band_table(docs, num_hashes, bands, id_col, text_col, k, seed)
     # group each band bucket's members once, explode pairs in place — one
     # shuffle on (band_no, bucket) instead of a two-sided self-join
     groups = stacked.groupBy("band_no", "bucket").agg(

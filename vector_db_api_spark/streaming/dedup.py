@@ -112,3 +112,82 @@ def first_seen_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def incremental_neardup_ingest(
+    doc_stream: DataFrame,
+    bucket_path: str,
+    flags_path: str,
+    checkpoint: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Online near-dup detection: each micro-batch of documents is minhashed
+    and banded (operators/dedup.minhash_band_table), matched against the
+    PERSISTED bucket table (docs seen in earlier batches), and appended to
+    it. Two flag kinds land in ``flags_path``:
+
+    * cross-batch: (new_id, dup_of) — new doc shares a band bucket with an
+      already-ingested doc;
+    * intra-batch: both ids from this batch (via the batch-mode pair op).
+
+    State is the bucket table itself — parquet, partitioned by band_no, and
+    exactly what the batch pipeline would have built; a later full batch
+    job can take over seamlessly. Per batch: one signature pass over the
+    delta + one join delta×buckets on (band_no, bucket) — never a rescan of
+    history's text.
+    """
+    from pyspark.sql.streaming import StreamingQuery  # noqa: F401
+    from pyspark.sql.utils import AnalysisException
+
+    from vector_db_api_spark.operators import dedup as D
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new_buckets = D.minhash_band_table(
+            batch_df, num_hashes=num_hashes, bands=bands,
+            id_col=id_col, text_col=text_col, k=k,
+        ).persist()
+        try:
+            try:
+                existing = spark.read.parquet(bucket_path)
+            except AnalysisException:
+                existing = None
+            if existing is not None:
+                cross = (
+                    new_buckets.alias("n")
+                    .join(existing.alias("e"), ["band_no", "bucket"])
+                    .select(
+                        F.col(f"n.{id_col}").cast("string").alias("new_id"),
+                        F.col(f"e.{id_col}").cast("string").alias("dup_of"),
+                    )
+                    .filter(F.col("new_id") != F.col("dup_of"))
+                    .distinct()
+                )
+                cross.write.mode("append").parquet(flags_path)
+            intra = D.minhash_lsh_pairs(
+                batch_df, num_hashes=num_hashes, bands=bands,
+                id_col=id_col, text_col=text_col, k=k,
+            ).select(
+                F.col("left_id").cast("string").alias("new_id"),
+                F.col("right_id").cast("string").alias("dup_of"),
+            )
+            intra.write.mode("append").parquet(flags_path)
+            new_buckets.write.mode("append").partitionBy("band_no").parquet(
+                bucket_path
+            )
+        finally:
+            new_buckets.unpersist()
+
+    writer = doc_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
