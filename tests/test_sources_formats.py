@@ -49,3 +49,27 @@ def test_csv_roundtrip_quotes_free_text(spark, tmp_path):
         (F.col("b.text") != F.col("o.text")) | (F.col("b.lang") != F.col("o.lang"))
     )
     assert mismatch.count() == 0
+
+
+def test_compact_parquet_shrinks_files_keeps_rows(spark, tmp_path):
+    import glob
+
+    from vector_db_api_spark.sources.tables import compact_parquet
+
+    path = str(tmp_path / "many")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "n_chars")
+    # simulate 8 micro-batch appends → many small files
+    for i in range(8):
+        docs.filter(F.col("doc_id") % 8 == i).write.mode("append").parquet(path)
+    before = len(glob.glob(path + "/**/*.parquet", recursive=True))
+    total = spark.read.parquet(path).count()
+
+    rows, after = compact_parquet(spark, path, partition_by=("lang",))
+    assert rows == total
+    assert after < before
+    back = spark.read.parquet(path)
+    assert back.count() == total
+    # partition layout preserved → lang filters still prune
+    assert back.filter(F.col("lang") == "en").count() == docs.filter(
+        F.col("lang") == "en"
+    ).count()

@@ -80,3 +80,44 @@ def write_bucketed(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.option("path", path).format("parquet").saveAsTable(name)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    target_files_per_partition: int = 1,
+) -> tuple[int, int]:
+    """Rewrite an append-heavy parquet directory into few large files.
+
+    Streaming jobs (foreachBatch appends) leave one file per micro-batch;
+    at 100 TB the small-files overhead (task per file, footer per file)
+    dominates scan cost long before data volume does. This reads the
+    directory, repartitions to ``target_files_per_partition`` (per partition
+    value when ``partition_by`` is set), writes a sibling directory, and
+    swaps via two renames. The swap window is not atomic (unlike
+    EntityStore's pointer flip — use the store for tables needing readers
+    during maintenance); run it when the table is quiescent.
+
+    Returns (rows, files_after).
+    """
+    import glob
+    import shutil
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    if partition_by:
+        out = df.repartition(target_files_per_partition, *partition_by)
+    else:
+        out = df.repartition(target_files_per_partition)
+    tmp = f"{path}__compact_tmp"
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    old = f"{path}__compact_old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    files_after = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    return rows, files_after
