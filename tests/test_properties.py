@@ -124,3 +124,45 @@ def test_minhash_distinct_invariance(spark, texts):
         .groupBy("doc_id").agg(*minhash_agg_exprs(4, "shingle_hash")).collect()
     )
     assert sorted(map(tuple, with_d)) == sorted(map(tuple, without_d))
+
+
+EDGE_LISTS = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=EDGE_LISTS)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Distributed min-label propagation must agree with a sequential
+    union-find on arbitrary random graphs."""
+    from vector_db_api_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    # same node set, identical min-id component labels
+    assert got == want
