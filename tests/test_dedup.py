@@ -161,3 +161,19 @@ def test_connected_components_long_chain_converges(spark):
     got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+def test_dedup_near_keeps_one_per_group(spark):
+    from vector_db_api_spark.operators.dedup import dedup_near
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+            (3, "a completely different sentence about spark engines"),
+            (4, "unrelated text mentioning winnowing and minhash ops"),
+        ],
+        "doc_id bigint, text string",
+    )
+    kept = {r["doc_id"] for r in dedup_near(docs).collect()}
+    assert kept == {1, 3, 4}

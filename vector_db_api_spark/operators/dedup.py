@@ -546,3 +546,28 @@ def connected_components(
         return labels
     finally:
         edges.unpersist()
+
+
+def dedup_near(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    seed: int = H.MINHASH_SEED,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Keep one representative (min id) per near-dup group: minhash-LSH
+    pairs → connected components → anti-join the non-representatives.
+    The near-dup analogue of :func:`dedup_exact`; docs in no pair survive
+    untouched."""
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=num_hashes, bands=bands, id_col=id_col,
+        text_col=text_col, k=k, seed=seed, max_bucket_size=max_bucket_size,
+    )
+    comp = connected_components(pairs, "left_id", "right_id")
+    non_reps = comp.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(non_reps, id_col, "left_anti")

@@ -1371,17 +1371,9 @@ def q_corpus_clean_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally (including the recursive closure)."""
     cleaned = q_corpus_clean(spark, sf_dir).select("doc_id")
     docs = _docs(spark, sf_dir).join(cleaned, "doc_id")
-    pairs = D.minhash_lsh_pairs(
+    return D.dedup_near(
         docs, num_hashes=MINHASH_P, bands=MINHASH_BANDS, k=JACCARD_K
-    )
-    comp = D.connected_components(pairs, "left_id", "right_id")
-    reps = comp.filter(F.col("component") == F.col("id")).select(
-        F.col("id").alias("doc_id")
-    )
-    ungrouped = cleaned.join(
-        comp.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
-    )
-    return ungrouped.union(reps)
+    ).select("doc_id")
 
 
 def _sql_corpus_clean_near() -> str:
