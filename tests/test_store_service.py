@@ -181,7 +181,7 @@ def test_uuid_defaults(engine):
 
 def test_move_and_delete_cascade(engine):
     engine.create_library("libB", 4, library_id="libB")
-    engine.move_document("docA", "libB")
+    engine.move_document("docA", "libA", "libB")
     docs = {r["id"]: r for r in engine.store.read("documents").collect()}
     assert docs["docA"]["library_id"] == "libB"
     assert engine.store.read("chunks").filter(F.col("library_id") == "libB").count() == 3

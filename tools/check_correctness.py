@@ -63,6 +63,17 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            # The driver's canonicalizer (pandas sort_values) cannot sort
+            # array/map/struct cells — flag them here before the driver does.
+            complex_cols = [
+                c for c, t in sdf.dtypes
+                if t.startswith(("array", "map", "struct"))
+            ]
+            if complex_cols:
+                print(f"FAIL  {name}: complex output columns break the driver "
+                      f"canonicalizer: {complex_cols} — stringify them")
+                n_fail += 1
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")

@@ -126,20 +126,59 @@ class Engine:
         return doc_id
 
     def delete_document(self, library_id: str, doc_id: str) -> None:
+        """Scoped cascade delete (services/document.py:139-158): silently
+        no-ops unless the document exists AND belongs to ``library_id`` — a
+        wrong-library call must never cascade into another library's data."""
+        in_lib = (
+            self.store.read("documents")
+            .filter((F.col("id") == doc_id) & (F.col("library_id") == library_id))
+            .limit(1)
+            .count()
+        )
+        if not in_lib:
+            return  # reference returns silently — services/document.py:141-142
         docs, chunks = M.delete_documents(
             self.store.read("documents"), self.store.read("chunks"), [doc_id]
         )
         self.store.write("documents", docs)
         self.store.write("chunks", chunks)
 
-    def move_document(self, doc_id: str, dst_library_id: str) -> None:
-        """services/document.py:160-212 — re-home doc + chunks, then refresh
-        both libraries' indexes would go stale; rebuild is the caller's call."""
-        self._get_library_row(dst_library_id)
-        docs, chunks = M.move_document(
-            self.store.read("documents"), self.store.read("chunks"),
-            doc_id, dst_library_id,
+    def move_document(
+        self, doc_id: str, src_library_id: str, dst_library_id: str
+    ) -> None:
+        """services/document.py:160-212 — re-home doc + chunks with the
+        reference's full validation ladder: src != dst (422), both libraries
+        exist (404), doc lives in src (404), every embedded chunk matches the
+        destination's embedding_dim (422). Index refresh is the caller's
+        call (rebuild), matching the snapshot model."""
+        if src_library_id == dst_library_id:
+            raise ValidationError("source and destination libraries are the same")
+        self._get_library_row(src_library_id)
+        dst = self._get_library_row(dst_library_id)
+        docs = self.store.read("documents")
+        in_src = (
+            docs.filter(
+                (F.col("id") == doc_id) & (F.col("library_id") == src_library_id)
+            )
+            .limit(1)
+            .count()
         )
+        if not in_src:
+            raise NotFoundError(
+                f"document {doc_id!r} not found in library {src_library_id!r}"
+            )
+        chunks = self.store.read("chunks")
+        bad_dim = chunks.filter(
+            (F.col("document_id") == doc_id)
+            & F.col("embedding").isNotNull()
+            & (F.size("embedding") != dst["embedding_dim"])
+        ).count()
+        if bad_dim:
+            raise ValidationError(
+                f"{bad_dim} chunk(s) have embedding dim != destination "
+                f"library dim {dst['embedding_dim']}"
+            )  # 422 — services/document.py:193-195
+        docs, chunks = M.move_document(docs, chunks, doc_id, dst_library_id)
         self.store.write("documents", docs)
         self.store.write("chunks", chunks)
 
@@ -225,11 +264,16 @@ class Engine:
     def upsert_chunks(self, library_id: str, incoming: DataFrame) -> None:
         """Bulk upsert with full validation (services/chunk.py:76-116):
         library exists (404), chunks belong to existing documents of that
-        library (404/422), embedding dims match (422). MERGE-style rewrite +
-        version bump, then an incremental index delta would append to the
-        live index version (full rebuild keeps this simple for now)."""
+        library (404/422), embedding dims match (422). ``library_id`` is
+        FORCED onto every incoming row (services/chunk.py:95) — a row
+        carrying another library's id must not land in the wrong partition.
+        MERGE-style rewrite + version bump, then the written batch's index
+        delta is appended to the live LSH/IVF index (the reference applies
+        ``index.add``/``update`` per upsert, services/chunk.py:40-70) — see
+        ``IndexLifecycle.apply_delta`` for why append-only is sufficient."""
         lib = self._get_library_row(library_id)
         dim = lib["embedding_dim"]
+        incoming = incoming.withColumn("library_id", F.lit(library_id))
         bad_dim = incoming.filter(
             F.col("embedding").isNotNull() & (F.size("embedding") != dim)
         ).count()
@@ -247,6 +291,8 @@ class Engine:
             )  # services/chunk.py:77-83
         merged = M.upsert(self.store.read("chunks"), incoming)
         self.store.write("chunks", merged)
+        # keep the live ANN index fresh: hash/assign ONLY the written batch
+        self.indexes.apply_delta(library_id, incoming)
 
     def update_chunks_cas(self, updates: DataFrame) -> DataFrame:
         """CAS update_on_version (repos/chunks.py:38-60): applies matching

@@ -152,6 +152,56 @@ class IndexLifecycle:
         self._flip(library_id, desc)
         return desc
 
+    def apply_delta(
+        self,
+        library_id: str,
+        batch: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "embedding",
+    ) -> int:
+        """Append a written chunk batch's index delta to the LIVE index
+        version — the reference's per-upsert ``index.add``/``update``
+        (services/chunk.py:40-70) without a rebuild.
+
+        Append-only is sufficient for correctness: search probes candidate
+        ids from the bucket/posting tables but ALWAYS re-ranks against the
+        live chunks table (lsh.py rerank join / ivf.py rerank join), so a
+        stale row for an updated chunk is at worst a harmless extra
+        candidate (fresh embedding wins at re-rank; deleted ids drop at the
+        hydration join). New/updated embeddings DO need their new
+        bucket/posting rows appended or recall decays — that's this delta.
+        Bucket bloat from superseded rows is reclaimed at the next rebuild
+        (``vacuum`` + config swap). Returns the number of delta rows.
+        """
+        desc = self.current(library_id)
+        if desc is None or desc["type"] == "flat":
+            return 0  # flat scans the live table — always fresh
+        embedded = batch.filter(F.col(vec_col).isNotNull())
+        if embedded.isEmpty():
+            return 0
+        vdir = os.path.join(self._lib_dir(library_id), f"v={desc['version']}")
+        p = desc["params"]
+        if desc["type"] == "lsh":
+            model = SignLSH(
+                dim=desc["dim"],
+                num_tables=p["num_tables"],
+                hyperplanes_per_table=p["hyperplanes_per_table"],
+                seed=p["seed"],
+            )
+            delta = build_bucket_table(model, embedded, id_col=id_col, vec_col=vec_col)
+            delta.write.mode("append").parquet(os.path.join(vdir, "lsh_buckets"))
+            return delta.count()
+        # ivf: assign against the stored centroids, append partition-locally
+        cent = self.spark.read.parquet(os.path.join(vdir, "ivf_centroids"))
+        rows = sorted(cent.collect(), key=lambda r: r["centroid_id"])
+        mat = np.asarray([r["vec"] for r in rows], dtype=np.float64)
+        ivf = IVFIndex(mat, nprobe=p["nprobe"])
+        delta = ivf.assign(embedded, id_col=id_col, vec_col=vec_col)
+        delta.write.mode("append").partitionBy("centroid_id").parquet(
+            os.path.join(vdir, "ivf_assignments")
+        )
+        return delta.count()
+
     def bootstrap(
         self,
         libraries: list[tuple[str, IndexConfig, int]],

@@ -502,7 +502,8 @@ def connected_components(
     bit-for-bit check — propagation and closure must agree exactly.
     """
     a, b = F.col(left_col), F.col(right_col)
-    # undirected edge list, both directions, self-loops for isolated safety
+    # undirected edge list, materialized in both directions (nodes appearing
+    # only on one side still get a label because every node is a src here)
     edges = (
         pairs.select(a.alias("src"), b.alias("dst"))
         .union(pairs.select(b.alias("src"), a.alias("dst")))
@@ -519,6 +520,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     try:
+        changed = 0
         for _ in range(max_iterations):
             neighbor_min = (
                 edges.join(labels, edges.dst == labels.id)
@@ -543,6 +545,20 @@ def connected_components(
             labels = updated.select("id", "component")
             if changed == 0:
                 break
+        if changed:
+            # exhausted the round budget mid-propagation: labels are valid
+            # but long chains may still be split into multiple components —
+            # surface it instead of returning silently-wrong groups
+            import warnings
+
+            warnings.warn(
+                f"connected_components did not converge within "
+                f"{max_iterations} iterations ({changed} labels still "
+                f"changing); raise max_iterations (rounds needed = graph "
+                f"diameter)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return labels
     finally:
         edges.unpersist()

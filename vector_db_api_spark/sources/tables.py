@@ -42,6 +42,11 @@ TS_NANO_COLS: dict[str, tuple[str, ...]] = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Self-contained: the testdata parquet stores TIMESTAMP(NANOS), which
+    # Spark rejects unless this legacy conf is on. It is runtime-settable,
+    # so set it here rather than relying on whoever built the session
+    # (external harnesses build their own sessions without it).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in TS_NANO_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":

@@ -147,6 +147,10 @@ def incremental_neardup_ingest(
     from vector_db_api_spark.operators import dedup as D
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is at-least-once: a retried/replayed micro-batch runs
+        # this again with the SAME epoch_id. Every output row is stamped with
+        # the epoch and written via dynamic partition overwrite, so a retry
+        # overwrites its own epoch's partitions instead of appending dupes.
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
@@ -159,10 +163,17 @@ def incremental_neardup_ingest(
                 existing = spark.read.parquet(bucket_path)
             except AnalysisException:
                 existing = None
+            # cross-batch flags: exclude this epoch's own bucket rows so a
+            # RETRY (whose first attempt already appended buckets) doesn't
+            # see the batch's docs as "already ingested"
+            flags = None
             if existing is not None:
                 cross = (
                     new_buckets.alias("n")
-                    .join(existing.alias("e"), ["band_no", "bucket"])
+                    .join(
+                        existing.filter(F.col("epoch") != epoch_id).alias("e"),
+                        ["band_no", "bucket"],
+                    )
                     .select(
                         F.col(f"n.{id_col}").cast("string").alias("new_id"),
                         F.col(f"e.{id_col}").cast("string").alias("dup_of"),
@@ -170,7 +181,7 @@ def incremental_neardup_ingest(
                     .filter(F.col("new_id") != F.col("dup_of"))
                     .distinct()
                 )
-                cross.write.mode("append").parquet(flags_path)
+                flags = cross
             intra = D.minhash_lsh_pairs(
                 batch_df, num_hashes=num_hashes, bands=bands,
                 id_col=id_col, text_col=text_col, k=k,
@@ -178,9 +189,20 @@ def incremental_neardup_ingest(
                 F.col("left_id").cast("string").alias("new_id"),
                 F.col("right_id").cast("string").alias("dup_of"),
             )
-            intra.write.mode("append").parquet(flags_path)
-            new_buckets.write.mode("append").partitionBy("band_no").parquet(
-                bucket_path
+            flags = intra if flags is None else flags.unionByName(intra)
+            (
+                flags.withColumn("epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(flags_path)
+            )
+            (
+                new_buckets.withColumn("epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("band_no", "epoch")
+                .parquet(bucket_path)
             )
         finally:
             new_buckets.unpersist()

@@ -142,11 +142,19 @@ def incremental_index_ingest(
         return model.signatures(batch_df, id_col=id_col, vec_col=vec_col)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is at-least-once: stamp the epoch into a partition
+        # column and overwrite only this epoch's partitions, so a retried
+        # micro-batch replaces its own earlier output instead of
+        # double-appending index rows.
         if batch_df.isEmpty():
             return
-        writer = delta(batch_df).write.mode("append")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
+        writer = (
+            delta(batch_df)
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by, "epoch")
+        )
         writer.parquet(index_path)
 
     writer = chunk_stream.writeStream.foreachBatch(process).option(
