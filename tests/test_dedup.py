@@ -163,6 +163,21 @@ def test_connected_components_long_chain_converges(spark):
     assert len(got) == n + 1
 
 
+def test_connected_components_warns_when_budget_exhausted(spark):
+    import warnings
+
+    from vector_db_api_spark.operators.dedup import connected_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(pairs, max_iterations=1).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+
+
 def test_dedup_near_keeps_one_per_group(spark):
     from vector_db_api_spark.operators.dedup import dedup_near
 

@@ -179,6 +179,102 @@ def test_uuid_defaults(engine):
     engine.delete_library(lib_id)
 
 
+def test_delete_document_scoped_to_library(engine):
+    """Reference services/document.py:139-142 — delete silently no-ops when
+    the document is missing or belongs to a different library."""
+    eng = engine
+    eng.create_library("libScope", 4, library_id="libScope")
+    eng.create_document("libScope", document_id="docScope")
+    eng.upsert_chunks(
+        "libScope",
+        _chunk_rows(
+            eng.spark, [("cs1", "libScope", "docScope", 0, "s", [1.0, 0.0, 0.0, 0.0])]
+        ),
+    )
+    # wrong-library delete must NOT cascade
+    eng.delete_document("libA", "docScope")
+    assert eng.store.read("documents").filter(F.col("id") == "docScope").count() == 1
+    assert eng.store.read("chunks").filter(F.col("id") == "cs1").count() == 1
+    eng.delete_document("libScope", "ghost")  # missing doc: silent no-op
+    # right-library delete cascades
+    eng.delete_document("libScope", "docScope")
+    assert eng.store.read("documents").filter(F.col("id") == "docScope").count() == 0
+    assert eng.store.read("chunks").filter(F.col("id") == "cs1").count() == 0
+    eng.delete_library("libScope")
+
+
+def test_move_document_validations(engine):
+    """Reference move_to_library ladder: src!=dst (422), doc in src (404),
+    destination dim compatibility (422)."""
+    eng = engine
+    with pytest.raises(ValidationError, match="same"):
+        eng.move_document("docA", "libA", "libA")
+    eng.create_library("libDim2", 2, library_id="libDim2")
+    with pytest.raises(NotFoundError, match="not found in library"):
+        eng.move_document("ghost-doc", "libA", "libDim2")
+    # docA's chunks are 4-dim; libDim2 expects 2-dim → 422, nothing moves
+    with pytest.raises(ValidationError, match="dim"):
+        eng.move_document("docA", "libA", "libDim2")
+    assert (
+        eng.store.read("documents").filter(F.col("id") == "docA").collect()[0][
+            "library_id"
+        ]
+        == "libA"
+    )
+    eng.delete_library("libDim2")
+
+
+def test_upsert_forces_library_id(engine):
+    """services/chunk.py:95 — a row carrying another library's id is stored
+    under the target library, not the one it claims."""
+    eng = engine
+    eng.create_document("libA", document_id="docForce")
+    eng.upsert_chunks(
+        "libA",
+        _chunk_rows(
+            eng.spark,
+            [("cforce", "SOME-OTHER-LIB", "docForce", 0, "forced", [0.5, 0.5, 0.0, 0.0])],
+        ),
+    )
+    row = eng.store.read("chunks").filter(F.col("id") == "cforce").collect()[0]
+    assert row["library_id"] == "libA"
+    # and it is searchable in libA
+    got = [r["id"] for r in eng.search("libA", [0.5, 0.5, 0.0, 0.0], k=1).collect()]
+    assert got == ["cforce"]
+    eng.delete_document("libA", "docForce")  # leave libA as the fixture built it
+
+
+def test_upsert_refreshes_live_lsh_index(engine):
+    """ADVICE r2 (high): chunks written after an index build must be
+    findable WITHOUT a rebuild — the upsert appends the batch's signature
+    delta to the live LSH bucket table."""
+    eng = engine
+    eng.create_library("libLive", 4, library_id="libLive")
+    eng.create_document("libLive", document_id="docLive")
+    eng.upsert_chunks(
+        "libLive",
+        _chunk_rows(
+            eng.spark,
+            [("l1", "libLive", "docLive", 0, "seed", [1.0, 0.0, 0.0, 0.0])],
+        ),
+    )
+    d = eng.update_index_config(
+        "libLive", IndexConfig("lsh", {"hyperplanes_per_table": 4})
+    )
+    assert d["type"] == "lsh"
+    # upsert AFTER the build — the reference's index.add path
+    eng.upsert_chunks(
+        "libLive",
+        _chunk_rows(
+            eng.spark,
+            [("l2", "libLive", "docLive", 1, "late", [0.0, 0.0, 1.0, 0.0])],
+        ),
+    )
+    got = [r["id"] for r in eng.search("libLive", [0.0, 0.0, 1.0, 0.0], k=1).collect()]
+    assert got == ["l2"]
+    eng.delete_library("libLive")
+
+
 def test_move_and_delete_cascade(engine):
     engine.create_library("libB", 4, library_id="libB")
     engine.move_document("docA", "libA", "libB")

@@ -91,6 +91,31 @@ def test_incremental_index_ingest_appends_delta(spark, tmp_path, clustered_df):
     )
 
 
+def test_incremental_index_ingest_replay_is_idempotent(spark, tmp_path, clustered_df):
+    """foreachBatch is at-least-once: replaying a micro-batch (fresh
+    checkpoint over the same files ⇒ same epoch ids) must overwrite its own
+    epoch partitions, not double-append index rows (ADVICE r2)."""
+    model = SignLSH(dim=32, num_tables=2, hyperplanes_per_table=8, seed=3)
+    src = str(tmp_path / "chunks")
+    clustered_df.filter(F.col("id") < 60).write.parquet(src)
+    buckets = str(tmp_path / "buckets")
+    stream = spark.readStream.schema(
+        "id bigint, embedding array<float>, label int"
+    ).parquet(src)
+    q = incremental_index_ingest(
+        stream, model, buckets, str(tmp_path / "ckpt1"), available_now=True
+    )
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(buckets).count()
+    assert n1 == 60 * 2
+    # replay epoch 0 (new checkpoint, same input) — simulates a retried batch
+    q2 = incremental_index_ingest(
+        stream, model, buckets, str(tmp_path / "ckpt2"), available_now=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(buckets).count() == n1  # overwrote, not doubled
+
+
 def test_incremental_ivf_delta(spark, tmp_path, clustered_df):
     from vector_db_api_spark.operators.ivf import IVFIndex
 
