@@ -107,15 +107,19 @@ def main() -> None:
     qdf.count()
 
     build: dict[str, float] = {}
+    n_corpus = emb.count()
 
     t0 = time.time()
-    model = SignLSH(dim=64, num_tables=8, hyperplanes_per_table=8, seed=42)
+    # H auto-derived from corpus size (bounded probed-rows per table under
+    # the multiprobe-1 default) — the r2 bench's fixed H=8 was sized for
+    # sf0.01 and gave deep buckets / 0.2 recall at sf0.1
+    model = SignLSH.auto_size(n_corpus, dim=64, seed=42)
     buckets = build_bucket_table(model, emb, id_col="vec_id").cache()
     buckets.count()
     build["lsh_build"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    ivf = IVFIndex.train(emb, num_centroids=32, nprobe=4, seed=42)
+    ivf = IVFIndex.auto_train(emb, n_rows=n_corpus, seed=42)
     assignments = ivf.assign(emb, id_col="vec_id").cache()
     assignments.count()
     build["ivf_build"] = round(time.time() - t0, 3)
@@ -124,11 +128,11 @@ def main() -> None:
         name: (lambda n=name: _force(qs[n](spark, SF_DIR))) for name in HEADLINE
     }
     thunks["lsh_search"] = lambda: _force(
-        model.search(emb, buckets, qv, 10, id_col="vec_id", pad_to_k=False)
+        model.search(emb, buckets, qv, 10, id_col="vec_id", pad_to_k=False,
+                     multiprobe=0)
     )
     thunks["lsh_search_mp1"] = lambda: _force(
-        model.search(emb, buckets, qv, 10, id_col="vec_id", pad_to_k=False,
-                     multiprobe=1)
+        model.search(emb, buckets, qv, 10, id_col="vec_id", pad_to_k=False)
     )
     thunks["ivf_search"] = lambda: _force(
         ivf.search(emb, assignments, qv, 10, id_col="vec_id")
@@ -139,10 +143,23 @@ def main() -> None:
     # 32-query batches through the index paths: ONE job per batch (the
     # per-query driver loop would launch 32)
     thunks["lsh_search_batch32"] = lambda: _force(
-        model.search_batch(emb, buckets, qdf, 10, id_col="vec_id", multiprobe=1)
+        model.search_batch(emb, buckets, qdf, 10, id_col="vec_id")
     )
     thunks["ivf_search_batch32"] = lambda: _force(
         ivf.search_batch(emb, assignments, qdf, 10, id_col="vec_id")
+    )
+    # approximate similarity self-join — the 100-TB path of the dedup
+    # pipeline's most expensive stage as a FIRST-CLASS operator: the whole
+    # corpus as the query batch through the IVF probe → pruned posting
+    # join → re-rank plan (exact twin: knn_self_join_np / oracle-checked
+    # knn_self_join_top3); recall vs exact reported below
+    corpus_queries = emb.select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    ).cache()
+    corpus_queries.count()
+    thunks["knn_self_join_ivf"] = lambda: _force(
+        ivf.search_batch(emb, assignments, corpus_queries, 4, id_col="vec_id")
     )
     # full exact kNN self-join (every vector × every vector, top-3) via the
     # Arrow/numpy matmul path — the throughput variant of the oracle-exact
@@ -180,12 +197,13 @@ def main() -> None:
     # recall@10 of the ANN paths vs the exact scan — the bar is speedup AT
     # BOUNDED RECALL, so the bench reports both sides of the tradeoff
     # NOTE: the synthetic embeddings are isotropic (nearest-neighbor cosine
-    # ≈ 0.35, no cluster structure), the hardest possible regime for ANN —
+    # ≈ 0.41, no cluster structure), the hardest possible regime for ANN —
     # sub-linear search at recall ~1.0 is information-theoretically
     # unavailable there. Selectivity (fraction of the corpus scanned) is
     # reported so the recall number can be read against its cost; the
-    # pytest recall suite pins ≥0.9 on clustered data where ANN applies.
-    n_corpus = emb.count()
+    # clustered-regime section below measures the same auto-sized indexes
+    # where ANN applies, and the ≥0.9 @ ≤5% contract is additionally pinned
+    # in tests/test_lsh_ivf.py::test_autosized_recall_bar.
     exact_ids = {r["vec_id"] for r in knn(emb, qv, 10, id_col="vec_id").collect()}
 
     def ann_recall(ids):
@@ -222,6 +240,100 @@ def main() -> None:
             ).count() / n_corpus, 3),
     }
 
+    # recall of the approximate self-join vs the exact top-3 neighbor sets
+    # (sampled queries — the exact all-pairs reference at full width is the
+    # knn_self_join_np job itself)
+    from vector_db_api_spark.operators.knn import knn_batch
+
+    sample_q = [(qid, vec) for qid, vec in all_queries[:64]]
+    sq_df = spark.createDataFrame(
+        sample_q, "query_id string, query_vec array<double>"
+    )
+    exact_sj = (
+        knn_batch(emb, sq_df, 4, id_col="vec_id")
+        .filter(F.col("query_id") != F.col("vec_id").cast("string"))
+        .groupBy("query_id").agg(F.collect_set("vec_id").alias("ids"))
+        .collect()
+    )
+    approx_sj = (
+        ivf.search_batch(emb, assignments, sq_df, 4, id_col="vec_id")
+        .filter(F.col("query_id") != F.col("vec_id").cast("string"))
+        .groupBy("query_id").agg(F.collect_set("vec_id").alias("ids"))
+        .collect()
+    )
+    approx_by_q = {r["query_id"]: set(r["ids"]) for r in approx_sj}
+    sj_hits = sj_total = 0
+    for r in exact_sj:
+        want = set(r["ids"])
+        sj_hits += len(want & approx_by_q.get(r["query_id"], set()))
+        sj_total += len(want)
+    recall["knn_self_join_ivf"] = round(sj_hits / max(sj_total, 1), 3)
+
+    # -- clustered regime: same auto-sized indexes on clustered vectors ----
+    # (the geometry ANN exists for; same corpus size as the isotropic table)
+    from vector_db_api_spark.sources.synthetic_vectors import clustered_corpus
+
+    cdf = clustered_corpus(spark, n_corpus, dim=64, n_clusters=64,
+                           spread=0.05).cache()
+    cdf.count()
+    cmodel = SignLSH.auto_size(n_corpus, dim=64, seed=42)
+    cbuckets = build_bucket_table(cmodel, cdf).cache()
+    cbuckets.count()
+    civf = IVFIndex.auto_train(cdf, n_rows=n_corpus, seed=42)
+    casg = civf.assign(cdf).cache()
+    casg.count()
+    crows = cdf.limit(8).collect()
+    c_lsh_rec, c_lsh_frac, c_ivf_rec, c_ivf_frac = [], [], [], []
+    for r in crows:
+        cq = [float(x) for x in r["embedding"]]
+        c_exact = {x["id"] for x in knn(cdf, cq, 10).collect()}
+        c_lsh = {x["id"] for x in cmodel.search(
+            cdf, cbuckets, cq, 10, pad_to_k=False).collect()}
+        c_lsh_rec.append(len(c_lsh & c_exact) / 10)
+        c_lsh_frac.append(
+            cmodel.candidates(cbuckets, cq, multiprobe=1).count() / n_corpus)
+        c_ivf = {x["id"] for x in civf.search(cdf, casg, cq, 10).collect()}
+        c_ivf_rec.append(len(c_ivf & c_exact) / 10)
+        c_ivf_frac.append(casg.filter(
+            F.col("centroid_id").isin(civf.probe_centroids(cq))
+        ).count() / n_corpus)
+    recall["lsh_clustered"] = round(sum(c_lsh_rec) / len(c_lsh_rec), 3)
+    recall["ivf_clustered"] = round(sum(c_ivf_rec) / len(c_ivf_rec), 3)
+    # approximate self-join in ITS regime: near-dup corpora are clustered
+    # by construction (that's what makes them deduplicable)
+    csq = cdf.limit(64).select(
+        F.col("id").cast("string").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    c_exact_sj = (
+        knn_batch(cdf, csq, 4)
+        .filter(F.col("query_id") != F.col("id").cast("string"))
+        .groupBy("query_id").agg(F.collect_set("id").alias("ids"))
+        .collect()
+    )
+    c_approx_sj = (
+        civf.search_batch(cdf, casg, csq, 4)
+        .filter(F.col("query_id") != F.col("id").cast("string"))
+        .groupBy("query_id").agg(F.collect_set("id").alias("ids"))
+        .collect()
+    )
+    c_by_q = {r["query_id"]: set(r["ids"]) for r in c_approx_sj}
+    cj_hits = cj_total = 0
+    for r in c_exact_sj:
+        want = set(r["ids"])
+        cj_hits += len(want & c_by_q.get(r["query_id"], set()))
+        cj_total += len(want)
+    recall["knn_self_join_ivf_clustered"] = round(cj_hits / max(cj_total, 1), 3)
+    selectivity["lsh_clustered"] = round(sum(c_lsh_frac) / len(c_lsh_frac), 3)
+    selectivity["ivf_clustered"] = round(sum(c_ivf_frac) / len(c_ivf_frac), 3)
+    recall_bar = {
+        "target": "recall>=0.9 at candidate_fraction<=0.05 (clustered regime)",
+        "lsh": bool(recall["lsh_clustered"] >= 0.9
+                    and selectivity["lsh_clustered"] <= 0.05),
+        "ivf": bool(recall["ivf_clustered"] >= 0.9
+                    and selectivity["ivf_clustered"] <= 0.05),
+    }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -235,6 +347,7 @@ def main() -> None:
         "queries": timings,
         "recall_at_10": recall,
         "candidate_fraction": selectivity,
+        "recall_bar": recall_bar,
         "cold_first_run_sec": round(sum(cold.values()), 3),
         "sf": sf_val,
     }))

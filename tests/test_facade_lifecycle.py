@@ -75,3 +75,46 @@ def test_bootstrap_builds_missing_indexes(spark, tmp_path, clustered_df):
     q = [float(x) for x in clustered_df.limit(1).collect()[0]["embedding"]]
     hits = lc.search("libX", clustered_df, q, 3)
     assert hits.count() == 3
+
+
+def test_facade_health_probe(facade):
+    """routers/health.py parity: 200 + timestamp + details, computed from
+    snapshot pointers only (no Spark job — probe-safe)."""
+    out = facade.health()
+    assert out["status"] == 200
+    data = out["data"]
+    assert data["status"] == "ok"
+    assert "T" in data["timestamp"]  # iso-8601
+    versions = data["details"]["table_versions"]
+    assert set(versions) == {"libraries", "documents", "chunks"}
+    assert versions["chunks"] >= 1  # the fixture ingested chunks
+
+
+def test_http_app_over_facade(facade):
+    """The optional HTTP wrapper: full route table when FastAPI is present,
+    a clean actionable error when it isn't (this container has no
+    fastapi)."""
+    from vector_db_api_spark.api.http import create_app
+
+    try:
+        import fastapi  # noqa: F401
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="optional 'fastapi'"):
+            create_app(facade)
+        return
+
+    from fastapi.testclient import TestClient
+
+    client = TestClient(create_app(facade))
+    health = client.get("/health")
+    assert health.status_code == 200
+    assert health.json()["data"]["status"] == "ok"
+    assert client.get("/libraries/L1").status_code == 200
+    assert client.get("/libraries/ghost").status_code == 404
+    hits = client.post(
+        "/libraries/L1/search",
+        json={"query_embedding": [1.0, 0.0, 0.0, 0.0], "k": 1},
+    )
+    assert hits.status_code == 200

@@ -97,3 +97,35 @@ def _group(rows, key):
     for r in rows:
         out.setdefault(r[key], []).append(r)
     return out
+
+
+def test_embed_texts_deterministic_pluggable_nullsafe(spark):
+    """The embed hook (operators/embed.py): deterministic default model,
+    null texts embed as null, and a custom model_fn plugs in (the
+    reference's Cohere integration shape as a mapInPandas stage)."""
+    import numpy as np
+
+    from vector_db_api_spark.operators.embed import embed_texts, fake_md5_embedder
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "gamma")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r["embedding"] for r in embed_texts(docs, dim=8).collect()}
+    assert out[2] is None
+    assert len(out[1]) == 8
+    # bit-exact vs a driver-side call of the same model
+    want = fake_md5_embedder(8)(["alpha beta"])[0]
+    assert out[1] == list(want)
+    # repeated runs identical (no per-partition state)
+    again = {r["doc_id"]: r["embedding"] for r in embed_texts(docs, dim=8).collect()}
+    assert again == out
+    # pluggable model_fn: constant vectors
+    ones = embed_texts(
+        docs, model_fn=lambda ts: np.ones((len(ts), 4)), dim=4
+    ).collect()
+    assert all(r["embedding"] == [1.0] * 4 for r in ones if r["doc_id"] != 2)
+    # shape mismatch surfaces, not silently truncates
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="shape"):
+        embed_texts(docs, model_fn=lambda ts: np.ones((len(ts), 3)), dim=4).collect()

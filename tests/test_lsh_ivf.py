@@ -64,6 +64,64 @@ def test_lsh_recall_on_clustered(lsh_model, lsh_buckets, clustered_df, clustered
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+def test_autosized_recall_bar(spark):
+    """The r2 verdict's recall contract, at bench scale on clustered data
+    (the regime ANN indexes exist for — the driver's isotropic embeddings
+    admit no sub-linear high-recall search at any parameters): auto-sized
+    LSH (multiprobe-1 default) and auto-trained IVF must BOTH reach
+    recall@10 ≥ 0.9 while touching ≤ 5% of the corpus, with no pad-to-k
+    fallback involved. Deterministic seeds end to end."""
+    from vector_db_api_spark.sources.synthetic_vectors import clustered_corpus
+
+    n = 2000
+    corpus = clustered_corpus(spark, n, dim=64, n_clusters=64, spread=0.05).cache()
+    try:
+        rows = corpus.collect()
+        mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+        queries = [10, 333, 777, 1500, 42, 999, 1200, 1800]
+
+        model = SignLSH.auto_size(n, dim=64, seed=42)
+        assert model.hyperplanes_per_table == 12  # probes(H)·n/2^H ≤ 8
+        buckets = build_bucket_table(model, corpus).cache()
+        ivf = IVFIndex.auto_train(corpus, n_rows=n, seed=42)
+        assert ivf.centroids.shape[0] == 89  # ≈ 2√2000
+        assignments = ivf.assign(corpus).cache()
+
+        lsh_recalls, lsh_fracs, ivf_recalls, ivf_fracs = [], [], [], []
+        for qi in queries:
+            q = [float(x) for x in mat[qi]]
+            exact = [r["id"] for r in knn(corpus, q, 10).collect()]
+            lsh_hits = [
+                r["id"]
+                for r in model.search(corpus, buckets, q, 10, pad_to_k=False).collect()
+            ]
+            lsh_recalls.append(_recall(lsh_hits, exact))
+            lsh_fracs.append(
+                model.candidates(buckets, q, multiprobe=1).count() / n
+            )
+            ivf_hits = [
+                r["id"] for r in ivf.search(corpus, assignments, q, 10).collect()
+            ]
+            ivf_recalls.append(_recall(ivf_hits, exact))
+            from pyspark.sql import functions as F
+
+            ivf_fracs.append(
+                assignments.filter(
+                    F.col("centroid_id").isin(ivf.probe_centroids(q))
+                ).count()
+                / n
+            )
+        # mean over queries — the per-query fraction varies with bucket
+        # occupancy (one probe may land in a hot bucket); the contract is
+        # the average cost of a query, which is what capacity planning uses
+        assert sum(lsh_recalls) / len(queries) >= 0.9, (lsh_recalls, lsh_fracs)
+        assert sum(lsh_fracs) / len(queries) <= 0.05, lsh_fracs
+        assert sum(ivf_recalls) / len(queries) >= 0.9, (ivf_recalls, ivf_fracs)
+        assert sum(ivf_fracs) / len(queries) <= 0.05, ivf_fracs
+    finally:
+        corpus.unpersist()
+
+
 def test_lsh_pad_to_k_returns_k(lsh_model, lsh_buckets, clustered_df, clustered_vectors):
     _, mat, _ = clustered_vectors
     q = [float(x) for x in mat[42]]

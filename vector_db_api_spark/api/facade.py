@@ -147,3 +147,24 @@ class Facade:
             })
         except EngineError as e:
             return _err(e)
+
+    # -- health (routers/health.py parity) ----------------------------------
+
+    def health(self) -> dict:
+        """Liveness + readiness in one cheap call (reference
+        api/routers/health.py returns {timestamp, details}). Deliberately
+        NO Spark job: the details are the store's live snapshot pointers
+        (one tiny file read per table) — if those resolve, readers have a
+        consistent view; row-count scans don't belong in a probe that load
+        balancers hit every few seconds."""
+        from datetime import datetime, timezone
+
+        versions = {
+            t: self.engine.store.current_version(t)
+            for t in ("libraries", "documents", "chunks")
+        }
+        return _ok({
+            "status": "ok",
+            "timestamp": datetime.now(timezone.utc).isoformat(),
+            "details": {"table_versions": versions},
+        })

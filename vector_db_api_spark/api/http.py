@@ -1,0 +1,104 @@
+"""Optional HTTP wrapper over the Facade — the reference's FastAPI surface
+(main.py:28-80, api/routers/*) for the Spark engine.
+
+The engine and facade are framework-free by design (dict in → dict out);
+this module is the one place FastAPI appears, and it is imported lazily so
+the package works in containers without it (this build environment has
+none — the module is exercised there via ``create_app``'s clean error and
+the facade-level ``health`` test; route wiring mirrors the reference's
+router table 1:1 so a FastAPI install turns it on without code changes).
+
+Reference route parity:
+- POST /libraries                      → Facade.create_library
+- GET  /libraries/{id}                 → Facade.get_library
+- POST /libraries/{id}/documents       → Facade.create_document
+- GET  /libraries/{id}/documents       → Facade.list_documents
+- POST /libraries/{id}/chunks          → Facade.bulk_upsert_chunks
+- GET  /documents/{id}                 → Facade.get_document
+- GET  /chunks/{id}                    → Facade.get_chunk
+- POST /libraries/{id}/search          → Facade.search
+- GET  /health                         → Facade.health (routers/health.py)
+
+Deployment note: one uvicorn worker per driver — the SparkSession is the
+engine; horizontal scale comes from the cluster behind it, not from HTTP
+replicas, so run this as the thin control-plane head of a long-lived
+session (the reference's in-process FastAPI has the same single-process
+model, main.py:31-43).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from vector_db_api_spark.api.facade import Facade
+
+
+def _reply(resp: dict, response: Any) -> Any:
+    """Map the facade's {"status": code, ...} envelope onto the HTTP reply."""
+    response.status_code = resp["status"]
+    return resp
+
+
+def create_app(facade: Facade):
+    """Build the FastAPI app over an existing Facade. Raises a clear error
+    when FastAPI isn't installed (optional dependency — the engine itself
+    never imports it)."""
+    try:
+        from fastapi import FastAPI, Response
+    except ImportError as e:  # pragma: no cover — exercised in bare containers
+        raise ImportError(
+            "the HTTP surface needs the optional 'fastapi' package; the "
+            "engine and Facade work without it — install fastapi+uvicorn "
+            "to serve"
+        ) from e
+
+    app = FastAPI(title="vector-db-api-spark", version="1.0.0")
+
+    @app.get("/health")
+    def health(response: Response):
+        return _reply(facade.health(), response)
+
+    @app.post("/libraries")
+    def create_library(body: dict, response: Response):
+        return _reply(facade.create_library(body), response)
+
+    @app.get("/libraries/{library_id}")
+    def get_library(library_id: str, response: Response):
+        return _reply(facade.get_library(library_id), response)
+
+    @app.post("/libraries/{library_id}/documents")
+    def create_document(library_id: str, body: dict, response: Response):
+        return _reply(facade.create_document(library_id, body), response)
+
+    @app.get("/libraries/{library_id}/documents")
+    def list_documents(
+        library_id: str,
+        response: Response,
+        offset: int = 0,
+        limit: int = 50,
+        has_tag: str | None = None,
+    ):
+        return _reply(
+            facade.list_documents(
+                library_id, offset=offset, limit=limit, has_tag=has_tag
+            ),
+            response,
+        )
+
+    @app.post("/libraries/{library_id}/chunks")
+    def bulk_upsert_chunks(library_id: str, body: list[dict], response: Response):
+        return _reply(facade.bulk_upsert_chunks(library_id, body), response)
+
+    @app.get("/documents/{document_id}")
+    def get_document(document_id: str, response: Response):
+        return _reply(facade.get_document(document_id), response)
+
+    @app.get("/chunks/{chunk_id}")
+    def get_chunk(chunk_id: str, response: Response):
+        return _reply(facade.get_chunk(chunk_id), response)
+
+    @app.post("/libraries/{library_id}/search")
+    def search(library_id: str, body: dict, response: Response):
+        return _reply(facade.search(library_id, body), response)
+
+    return app

@@ -122,6 +122,35 @@ class IVFIndex:
             raise ValueError(f"unknown train method: {method!r}")
         return cls(cent, nprobe=nprobe)
 
+    @classmethod
+    def auto_train(
+        cls,
+        corpus: DataFrame,
+        n_rows: int | None = None,
+        nprobe: int | None = None,
+        vec_col: str = "embedding",
+        seed: int = 42,
+        **kwargs,
+    ) -> "IVFIndex":
+        """``train`` with corpus-derived sizing: num_centroids ≈ √n (the
+        standard IVF rule — posting lists and the centroid scan then both
+        grow as √n instead of one of them growing linearly), nprobe ≈
+        centroids/32 (bounded ≥2 so recall never hinges on one Voronoi
+        cell). A fixed centroid count is the IVF analogue of LSH's fixed H:
+        posting lists fatten linearly with corpus growth and every probe
+        rescans them."""
+        n = n_rows if n_rows is not None else corpus.count()
+        # 2√n sits inside the √n..16√n guidance for inverted-file indexes;
+        # the extra centroids halve posting-list depth so a fat Voronoi cell
+        # costs less to probe
+        k = int(max(4, min(65536, round(2 * np.sqrt(max(n, 1))))))
+        if nprobe is None:
+            nprobe = max(2, k // 32)
+        return cls.train(
+            corpus, num_centroids=k, nprobe=nprobe, vec_col=vec_col,
+            seed=seed, **kwargs,
+        )
+
     @staticmethod
     def _train_mllib(
         corpus: DataFrame, num_centroids: int, vec_col: str, seed: int, max_iter: int

@@ -949,6 +949,43 @@ def q_doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embed → search, end to end: batch-generate an embedding for every
+    document via the pluggable mapInPandas embedder (operators/embed.py —
+    the reference's Cohere integration shape,
+    tests/integration/test_cohere_embeddings.py, with a deterministic
+    md5-derived stand-in model), then exact top-10 cosine neighbors of the
+    min-id document's generated vector. The oracle recomputes the SAME
+    vectors in SQL (md5 → int → affine is exact in float64 on both
+    engines), so the whole pipeline is hash-checked."""
+    from vector_db_api_spark.operators.embed import embed_texts
+
+    emb = embed_texts(_docs(spark, sf_dir), dim=64)
+    qvec = [
+        float(x)
+        for x in emb.orderBy("doc_id").limit(1).collect()[0]["embedding"]
+    ]
+    return KNN.knn(emb, qvec, 10, id_col="doc_id")
+
+
+def _sql_embed_knn(dim: int = 64) -> str:
+    comp = (
+        "(CAST(('0x' || substring(md5(text || '|' || CAST(j AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 1000000) / 1000000.0 * 2.0 - 1.0"
+    )
+    return f"""
+WITH emb AS (
+  SELECT doc_id, list_transform(range(0, {dim}), j -> {comp}) AS embedding
+  FROM documents
+),
+q AS (SELECT embedding AS qv FROM emb
+      WHERE doc_id = (SELECT min(doc_id) FROM emb))
+SELECT e.doc_id, {O.cosine('e.embedding', 'q.qv')} AS score
+FROM emb e CROSS JOIN q
+ORDER BY score DESC, e.doc_id ASC LIMIT 10
+"""
+
+
 def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnow_fps is array<int>; the driver canonicalizer can't sort/hash
     # arrays, so project to a CSV string (bit-exact: integers only).
@@ -1320,10 +1357,9 @@ def q_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_api_spark.operators.lsh import SignLSH, build_bucket_table
 
     emb = _emb(spark, sf_dir)
-    # H=8 → 256 buckets/table: sized so the sf0.01 corpus (500 rows) actually
-    # populates the probed buckets; the reference default H=16 suits corpora
-    # ≥ ~100k rows (bucket occupancy ~ n / 2^H).
-    model = SignLSH(dim=64, num_tables=8, hyperplanes_per_table=8, seed=42)
+    # H derived from corpus size (probed rows per table bounded under the
+    # multiprobe-1 default) — a fixed H silently degrades as n grows
+    model = SignLSH.auto_size(emb.count(), dim=64, seed=42)
     buckets = build_bucket_table(model, emb, id_col="vec_id")
     return model.search(emb, buckets, Q0, 10, id_col="vec_id")
 
@@ -1353,11 +1389,10 @@ def q_lsh_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_api_spark.operators.lsh import SignLSH, build_bucket_table
 
     emb = _emb(spark, sf_dir)
-    model = SignLSH(dim=64, num_tables=8, hyperplanes_per_table=8, seed=42)
+    model = SignLSH.auto_size(emb.count(), dim=64, seed=42)
     buckets = build_bucket_table(model, emb, id_col="vec_id")
     return model.search_batch(
-        emb, buckets, _corpus_query_df(spark, sf_dir), 10,
-        id_col="vec_id", multiprobe=1,
+        emb, buckets, _corpus_query_df(spark, sf_dir), 10, id_col="vec_id"
     )
 
 
@@ -1544,10 +1579,6 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "knn_postfilter": (q_knn_postfilter, _sql_knn_postfilter()),
     "topk_per_label": (q_topk_per_label, _sql_topk_per_label()),
     # --- in-window: text analysis ---
-    "doc_token_count": (
-        q_doc_token_count,
-        f"SELECT doc_id, {O.token_count('text')} AS n_tokens FROM documents",
-    ),
     "doc_lang_id": (
         q_doc_lang_id,
         f"SELECT doc_id, {O.lang_id('text')} AS lang_pred FROM documents",
@@ -1571,6 +1602,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_doc_token_count_bpe,
         f"SELECT doc_id, {O.token_count_bpe('text')} AS n_bpe_tokens FROM documents",
     ),
+    "embed_knn_top10": (q_embed_knn, _sql_embed_knn()),
     "doc_winnowing": (
         q_doc_winnowing,
         f"SELECT doc_id, COALESCE(array_to_string(winnow_fps, ','), '') "
@@ -1624,6 +1656,10 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "corpus_clean_near": (q_corpus_clean_near, _sql_corpus_clean_near()),
     # ================= past the 50-entry window =================
     # oracle-backed, subsumed by an in-window entry (still checked by pytest)
+    "doc_token_count": (
+        q_doc_token_count,
+        f"SELECT doc_id, {O.token_count('text')} AS n_tokens FROM documents",
+    ),
     "minhash_signatures": (q_minhash_signatures, _sql_minhash_signatures()),
     "simhash_dup_groups": (q_simhash_dup_groups, _sql_simhash_dup_groups()),
     "doc_listing_has_more": (q_doc_listing_has_more, _SQL_DOC_LISTING_HAS_MORE),
