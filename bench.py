@@ -57,6 +57,8 @@ HEADLINE = [
     "embedding_neardup_np",
     "doc_quality",
     "doc_winnowing",
+    "doc_winnowing_np",
+    "simhash_np",
     "emb_quantize_int8",
     "corpus_clean",
     # relational / events

@@ -381,6 +381,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_docs(spark, sf_dir))
 
 
+def q_simhash_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput twin of q_simhash (functions/kernels.py numpy kernel) —
+    same oracle; bit-equality also pinned in tests/test_kernels.py."""
+    from vector_db_api_spark.functions.kernels import simhash_np
+
+    return simhash_np(_docs(spark, sf_dir))
+
+
 def q_simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_duplicates(_docs(spark, sf_dir))
 
@@ -990,6 +998,20 @@ def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnow_fps is array<int>; the driver canonicalizer can't sort/hash
     # arrays, so project to a CSV string (bit-exact: integers only).
     fps = T.winnow_table(_docs(spark, sf_dir), "doc_id", "text")
+    return fps.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("winnow_fps", lambda x: x.cast("string"))
+        ).alias("winnow_fps_csv"),
+    )
+
+
+def q_doc_winnowing_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput twin of q_doc_winnowing (functions/kernels.py numpy
+    kernel) — same oracle; bit-equality also pinned in tests/test_kernels.py."""
+    from vector_db_api_spark.functions.kernels import winnow_table_np
+
+    fps = winnow_table_np(_docs(spark, sf_dir), "doc_id", "text")
     return fps.select(
         "doc_id",
         F.concat_ws(
@@ -1665,6 +1687,16 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "doc_listing_has_more": (q_doc_listing_has_more, _SQL_DOC_LISTING_HAS_MORE),
     "emb_quantize_roundtrip": (q_emb_quantize_roundtrip, _sql_emb_quantize_roundtrip()),
     "knn_batch_numpy_ids_top5": (q_knn_batch_numpy_ids, _sql_knn_batch_ids()),
+    # numpy throughput twins — same oracles as their expression twins
+    "simhash_np": (
+        q_simhash_np,
+        f"{O.simhash_sql('documents', 'doc_id', 'text')}",
+    ),
+    "doc_winnowing_np": (
+        q_doc_winnowing_np,
+        f"SELECT doc_id, COALESCE(array_to_string(winnow_fps, ','), '') "
+        f"AS winnow_fps_csv FROM ({O.winnowing_sql()})",
+    ),
     # rows-only ANN / multimodal paths (exactness pinned in pytest)
     "lsh_search_top10": (q_lsh_search, None),
     "ivf_search_top10": (q_ivf_search, None),
