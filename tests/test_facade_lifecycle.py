@@ -53,6 +53,44 @@ def test_facade_point_gets(facade):
     assert facade.get_chunk("ghost")["status"] == 404
 
 
+def test_index_config_param_echo(facade):
+    """routers/libraries.py:24-31 parity: get_library round-trips every
+    index-config parameter in the nested IndexConfigOut shape — lsh/ivf
+    sub-objects present only for their type, max_kmeans_iters echoed (and,
+    unlike the reference, actually honored at rebuild)."""
+    # default (flat): both sub-configs null
+    flat_cfg = facade.get_library("L1")["data"]["index_config"]
+    assert flat_cfg == {"type": "flat", "lsh": None, "ivf": None}
+
+    facade.create_library({
+        "id": "Llsh", "name": "l", "embedding_dim": 4,
+        "index_config": {"type": "lsh", "num_tables": 5,
+                         "hyperplanes_per_table": 9},
+    })
+    lsh_cfg = facade.get_library("Llsh")["data"]["index_config"]
+    assert lsh_cfg["type"] == "lsh" and lsh_cfg["ivf"] is None
+    assert lsh_cfg["lsh"] == {"num_tables": 5, "hyperplanes_per_table": 9}
+
+    facade.create_library({
+        "id": "Livf", "name": "i", "embedding_dim": 4,
+        "index_config": {"type": "ivf", "num_centroids": 7, "nprobe": 3,
+                         "max_kmeans_iters": 11},
+    })
+    ivf_cfg = facade.get_library("Livf")["data"]["index_config"]
+    assert ivf_cfg["type"] == "ivf" and ivf_cfg["lsh"] is None
+    assert ivf_cfg["ivf"] == {"num_centroids": 7, "nprobe": 3,
+                              "max_kmeans_iters": 11}
+
+    # defaults fill unspecified ivf params (registry defaults + the
+    # executed kmeans iteration count, not the reference's vestigial 2)
+    facade.create_library({
+        "id": "Livfd", "name": "d", "embedding_dim": 4,
+        "index_config": {"type": "ivf"},
+    })
+    dflt = facade.get_library("Livfd")["data"]["index_config"]["ivf"]
+    assert dflt == {"num_centroids": 64, "nprobe": 4, "max_kmeans_iters": 20}
+
+
 def test_facade_list_documents(facade):
     out = facade.list_documents("L1", limit=10)
     assert out["status"] == 200

@@ -104,7 +104,30 @@ class Facade:
         return _ok(rows[0].asDict(recursive=True))
 
     def get_library(self, library_id: str) -> dict:
-        return self._point_get("libraries", library_id)
+        """Point get + index-config param echo: the stored flat struct is
+        reshaped into the reference's nested ``IndexConfigOut`` — ``{type,
+        lsh: {…}|null, ivf: {…}|null}`` with every parameter round-tripped
+        (routers/libraries.py:24-31, api/dto.py:36-49 incl. the
+        ``max_kmeans_iters`` field the reference accepts but never executes
+        — this engine honors it at rebuild, lifecycle.py DEFAULTS note)."""
+        out = self._point_get("libraries", library_id)
+        if "data" not in out:
+            return out
+        flat = out["data"].get("index_config") or {}
+        t = flat.get("type", "flat")
+        out["data"]["index_config"] = {
+            "type": t,
+            "lsh": {
+                "num_tables": flat.get("lsh_num_tables"),
+                "hyperplanes_per_table": flat.get("lsh_hyperplanes_per_table"),
+            } if t == "lsh" else None,
+            "ivf": {
+                "num_centroids": flat.get("ivf_num_centroids"),
+                "nprobe": flat.get("ivf_nprobe"),
+                "max_kmeans_iters": flat.get("ivf_max_kmeans_iters"),
+            } if t == "ivf" else None,
+        }
+        return out
 
     def get_document(self, document_id: str) -> dict:
         return self._point_get("documents", document_id)

@@ -75,7 +75,7 @@ class Engine:
             "SELECT {id} AS id, {name} AS name, {dim} AS embedding_dim, "
             "named_struct('type', {t}, 'lsh_num_tables', {lt}, "
             "'lsh_hyperplanes_per_table', {lh}, 'ivf_num_centroids', {ik}, "
-            "'ivf_nprobe', {ip}) AS index_config, "
+            "'ivf_nprobe', {ip}, 'ivf_max_kmeans_iters', {im}) AS index_config, "
             "CAST(NULL AS struct<source_uri:string,author:string,lang:string,"
             "mime_type:string,tags:array<string>,description:string>) AS metadata, "
             "current_timestamp() AS created_at, current_timestamp() AS updated_at, "
@@ -83,6 +83,7 @@ class Engine:
             id=lib_id, name=name, dim=embedding_dim, t=cfg.type,
             lt=p.get("num_tables", 0), lh=p.get("hyperplanes_per_table", 0),
             ik=p.get("num_centroids", 0), ip=p.get("nprobe", 0),
+            im=p.get("max_kmeans_iters", 0),
         )
         self.store.write("libraries", self.store.read("libraries").unionByName(row))
         return lib_id

@@ -34,11 +34,15 @@ from vector_db_api_spark.operators.ivf import IVFIndex
 from vector_db_api_spark.operators.knn import knn
 from vector_db_api_spark.operators.lsh import SignLSH, build_bucket_table
 
-# factory defaults — reference indexing/registry.py:47-54
+# factory defaults — reference indexing/registry.py:47-54.
+# max_kmeans_iters: the reference DTO declares it (api/dto.py:41, default 2)
+# but its engine ignores the field and always runs IVF_KMEAN_ITERS=20
+# (indexing/ivf.py:10,160); we default to the value actually executed and,
+# unlike the reference, honor an override at rebuild time.
 DEFAULTS = {
     "flat": {},
     "lsh": {"num_tables": 8, "hyperplanes_per_table": 16, "seed": 42},
-    "ivf": {"num_centroids": 64, "nprobe": 4, "seed": 42},
+    "ivf": {"num_centroids": 64, "nprobe": 4, "max_kmeans_iters": 20, "seed": 42},
 }
 INDEX_TYPES = tuple(DEFAULTS)
 
@@ -125,6 +129,7 @@ class IndexLifecycle:
                 nprobe=p["nprobe"],
                 vec_col=vec_col,
                 seed=p["seed"],
+                max_iter=p.get("max_kmeans_iters", 20),
             )
             cent_rows = [
                 (int(i), [float(x) for x in ivf.centroids[i]])
