@@ -198,3 +198,25 @@ def test_bucketed_join_is_shuffle_free(spark, emb, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_emb")
         spark.sql("DROP TABLE IF EXISTS b_docs")
+
+
+def test_simhash_kernel_is_shuffle_free(spark):
+    """The expression simhash pays one Exchange (explode→groupBy votes);
+    the numpy kernel keeps the whole vote inside the row's Arrow batch —
+    its plan must contain NO Exchange beyond the small-input repartition
+    _parallelize may add, and on a pre-partitioned input, none at all."""
+    from vector_db_api_spark.functions.kernels import simhash_np
+
+    docs = load_table(spark, SF_DIR, "documents").repartition(8)
+    plan = _plan(simhash_np(docs))
+    # the explicit repartition(8) above is the only Exchange in the plan
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" not in plan
+
+
+def test_embed_texts_fuses_with_scan_no_shuffle(spark):
+    from vector_db_api_spark.operators.embed import embed_texts
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(embed_texts(docs, dim=8))
+    assert "Exchange" not in plan  # embarrassingly parallel, scan-fused

@@ -92,6 +92,27 @@ def main() -> None:
             exact_duplicates(docs),
         ),
         (
+            "Batch embedding generation (embed_texts)",
+            "One ArrowEvalPython/mapInPandas stage fused onto the scan — no "
+            "Exchange: embedding is embarrassingly parallel, concurrency is "
+            "partition count, worker memory is bounded by the Arrow batch "
+            "size.",
+            __import__(
+                "vector_db_api_spark.operators.embed", fromlist=["embed_texts"]
+            ).embed_texts(docs, dim=8),
+        ),
+        (
+            "SimHash numpy kernel (shuffle-free)",
+            "The expression-path simhash explodes tokens and aggregates 60 "
+            "votes through a groupBy (one Exchange keyed on the doc id); the "
+            "kernel keeps every token of a row inside the row's Arrow batch, "
+            "so the whole vote is map-side — scan → mapInPandas, zero "
+            "Exchange.",
+            __import__(
+                "vector_db_api_spark.functions.kernels", fromlist=["simhash_np"]
+            ).simhash_np(docs),
+        ),
+        (
             "Q5-shape relational join (rel_revenue_by_nation)",
             "nation/region broadcast; customer⋈orders and lineitem⋈orders "
             "shuffle on their join keys (AQE coalesces/skew-splits at "
