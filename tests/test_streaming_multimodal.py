@@ -260,3 +260,49 @@ def test_stream_sessions_match_batch(spark, tmp_path):
     assert mismatched.count() == 0
     # nothing emitted that batch doesn't have
     assert got.join(want, key, "left_anti").count() == 0
+
+
+def test_sample_frames_stride_and_cap(spark):
+    from vector_db_api_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, SF_DIR, "documents").limit(10)
+    feats = extract_features(derive_media(docs), n_frames=8)
+    every2 = sample_frames(feats, stride=2)
+    assert every2.count() == 10 * 4
+    assert {r["frame_no"] for r in every2.select("frame_no").distinct().collect()} == {0, 2, 4, 6}
+    capped = sample_frames(feats, stride=2, max_frames=2)
+    assert capped.count() == 10 * 2  # frames 0 and 2 only
+    # the sample is a pure filter — it adds no shuffle beyond what the
+    # input plan already has (here: the limit(10) fixture's single-partition
+    # exchange)
+    base_plan = feats._jdf.queryExecution().executedPlan().toString()
+    plan = every2._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == base_plan.count("Exchange")
+    with pytest.raises(ValueError, match="stride"):
+        sample_frames(feats, stride=0)
+
+
+def test_resize_features_adaptive_pool(spark):
+    """Downscale = adaptive average pooling, upscale = element repetition —
+    verified against a driver-side recomputation of the same rule."""
+    import numpy as np
+
+    from vector_db_api_spark.operators.multimodal import resize_features
+
+    docs = load_table(spark, SF_DIR, "documents").limit(12)
+    feats = extract_features(derive_media(docs), n_frames=2)
+    src = {(r["media_id"], r["frame_no"]): r["features"] for r in feats.collect()}
+
+    for out_dim in (4, 3, 16):
+        got = {
+            (r["media_id"], r["frame_no"]): r["features"]
+            for r in resize_features(feats, out_dim).collect()
+        }
+        for key, x in src.items():
+            d = len(x)
+            want = []
+            for j in range(out_dim):
+                lo, hi = j * d // out_dim, max((j + 1) * d // out_dim, j * d // out_dim + 1)
+                want.append(np.float32(np.mean([np.float64(v) for v in x[lo:hi]])))
+            assert np.allclose(got[key], want, atol=0), (key, out_dim)
+            assert len(got[key]) == out_dim

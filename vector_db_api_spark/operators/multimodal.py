@@ -119,6 +119,61 @@ def extract_features(
     )
 
 
+def sample_frames(
+    feats: DataFrame, stride: int = 2, max_frames: int | None = None
+) -> DataFrame:
+    """Frame sampling over the per-frame feature table: keep every
+    ``stride``-th frame (and at most ``max_frames`` of those). Pure
+    filters on ``frame_no`` — no shuffle, no Python; at 100 TB this is a
+    predicate the scan evaluates, and when the feature table is persisted
+    partitioned/sorted by frame_no it prunes instead of scanning.
+
+    This is the cheap half of video sampling: run it BEFORE expensive
+    per-frame work (embedding, OCR) so the downstream operator sees
+    1/stride of the rows.
+    """
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    out = feats.filter(F.col("frame_no") % stride == 0)
+    if max_frames is not None:
+        out = out.filter(F.col("frame_no") < max_frames * stride)
+    return out
+
+
+def resize_features(
+    feats: DataFrame, out_dim: int, features_col: str = "features"
+) -> DataFrame:
+    """Adaptive average-pool a feature vector to ``out_dim`` — the
+    feature-space analogue of image resize, on the real plumbing (the fake
+    decoder stands in for pixels). Output component j averages the input
+    segment [floor(j·d/m), floor((j+1)·d/m)) — exactly how 1-D adaptive
+    pooling downscales, and upscale (m > d) repeats source elements.
+
+    Pure Column expressions (sequence → transform → slice → aggregate
+    fold): JVM-side, scan-parallel, no shuffle, deterministic — so it
+    composes with the oracle-checked operators downstream.
+    """
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    src = F.col(features_col)
+    d = F.size(src)
+    m = F.lit(out_dim)
+
+    def pool(j):
+        start = F.floor(j * d / m).cast("int")
+        end = F.greatest(
+            F.floor((j + 1) * d / m).cast("int"), start + 1
+        )  # at least one source element per output slot
+        seg = F.slice(src, start + 1, end - start)
+        total = F.aggregate(
+            seg, F.lit(0.0), lambda a, x: a + x.cast("double")
+        )
+        return (total / F.size(seg)).cast("float")
+
+    resized = F.transform(F.sequence(F.lit(0), m - 1), pool)
+    return feats.withColumn(features_col, resized)
+
+
 def media_embeddings(
     media: DataFrame, n_frames: int = 4, decode_stub: str = "fake"
 ) -> DataFrame:
