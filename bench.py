@@ -73,6 +73,10 @@ HEADLINE = [
     "events_first_seen",
     "events_sessions",
     "events_type_stats",
+    "events_asof",
+    # curation
+    "doc_sample_hash",
+    "doc_packing",
     "knn_quantized_top10",
     # mutations
     "crud_upsert",

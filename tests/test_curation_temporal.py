@@ -1,0 +1,173 @@
+"""Curation operators (hash sampling, stratified mixing, sequence packing)
+and the as-of join — semantics + determinism + scale-shape checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vector_db_api_spark.operators.curation import (
+    hash_sample,
+    pack_documents,
+    stratified_sample,
+)
+from vector_db_api_spark.operators.temporal import asof_join
+from vector_db_api_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+def test_hash_sample_deterministic_and_unbiased(spark, docs):
+    n = docs.count()
+    s1 = hash_sample(docs, 0.3, "doc_id")
+    s2 = hash_sample(docs, 0.3, "doc_id")
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2  # bit-stable across runs
+    assert 0.2 * n <= len(ids1) <= 0.4 * n  # ~rate·n
+    # monotone: a larger rate strictly extends the sample (same hash order)
+    ids_more = {r["doc_id"] for r in hash_sample(docs, 0.5, "doc_id").collect()}
+    assert ids1 <= ids_more
+    # different seeds decorrelate
+    other = {r["doc_id"] for r in hash_sample(docs, 0.3, "doc_id", seed=7).collect()}
+    assert other != ids1
+    # rate 0 / 1 are exact
+    assert hash_sample(docs, 0.0, "doc_id").count() == 0
+    assert hash_sample(docs, 1.0, "doc_id").count() == n
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5, "doc_id")
+    # pure predicate — no shuffle
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_exact_quotas_and_extension(spark, docs):
+    quotas = {"en": 40, "de": 10}
+    out = stratified_sample(docs, "lang", quotas, key_col="doc_id")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    avail = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["en"] == min(40, avail["en"])
+    assert counts["de"] == min(10, avail["de"])
+    assert set(counts) == {"en", "de"}  # unlisted strata dropped
+    # growing a quota EXTENDS the sample (stable hash order, no churn)
+    small = {r["doc_id"] for r in out.filter(F.col("lang") == "en").collect()}
+    bigger = stratified_sample(docs, "lang", {"en": 80}, key_col="doc_id")
+    big = {r["doc_id"] for r in bigger.collect()}
+    assert small <= big
+    # oversized quota keeps the whole stratum
+    all_de = stratified_sample(docs, "lang", {"de": 10**9}, key_col="doc_id")
+    assert all_de.count() == avail["de"]
+
+
+def test_pack_documents_invariants(spark, docs):
+    from vector_db_api_spark.functions.text import token_count
+
+    toks = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    packed = pack_documents(toks, budget_tokens=500, token_col="n_tokens",
+                            num_shards=8).cache()
+    try:
+        assert packed.count() == toks.count()  # every doc lands somewhere
+        # bin_offset is within budget, bins start where the cumsum says
+        assert packed.filter(
+            (F.col("bin_offset") < 0) | (F.col("bin_offset") >= 500)
+        ).count() == 0
+        assert packed.filter(F.col("shard").between(0, 7)).count() == packed.count()
+        # oversize flag == tokens beyond budget, and only those
+        assert (
+            packed.filter(F.col("oversize") != (F.col("n_tokens") > 500)).count() == 0
+        )
+        # within a (shard, bin), token sums minus the straddling tail fit
+        # the budget: every bin's STARTING docs (offset>0 means it started
+        # in this bin after some content) obey offset + no gaps — verify by
+        # recomputing the cumsum per shard on the driver
+        rows = packed.orderBy("shard", "bin_no", "bin_offset", "doc_id").collect()
+        by_shard: dict[int, int] = {}
+        for r in rows:
+            cum_before = by_shard.get(r["shard"], 0)
+            assert r["bin_no"] == cum_before // 500
+            assert r["bin_offset"] == cum_before - r["bin_no"] * 500
+            by_shard[r["shard"]] = cum_before + r["n_tokens"]
+    finally:
+        packed.unpersist()
+
+
+def test_pack_documents_deterministic(spark, docs):
+    from vector_db_api_spark.functions.text import token_count
+
+    toks = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    a = {(r["doc_id"]): (r["shard"], r["bin_no"], r["bin_offset"])
+         for r in pack_documents(toks, 500, "n_tokens").collect()}
+    b = {(r["doc_id"]): (r["shard"], r["bin_no"], r["bin_offset"])
+         for r in pack_documents(toks, 500, "n_tokens").collect()}
+    assert a == b
+
+
+def _events(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """Purchase → latest signup at-or-before, per user: the window
+    implementation must agree with the O(L·R) brute-force definition."""
+    ev = _events(spark).cache()
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    ).limit(200)
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    got = {
+        r["event_id"]: r["r_event_id"]
+        for r in asof_join(left, right, on="user_id").collect()
+    }
+    lrows = left.collect()
+    rrows = right.collect()
+    by_user: dict[int, list] = {}
+    for r in rrows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(got) == len(lrows)  # left-outer: every left row present
+    for lr in lrows:
+        cands = [
+            r for r in by_user.get(lr["user_id"], []) if r["ts"] <= lr["ts"]
+        ]
+        if not cands:
+            assert got[lr["event_id"]] is None
+        else:
+            best_ts = max(r["ts"] for r in cands)
+            best_ids = {r["event_id"] for r in cands if r["ts"] == best_ts}
+            assert got[lr["event_id"]] in best_ids
+    ev.unpersist()
+
+
+def test_asof_join_strict_and_equal_ts(spark):
+    rows_l = [(1, 10, 100.0), (2, 20, 200.0), (3, 5, 50.0)]
+    rows_r = [(101, 10, "a"), (102, 15, "b"), (103, 30, "c")]
+    left = spark.createDataFrame(rows_l, "id bigint, ts bigint, v double")
+    right = spark.createDataFrame(rows_r, "rid bigint, ts bigint, tag string")
+    left = left.withColumn("user", F.lit(1))
+    right = right.withColumn("user", F.lit(1))
+
+    inclusive = {r["id"]: r["r_rid"] for r in asof_join(left, right, on="user").collect()}
+    assert inclusive == {1: 101, 2: 102, 3: None}  # ts=10 matches ts=10
+
+    strict = {
+        r["id"]: r["r_rid"]
+        for r in asof_join(left, right, on="user", strict=True).collect()
+    }
+    assert strict == {1: None, 2: 102, 3: None}  # ts=10 no longer matches
+
+
+def test_asof_join_single_shuffle(spark):
+    ev = _events(spark)
+    left = ev.filter(F.col("event_type") == "purchase")
+    right = ev.filter(F.col("event_type") == "signup")
+    plan = asof_join(left, right, on="user_id")._jdf.queryExecution().executedPlan().toString()
+    # one Exchange for the key, inside the union->window plan; no range join
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

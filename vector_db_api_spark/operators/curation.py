@@ -1,0 +1,138 @@
+"""Training-data curation operators: deterministic sampling, data mixing,
+and sequence packing.
+
+A 100 TB curation pass needs three properties that `df.sample()` doesn't
+give: determinism under retries (a recomputed partition must keep the same
+rows), external verifiability (an independent engine must be able to replay
+the selection bit-for-bit), and exact per-source quotas (mixture weights are
+a contract, not a hint). Everything here derives selection from the portable
+md5 hash family (functions/hashing.h32), so DuckDB replays every operator
+exactly — the driver's correctness gate covers curation like any other
+query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_db_api_spark.functions import hashing as H
+
+# h32 yields 32-bit values; selection compares against rate * 2^32
+_H32_SPACE = float(1 << 32)
+
+
+def _sample_hash(key_col: str, seed: int) -> Column:
+    """Deterministic per-row uniform: h32 of "key:seed". Seed participates
+    in the hash (not an offset) so different seeds give independent
+    samples."""
+    return H.h32(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed))))
+
+
+def sample_hash_sql(key_col: str, seed: int) -> str:
+    """The DuckDB expression replaying :func:`_sample_hash` bit-for-bit."""
+    return (
+        f"CAST(('0x' || substring(md5({key_col} || ':{seed}'), 1, 8)) "
+        f"AS BIGINT)"
+    )
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str, seed: int = 42
+) -> DataFrame:
+    """Keep each row iff h32(key:seed) < rate·2³². Deterministic (same rows
+    every run, every retry, every engine), independent across seeds, and a
+    pure scan predicate — no shuffle, no RNG state, pushes down next to the
+    other filters. The sampling unit is ``key_col``: sampling on a document
+    id keeps or drops ALL rows of that document together (the property
+    train/eval splits need — hash-split never leaks a document across
+    splits on rerun).
+    """
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError("rate must be in [0, 1]")
+    return df.filter(_sample_hash(key_col, seed) < int(rate * _H32_SPACE))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    quotas: dict[str, int],
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT per-stratum quotas — the data-mixing primitive: rank each
+    stratum's rows by the deterministic hash (ties broken by key) and keep
+    the first ``quotas[stratum]``. Strata absent from ``quotas`` are
+    dropped; a quota larger than the stratum keeps the whole stratum.
+
+    One shuffle (window partitioned by stratum). The hash ranking makes the
+    selection a uniform sample of the stratum AND reproducible anywhere;
+    re-running with a larger quota extends the previous sample instead of
+    reshuffling it (hash order is stable), which is exactly how you grow a
+    training mix without churning shards.
+    """
+    from pyspark.sql.window import Window
+
+    quota_col = F.create_map(
+        *[x for kv in quotas.items() for x in (F.lit(kv[0]), F.lit(int(kv[1])))]
+    )[F.col(strata_col)]
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(_sample_hash(key_col, seed).asc(), F.col(key_col).asc())
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= quota_col)
+        .drop("__rank")
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget_tokens: int,
+    token_col: str,
+    id_col: str = "doc_id",
+    num_shards: int = 256,
+) -> DataFrame:
+    """Sequence packing: assign documents to training bins of ≈
+    ``budget_tokens`` tokens. Returns the input plus
+    (shard, bin_no, bin_offset, oversize).
+
+    Packing rule (deterministic, SQL-expressible): within a shard, order
+    docs by (hash, id) and run a token cumulative sum; a doc's bin is
+    ``floor(cum_before / budget)`` — the bin its first token lands in. A bin
+    can overflow by at most one document's tail (the standard streaming
+    approximation of first-fit; exact bin-packing is NP-hard and
+    prefix-sequential). Docs longer than the budget are flagged
+    ``oversize`` for upstream split/truncate rather than silently packed.
+
+    Scale shape: ``num_shards`` hash-shards bound every window partition —
+    packing 100 TB is ``num_shards`` independent cumulative sums, not one
+    global sort. Shards are also what the training job wants (one output
+    file per shard, bins contiguous within it). The hash order inside a
+    shard doubles as shuffling the corpus for training.
+    """
+    from pyspark.sql.window import Window
+
+    if budget_tokens < 1:
+        raise ValueError("budget_tokens must be >= 1")
+    shard = F.pmod(H.h32(F.col(id_col).cast("string")), F.lit(num_shards))
+    order_hash = _sample_hash(id_col, seed=0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(order_hash.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.col(token_col).cast("long")
+    before = F.sum(toks).over(w) - toks  # tokens packed ahead of this doc
+    return (
+        docs.withColumn("shard", shard.cast("int"))
+        .withColumn("__before", before)
+        .withColumn("bin_no", F.floor(F.col("__before") / budget_tokens).cast("int"))
+        .withColumn(
+            "bin_offset",
+            (F.col("__before") - F.col("bin_no").cast("long") * budget_tokens).cast("int"),
+        )
+        .withColumn("oversize", toks > budget_tokens)
+        .drop("__before")
+    )

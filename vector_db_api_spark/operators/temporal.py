@@ -1,0 +1,85 @@
+"""Temporal joins Spark lacks as builtins: as-of join (and the point-in-time
+lookup it enables).
+
+The as-of join — "for each left row, the latest right row at or before its
+timestamp, per key" — is the attribution/feature-lookup workhorse
+(purchase → most recent signup; prediction → feature value as of event
+time). Spark has no ASOF JOIN operator; the naive translation
+(non-equi range join + max) re-scans the right side per left row. This
+implementation is the classic scalable reformulation: tag both sides, union,
+ONE shuffle on the key, and a per-key ordered window carrying the last right
+row forward — O((L+R) log partition) with no range join anywhere. DuckDB
+HAS a native ASOF JOIN, which the suite uses as the oracle, so the
+semantics are pinned bit-for-bit against an independent implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_prefix: str = "r_",
+    strict: bool = False,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, joined to the latest ``right``
+    row of the same ``on`` key with ``right.ts <= left.ts`` (``< `` when
+    ``strict``). Unmatched left rows keep nulls — LEFT OUTER semantics,
+    matching ``ASOF LEFT JOIN``.
+
+    Right columns come back prefixed with ``right_prefix``. When several
+    right rows share the winning (key, ts) the LAST one in (ts, original
+    column order) wins deterministically — dedupe the right side first if
+    that tie is meaningful.
+
+    Plan: union of tagged sides → single Exchange on ``on`` → window sort
+    by (ts, side) carrying ``last(right_struct, ignoreNulls)`` forward →
+    filter back to left rows. The window frame is running (no full-partition
+    materialization), and both inputs keep their scan pruning — at 100 TB
+    this is one shuffle of L+R rows, the same cost as the equality join the
+    pipeline was already paying.
+    """
+    # side ordering at equal ts: right first (0) so a same-ts right row is
+    # visible to the left row (>= semantics); strict puts right AFTER left
+    right_rank = 1 if strict else 0
+    left_rank = 1 - right_rank
+
+    rstruct = F.struct(*[F.col(c) for c in right.columns])
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.lit(right_rank).alias("__side"),
+        rstruct.alias("__r"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType.simpleString()
+        ).alias("__l"),
+    )
+    lstruct = F.struct(*[F.col(c) for c in left.columns])
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.lit(left_rank).alias("__side"),
+        F.lit(None).cast(
+            right.select(F.struct(*right.columns).alias("s")).schema["s"].dataType.simpleString()
+        ).alias("__r"),
+        lstruct.alias("__l"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).withColumn(
+        "__match", F.last("__r", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__l").isNotNull()).select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__match.{c}").alias(f"{right_prefix}{c}") for c in right.columns],
+    )
+    return out

@@ -957,6 +957,142 @@ def q_doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Curation: deterministic sampling / data mixing / sequence packing
+# (operators/curation.py — selection is md5-derived, so DuckDB replays it)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATE = 0.3
+_MIX_QUOTAS = {"en": 40, "de": 10}
+_PACK_BUDGET = 500
+_PACK_SHARDS = 8
+
+
+def _h32_key_sql(seed: int) -> str:
+    return O.h32(f"CAST(doc_id AS VARCHAR) || ':{seed}'")
+
+
+def q_doc_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sample at rate 0.3 — retry-stable, engine-portable
+    row selection (the train/eval-split primitive)."""
+    from vector_db_api_spark.operators.curation import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), _SAMPLE_RATE, "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+def _sql_doc_sample_hash() -> str:
+    return (
+        f"SELECT doc_id, lang FROM documents "
+        f"WHERE {_h32_key_sql(42)} < {int(_SAMPLE_RATE * (1 << 32))}"
+    )
+
+
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quotas (data mixing): hash-ranked stratified
+    sample — quotas are a contract, selection is reproducible, growing a
+    quota extends the sample instead of reshuffling it."""
+    from vector_db_api_spark.operators.curation import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), "lang", _MIX_QUOTAS, key_col="doc_id"
+    ).select("doc_id", "lang")
+
+
+def _sql_doc_mixture_sample() -> str:
+    conds = " OR ".join(
+        f"(lang = '{s}' AND rn <= {q})" for s, q in _MIX_QUOTAS.items()
+    )
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_h32_key_sql(42)} ASC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE {conds}
+"""
+
+
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: hash-sharded greedy bin assignment under a token
+    budget — num_shards independent cumulative sums, never a global sort."""
+    from vector_db_api_spark.operators.curation import pack_documents
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", T.token_count("text").alias("n_tokens")
+    )
+    return pack_documents(
+        toks, _PACK_BUDGET, "n_tokens", num_shards=_PACK_SHARDS
+    )
+
+
+def _sql_doc_packing() -> str:
+    shard = f"CAST({O.h32('CAST(doc_id AS VARCHAR)')} % {_PACK_SHARDS} AS INT)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {O.token_count('text')} AS n_tokens FROM documents
+),
+sharded AS (
+  SELECT doc_id, n_tokens, {shard} AS shard, {_h32_key_sql(0)} AS oh
+  FROM toks
+),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+         COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (
+           PARTITION BY shard ORDER BY oh ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bfr
+  FROM sharded
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(FLOOR(bfr / {_PACK_BUDGET}) AS INT) AS bin_no,
+       CAST(bfr - FLOOR(bfr / {_PACK_BUDGET}) * {_PACK_BUDGET} AS INT)
+         AS bin_offset,
+       n_tokens > {_PACK_BUDGET} AS oversize
+FROM c
+"""
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event attributed to the user's latest
+    signup at-or-before it (operators/temporal.py single-shuffle window
+    plan) — oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the semantics are
+    pinned against an independent implementation. Right side deduped to one
+    row per (user, ts) so ties are deterministic in both engines."""
+    from vector_db_api_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+        .select("event_id", "user_id", "ts")
+    )
+    return asof_join(left, right, on="user_id").select(
+        "event_id", "user_id", "ts",
+        F.col("r_event_id").alias("signup_event_id"),
+        F.col("r_ts").alias("signup_ts"),
+    )
+
+
+_SQL_EVENTS_ASOF = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT max(event_id) AS event_id, user_id, ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS signup_event_id, r.ts AS signup_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embed → search, end to end: batch-generate an embedding for every
     document via the pluggable mapInPandas embedder (operators/embed.py —
@@ -1687,6 +1823,11 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "doc_listing_has_more": (q_doc_listing_has_more, _SQL_DOC_LISTING_HAS_MORE),
     "emb_quantize_roundtrip": (q_emb_quantize_roundtrip, _sql_emb_quantize_roundtrip()),
     "knn_batch_numpy_ids_top5": (q_knn_batch_numpy_ids, _sql_knn_batch_ids()),
+    # curation + temporal (oracle-backed; DuckDB native ASOF JOIN oracle)
+    "doc_sample_hash": (q_doc_sample_hash, _sql_doc_sample_hash()),
+    "doc_mixture_sample": (q_doc_mixture_sample, _sql_doc_mixture_sample()),
+    "doc_packing": (q_doc_packing, _sql_doc_packing()),
+    "events_asof": (q_events_asof, _SQL_EVENTS_ASOF),
     # numpy throughput twins — same oracles as their expression twins
     "simhash_np": (
         q_simhash_np,
