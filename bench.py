@@ -130,6 +130,14 @@ def main() -> None:
     assignments.count()
     build["ivf_build"] = round(time.time() - t0, 3)
 
+    from vector_db_api_spark.operators.pq import PQIndex
+
+    t0 = time.time()
+    pqm = PQIndex.train(emb, m=8, k=64, seed=42)
+    pq_codes = pqm.encode(emb, id_col="vec_id").cache()
+    pq_codes.count()
+    build["pq_build"] = round(time.time() - t0, 3)
+
     thunks = {
         name: (lambda n=name: _force(qs[n](spark, SF_DIR))) for name in HEADLINE
     }
@@ -142,6 +150,19 @@ def main() -> None:
     )
     thunks["ivf_search"] = lambda: _force(
         ivf.search(emb, assignments, qv, 10, id_col="vec_id")
+    )
+    # compressed-scan search: ADC over the 16-byte codes column, exact
+    # re-rank of the top-4k candidates — the memory-bound path at 100 TB
+    thunks["pq_search"] = lambda: _force(
+        pqm.search(emb, pq_codes, qv, 10, id_col="vec_id")
+    )
+    # full IVF-PQ: nprobe cell pruning × 16x byte compression multiply
+    pq_cell_codes = pq_codes.join(
+        assignments.select("vec_id", "centroid_id"), "vec_id"
+    ).cache()
+    pq_cell_codes.count()
+    thunks["ivfpq_search"] = lambda: _force(
+        pqm.search_cells(emb, pq_cell_codes, ivf, qv, 10, id_col="vec_id")
     )
     thunks["ivf_search_np8"] = lambda: _force(
         ivf.search(emb, assignments, qv, 10, id_col="vec_id", nprobe=8)
@@ -224,11 +245,16 @@ def main() -> None:
         emb, assignments, qv, 10, id_col="vec_id").collect()}
     ivf_np8_ids = {r["vec_id"] for r in ivf.search(
         emb, assignments, qv, 10, id_col="vec_id", nprobe=8).collect()}
+    pq_ids = {r["vec_id"] for r in pqm.search(
+        emb, pq_codes, qv, 10, id_col="vec_id").collect()}
     recall = {
         "lsh_search": ann_recall(lsh_ids),
         "lsh_search_mp1": ann_recall(lsh_mp1_ids),
         "ivf_search": ann_recall(ivf_ids),
         "ivf_search_np8": ann_recall(ivf_np8_ids),
+        # pq scans ALL rows but 16× fewer bytes; its "candidate fraction"
+        # is the exact-rerank set (4k / n)
+        "pq_search": ann_recall(pq_ids),
     }
     selectivity = {
         "lsh_search": round(
@@ -244,6 +270,7 @@ def main() -> None:
             assignments.filter(
                 F.col("centroid_id").isin(ivf.probe_centroids(qv, nprobe=8))
             ).count() / n_corpus, 3),
+        "pq_search": round(40 / n_corpus, 3),  # exact-rerank set (4·k)
     }
 
     # recall of the approximate self-join vs the exact top-3 neighbor sets
@@ -288,8 +315,12 @@ def main() -> None:
     civf = IVFIndex.auto_train(cdf, n_rows=n_corpus, seed=42)
     casg = civf.assign(cdf).cache()
     casg.count()
+    cpq = PQIndex.train(cdf, m=8, k=64, seed=42)
+    ccodes = cpq.encode(cdf).cache()
+    ccodes.count()
     crows = cdf.limit(8).collect()
     c_lsh_rec, c_lsh_frac, c_ivf_rec, c_ivf_frac = [], [], [], []
+    c_pq_rec = []
     for r in crows:
         cq = [float(x) for x in r["embedding"]]
         c_exact = {x["id"] for x in knn(cdf, cq, 10).collect()}
@@ -303,8 +334,11 @@ def main() -> None:
         c_ivf_frac.append(casg.filter(
             F.col("centroid_id").isin(civf.probe_centroids(cq))
         ).count() / n_corpus)
+        c_pq = {x["id"] for x in cpq.search(cdf, ccodes, cq, 10).collect()}
+        c_pq_rec.append(len(c_pq & c_exact) / 10)
     recall["lsh_clustered"] = round(sum(c_lsh_rec) / len(c_lsh_rec), 3)
     recall["ivf_clustered"] = round(sum(c_ivf_rec) / len(c_ivf_rec), 3)
+    recall["pq_clustered"] = round(sum(c_pq_rec) / len(c_pq_rec), 3)
     # approximate self-join in ITS regime: near-dup corpora are clustered
     # by construction (that's what makes them deduplicable)
     csq = cdf.limit(64).select(

@@ -20,7 +20,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return load_table(spark, SF_DIR, "documents").cache()
+    # unpersist on teardown: a cached full-table plan would otherwise be
+    # substituted (InMemoryTableScan) into OTHER test modules' plans and
+    # break their pushdown assertions
+    df = load_table(spark, SF_DIR, "documents").cache()
+    yield df
+    df.unpersist()
 
 
 def test_hash_sample_deterministic_and_unbiased(spark, docs):

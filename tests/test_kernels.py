@@ -21,7 +21,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return load_table(spark, SF_DIR, "documents").select("doc_id", "text").cache()
+    df = load_table(spark, SF_DIR, "documents").select("doc_id", "text").cache()
+    yield df
+    df.unpersist()
 
 
 def test_winnow_kernel_matches_expression_on_testdata(spark, docs):

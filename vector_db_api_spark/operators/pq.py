@@ -1,0 +1,266 @@
+"""Product quantization — the memory-compression half of a 100 TB ANN stack.
+
+The reference's indexes (flat/LSH/IVF — indexing/registry.py:14-56) prune
+WHICH vectors a query scores; PQ shrinks WHAT a scan reads. A 64-dim
+float32 embedding is 256 bytes; its PQ code (m=8 subspaces, one codeword
+id each) is 16 bytes as stored here (``array<smallint>`` — Spark's
+signed ``tinyint`` can't hold k=256 ids; nibble/byte packing would reach
+the classic 8 B/32×). 16× means 100 TB of embeddings ADC-scan as ~6 TB of
+codes — the difference between a scan that fits the page cache and one
+that doesn't. This is the FAISS IVF-PQ shape re-expressed on DataFrames:
+
+- ``train``: driver-side k-means per subspace over a reservoir sample
+  (bounded like IVFIndex.train — one distributed pass, no full-corpus
+  iteration);
+- ``encode``: one Arrow ``mapInPandas`` pass, a (batch × k) distance matmul
+  per subspace → ``array<smallint>`` codes column;
+- ``search``: asymmetric distance computation (ADC) — per query, an (m × k)
+  lookup table of query-subvector · codeword dot products; a code's
+  approximate score is the sum of m table entries (numpy gather inside
+  ``mapInPandas``, reading ONLY the codes column); top ``rerank`` ADC
+  candidates are re-scored exactly against the corpus through the shared
+  ``knn.rerank_pairs`` tail, so reported scores are true cosines.
+
+Composes with IVF for the full IVF-PQ plan: restrict the codes scan to the
+probed cells (``ivf.assign``'s ``centroid_id`` partitioning) and ADC only
+those partitions.
+
+Exactness contract (tests/test_pq.py): encode/ADC bit-match a driver-side
+numpy replay; recall@10 ≥ 0.9 on clustered corpora with rerank=4k.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def _kmeans_l2(sample: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
+    """Plain seeded Lloyd's in a subspace (L2 — subvectors are not unit).
+    Deterministic: seeded init by sampling distinct rows, empty clusters
+    reseeded from the farthest points."""
+    rng = np.random.default_rng(seed)
+    n = sample.shape[0]
+    k = min(k, n)
+    cent = sample[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        # (n, k) squared distances via the expansion trick
+        d2 = (
+            (sample * sample).sum(axis=1, keepdims=True)
+            - 2.0 * sample @ cent.T
+            + (cent * cent).sum(axis=1)
+        )
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+            else:
+                cent[j] = sample[d2.min(axis=1).argmax()]
+    return cent
+
+
+class PQIndex:
+    """Codebooks: (m, k, dsub) float64; vectors are unit-normalized before
+    splitting so ADC approximates cosine as a sum of subspace dots."""
+
+    def __init__(self, codebooks: np.ndarray) -> None:
+        self.codebooks = np.asarray(codebooks, dtype=np.float64)
+        self.m, self.k, self.dsub = self.codebooks.shape
+        self.dim = self.m * self.dsub
+
+    @classmethod
+    def train(
+        cls,
+        corpus: DataFrame,
+        m: int = 8,
+        k: int = 256,
+        vec_col: str = "embedding",
+        seed: int = 42,
+        iters: int = 10,
+        train_sample_rows: int = 65_536,
+    ) -> "PQIndex":
+        from vector_db_api_spark.operators.ivf import IVFIndex
+
+        sample = IVFIndex._sample_vectors(corpus, vec_col, train_sample_rows, seed)
+        dim = sample.shape[1]
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sample = _unit(sample)
+        dsub = dim // m
+        books = np.stack(
+            [
+                _kmeans_l2(
+                    sample[:, j * dsub : (j + 1) * dsub], k, seed + j, iters
+                )
+                for j in range(m)
+            ]
+        )
+        return cls(books)
+
+    # -- encode ----------------------------------------------------------
+
+    def _encode_np(self, mat: np.ndarray) -> np.ndarray:
+        """(n, m) uint8/uint16 codes: per subspace, argmin L2 to codewords."""
+        mat = _unit(np.asarray(mat, dtype=np.float64))
+        out = np.empty((mat.shape[0], self.m), dtype=np.int64)
+        for j in range(self.m):
+            sub = mat[:, j * self.dsub : (j + 1) * self.dsub]
+            cb = self.codebooks[j]
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * sub @ cb.T
+                + (cb * cb).sum(axis=1)
+            )
+            out[:, j] = d2.argmin(axis=1)
+        return out
+
+    def encode(
+        self, corpus: DataFrame, id_col: str = "id", vec_col: str = "embedding"
+    ) -> DataFrame:
+        """(id, codes array<smallint>) — the 32×-smaller scan target. Null
+        embeddings drop (parity with the null-embedding projection)."""
+        books = self.codebooks
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        schema = f"{id_col} {id_type}, codes array<smallint>"
+        me = PQIndex(books)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                keep = pdf[vec_col].notna()
+                sub = pdf[keep]
+                if sub.empty:
+                    continue
+                mat = np.asarray([np.asarray(v) for v in sub[vec_col]])
+                codes = me._encode_np(mat).astype(np.int16)
+                yield pd.DataFrame(
+                    {id_col: sub[id_col], "codes": list(codes)}
+                )
+
+        return corpus.select(id_col, vec_col).filter(
+            F.col(vec_col).isNotNull()
+        ).mapInPandas(run, schema=schema)
+
+    # -- search ----------------------------------------------------------
+
+    def _lut(self, qvec: list[float]) -> np.ndarray:
+        """(m, k) dot-product lookup table of the unit query against every
+        codeword — ADC score of a code is lut[j, code[j]] summed over j."""
+        q = np.asarray(qvec, dtype=np.float64)
+        nrm = np.linalg.norm(q)
+        if nrm == 0.0:
+            raise ValueError("zero query vector")
+        q = q / nrm
+        return np.stack(
+            [
+                self.codebooks[j] @ q[j * self.dsub : (j + 1) * self.dsub]
+                for j in range(self.m)
+            ]
+        )
+
+    def adc_scores(self, codes: DataFrame, qvec: list[float], id_col: str = "id") -> DataFrame:
+        """(id, adc_score) over the codes table — the compressed scan."""
+        lut = self._lut(qvec)
+        id_type = codes.schema[id_col].dataType.simpleString()
+        schema = f"{id_col} {id_type}, adc_score double"
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.asarray([np.asarray(c) for c in pdf["codes"]], dtype=np.int64)
+                scores = lut[np.arange(lut.shape[0]), mat].sum(axis=1)
+                yield pd.DataFrame({id_col: pdf[id_col], "adc_score": scores})
+
+        return codes.mapInPandas(run, schema=schema)
+
+    def search(
+        self,
+        corpus: DataFrame,
+        codes: DataFrame,
+        qvec: list[float],
+        n: int,
+        rerank: int | None = None,
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        metric: str = "cosine",
+    ) -> DataFrame:
+        """ADC top-``rerank`` candidates (default 4n) from the codes scan,
+        then exact re-rank against the full vectors — reported scores are
+        true similarities, PQ error only affects WHICH candidates surface
+        (the recall test bounds that)."""
+        from vector_db_api_spark.operators.knn import knn
+
+        rerank = max(n, rerank if rerank is not None else 4 * n)
+        cand = (
+            self.adc_scores(codes, qvec, id_col=id_col)
+            .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
+            .limit(rerank)
+            .select(id_col)
+        )
+        pruned = corpus.join(F.broadcast(cand), id_col, "left_semi")
+        return knn(pruned, qvec, n, metric=metric, id_col=id_col, vec_col=vec_col)
+
+    # -- IVF-PQ composition ----------------------------------------------
+
+    def encode_with_cells(
+        self,
+        corpus: DataFrame,
+        assignments: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """(id, centroid_id, codes) — the IVF-PQ storage layout. Persist it
+        ``partitionBy("centroid_id")`` (exactly like ``lifecycle.rebuild``
+        persists ivf_assignments) and :meth:`search_cells`'s centroid filter
+        becomes partition PRUNING: a query touches nprobe directories of
+        16-byte codes, never the corpus."""
+        codes = self.encode(corpus, id_col=id_col, vec_col=vec_col)
+        return codes.join(
+            assignments.select(id_col, "centroid_id"), id_col, "inner"
+        )
+
+    def search_cells(
+        self,
+        corpus: DataFrame,
+        cell_codes: DataFrame,
+        ivf,
+        qvec: list[float],
+        n: int,
+        rerank: int | None = None,
+        nprobe: int | None = None,
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        metric: str = "cosine",
+    ) -> DataFrame:
+        """Full IVF-PQ search: probe nprobe cells (centroid dots on the
+        driver, same as ``IVFIndex.search``) → ADC over ONLY the probed
+        cells' codes (a partition-prunable filter, no join) → exact re-rank
+        of the ADC top-``rerank``. The two prunings multiply: cells cut
+        rows to nprobe/k_cells of the corpus, PQ cuts bytes/row 16× —
+        that product is the FAISS IVF-PQ economics on DataFrames."""
+        probed = [int(c) for c in ivf.probe_centroids(qvec, nprobe=nprobe)]
+        pruned_codes = cell_codes.filter(F.col("centroid_id").isin(probed))
+        return self.search(
+            corpus,
+            pruned_codes.select(id_col, "codes"),
+            qvec,
+            n,
+            rerank=rerank,
+            id_col=id_col,
+            vec_col=vec_col,
+            metric=metric,
+        )

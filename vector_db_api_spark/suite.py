@@ -1531,6 +1531,19 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.search(emb, assignments, Q0, 10, id_col="vec_id")
 
 
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compressed-scan search: ADC over 16-byte codes → exact re-rank
+    (operators/pq.py). Rows-only (k-means codebooks aren't
+    SQL-expressible); encode/ADC bit-exactness and the recall bound live in
+    tests/test_pq.py."""
+    from vector_db_api_spark.operators.pq import PQIndex
+
+    emb = _emb(spark, sf_dir)
+    pq = PQIndex.train(emb, m=8, k=64, seed=42, train_sample_rows=4096)
+    codes = pq.encode(emb, id_col="vec_id")
+    return pq.search(emb, codes, Q0, 10, id_col="vec_id")
+
+
 def q_knn_batch_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KNN.knn_batch_numpy(_emb(spark, sf_dir), QUERY_BATCH, 5, id_col="vec_id")
 
@@ -1841,6 +1854,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # rows-only ANN / multimodal paths (exactness pinned in pytest)
     "lsh_search_top10": (q_lsh_search, None),
     "ivf_search_top10": (q_ivf_search, None),
+    "pq_search_top10": (q_pq_search, None),
     "lsh_search_batch_top10": (q_lsh_search_batch, None),
     "ivf_search_batch_top10": (q_ivf_search_batch, None),
     "knn_quantized_top10": (q_knn_quantized, None),
