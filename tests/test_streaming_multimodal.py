@@ -306,3 +306,31 @@ def test_resize_features_adaptive_pool(spark):
                 want.append(np.float32(np.mean([np.float64(v) for v in x[lo:hi]])))
             assert np.allclose(got[key], want, atol=0), (key, out_dim)
             assert len(got[key]) == out_dim
+
+
+def test_embed_texts_streams_and_matches_batch(spark, tmp_path):
+    """embed_texts is a plain mapInPandas stage, so the SAME function body
+    runs under Structured Streaming — embed-on-ingest without a second
+    implementation. Stream output must bit-match the batch embedding."""
+    from vector_db_api_spark.operators.embed import embed_texts
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(40)
+    src = str(tmp_path / "docs_in")
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = (
+        embed_texts(stream, dim=16)
+        .writeStream.format("memory")
+        .queryName("emb_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r["embedding"]
+        for r in spark.sql("SELECT * FROM emb_stream").collect()
+    }
+    want = {r["doc_id"]: r["embedding"] for r in embed_texts(docs, dim=16).collect()}
+    assert got == want
