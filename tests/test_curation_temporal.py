@@ -70,6 +70,31 @@ def test_stratified_sample_exact_quotas_and_extension(spark, docs):
     assert all_de.count() == avail["de"]
 
 
+def test_stratified_prefilter_identical_to_exact_window(spark, docs):
+    """The Chernoff-prefiltered fast path must select EXACTLY the rows the
+    unfiltered ranking selects — across quota regimes: small (deep
+    prefilter), near-stratum-size (exact-path trigger), oversized
+    (whole stratum)."""
+    avail = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for quotas in (
+        {"en": 5, "de": 3},
+        {"en": 100, "de": 25, "fr": 7},
+        {"en": avail["en"] - 1, "de": avail["de"]},
+        {"en": 10**6},
+    ):
+        fast = {
+            r["doc_id"]
+            for r in stratified_sample(docs, "lang", quotas, key_col="doc_id").collect()
+        }
+        exact = {
+            r["doc_id"]
+            for r in stratified_sample(
+                docs, "lang", quotas, key_col="doc_id", prefilter=False
+            ).collect()
+        }
+        assert fast == exact, quotas
+
+
 def test_pack_documents_invariants(spark, docs):
     from vector_db_api_spark.functions.text import token_count
 

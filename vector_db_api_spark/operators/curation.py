@@ -59,17 +59,32 @@ def stratified_sample(
     quotas: dict[str, int],
     key_col: str,
     seed: int = 42,
+    prefilter: bool = True,
 ) -> DataFrame:
     """EXACT per-stratum quotas — the data-mixing primitive: rank each
     stratum's rows by the deterministic hash (ties broken by key) and keep
     the first ``quotas[stratum]``. Strata absent from ``quotas`` are
     dropped; a quota larger than the stratum keeps the whole stratum.
 
-    One shuffle (window partitioned by stratum). The hash ranking makes the
-    selection a uniform sample of the stratum AND reproducible anywhere;
-    re-running with a larger quota extends the previous sample instead of
-    reshuffling it (hash order is stable), which is exactly how you grow a
-    training mix without churning shards.
+    The hash ranking makes the selection a uniform sample of the stratum
+    AND reproducible anywhere; re-running with a larger quota extends the
+    previous sample instead of reshuffling it (hash order is stable), which
+    is exactly how you grow a training mix without churning shards.
+
+    Scale shape: a ranking window partitioned by stratum would put a
+    60%-of-corpus stratum into ONE task — the kind of plan that works at
+    sf0.1 and dies at 100 TB. With ``prefilter`` (default), a first cheap
+    aggregate counts each stratum, and rows enter the window only when
+    their hash is below a Chernoff-padded threshold ≈ (quota + 4√quota +
+    64) / count — the survivor set is O(quota) per stratum regardless of
+    corpus size, so the window ranks thousands of rows, not billions, and
+    the scan-side filter does the heavy lifting. The selection is
+    IDENTICAL to the unfiltered ranking (the kept rows are exactly the
+    quota lowest hashes, all of which clear the threshold with
+    overwhelming margin); a short stratum is detected by comparing the
+    kept count against min(quota, stratum count) and falls back to the
+    exact unfiltered window for that stratum — determinism is never
+    probabilistic, only the fast path is.
     """
     from pyspark.sql.window import Window
 
@@ -80,11 +95,64 @@ def stratified_sample(
         Window.partitionBy(strata_col)
         .orderBy(_sample_hash(key_col, seed).asc(), F.col(key_col).asc())
     )
-    return (
-        df.withColumn("__rank", F.row_number().over(w))
-        .filter(F.col("__rank") <= quota_col)
-        .drop("__rank")
-    )
+
+    def ranked(src: DataFrame) -> DataFrame:
+        return (
+            src.withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= quota_col)
+            .drop("__rank")
+        )
+
+    base = df.filter(F.col(strata_col).isin(list(quotas)))
+    if not prefilter:
+        return ranked(base)
+
+    counts = {
+        r[strata_col]: r["n"]
+        for r in base.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    thresholds: dict[str, int] = {}
+    exact_strata: list[str] = []
+    for s, q in quotas.items():
+        n = counts.get(s, 0)
+        if n == 0:
+            continue
+        padded = q + 4 * int(q ** 0.5) + 64  # Chernoff-padded target
+        if padded >= n:
+            exact_strata.append(s)  # quota ≈ stratum — no filtering wins
+        else:
+            thresholds[s] = min(1 << 32, int(padded / n * _H32_SPACE))
+    parts = []
+    if thresholds:
+        tmap = F.create_map(
+            *[x for kv in thresholds.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+        )[F.col(strata_col)]
+        fast = ranked(
+            base.filter(F.col(strata_col).isin(list(thresholds))).filter(
+                _sample_hash(key_col, seed) < tmap
+            )
+        )
+        # verify the band held every quota; fall back per short stratum
+        got = {
+            r[strata_col]: r["n"]
+            for r in fast.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        short = [
+            s for s in thresholds
+            if got.get(s, 0) < min(quotas[s], counts.get(s, 0))
+        ]
+        if short:
+            fast = fast.filter(~F.col(strata_col).isin(short))
+            exact_strata.extend(short)
+        parts.append(fast)
+    if exact_strata:
+        parts.append(ranked(base.filter(F.col(strata_col).isin(exact_strata))))
+    if not parts:
+        return base.limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def pack_documents(

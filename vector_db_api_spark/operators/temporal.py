@@ -44,6 +44,15 @@ def asof_join(
     materialization), and both inputs keep their scan pruning — at 100 TB
     this is one shuffle of L+R rows, the same cost as the equality join the
     pipeline was already paying.
+
+    Skew note: the window is per-key, so one pathologically hot key (an
+    entity owning a material fraction of ALL events) serializes into one
+    task — the same bound as any per-entity ordered computation
+    (sessionization included). If a key can be that hot, pre-split its
+    history by time range and as-of join each range with the previous
+    range's last right row appended as a seed row; for the key
+    distributions event data actually has (heavy but bounded), the single
+    shuffle + running frame is the right plan.
     """
     # side ordering at equal ts: right first (0) so a same-ts right row is
     # visible to the left row (>= semantics); strict puts right AFTER left
