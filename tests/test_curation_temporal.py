@@ -201,3 +201,59 @@ def test_asof_join_single_shuffle(spark):
     # one Exchange for the key, inside the union->window plan; no range join
     assert plan.count("Exchange") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Signups within the hour before each purchase, per user — the
+    bin-bucketed equi-join must reproduce the naive range-predicate join
+    exactly, pair for pair."""
+    ev = _events(spark).cache()
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    ).limit(300)
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    from vector_db_api_spark.operators.temporal import interval_join
+
+    got = {
+        (r["event_id"], r["r_event_id"])
+        for r in interval_join(
+            left, right, lower="-1 hour", upper="0 seconds", on="user_id"
+        ).collect()
+    }
+    import datetime
+
+    want = set()
+    rrows = right.collect()
+    for lr in left.collect():
+        for rr in rrows:
+            if rr["user_id"] != lr["user_id"]:
+                continue
+            if lr["ts"] - datetime.timedelta(hours=1) <= rr["ts"] <= lr["ts"]:
+                want.add((lr["event_id"], rr["event_id"]))
+    assert got == want and len(want) > 0
+    ev.unpersist()
+
+
+def test_interval_join_keyless_and_plan(spark):
+    """Without an equality key the naive predicate would be a nested-loop
+    join; the binned plan must contain no nested-loop operator."""
+    from vector_db_api_spark.operators.temporal import interval_join
+
+    ev = _events(spark)
+    left = ev.filter(F.col("event_type") == "error").select("event_id", "ts").limit(50)
+    right = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    out = interval_join(left, right, lower="-5 minutes", upper="5 minutes")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    # spot-check one pair against the predicate
+    import datetime
+
+    rows = out.limit(20).collect()
+    assert all(
+        r["ts"] - datetime.timedelta(minutes=5)
+        <= r["r_ts"]
+        <= r["ts"] + datetime.timedelta(minutes=5)
+        for r in rows
+    )

@@ -220,3 +220,16 @@ def test_embed_texts_fuses_with_scan_no_shuffle(spark):
     docs = load_table(spark, SF_DIR, "documents")
     plan = _plan(embed_texts(docs, dim=8))
     assert "Exchange" not in plan  # embarrassingly parallel, scan-fused
+
+
+def test_pq_search_candidate_selection_is_take_ordered(spark, emb):
+    """ADC top-rerank must be TakeOrderedAndProject (per-partition heaps),
+    never a global Sort of all ADC scores."""
+    from vector_db_api_spark.operators.pq import PQIndex
+
+    pq = PQIndex.train(emb, m=8, k=16, seed=42, train_sample_rows=1024)
+    codes = pq.encode(emb, id_col="vec_id")
+    q = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    plan = _plan(pq.search(emb, codes, q, 5, id_col="vec_id"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan or "SortMergeJoin" in plan  # no global sort stage

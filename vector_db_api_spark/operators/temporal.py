@@ -92,3 +92,66 @@ def asof_join(
         *[F.col(f"__match.{c}").alias(f"{right_prefix}{c}") for c in right.columns],
     )
     return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    lower: str,
+    upper: str,
+    on: str | None = None,
+    ts_col: str = "ts",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Inner join of every left row to the right rows whose timestamp lies
+    in ``[left.ts + lower, left.ts + upper]`` (interval strings like
+    ``'-1 hour'``/``'0 seconds'``), optionally also matching an equality
+    key ``on``.
+
+    Why not just write the range predicate: with no equality conjunct,
+    Catalyst plans a range-only join as BroadcastNestedLoop/Cartesian —
+    quadratic at scale. This operator manufactures the missing equality:
+    time is binned at the window width; each LEFT row explodes to every
+    bin its window overlaps (ceil(width/bin)+1 ≤ 2 rows for a one-bin-wide
+    window), each RIGHT row lands in exactly ONE bin (its own), and the
+    join runs as an equi-join on (key?, bin) with the exact range predicate
+    as a post-filter. Each qualifying pair meets in exactly one bin —
+    the right row's — so no dedup pass is needed. One shuffle, bin
+    occupancy bounds the worst task, and the plan is a plain
+    SortMergeJoin/ShuffledHashJoin Catalyst knows how to scale (pinned in
+    tests: no nested-loop operator in the plan).
+    """
+    lo = F.expr(f"INTERVAL {lower.lstrip('-')}")
+    lo_sign = -1 if lower.strip().startswith("-") else 1
+    hi = F.expr(f"INTERVAL {upper.lstrip('-')}")
+    hi_sign = -1 if upper.strip().startswith("-") else 1
+
+    l_ts = F.col(ts_col)
+    win_lo = l_ts + lo if lo_sign > 0 else l_ts - lo
+    win_hi = l_ts + hi if hi_sign > 0 else l_ts - hi
+
+    # bin width = window span (micros); every window overlaps ≤ 2 bins
+    lo_us = F.unix_micros(F.to_timestamp(F.lit("1970-01-01 00:00:00")) + lo) * lo_sign
+    hi_us = F.unix_micros(F.to_timestamp(F.lit("1970-01-01 00:00:00")) + hi) * hi_sign
+    span = hi_us - lo_us
+
+    lb = F.floor(F.unix_micros(win_lo) / span)
+    ub = F.floor(F.unix_micros(win_hi) / span)
+    lkeys = ([on] if on else []) + ["__bin"]
+
+    lx = left.withColumn("__bins", F.sequence(lb, ub)).withColumn(
+        "__bin", F.explode("__bins")
+    ).drop("__bins").withColumn("__lo", win_lo).withColumn("__hi", win_hi)
+    rx = right.select(
+        *([F.col(on).alias(on)] if on else []),
+        F.floor(F.unix_micros(F.col(ts_col)) / span).alias("__bin"),
+        F.struct(*right.columns).alias("__r"),
+        F.col(ts_col).alias("__rts"),
+    )
+    joined = lx.join(rx, lkeys, "inner").filter(
+        (F.col("__rts") >= F.col("__lo")) & (F.col("__rts") <= F.col("__hi"))
+    )
+    return joined.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__r.{c}").alias(f"{right_prefix}{c}") for c in right.columns],
+    )

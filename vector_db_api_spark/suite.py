@@ -1079,6 +1079,44 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (operators/temporal.py): signups within the hour
+    before each purchase, per user — the bin-bucketed equi-join plan that
+    replaces Catalyst's nested-loop range join; the oracle states the same
+    semantics as a plain range predicate."""
+    from vector_db_api_spark.operators.temporal import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    return interval_join(
+        left, right, lower="-1 hour", upper="0 seconds", on="user_id"
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("r_event_id").alias("signup_event_id"),
+        F.col("r_ts").alias("signup_ts"),
+    )
+
+
+_SQL_EVENTS_INTERVAL_JOIN = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+)
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS signup_event_id, r.ts AS signup_ts
+FROM l JOIN r
+  ON l.user_id = r.user_id
+ AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts
+"""
+
+
 _SQL_EVENTS_ASOF = """
 WITH l AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
@@ -1841,6 +1879,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "doc_mixture_sample": (q_doc_mixture_sample, _sql_doc_mixture_sample()),
     "doc_packing": (q_doc_packing, _sql_doc_packing()),
     "events_asof": (q_events_asof, _SQL_EVENTS_ASOF),
+    "events_interval_join": (q_events_interval_join, _SQL_EVENTS_INTERVAL_JOIN),
     # numpy throughput twins — same oracles as their expression twins
     "simhash_np": (
         q_simhash_np,
