@@ -257,3 +257,66 @@ def test_interval_join_keyless_and_plan(spark):
         <= r["ts"] + datetime.timedelta(minutes=5)
         for r in rows
     )
+
+
+def test_time_gapfill_policies(spark):
+    """Dense grid per group; zero-fill for additive metrics, locf for state
+    metrics, nulls left visible otherwise; filled buckets are exactly the
+    missing grid points."""
+    from vector_db_api_spark.operators.timeseries import time_gapfill
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", 5, 10.0),
+        ("a", "2024-01-01 03:00:00", 2, 30.0),   # 2 missing hours before
+        ("b", "2024-01-01 01:00:00", 7, 70.0),
+    ]
+    df = (
+        spark.createDataFrame(rows, "g string, ts string, n int, state double")
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = time_gapfill(
+        df, "ts", "1 hour", group_cols=("g",),
+        fills={"n": "zero", "state": "locf"},
+    )
+    got = {(r["g"], str(r["ts"])): (r["n"], r["state"]) for r in out.collect()}
+    assert len(got) == 4 + 1  # a: 00..03 dense; b: single bucket
+    assert got[("a", "2024-01-01 01:00:00")] == (0, 10.0)   # zero + carried
+    assert got[("a", "2024-01-01 02:00:00")] == (0, 10.0)
+    assert got[("a", "2024-01-01 03:00:00")] == (2, 30.0)   # actual row intact
+    assert got[("b", "2024-01-01 01:00:00")] == (7, 70.0)
+
+    with pytest.raises(ValueError, match="policy"):
+        time_gapfill(df, "ts", "1 hour", ("g",), {"n": "interpolate"})
+
+
+def test_time_gapfill_on_real_rollup(spark):
+    """Gapfill the events hourly rollup: output is dense per event_type
+    (consecutive hours), zero-filled buckets sum to zero events, and
+    original rows survive untouched."""
+    from vector_db_api_spark.operators.timeseries import time_gapfill
+
+    ev = _events(spark)
+    rollup = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    dense = time_gapfill(
+        rollup, "hour", "1 hour", group_cols=("event_type",),
+        fills={"n_events": "zero"},
+    ).cache()
+    try:
+        for row in dense.groupBy("event_type").agg(
+            F.min("hour").alias("lo"), F.max("hour").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect():
+            span_hours = int((row["hi"] - row["lo"]).total_seconds() // 3600) + 1
+            assert row["n"] == span_hours  # dense: one row per hour, no dupes
+        # zero-filled rows are exactly the grid minus the rollup
+        n_real = rollup.count()
+        n_zero = dense.filter(F.col("n_events") == 0).count()
+        assert dense.count() == n_real + n_zero
+        # original aggregates unchanged
+        joined = dense.join(rollup.withColumnRenamed("n_events", "want"),
+                            ["event_type", "hour"])
+        assert joined.filter(F.col("n_events") != F.col("want")).count() == 0
+    finally:
+        dense.unpersist()

@@ -1,0 +1,78 @@
+"""Time-series densification: gap-filled rollups (the hypertable
+`time_bucket_gapfill` shape re-expressed on DataFrames).
+
+A windowed rollup emits rows only for buckets that HAVE events; consumers
+of regular series (dashboards, forecasting features, joins against other
+series) need every bucket present. ``time_gapfill`` densifies a bucketed
+rollup: per group, a time grid materializes from the group's own
+[min, max] bucket range via ``sequence`` + ``explode`` (grid rows are
+generated, never shuffled in from a side table), actual rows left-join
+onto the grid, and each value column fills by policy — ``"zero"``
+(additive metrics: counts, sums), ``"locf"`` (state metrics: last
+observation carried forward), or ``"null"`` (leave gaps visible).
+
+Scale shape: one shuffle joins actuals to the grid; locf adds a per-group
+running window, bounded by the group's bucket count (time-range/step —
+thousands, not corpus-sized). Grid size is (range/step) per group: at 100 TB
+of events the rollup feeding this is already small (buckets × groups), so
+gapfill costs what the rollup cost, not what the events cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+FILL_POLICIES = ("zero", "locf", "null")
+
+
+def time_gapfill(
+    rollup: DataFrame,
+    ts_col: str,
+    step: str,
+    group_cols: tuple[str, ...] = (),
+    fills: dict[str, str] | None = None,
+) -> DataFrame:
+    """Densify a bucketed rollup to a regular grid.
+
+    ``rollup``: one row per (group, bucket) — the output of a windowed agg.
+    ``step``: interval string matching the bucket width (e.g. "1 hour").
+    ``fills``: value column → policy ("zero" | "locf" | "null"); value
+    columns absent from ``fills`` default to "null".
+    """
+    fills = fills or {}
+    for col, policy in fills.items():
+        if policy not in FILL_POLICIES:
+            raise ValueError(f"unknown fill policy {policy!r} for {col!r}")
+    gcols = list(group_cols)
+    vcols = [c for c in rollup.columns if c != ts_col and c not in gcols]
+
+    bounds = rollup.groupBy(*gcols).agg(
+        F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+    )
+    grid = bounds.select(
+        *gcols,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+        ).alias(ts_col),
+    )
+    dense = grid.join(rollup, gcols + [ts_col], "left")
+
+    out_cols = [F.col(c) for c in gcols] + [F.col(ts_col)]
+    for c in vcols:
+        policy = fills.get(c, "null")
+        if policy == "zero":
+            out_cols.append(
+                F.coalesce(F.col(c), F.lit(0).cast(dict(rollup.dtypes)[c])).alias(c)
+            )
+        elif policy == "locf":
+            w = (
+                Window.partitionBy(*gcols)
+                .orderBy(F.col(ts_col).asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            out_cols.append(F.last(c, ignorenulls=True).over(w).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return dense.select(*out_cols)

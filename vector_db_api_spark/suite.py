@@ -1079,6 +1079,52 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup (operators/timeseries.py): dense per-type
+    hour grid, counts zero-filled, value_cents carried forward (locf)."""
+    from vector_db_api_spark.operators.timeseries import time_gapfill
+
+    ev = load_table(spark, sf_dir, "events")
+    rollup = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    return time_gapfill(
+        rollup, "hour", "1 hour", group_cols=("event_type",),
+        fills={"n_events": "zero", "value_cents": "locf"},
+    )
+
+
+_SQL_EVENTS_GAPFILL = """
+WITH rollup AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n_events,
+         SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS value_cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(hour) AS lo, max(hour) AS hi FROM rollup GROUP BY 1
+),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+),
+dense AS (
+  SELECT grid.event_type, grid.hour, r.n_events, r.value_cents
+  FROM grid LEFT JOIN rollup r USING (event_type, hour)
+)
+SELECT event_type, hour,
+       COALESCE(n_events, 0) AS n_events,
+       last_value(value_cents IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_cents
+FROM dense
+"""
+
+
 def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join (operators/temporal.py): signups within the hour
     before each purchase, per user — the bin-bucketed equi-join plan that
@@ -1880,6 +1926,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "doc_packing": (q_doc_packing, _sql_doc_packing()),
     "events_asof": (q_events_asof, _SQL_EVENTS_ASOF),
     "events_interval_join": (q_events_interval_join, _SQL_EVENTS_INTERVAL_JOIN),
+    "events_gapfill": (q_events_gapfill, _SQL_EVENTS_GAPFILL),
     # numpy throughput twins — same oracles as their expression twins
     "simhash_np": (
         q_simhash_np,
