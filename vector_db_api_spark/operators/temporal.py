@@ -130,13 +130,19 @@ def interval_join(
     win_lo = l_ts + lo if lo_sign > 0 else l_ts - lo
     win_hi = l_ts + hi if hi_sign > 0 else l_ts - hi
 
+    # unix_micros rejects TIMESTAMP_NTZ; cast first. The session runs UTC,
+    # so NTZ→LTZ is the identity wall-clock mapping, and binning only needs
+    # the SAME monotone int mapping on both sides anyway.
+    def _us(col):
+        return F.unix_micros(col.cast("timestamp"))
+
     # bin width = window span (micros); every window overlaps ≤ 2 bins
-    lo_us = F.unix_micros(F.to_timestamp(F.lit("1970-01-01 00:00:00")) + lo) * lo_sign
-    hi_us = F.unix_micros(F.to_timestamp(F.lit("1970-01-01 00:00:00")) + hi) * hi_sign
+    lo_us = _us(F.to_timestamp(F.lit("1970-01-01 00:00:00")) + lo) * lo_sign
+    hi_us = _us(F.to_timestamp(F.lit("1970-01-01 00:00:00")) + hi) * hi_sign
     span = hi_us - lo_us
 
-    lb = F.floor(F.unix_micros(win_lo) / span)
-    ub = F.floor(F.unix_micros(win_hi) / span)
+    lb = F.floor(_us(win_lo) / span)
+    ub = F.floor(_us(win_hi) / span)
     lkeys = ([on] if on else []) + ["__bin"]
 
     lx = left.withColumn("__bins", F.sequence(lb, ub)).withColumn(
@@ -144,7 +150,7 @@ def interval_join(
     ).drop("__bins").withColumn("__lo", win_lo).withColumn("__hi", win_hi)
     rx = right.select(
         *([F.col(on).alias(on)] if on else []),
-        F.floor(F.unix_micros(F.col(ts_col)) / span).alias("__bin"),
+        F.floor(_us(F.col(ts_col)) / span).alias("__bin"),
         F.struct(*right.columns).alias("__r"),
         F.col(ts_col).alias("__rts"),
     )
