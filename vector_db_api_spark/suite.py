@@ -221,6 +221,53 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap pairs: docs with doc_id % 7 == 0 play the eval
+    set, the rest the training corpus (operators/decontaminate.py)."""
+    from vector_db_api_spark.operators import decontaminate as X
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 7 == 0).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return X.contamination_pairs(train, bench, k=8)
+
+
+def _sql_doc_decontaminate() -> str:
+    return f"""
+WITH sh AS ({O.shingle_hashes_cte('documents', 'doc_id', 'text', 8)}),
+b AS (SELECT doc_id AS bench_id, shingle_hash FROM sh WHERE doc_id % 7 = 0),
+t AS (SELECT doc_id AS train_id, shingle_hash FROM sh WHERE doc_id % 7 <> 0)
+SELECT train_id, bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM t JOIN b USING (shingle_hash) GROUP BY 1, 2
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition stats (operators/repetition.py)."""
+    from vector_db_api_spark.operators import repetition as R
+
+    return R.ngram_repetition_stats(_docs(spark, sf_dir), n=2)
+
+
+def _sql_doc_repetition() -> str:
+    n = O.normalize_text("text")
+    return f"""
+WITH g AS (SELECT doc_id, unnest({O.word_shingles(n, 2)}) AS gram FROM documents),
+c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+             CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_ngram_frac,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+               AS dup_ngram_frac
+      FROM c GROUP BY 1)
+SELECT d.doc_id, COALESCE(n_ngrams, 0) AS n_ngrams,
+       COALESCE(top_ngram_frac, 0.0) AS top_ngram_frac,
+       COALESCE(dup_ngram_frac, 0.0) AS dup_ngram_frac
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup suite (LLM-pipeline operators)
 # ---------------------------------------------------------------------------
@@ -1828,8 +1875,6 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "vec_norm_argmax": (q_vec_norm_argmax, _sql_vec_norm_argmax()),
     # --- in-window: exact kNN (FlatIndex parity) ---
     "knn_cosine_top10": (_q_knn("cosine"), _sql_knn("cosine")),
-    "knn_euclidean_top10": (_q_knn("euclidean"), _sql_knn("euclidean")),
-    "knn_dot_top10": (_q_knn("dot_product"), _sql_knn("dot_product")),
     "knn_batch_top5": (q_knn_batch, _sql_knn_batch()),
     "knn_postfilter": (q_knn_postfilter, _sql_knn_postfilter()),
     "topk_per_label": (q_topk_per_label, _sql_topk_per_label()),
@@ -1838,20 +1883,9 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_doc_lang_id,
         f"SELECT doc_id, {O.lang_id('text')} AS lang_pred FROM documents",
     ),
-    "doc_text_stats": (
-        q_doc_text_stats,
-        f"SELECT doc_id, {O.punct_ratio('text')} AS punct_ratio, "
-        f"{O.stopword_ratio('text')} AS stopword_ratio, "
-        f"{O.mean_token_len('text')} AS mean_token_len FROM documents",
-    ),
     "doc_quality": (
         q_doc_quality,
         f"SELECT doc_id, {O.quality_score('text')} AS quality FROM documents",
-    ),
-    "doc_fingerprints": (
-        q_doc_fingerprints,
-        f"SELECT doc_id, md5({O.normalize_text('text')}) AS fp_md5, "
-        f"sha256(text) AS fp_sha256 FROM documents",
     ),
     "doc_token_count_bpe": (
         q_doc_token_count_bpe,
@@ -1865,14 +1899,14 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     ),
     # --- in-window: dedup ---
     "exact_duplicates": (q_exact_duplicates, _sql_exact_duplicates()),
-    "minhash_band_buckets": (q_minhash_band_buckets, _sql_minhash_band_buckets()),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh_pairs()),
     "dedup_components": (q_dedup_components, _sql_dedup_components()),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _sql_ngram_jaccard_pairs()),
-    "simhash": (q_simhash, f"{O.simhash_sql('documents', 'doc_id', 'text')}"),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, _sql_simhash_hamming_pairs()),
     "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup()),
     "embedding_neardup_np": (q_embedding_neardup_np, _sql_embedding_neardup_ids()),
+    "doc_decontaminate": (q_doc_decontaminate, _sql_doc_decontaminate()),
+    "doc_repetition": (q_doc_repetition, _sql_doc_repetition()),
     # --- in-window: multimodal ---
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL_STATS),
     # --- in-window: listing / pagination ---
@@ -1886,7 +1920,6 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "skew_salted_agg": (q_skew_salted_agg, _SQL_SKEW_SALTED_AGG),
     "skew_salted_join": (q_skew_salted_join, _SQL_SKEW_SALTED_JOIN),
     # --- in-window: relational headliners ---
-    "rel_top_customers": (q_rel_top_customers, _SQL_REL_TOP_CUSTOMERS),
     "rel_pricing_summary": (q_rel_pricing_summary, _SQL_REL_PRICING_SUMMARY),
     "rel_revenue_by_nation": (q_rel_revenue_by_nation, _SQL_REL_REVENUE_BY_NATION),
     "rel_ship_priority": (q_rel_ship_priority, _SQL_REL_SHIP_PRIORITY),
@@ -1900,7 +1933,6 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # --- in-window: CRUD / mutation layer + composed search ---
     "crud_upsert": (q_crud_upsert, _SQL_CRUD_UPSERT),
     "crud_cas": (q_crud_cas, _SQL_CRUD_CAS),
-    "crud_cas_conflicts": (q_crud_cas_conflicts, _SQL_CRUD_CAS_CONFLICTS),
     "crud_delete_cascade": (q_crud_delete_cascade, _SQL_CRUD_DELETE_CASCADE),
     "crud_move_document": (q_crud_move_document, _SQL_CRUD_MOVE_DOCUMENT),
     "chunks_by_document": (q_chunks_by_document, _sql_chunks_by_document()),
@@ -1909,8 +1941,37 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "knn_self_join_top3": (q_knn_self_join, _sql_knn_self_join()),
     "corpus_clean": (q_corpus_clean, _sql_corpus_clean()),
     "corpus_clean_near": (q_corpus_clean_near, _sql_corpus_clean_near()),
+    # --- in-window: curation + temporal (DuckDB native ASOF JOIN oracle) ---
+    "doc_sample_hash": (q_doc_sample_hash, _sql_doc_sample_hash()),
+    "doc_mixture_sample": (q_doc_mixture_sample, _sql_doc_mixture_sample()),
+    "doc_packing": (q_doc_packing, _sql_doc_packing()),
+    "events_asof": (q_events_asof, _SQL_EVENTS_ASOF),
+    "events_interval_join": (q_events_interval_join, _SQL_EVENTS_INTERVAL_JOIN),
+    "events_gapfill": (q_events_gapfill, _SQL_EVENTS_GAPFILL),
     # ================= past the 50-entry window =================
-    # oracle-backed, subsumed by an in-window entry (still checked by pytest)
+    # oracle-backed, subsumed by an in-window entry (still checked by pytest
+    # and by tools/check_correctness.py, which runs ALL entries): the kNN
+    # metric variants (kernel exactness in-window via vec_kernel_scores),
+    # band buckets (minhash_lsh_pairs builds on them), raw simhash
+    # signatures (hamming pairs recompute them), text-stat ratios
+    # (doc_quality composes them), CAS conflict rows (crud_cas in-window).
+    "knn_euclidean_top10": (_q_knn("euclidean"), _sql_knn("euclidean")),
+    "knn_dot_top10": (_q_knn("dot_product"), _sql_knn("dot_product")),
+    "rel_top_customers": (q_rel_top_customers, _SQL_REL_TOP_CUSTOMERS),
+    "doc_fingerprints": (
+        q_doc_fingerprints,
+        f"SELECT doc_id, md5({O.normalize_text('text')}) AS fp_md5, "
+        f"sha256(text) AS fp_sha256 FROM documents",
+    ),
+    "doc_text_stats": (
+        q_doc_text_stats,
+        f"SELECT doc_id, {O.punct_ratio('text')} AS punct_ratio, "
+        f"{O.stopword_ratio('text')} AS stopword_ratio, "
+        f"{O.mean_token_len('text')} AS mean_token_len FROM documents",
+    ),
+    "minhash_band_buckets": (q_minhash_band_buckets, _sql_minhash_band_buckets()),
+    "simhash": (q_simhash, f"{O.simhash_sql('documents', 'doc_id', 'text')}"),
+    "crud_cas_conflicts": (q_crud_cas_conflicts, _SQL_CRUD_CAS_CONFLICTS),
     "doc_token_count": (
         q_doc_token_count,
         f"SELECT doc_id, {O.token_count('text')} AS n_tokens FROM documents",
@@ -1920,13 +1981,6 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "doc_listing_has_more": (q_doc_listing_has_more, _SQL_DOC_LISTING_HAS_MORE),
     "emb_quantize_roundtrip": (q_emb_quantize_roundtrip, _sql_emb_quantize_roundtrip()),
     "knn_batch_numpy_ids_top5": (q_knn_batch_numpy_ids, _sql_knn_batch_ids()),
-    # curation + temporal (oracle-backed; DuckDB native ASOF JOIN oracle)
-    "doc_sample_hash": (q_doc_sample_hash, _sql_doc_sample_hash()),
-    "doc_mixture_sample": (q_doc_mixture_sample, _sql_doc_mixture_sample()),
-    "doc_packing": (q_doc_packing, _sql_doc_packing()),
-    "events_asof": (q_events_asof, _SQL_EVENTS_ASOF),
-    "events_interval_join": (q_events_interval_join, _SQL_EVENTS_INTERVAL_JOIN),
-    "events_gapfill": (q_events_gapfill, _SQL_EVENTS_GAPFILL),
     # numpy throughput twins — same oracles as their expression twins
     "simhash_np": (
         q_simhash_np,
