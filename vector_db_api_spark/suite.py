@@ -268,6 +268,45 @@ FROM documents d LEFT JOIN s USING (doc_id)
 """
 
 
+BM25_QUERY = "vector hash join"
+
+
+def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword scores for a fixed query (operators/keyword.py)."""
+    from vector_db_api_spark.operators import keyword as KW
+
+    return KW.bm25_scores(_docs(spark, sf_dir), BM25_QUERY)
+
+
+def _sql_doc_bm25() -> str:
+    """Bit-exact replay of bm25_scores: same fixed-order expression sum,
+    same left-assoc float ops (ln is evaluated on only len(terms) distinct
+    arguments, where Java's and DuckDB's libm agree)."""
+    terms = BM25_QUERY.split()
+    k1, b = 1.2, 0.75
+    tfs = ", ".join(
+        f"{O.word_occurrences('text', t)} AS tf{i}" for i, t in enumerate(terms)
+    )
+    dfs = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) * "
+        f"(CAST(tf{i} AS DOUBLE) * {k1 + 1.0}) / "
+        f"(CAST(tf{i} AS DOUBLE) + {k1} * (1.0 - {b} + {b} * dl * n / tdl))"
+        for i in range(len(terms))
+    )
+    anytf = " + ".join(f"tf{i}" for i in range(len(terms)))
+    return f"""
+WITH scored AS (SELECT doc_id, {O.token_count('text')} AS dl, {tfs} FROM documents),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tdl, {dfs} FROM scored)
+SELECT doc_id, 0.0 + {score} AS score
+FROM scored, stats
+WHERE {anytf} > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup suite (LLM-pipeline operators)
 # ---------------------------------------------------------------------------
@@ -1955,6 +1994,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # band buckets (minhash_lsh_pairs builds on them), raw simhash
     # signatures (hamming pairs recompute them), text-stat ratios
     # (doc_quality composes them), CAS conflict rows (crud_cas in-window).
+    "doc_bm25": (q_doc_bm25, _sql_doc_bm25()),
     "knn_euclidean_top10": (_q_knn("euclidean"), _sql_knn("euclidean")),
     "knn_dot_top10": (_q_knn("dot_product"), _sql_knn("dot_product")),
     "rel_top_customers": (q_rel_top_customers, _SQL_REL_TOP_CUSTOMERS),
