@@ -307,6 +307,37 @@ WHERE {anytf} > 0
 """
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector top-10 via reciprocal-rank fusion
+    (operators/hybrid.py): BM25 pool fused with exact-kNN pool — the
+    documents and embeddings tables share the 0..N-1 id space."""
+    from vector_db_api_spark.operators import hybrid as HY
+
+    return HY.hybrid_topk(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), BM25_QUERY, Q0, k=10, pool=50
+    )
+
+
+def _sql_hybrid_rrf() -> str:
+    c = 60
+    return f"""
+WITH lex AS (SELECT doc_id, score FROM ({_sql_doc_bm25()})
+             ORDER BY score DESC, doc_id ASC LIMIT 50),
+ra AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank_a FROM lex),
+vec AS (SELECT vec_id AS doc_id, {O.cosine_const('embedding', Q0)} AS score
+        FROM embeddings WHERE embedding IS NOT NULL
+        ORDER BY score DESC, vec_id ASC LIMIT 50),
+rb AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank_b FROM vec),
+f AS (SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, rank_a, rank_b
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+SELECT doc_id,
+       COALESCE(1.0 / ({c} + rank_a), 0.0) + COALESCE(1.0 / ({c} + rank_b), 0.0)
+         AS rrf_score,
+       rank_a, rank_b
+FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup suite (LLM-pipeline operators)
 # ---------------------------------------------------------------------------
@@ -1950,9 +1981,10 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL_STATS),
     # --- in-window: listing / pagination ---
     "doc_listing_page": (q_doc_listing_page, _SQL_DOC_LISTING_PAGE),
+    # --- in-window: hybrid retrieval ---
+    "doc_hybrid_rrf": (q_hybrid_rrf, _sql_hybrid_rrf()),
     # --- in-window: events / streaming batch-paths / skew ---
     "events_hourly": (q_events_hourly, _SQL_EVENTS_HOURLY),
-    "events_pivot": (q_events_pivot, _SQL_EVENTS_PIVOT),
     "events_first_seen": (q_events_first_seen, _SQL_EVENTS_FIRST_SEEN),
     "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
     "events_type_stats": (q_events_type_stats, _SQL_EVENTS_TYPE_STATS),
@@ -1995,6 +2027,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # signatures (hamming pairs recompute them), text-stat ratios
     # (doc_quality composes them), CAS conflict rows (crud_cas in-window).
     "doc_bm25": (q_doc_bm25, _sql_doc_bm25()),
+    "events_pivot": (q_events_pivot, _SQL_EVENTS_PIVOT),
     "knn_euclidean_top10": (_q_knn("euclidean"), _sql_knn("euclidean")),
     "knn_dot_top10": (_q_knn("dot_product"), _sql_knn("dot_product")),
     "rel_top_customers": (q_rel_top_customers, _SQL_REL_TOP_CUSTOMERS),
