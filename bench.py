@@ -77,6 +77,14 @@ HEADLINE = [
     # curation
     "doc_sample_hash",
     "doc_packing",
+    # temporal joins / gapfill
+    "events_interval_join",
+    "events_gapfill",
+    # decontamination / repetition / lexical+hybrid retrieval
+    "doc_decontaminate",
+    "doc_repetition",
+    "doc_bm25",
+    "doc_hybrid_rrf",
     "knn_quantized_top10",
     # mutations
     "crud_upsert",

@@ -233,3 +233,41 @@ def test_pq_search_candidate_selection_is_take_ordered(spark, emb):
     plan = _plan(pq.search(emb, codes, q, 5, id_col="vec_id"))
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan or "SortMergeJoin" in plan  # no global sort stage
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    from vector_db_api_spark.operators import decontaminate as X
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    plan = _plan(X.contamination_pairs(train, bench, k=8))
+    # the training corpus hash-joins the broadcast benchmark shingles —
+    # no shuffle of the corpus-side shingle table before the join
+    assert "BroadcastHashJoin" in plan
+    kept = _plan(X.decontaminate(train, bench, k=8))
+    assert "BroadcastHashJoin" in kept and "LeftAnti" in kept
+
+
+def test_bm25_scores_single_scan_no_join(spark):
+    from vector_db_api_spark.operators import keyword as KW
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(KW.bm25_scores(docs, suite.BM25_QUERY))
+    # scoring pass is scan + project/filter only: idf folded to literals,
+    # so no join, no aggregate, no shuffle anywhere in the scoring plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_repetition_stats_two_stacked_aggs_one_wide_shuffle(spark):
+    from vector_db_api_spark.operators import repetition as R
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(R.ngram_repetition_stats(docs, n=2))
+    # (id, gram) agg -> id agg -> left join back to ids: every Exchange
+    # must be keyed by doc_id or (doc_id, gram) — no all-to-all repartition
+    assert plan.count("HashAggregate") >= 4  # two partial+final pairs
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
