@@ -1202,8 +1202,10 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_api_spark.operators.timeseries import time_gapfill
 
     ev = load_table(spark, sf_dir, "events")
+    # window() is epoch-aligned (TZ-independent); date_trunc would shift
+    # bucket boundaries under a non-whole-hour session timezone
     rollup = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour")
+        "event_type", F.window("ts", "1 hour").getField("start").alias("hour")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
