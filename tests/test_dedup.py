@@ -192,3 +192,33 @@ def test_dedup_near_keeps_one_per_group(spark):
     )
     kept = {r["doc_id"] for r in dedup_near(docs).collect()}
     assert kept == {1, 3, 4}
+
+
+def test_span_overlap_detects_partial_copy(spark):
+    span = "the winnowing guarantee covers every run of six or more words exactly"
+    rows = [
+        (1, f"first document opens differently then quotes: {span} and closes with its own words"),
+        (2, f"second document starts another way but embeds {span} inside unrelated commentary"),
+        (3, "third document shares absolutely nothing with the quoted passage at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {(r["left_id"], r["right_id"]): r["n_shared_fps"]
+             for r in D.span_overlap_pairs(docs).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
+
+
+def test_span_overlap_fp_df_cap_drops_boilerplate(spark):
+    boiler = "standard footer text repeated across every page of the site verbatim"
+    docs = spark.createDataFrame(
+        [(i, f"unique opener number {i} then {boiler}") for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    # uncapped: the shared footer links all 15 pairs; a cap below the
+    # footer fingerprints' df drops those blocks (a handful of window
+    # minima near each unique prefix legitimately have small df, so the
+    # capped count shrinks rather than vanishing)
+    uncapped = D.span_overlap_pairs(docs, max_fp_df=None).count()
+    capped = D.span_overlap_pairs(docs, max_fp_df=3).count()
+    assert uncapped == 15
+    assert capped < uncapped

@@ -587,3 +587,46 @@ def dedup_near(
         F.col("id").alias(id_col)
     )
     return docs.join(non_reps, id_col, "left_anti")
+
+
+def span_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_shared_fps: int = 2,
+    max_fp_df: int | None = 1000,
+) -> DataFrame:
+    """(left_id, right_id, n_shared_fps): docs sharing winnowing
+    fingerprints — SPAN-level overlap detection.
+
+    Whole-document measures (minhash/simhash/Jaccard) miss a long quoted
+    passage inside two otherwise-different documents; winnowing guarantees
+    any shared run of ``window + k - 1`` words yields a shared fingerprint
+    (functions/text.py winnow_table), so counting shared fingerprints per
+    pair surfaces exactly those partial overlaps. This is the standard
+    copy-detection composition (MOSS): fingerprint → invert → pair-count.
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: ONE shuffle groups
+    fingerprints into per-fp doc-id sets, ``max_fp_df`` drops boilerplate
+    fingerprints (a span shared by thousands of docs is a template, and
+    would make its block quadratic) BEFORE pairs explode in place.
+    """
+    from vector_db_api_spark.functions.text import winnow_table
+
+    fps = winnow_table(docs, id_col, text_col, k, window).select(
+        F.col(id_col), F.explode("winnow_fps").alias("fp")
+    )
+    groups = fps.groupBy("fp").agg(F.collect_set(id_col).alias("ids"))
+    if max_fp_df is not None:
+        groups = groups.filter(F.size("ids") <= max_fp_df)
+    return (
+        groups.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("left_id"), "ids")
+        .select("left_id", F.explode("ids").alias("right_id"))
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared_fps)
+    )

@@ -494,6 +494,25 @@ WHERE CAST(inter AS DOUBLE) / CAST(ls.sz + rs.sz - inter AS DOUBLE) >= {JACCARD_
 """
 
 
+def q_span_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level overlap pairs via winnowing fingerprints
+    (operators/dedup.py span_overlap_pairs)."""
+    return D.span_overlap_pairs(_docs(spark, sf_dir))
+
+
+def _sql_span_overlap_pairs() -> str:
+    return f"""
+WITH w AS ({O.winnowing_sql('documents', 'doc_id', 'text', 3, 4)}),
+fp AS (SELECT doc_id, unnest(winnow_fps) AS fp FROM w),
+rare AS (SELECT fp FROM fp GROUP BY 1 HAVING COUNT(*) <= 1000),
+f AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp))
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_docs(spark, sf_dir))
 
@@ -2029,6 +2048,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # signatures (hamming pairs recompute them), text-stat ratios
     # (doc_quality composes them), CAS conflict rows (crud_cas in-window).
     "doc_bm25": (q_doc_bm25, _sql_doc_bm25()),
+    "span_overlap_pairs": (q_span_overlap_pairs, _sql_span_overlap_pairs()),
     "events_pivot": (q_events_pivot, _SQL_EVENTS_PIVOT),
     "knn_euclidean_top10": (_q_knn("euclidean"), _sql_knn("euclidean")),
     "knn_dot_top10": (_q_knn("dot_product"), _sql_knn("dot_product")),
