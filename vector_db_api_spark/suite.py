@@ -307,6 +307,81 @@ WHERE {anytf} > 0
 """
 
 
+def q_doc_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (functions/pii.py) over text with
+    deterministically PLANTED pii (the synthetic corpus has none); the
+    oracle plants the identical strings and runs the identical patterns
+    through RE2 instead of Java regex."""
+    from vector_db_api_spark.functions import pii as P
+
+    planted = _docs(spark, sf_dir).withColumn(
+        "ptext",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0.0."),
+                    (F.col("doc_id") % 250).cast("string"),
+                    F.lit(" or call +1415555"),
+                    (F.col("doc_id") % 10000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    counts = P.pii_counts("ptext")
+    return planted.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+        P.has_pii("ptext").alias("any_pii"),
+        P.redact_pii("ptext").alias("clean"),
+    )
+
+
+def _sql_doc_pii() -> str:
+    from vector_db_api_spark.functions.pii import PII_PATTERNS, REDACTION_TOKENS
+
+    em, ip, ph = PII_PATTERNS["email"], PII_PATTERNS["ipv4"], PII_PATTERNS["phone"]
+    red = "ptext"
+    for kind in ("email", "ipv4", "phone"):
+        red = (
+            f"regexp_replace({red}, '{PII_PATTERNS[kind]}', "
+            f"'{REDACTION_TOKENS[kind]}', 'g')"
+        )
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                      || ' or call +1415555' || CAST(doc_id % 10000 AS VARCHAR)
+                 ELSE '' END AS ptext
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(ptext, '{em}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(ptext, '{ip}')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(ptext, '{ph}')) AS INT) AS n_phone,
+       (len(regexp_extract_all(ptext, '{em}')) > 0
+        OR len(regexp_extract_all(ptext, '{ip}')) > 0
+        OR len(regexp_extract_all(ptext, '{ph}')) > 0) AS any_pii,
+       {red} AS clean
+FROM p
+"""
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+vector top-10 via reciprocal-rank fusion
     (operators/hybrid.py): BM25 pool fused with exact-kNN pool — the
@@ -2049,6 +2124,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # (doc_quality composes them), CAS conflict rows (crud_cas in-window).
     "doc_bm25": (q_doc_bm25, _sql_doc_bm25()),
     "span_overlap_pairs": (q_span_overlap_pairs, _sql_span_overlap_pairs()),
+    "doc_pii": (q_doc_pii, _sql_doc_pii()),
     "events_pivot": (q_events_pivot, _SQL_EVENTS_PIVOT),
     "knn_euclidean_top10": (_q_knn("euclidean"), _sql_knn("euclidean")),
     "knn_dot_top10": (_q_knn("dot_product"), _sql_knn("dot_product")),
