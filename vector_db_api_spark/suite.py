@@ -1056,6 +1056,141 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_rel_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity clears a
+    threshold (HAVING subquery), hydrated with the customer. The heavy agg
+    runs on lineitem first; orders/customer join the SMALL survivor set
+    (broadcast), never the other way around."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"))
+        .filter(F.col("qty_cents") > 17500)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+            "qty_cents",
+        )
+        .orderBy(F.desc("qty_cents"), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+_SQL_REL_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+  FROM lineitem GROUP BY 1 HAVING qty_cents > 17500)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS total_cents, b.qty_cents
+FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY qty_cents DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+def q_rel_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute —
+    exercises the two-phase distinct aggregate (Expand) path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_SQL_REL_DISTINCT_SUPPLIERS = """
+SELECT p.p_brand, p.p_type, COUNT(DISTINCT l.l_suppkey) AS n_suppliers,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1, 2
+"""
+
+
+def q_rel_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-revenue ratio. Both sums are exact
+    bigint cents; the ratio is ONE double division, so the oracle matches
+    to the bit despite the aggregate being float-derived."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("p_type") == "ECONOMY", _rev_cents()).otherwise(F.lit(0))
+        ).alias("promo_cents"),
+        F.sum(_rev_cents()).alias("total_cents"),
+    )
+    return agg.select(
+        "promo_cents",
+        "total_cents",
+        (
+            F.col("promo_cents").cast("double") * F.lit(100.0)
+            / F.col("total_cents").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+_SQL_REL_PROMO_RATIO = f"""
+WITH agg AS (
+  SELECT CAST(SUM(CASE WHEN p.p_type = 'ECONOMY' THEN {_SQL_REV_CENTS} ELSE 0 END) AS BIGINT) AS promo_cents,
+         CAST(SUM({_SQL_REV_CENTS}) AS BIGINT) AS total_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+SELECT promo_cents, total_cents,
+       CAST(promo_cents AS DOUBLE) * 100.0 / CAST(total_cents AS DOUBLE) AS promo_pct
+FROM agg
+"""
+
+
+def q_rel_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (orders above their customer's average)
+    decorrelated the Spark way: one agg per customer joined back, with the
+    comparison cross-multiplied into exact integer math
+    (o_cents * n_orders > total_cents ⇔ o_cents > avg) — no float avg
+    anywhere, so no summation-order drift."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_cents", F.floor(F.col("o_totalprice") * 100).cast("long")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_cents").alias("cust_cents"),
+    )
+    return (
+        orders.join(per_cust, "o_custkey")
+        .withColumn(
+            "margin_cents", F.col("o_cents") * F.col("n_orders") - F.col("cust_cents")
+        )
+        .filter(F.col("margin_cents") > 0)
+        .select("o_orderkey", "o_custkey", "o_cents", "n_orders", "margin_cents")
+        .orderBy(F.desc("margin_cents"), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+_SQL_REL_ABOVE_AVG_ORDERS = """
+WITH o AS (SELECT o_orderkey, o_custkey,
+                  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS o_cents FROM orders),
+pc AS (SELECT o_custkey, COUNT(*) AS n_orders, CAST(SUM(o_cents) AS BIGINT) AS cust_cents
+       FROM o GROUP BY 1)
+SELECT o.o_orderkey, o.o_custkey, o.o_cents, pc.n_orders,
+       o.o_cents * pc.n_orders - pc.cust_cents AS margin_cents
+FROM o JOIN pc USING (o_custkey)
+WHERE o.o_cents * pc.n_orders - pc.cust_cents > 0
+ORDER BY margin_cents DESC, o_orderkey ASC LIMIT 25
+"""
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type pivot (conditional aggregation — what pivot
     compiles to; explicit labels keep the schema deterministic)."""
@@ -2125,6 +2260,10 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "doc_bm25": (q_doc_bm25, _sql_doc_bm25()),
     "span_overlap_pairs": (q_span_overlap_pairs, _sql_span_overlap_pairs()),
     "doc_pii": (q_doc_pii, _sql_doc_pii()),
+    "rel_large_orders": (q_rel_large_orders, _SQL_REL_LARGE_ORDERS),
+    "rel_distinct_suppliers": (q_rel_distinct_suppliers, _SQL_REL_DISTINCT_SUPPLIERS),
+    "rel_promo_ratio": (q_rel_promo_ratio, _SQL_REL_PROMO_RATIO),
+    "rel_above_avg_orders": (q_rel_above_avg_orders, _SQL_REL_ABOVE_AVG_ORDERS),
     "events_pivot": (q_events_pivot, _SQL_EVENTS_PIVOT),
     "knn_euclidean_top10": (_q_knn("euclidean"), _sql_knn("euclidean")),
     "knn_dot_top10": (_q_knn("dot_product"), _sql_knn("dot_product")),
