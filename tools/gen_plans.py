@@ -120,6 +120,32 @@ def main() -> None:
             "exchange.",
             suite.q_rel_revenue_by_nation(spark, SF_DIR),
         ),
+        (
+            "BM25 scoring scan (doc_bm25)",
+            "Per-term tf and dl are plain expressions over ONE scan; idf is "
+            "folded into literals from the collected stats row — the scoring "
+            "plan has no join, no aggregate, no Exchange at any corpus size.",
+            __import__(
+                "vector_db_api_spark.operators.keyword", fromlist=["bm25_scores"]
+            ).bm25_scores(docs, suite.BM25_QUERY),
+        ),
+        (
+            "Benchmark decontamination (contamination_pairs)",
+            "The eval-set shingles broadcast; the training corpus shingles "
+            "in place and hash-joins the broadcast — the 100 TB side never "
+            "shuffles before the join; only matching (train, bench) rows hit "
+            "the counting Exchange.",
+            __import__(
+                "vector_db_api_spark.operators.decontaminate",
+                fromlist=["contamination_pairs"],
+            ).contamination_pairs(
+                docs.filter((docs.doc_id % 7) != 0),
+                docs.filter((docs.doc_id % 7) == 0).withColumnRenamed(
+                    "doc_id", "bench_id"
+                ),
+                k=8,
+            ),
+        ),
     ]
 
     out = [
