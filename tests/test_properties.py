@@ -166,3 +166,79 @@ def test_connected_components_match_union_find(spark, edges):
     got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     # same node set, identical min-id component labels
     assert got == want
+
+
+CORPUS = st.lists(
+    st.text(alphabet="abcd ", min_size=1, max_size=40), min_size=2, max_size=6
+)
+
+
+@given(texts=CORPUS)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bm25_matches_python_reference(spark, texts):
+    """bm25_scores against an independent pure-Python BM25 on random
+    corpora (same tokenizer: lowercase, whitespace, collapse runs)."""
+    import math
+
+    from vector_db_api_spark.operators.keyword import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    query = "a ab b"
+    terms = ["a", "ab", "b"]
+
+    # exact tokenizer twin: normalize (trim+lower+collapse) then split;
+    # token_count is 0 for empty normalized text while the token LIST of
+    # "" is [""] (word_occurrences never matches "" against a real term)
+    norm = [" ".join(t.lower().split()) for t in texts]
+    toks = [nm.split(" ") for nm in norm]
+    dls = [0 if nm == "" else len(tk) for nm, tk in zip(norm, toks)]
+    n = len(toks)
+    tdl = sum(dls)
+    want = {}
+    for i, tk in enumerate(toks):
+        if tdl == 0:
+            break  # all-empty corpus: no term can match anywhere
+        s = 0.0
+        anytf = 0
+        for term in terms:
+            tf = tk.count(term)
+            anytf += tf
+            df = sum(1 for other in toks if term in other)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s = s + idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dls[i] * n / tdl))
+        if anytf > 0:
+            want[i] = s
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(docs, query).collect()}
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == want[i]  # identical op order -> bit-equal
+
+
+@given(perm_seed=st.integers(0, 1000))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rrf_input_order_invariance(spark, perm_seed):
+    """rrf_fuse output depends only on (id, score) SETS, not row order."""
+    import random
+
+    from vector_db_api_spark.operators.hybrid import rrf_fuse
+
+    rows_a = [(i, float(100 - i)) for i in range(8)]
+    rows_b = [(i + 4, float(50 - i)) for i in range(8)]
+    rng = random.Random(perm_seed)
+    pa, pb = rows_a[:], rows_b[:]
+    rng.shuffle(pa)
+    rng.shuffle(pb)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, score double")
+    base = sorted(map(tuple, rrf_fuse(mk(rows_a), mk(rows_b), k=12).collect()))
+    perm = sorted(map(tuple, rrf_fuse(mk(pa), mk(pb), k=12).collect()))
+    assert base == perm
