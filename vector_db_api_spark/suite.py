@@ -307,6 +307,32 @@ WHERE {anytf} > 0
 """
 
 
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with stride overlap (operators/chunking.py):
+    documents -> the chunk fact table the reference's data model centers
+    on (chunk_tokens=16, stride=12 sized to the synthetic ~54-word docs)."""
+    from vector_db_api_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=16, stride=12)
+
+
+def _sql_doc_chunking() -> str:
+    n = O.normalize_text("text")
+    return f"""
+WITH t AS (SELECT doc_id, string_split({n}, ' ') AS toks,
+                  {O.token_count('text')} AS dl FROM documents),
+e AS (SELECT doc_id, dl, toks,
+             unnest(range(0, CASE WHEN dl > 0
+                  THEN CAST(ceil(greatest(dl - 16, 0) / 12.0) AS BIGINT) + 1
+                  ELSE 0 END)) AS wi
+      FROM t)
+SELECT doc_id, CAST(wi AS INT) AS position,
+       array_to_string(list_slice(toks, wi * 12 + 1, wi * 12 + 16), ' ') AS chunk_text,
+       CAST(least(dl - wi * 12, 16) AS INT) AS n_tokens
+FROM e
+"""
+
+
 def q_doc_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/pii.py) over text with
     deterministically PLANTED pii (the synthetic corpus has none); the
@@ -2260,6 +2286,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "doc_bm25": (q_doc_bm25, _sql_doc_bm25()),
     "span_overlap_pairs": (q_span_overlap_pairs, _sql_span_overlap_pairs()),
     "doc_pii": (q_doc_pii, _sql_doc_pii()),
+    "doc_chunking": (q_doc_chunking, _sql_doc_chunking()),
     "rel_large_orders": (q_rel_large_orders, _SQL_REL_LARGE_ORDERS),
     "rel_distinct_suppliers": (q_rel_distinct_suppliers, _SQL_REL_DISTINCT_SUPPLIERS),
     "rel_promo_ratio": (q_rel_promo_ratio, _SQL_REL_PROMO_RATIO),
