@@ -333,6 +333,37 @@ FROM e
 """
 
 
+def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values over (user_id, ts) — the data-layout key
+    write_zordered clusters files by (operators/layout.py)."""
+    from vector_db_api_spark.operators import layout as LY
+
+    ev = load_table(spark, sf_dir, "events")
+    return LY.zorder_value(
+        ev, ["user_id", "ts"], bits=8, tiebreak="event_id"
+    ).select("event_id", "zvalue")
+
+
+def _sql_events_zorder() -> str:
+    def interleave(tiles: list[str], bits: int) -> str:
+        n = len(tiles)
+        terms = [
+            f"((({t} >> {j}) & 1) << {j * n + i})"
+            for i, t in enumerate(tiles)
+            for j in range(bits)
+        ]
+        return " + ".join(terms)
+
+    return f"""
+WITH t AS (
+  SELECT event_id,
+         CAST(ntile(256) OVER (ORDER BY user_id, event_id) - 1 AS BIGINT) AS t0,
+         CAST(ntile(256) OVER (ORDER BY ts, event_id) - 1 AS BIGINT) AS t1
+  FROM events)
+SELECT event_id, CAST({interleave(['t0', 't1'], 8)} AS BIGINT) AS zvalue FROM t
+"""
+
+
 def q_doc_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/pii.py) over text with
     deterministically PLANTED pii (the synthetic corpus has none); the
@@ -2214,10 +2245,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_doc_quality,
         f"SELECT doc_id, {O.quality_score('text')} AS quality FROM documents",
     ),
-    "doc_token_count_bpe": (
-        q_doc_token_count_bpe,
-        f"SELECT doc_id, {O.token_count_bpe('text')} AS n_bpe_tokens FROM documents",
-    ),
+    "doc_chunking": (q_doc_chunking, _sql_doc_chunking()),
     "embed_knn_top10": (q_embed_knn, _sql_embed_knn()),
     "doc_winnowing": (
         q_doc_winnowing,
@@ -2270,7 +2298,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "corpus_clean": (q_corpus_clean, _sql_corpus_clean()),
     "corpus_clean_near": (q_corpus_clean_near, _sql_corpus_clean_near()),
     # --- in-window: curation + temporal (DuckDB native ASOF JOIN oracle) ---
-    "doc_sample_hash": (q_doc_sample_hash, _sql_doc_sample_hash()),
+    "doc_bm25": (q_doc_bm25, _sql_doc_bm25()),
     "doc_mixture_sample": (q_doc_mixture_sample, _sql_doc_mixture_sample()),
     "doc_packing": (q_doc_packing, _sql_doc_packing()),
     "events_asof": (q_events_asof, _SQL_EVENTS_ASOF),
@@ -2283,10 +2311,14 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # band buckets (minhash_lsh_pairs builds on them), raw simhash
     # signatures (hamming pairs recompute them), text-stat ratios
     # (doc_quality composes them), CAS conflict rows (crud_cas in-window).
-    "doc_bm25": (q_doc_bm25, _sql_doc_bm25()),
+    "doc_token_count_bpe": (
+        q_doc_token_count_bpe,
+        f"SELECT doc_id, {O.token_count_bpe('text')} AS n_bpe_tokens FROM documents",
+    ),
+    "doc_sample_hash": (q_doc_sample_hash, _sql_doc_sample_hash()),
     "span_overlap_pairs": (q_span_overlap_pairs, _sql_span_overlap_pairs()),
     "doc_pii": (q_doc_pii, _sql_doc_pii()),
-    "doc_chunking": (q_doc_chunking, _sql_doc_chunking()),
+    "events_zorder": (q_events_zorder, _sql_events_zorder()),
     "rel_large_orders": (q_rel_large_orders, _SQL_REL_LARGE_ORDERS),
     "rel_distinct_suppliers": (q_rel_distinct_suppliers, _SQL_REL_DISTINCT_SUPPLIERS),
     "rel_promo_ratio": (q_rel_promo_ratio, _SQL_REL_PROMO_RATIO),
