@@ -320,3 +320,30 @@ def test_time_gapfill_on_real_rollup(spark):
         assert joined.filter(F.col("n_events") != F.col("want")).count() == 0
     finally:
         dense.unpersist()
+
+
+def test_temperature_quotas_apportionment():
+    from vector_db_api_spark.operators.curation import temperature_quotas
+
+    counts = {"en": 218, "de": 70, "zh": 75, "fr": 64, "es": 73}
+    q = temperature_quotas(counts, 100)
+    assert q == {"en": 31, "de": 18, "zh": 17, "fr": 17, "es": 17}
+    assert sum(q.values()) == 100
+    # alpha=0.5 upsamples the tail: en is 43.6% of docs but 31% of the mix
+    assert q["en"] / 100 < counts["en"] / sum(counts.values())
+    # quotas cap at stratum size when the budget exceeds the corpus
+    small = temperature_quotas({"a": 3, "b": 2}, 100)
+    assert small == {"a": 3, "b": 2}
+
+
+def test_temperature_sample_extends_with_budget(spark):
+    from vector_db_api_spark.operators.curation import temperature_sample
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    small = {r["doc_id"] for r in temperature_sample(df, "lang", 50, "doc_id").collect()}
+    big = {r["doc_id"] for r in temperature_sample(df, "lang", 100, "doc_id").collect()}
+    assert len(small) == 50 and len(big) == 100
+    # growing the budget extends the per-stratum hash-ranked prefix;
+    # largest-remainder rounding can shift at most one row per stratum
+    assert len(small - big) <= 1

@@ -13,6 +13,8 @@ query.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -204,3 +206,58 @@ def pack_documents(
         .withColumn("oversize", toks > budget_tokens)
         .drop("__before")
     )
+
+
+def temperature_quotas(
+    counts: dict[str, int],
+    total: int,
+    weight_fn: Callable[[int], int] | None = None,
+) -> dict[str, int]:
+    """Largest-remainder apportionment of ``total`` across strata by
+    ``weight_fn(count)`` — the temperature-sampling schedule multilingual /
+    multi-source training mixes use (weight n^alpha, alpha<1 upsamples the
+    tail relative to its natural share).
+
+    Default weight is the integer square root (alpha=0.5) because it is
+    EXACT integer arithmetic — every engine apportions identically, so the
+    DuckDB oracle replays the quotas from the same counts. All-integer
+    largest-remainder: base = total*w // W, then +1 to the strata with the
+    largest (total*w) % W (ties by stratum name), finally capped at the
+    stratum count (so `total` is an upper bound when strata run short).
+    """
+    import math
+
+    wfn = weight_fn or math.isqrt
+    weights = {s: int(wfn(n)) for s, n in counts.items() if n > 0}
+    W = sum(weights.values())
+    if W <= 0:
+        return {}
+    base = {s: total * w // W for s, w in weights.items()}
+    leftover = total - sum(base.values())
+    order = sorted(
+        weights, key=lambda s: (-(total * weights[s] % W), s)
+    )
+    for s in order[:leftover]:
+        base[s] += 1
+    return {s: min(counts[s], q) for s, q in base.items()}
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    total: int,
+    key_col: str,
+    seed: int = 42,
+    weight_fn: Callable[[int], int] | None = None,
+) -> DataFrame:
+    """Temperature-weighted mixture sample: derive per-stratum quotas from
+    the observed counts (one cheap aggregate) and delegate the exact,
+    reproducible selection to :func:`stratified_sample` — inheriting its
+    Chernoff-prefiltered window (no stratum ever ranks corpus-sized
+    input)."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    quotas = temperature_quotas(counts, total, weight_fn)
+    return stratified_sample(df, strata_col, quotas, key_col, seed)

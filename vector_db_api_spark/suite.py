@@ -1418,6 +1418,39 @@ SELECT doc_id, lang FROM ranked WHERE {conds}
 """
 
 
+def q_doc_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture (operators/curation.py
+    temperature_sample): per-language quotas apportioned from observed
+    counts by integer-sqrt weights (exact largest-remainder — replayable
+    in any engine), selection hash-ranked like doc_mixture_sample."""
+    from vector_db_api_spark.operators.curation import temperature_sample
+
+    return temperature_sample(
+        _docs(spark, sf_dir), "lang", 100, key_col="doc_id"
+    ).select("doc_id", "lang")
+
+
+def _sql_doc_temperature_sample() -> str:
+    return f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM c WHERE n > 0),
+t AS (SELECT lang, n, wt, SUM(wt) OVER () AS W FROM w),
+q0 AS (SELECT lang, n, (100 * wt) // W AS base, (100 * wt) % W AS rem,
+              CAST(100 - SUM((100 * wt) // W) OVER () AS BIGINT) AS leftover
+       FROM t),
+q1 AS (SELECT lang, n, base, leftover,
+              ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rk FROM q0),
+quota AS (SELECT lang,
+                 LEAST(n, base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS q
+          FROM q1),
+ranked AS (SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY {_h32_key_sql(42)} ASC, doc_id ASC) AS rn
+           FROM documents)
+SELECT r.doc_id, r.lang FROM ranked r JOIN quota USING (lang) WHERE rn <= q
+"""
+
+
 def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: hash-sharded greedy bin assignment under a token
     budget — num_shards independent cumulative sums, never a global sort."""
@@ -2319,6 +2352,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "span_overlap_pairs": (q_span_overlap_pairs, _sql_span_overlap_pairs()),
     "doc_pii": (q_doc_pii, _sql_doc_pii()),
     "events_zorder": (q_events_zorder, _sql_events_zorder()),
+    "doc_temperature_sample": (q_doc_temperature_sample, _sql_doc_temperature_sample()),
     "rel_large_orders": (q_rel_large_orders, _SQL_REL_LARGE_ORDERS),
     "rel_distinct_suppliers": (q_rel_distinct_suppliers, _SQL_REL_DISTINCT_SUPPLIERS),
     "rel_promo_ratio": (q_rel_promo_ratio, _SQL_REL_PROMO_RATIO),
