@@ -170,3 +170,35 @@ def test_incremental_neardup_flags_cross_batch(spark, tmp_path):
         assert (str(900000 + i), str(i)) in cross, cross
     # bucket state grew by the delta only
     assert spark.read.parquet(buckets).count() == n_buckets_1 + 5 * 4
+
+
+def test_trending_stream_matches_batch(spark, tmp_path):
+    """Rollup in the stream, rank on the sink: the per-window top-k read
+    off the streaming sink equals trending over the batch rollup (for the
+    windows the watermark has closed — append mode holds the rest back)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_api_spark.sources.tables import load_table
+    from vector_db_api_spark.streaming.ingest import (
+        hourly_event_rollup,
+        trending_event_types,
+        windowed_event_counts,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "in")
+    events.write.parquet(src)
+    out, ck = str(tmp_path / "rollup"), str(tmp_path / "ck")
+    q = hourly_event_rollup(spark, src, out, ck)
+    q.awaitTermination(120)
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    closed = F.col("window_start") < F.expr(
+        f"timestamp'{max_ts}' - interval 3 hours"
+    )
+    streamed = sorted(map(tuple, trending_event_types(
+        spark.read.parquet(out).filter(closed)).collect()))
+    batch = sorted(map(tuple, trending_event_types(
+        windowed_event_counts(events).filter(closed)).collect()))
+    assert streamed == batch
+    assert len(batch) > 0

@@ -163,3 +163,25 @@ def incremental_index_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def trending_event_types(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Per-window top-k event types by count — "what's trending each hour".
+
+    Input is the ``windowed_event_counts`` rollup (batch frame or streamed
+    SINK — ranking is not a streaming-supported window function, and it
+    shouldn't be: a window's ranking is only final when the watermark
+    closes the window, which is exactly when the append-mode rollup emits
+    it. So the composition is rollup-in-stream, rank-on-sink, and the
+    stream==batch equivalence of the rollup carries over to the trending
+    output verbatim. Ties break by event_type for determinism.
+    """
+    from vector_db_api_spark.operators.topk import topk_per_group
+
+    return topk_per_group(
+        counts,
+        ["window_start"],
+        [F.desc("n_events"), F.col("event_type").asc()],
+        k,
+        keep_rank=True,
+    )
