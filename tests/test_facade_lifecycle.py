@@ -156,3 +156,33 @@ def test_http_app_over_facade(facade):
         json={"query_embedding": [1.0, 0.0, 0.0, 0.0], "k": 1},
     )
     assert hits.status_code == 200
+
+
+def test_ingest_document_text_end_to_end(spark, tmp_path_factory):
+    """Raw text -> chunk -> embed -> upsert -> search finds the chunk."""
+    from vector_db_api_spark.operators.embed import fake_md5_embedder
+
+    eng = Engine(spark, str(tmp_path_factory.mktemp("ingest_text")))
+    f = Facade(eng)
+    assert f.create_library(
+        {"id": "L2", "name": "lib2", "embedding_dim": 16}
+    )["status"] == 201
+
+    text = " ".join(f"tok{i}" for i in range(40))
+    res = f.ingest_document(
+        "L2", {"text": text, "document_id": "DT", "chunk_tokens": 16, "stride": 12}
+    )
+    assert res["status"] == 201
+    assert res["data"] == {"document_id": "DT", "chunks": 3}
+
+    # query with the embedding of chunk DT:1's exact text -> top hit
+    chunk1_text = " ".join(f"tok{i}" for i in range(12, 28))
+    qv = fake_md5_embedder(16)([chunk1_text])[0].tolist()
+    out = eng.search("L2", qv, k=1)
+    hit = out.collect()[0]
+    assert hit["id"] == "DT:1"
+
+    # validation: empty text 422, unknown field 422, missing library 404
+    assert f.ingest_document("L2", {"text": "   "})["status"] == 422
+    assert f.ingest_document("L2", {"text": "x", "nope": 1})["status"] == 422
+    assert f.ingest_document("NOPE", {"text": "x"})["status"] == 404

@@ -90,6 +90,24 @@ class Facade:
         except EngineError as e:
             return _err(e)
 
+    def ingest_document(self, library_id: str, body: dict) -> dict:
+        """Raw-text ingest: chunk → embed → upsert in one call (engine
+        extension; the reference ingests pre-made chunks only)."""
+        try:
+            unknown = set(body) - {"text", "document_id", "chunk_tokens", "stride"}
+            if unknown:
+                raise ValidationError(f"unknown fields: {sorted(unknown)}")
+            out = self.engine.ingest_document_text(
+                library_id,
+                body.get("text", ""),
+                document_id=body.get("document_id"),
+                chunk_tokens=int(body.get("chunk_tokens", 64)),
+                stride=int(body.get("stride", 48)),
+            )
+            return _ok(out, 201)
+        except EngineError as e:
+            return _err(e)
+
     # -- point gets (repos point lookups, repos/chunks.py:24-26 etc.) -------
 
     def _point_get(self, table: str, entity_id: str) -> dict:

@@ -126,6 +126,75 @@ class Engine:
         self.store.write("documents", self.store.read("documents").unionByName(row))
         return doc_id
 
+    def ingest_document_text(
+        self,
+        library_id: str,
+        text: str,
+        document_id: str | None = None,
+        chunk_tokens: int = 64,
+        stride: int = 48,
+        embedder=None,
+    ) -> dict:
+        """Raw text in, searchable chunks out — the full RAG write path
+        composed from the engine's own operators: create the document row,
+        ``chunk_documents`` (token windows + stride), ``embed_texts`` at
+        the library's embedding_dim, then the validated ``upsert_chunks``
+        (which also applies the live index delta). The reference leaves
+        chunking/embedding to the caller (chunks arrive pre-made,
+        routers/chunks.py:79-92); here it is one engine call.
+
+        ``embedder``: batch fn texts->ndarray (the Cohere-integration
+        shape); defaults to the deterministic in-container stand-in.
+        """
+        from vector_db_api_spark.operators.chunking import chunk_documents
+        from vector_db_api_spark.operators.embed import embed_texts, fake_md5_embedder
+
+        if not text or not text.strip():
+            raise ValidationError("text must be non-empty")  # 422
+        lib = self._get_library_row(library_id)  # 404
+        dim = lib["embedding_dim"]
+        doc_id = self.create_document(library_id, document_id)
+        one = self.spark.createDataFrame(
+            [(doc_id, text)], "document_id string, text string"
+        )
+        chunks = chunk_documents(
+            one, chunk_tokens, stride, id_col="document_id"
+        ).withColumn(
+            "id",
+            F.concat(F.col("document_id"), F.lit(":"), F.col("position")),
+        )
+        embedded = embed_texts(
+            chunks,
+            dim=dim,
+            id_col="id",
+            text_col="chunk_text",
+            model_fn=embedder or fake_md5_embedder(dim),
+        )
+        shaped = (
+            chunks.join(embedded, "id")
+            .select(
+                "id",
+                F.lit(library_id).alias("library_id"),
+                "document_id",
+                "position",
+                F.col("chunk_text").alias("text"),
+                F.col("embedding").cast("array<float>").alias("embedding"),
+                F.struct(
+                    F.lit(None).cast("string").alias("source_uri"),
+                    F.lit(None).cast("string").alias("author"),
+                    F.lit(None).cast("string").alias("lang"),
+                    F.lit(None).cast("string").alias("mime_type"),
+                    F.lit(None).cast("array<string>").alias("tags"),
+                    F.lit(None).cast("int").alias("page_number"),
+                    F.col("n_tokens").alias("token_count"),
+                    F.sha2(F.col("chunk_text"), 256).alias("sha256"),
+                ).alias("metadata"),
+            )
+        )
+        n = shaped.count()
+        self.upsert_chunks(library_id, shaped)
+        return {"document_id": doc_id, "chunks": n}
+
     def delete_document(self, library_id: str, doc_id: str) -> None:
         """Scoped cascade delete (services/document.py:139-158): silently
         no-ops unless the document exists AND belongs to ``library_id`` — a
