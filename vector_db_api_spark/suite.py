@@ -1360,6 +1360,71 @@ def q_doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus health report — the one-query composition a
+    data platform answers first: volume, token budget + distribution
+    (exact percentiles here; the mergeable sketches replace them at
+    100 TB), dedup pressure (docs whose normalized fingerprint repeats),
+    and quality range. Every aggregate is exact-integer, min/max, or the
+    percentile both engines define identically — no float SUM/AVG, so the
+    report replays bit-for-bit."""
+    from vector_db_api_spark.functions.text import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        fingerprint("text").alias("fp"),
+    )
+    dup_fps = (
+        docs.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("fp")
+    )
+    flagged = docs.join(F.broadcast(dup_fps), "fp", "left_semi").select(
+        "doc_id"
+    ).withColumn("__dup", F.lit(1))
+    return (
+        docs.join(flagged, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.percentile("n_tokens", 0.5).alias("p50_tokens"),
+            F.percentile("n_tokens", 0.95).alias("p95_tokens"),
+            F.sum(F.coalesce("__dup", F.lit(0))).alias("dup_docs"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+    )
+
+
+def _sql_corpus_profile() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, {O.token_count('text')} AS n_tokens,
+         {O.quality_score('text')} AS quality,
+         md5({O.normalize_text('text')}) AS fp
+  FROM documents),
+dup AS (SELECT fp FROM d GROUP BY fp HAVING COUNT(*) > 1)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       quantile_cont(n_tokens, 0.5) AS p50_tokens,
+       quantile_cont(n_tokens, 0.95) AS p95_tokens,
+       CAST(SUM(CASE WHEN d.fp IN (SELECT fp FROM dup) THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_docs,
+       MIN(quality) AS min_quality,
+       MAX(quality) AS max_quality
+FROM d GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Curation: deterministic sampling / data mixing / sequence packing
 # (operators/curation.py — selection is md5-derived, so DuckDB replays it)
@@ -2353,6 +2418,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "doc_pii": (q_doc_pii, _sql_doc_pii()),
     "events_zorder": (q_events_zorder, _sql_events_zorder()),
     "doc_temperature_sample": (q_doc_temperature_sample, _sql_doc_temperature_sample()),
+    "corpus_profile": (q_corpus_profile, _sql_corpus_profile()),
     "rel_large_orders": (q_rel_large_orders, _SQL_REL_LARGE_ORDERS),
     "rel_distinct_suppliers": (q_rel_distinct_suppliers, _SQL_REL_DISTINCT_SUPPLIERS),
     "rel_promo_ratio": (q_rel_promo_ratio, _SQL_REL_PROMO_RATIO),
