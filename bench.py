@@ -85,6 +85,13 @@ HEADLINE = [
     "doc_repetition",
     "doc_bm25",
     "doc_hybrid_rrf",
+    # chunking / span overlap / pii / layout / profile
+    "doc_chunking",
+    "span_overlap_pairs",
+    "doc_pii",
+    "events_zorder",
+    "doc_temperature_sample",
+    "corpus_profile",
     "knn_quantized_top10",
     # mutations
     "crud_upsert",

@@ -2339,10 +2339,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_doc_lang_id,
         f"SELECT doc_id, {O.lang_id('text')} AS lang_pred FROM documents",
     ),
-    "doc_quality": (
-        q_doc_quality,
-        f"SELECT doc_id, {O.quality_score('text')} AS quality FROM documents",
-    ),
+    "corpus_profile": (q_corpus_profile, _sql_corpus_profile()),
     "doc_chunking": (q_doc_chunking, _sql_doc_chunking()),
     "embed_knn_top10": (q_embed_knn, _sql_embed_knn()),
     "doc_winnowing": (
@@ -2418,7 +2415,10 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "doc_pii": (q_doc_pii, _sql_doc_pii()),
     "events_zorder": (q_events_zorder, _sql_events_zorder()),
     "doc_temperature_sample": (q_doc_temperature_sample, _sql_doc_temperature_sample()),
-    "corpus_profile": (q_corpus_profile, _sql_corpus_profile()),
+    "doc_quality": (
+        q_doc_quality,
+        f"SELECT doc_id, {O.quality_score('text')} AS quality FROM documents",
+    ),
     "rel_large_orders": (q_rel_large_orders, _SQL_REL_LARGE_ORDERS),
     "rel_distinct_suppliers": (q_rel_distinct_suppliers, _SQL_REL_DISTINCT_SUPPLIERS),
     "rel_promo_ratio": (q_rel_promo_ratio, _SQL_REL_PROMO_RATIO),
