@@ -186,3 +186,38 @@ def test_ingest_document_text_end_to_end(spark, tmp_path_factory):
     assert f.ingest_document("L2", {"text": "   "})["status"] == 422
     assert f.ingest_document("L2", {"text": "x", "nope": 1})["status"] == 422
     assert f.ingest_document("NOPE", {"text": "x"})["status"] == 404
+
+
+def test_facade_full_route_surface(spark, tmp_path_factory):
+    """The facade methods behind every reference route: with-chunks create,
+    move, metadata CAS, index-config swap, scoped + cascading deletes."""
+    eng = Engine(spark, str(tmp_path_factory.mktemp("routes")))
+    f = Facade(eng)
+    assert f.create_library({"id": "A", "name": "a", "embedding_dim": 4})["status"] == 201
+    assert f.create_library({"id": "B", "name": "b", "embedding_dim": 4})["status"] == 201
+
+    made = f.create_document_with_chunks("A", {"id": "D", "chunks": [
+        {"id": "c1", "library_id": "A", "document_id": "ignored",
+         "position": 0, "text": "hello", "embedding": [1.0, 0.0, 0.0, 0.0]},
+    ]})
+    assert made["status"] == 201 and made["data"] == {"id": "D", "chunks": 1}
+
+    # metadata CAS: ok then version conflict
+    ok = f.update_document_metadata("D", {"title": "t", "expected_version": 1})
+    assert ok["status"] == 200
+    conflict = f.update_document_metadata("D", {"title": "x", "expected_version": 1})
+    assert conflict["status"] == 409
+
+    # index-config swap validates type
+    assert f.update_index_config("A", {"type": "nope"})["status"] == 422
+    assert f.update_index_config("A", {"type": "lsh"})["status"] == 200
+
+    # move to B, then scoped delete: wrong library no-ops (404-safe),
+    # right library cascades
+    assert f.move_document("A", "D", {})["status"] == 422
+    assert f.move_document("A", "D", {"to_library_id": "B"})["status"] == 200
+    assert f.delete_document("B", "D")["status"] == 204
+    assert f.get_document("D")["status"] == 404
+
+    assert f.delete_library("B")["status"] == 204
+    assert f.get_library("B")["status"] == 404

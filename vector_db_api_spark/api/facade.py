@@ -90,6 +90,82 @@ class Facade:
         except EngineError as e:
             return _err(e)
 
+    def delete_library(self, library_id: str) -> dict:
+        """routers/libraries.py DELETE — cascading (documents + chunks)."""
+        try:
+            self.engine.delete_library(library_id)
+            return _ok(None, 204)
+        except EngineError as e:
+            return _err(e)
+
+    def delete_document(self, library_id: str, document_id: str) -> dict:
+        """routers/documents.py:149-158 DELETE — scoped to the library."""
+        try:
+            self.engine.delete_document(library_id, document_id)
+            return _ok(None, 204)
+        except EngineError as e:
+            return _err(e)
+
+    def move_document(self, library_id: str, document_id: str, body: dict) -> dict:
+        """routers/documents.py:138-147 POST {doc}:move."""
+        try:
+            dst = body.get("to_library_id")
+            if not dst:
+                raise ValidationError("to_library_id is required")
+            self.engine.move_document(document_id, library_id, dst)
+            return _ok({"document_id": document_id, "library_id": dst})
+        except EngineError as e:
+            return _err(e)
+
+    def update_index_config(self, library_id: str, body: dict) -> dict:
+        """routers/libraries.py:93-122 PATCH index-config → rebuild+swap."""
+        try:
+            unknown = set(body) - {"type", "params"}
+            if unknown:
+                raise ValidationError(f"unknown fields: {sorted(unknown)}")
+            from vector_db_api_spark.lifecycle import IndexConfig
+
+            cfg = IndexConfig(body.get("type", "flat"), dict(body.get("params") or {}))
+            out = self.engine.update_index_config(library_id, cfg)
+            return _ok(out)
+        except EngineError as e:
+            return _err(e)
+
+    def create_document_with_chunks(self, library_id: str, body: dict) -> dict:
+        """routers/documents.py:82-101 POST /with-chunks — one call creates
+        the document and bulk-upserts its chunks."""
+        try:
+            unknown = set(body) - {"id", "chunks"}
+            if unknown:
+                raise ValidationError(f"unknown fields: {sorted(unknown)}")
+            doc = self.create_document(library_id, {"id": body.get("id")} if body.get("id") else {})
+            if doc["status"] != 201:
+                return doc
+            doc_id = doc["data"]["id"]
+            chunks = [dict(c, document_id=doc_id) for c in body.get("chunks", [])]
+            if chunks:
+                up = self.bulk_upsert_chunks(library_id, chunks)
+                if up["status"] != 200:
+                    return up
+            return _ok({"id": doc_id, "chunks": len(chunks)}, 201)
+        except EngineError as e:
+            return _err(e)
+
+    def update_document_metadata(
+        self, document_id: str, body: dict
+    ) -> dict:
+        """routers/documents.py PATCH metadata — CAS field-wise overwrite."""
+        try:
+            if "expected_version" not in body:
+                raise ValidationError("expected_version is required")
+            fields = {k: v for k, v in body.items() if k != "expected_version"}
+            self.engine.update_document_metadata(
+                document_id, fields, int(body["expected_version"])
+            )
+            return _ok({"id": document_id})
+        except EngineError as e:
+            return _err(e)
+
     def ingest_document(self, library_id: str, body: dict) -> dict:
         """Raw-text ingest: chunk → embed → upsert in one call (engine
         extension; the reference ingests pre-made chunks only)."""

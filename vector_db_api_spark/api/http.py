@@ -9,15 +9,23 @@ the facade-level ``health`` test; route wiring mirrors the reference's
 router table 1:1 so a FastAPI install turns it on without code changes).
 
 Reference route parity:
-- POST /libraries                      → Facade.create_library
-- GET  /libraries/{id}                 → Facade.get_library
-- POST /libraries/{id}/documents       → Facade.create_document
-- GET  /libraries/{id}/documents       → Facade.list_documents
-- POST /libraries/{id}/chunks          → Facade.bulk_upsert_chunks
-- GET  /documents/{id}                 → Facade.get_document
-- GET  /chunks/{id}                    → Facade.get_chunk
-- POST /libraries/{id}/search          → Facade.search
-- GET  /health                         → Facade.health (routers/health.py)
+- POST   /libraries                         → Facade.create_library
+- GET    /libraries/{id}                    → Facade.get_library
+- DELETE /libraries/{id}                    → Facade.delete_library
+- PATCH  /libraries/{id}/index-config       → Facade.update_index_config
+- POST   /libraries/{id}/documents          → Facade.create_document
+- POST   /libraries/{id}/documents/with-chunks → Facade.create_document_with_chunks
+- GET    /libraries/{id}/documents          → Facade.list_documents
+- DELETE /libraries/{id}/documents/{doc}    → Facade.delete_document
+- POST   /libraries/{id}/documents/{doc}:move → Facade.move_document
+- PATCH  /documents/{id}/metadata           → Facade.update_document_metadata
+- POST   /libraries/{id}/chunks             → Facade.bulk_upsert_chunks
+- GET    /documents/{id}                    → Facade.get_document
+- GET    /chunks/{id}                       → Facade.get_chunk
+- POST   /libraries/{id}/search             → Facade.search
+- GET    /health                            → Facade.health (routers/health.py)
+Engine extension (no reference counterpart):
+- POST   /libraries/{id}/documents/ingest-text → Facade.ingest_document
 
 Deployment note: one uvicorn worker per driver — the SparkSession is the
 engine; horizontal scale comes from the cluster behind it, not from HTTP
@@ -100,5 +108,39 @@ def create_app(facade: Facade):
     @app.post("/libraries/{library_id}/search")
     def search(library_id: str, body: dict, response: Response):
         return _reply(facade.search(library_id, body), response)
+
+    @app.delete("/libraries/{library_id}")
+    def delete_library(library_id: str, response: Response):
+        return _reply(facade.delete_library(library_id), response)
+
+    @app.delete("/libraries/{library_id}/documents/{document_id}")
+    def delete_document(library_id: str, document_id: str, response: Response):
+        return _reply(facade.delete_document(library_id, document_id), response)
+
+    @app.post("/libraries/{library_id}/documents/{document_id}:move")
+    def move_document(
+        library_id: str, document_id: str, body: dict, response: Response
+    ):
+        return _reply(facade.move_document(library_id, document_id, body), response)
+
+    @app.patch("/libraries/{library_id}/index-config")
+    def update_index_config(library_id: str, body: dict, response: Response):
+        return _reply(facade.update_index_config(library_id, body), response)
+
+    @app.post("/libraries/{library_id}/documents/with-chunks")
+    def create_document_with_chunks(
+        library_id: str, body: dict, response: Response
+    ):
+        return _reply(
+            facade.create_document_with_chunks(library_id, body), response
+        )
+
+    @app.patch("/documents/{document_id}/metadata")
+    def update_document_metadata(document_id: str, body: dict, response: Response):
+        return _reply(facade.update_document_metadata(document_id, body), response)
+
+    @app.post("/libraries/{library_id}/documents/ingest-text")
+    def ingest_document(library_id: str, body: dict, response: Response):
+        return _reply(facade.ingest_document(library_id, body), response)
 
     return app
