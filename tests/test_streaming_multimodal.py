@@ -334,3 +334,42 @@ def test_embed_texts_streams_and_matches_batch(spark, tmp_path):
     }
     want = {r["doc_id"]: r["embedding"] for r in embed_texts(docs, dim=16).collect()}
     assert got == want
+
+
+def test_streaming_text_ingest_matches_batch_and_is_idempotent(spark, tmp_path):
+    """Docs stream -> chunk -> embed -> sink == the batch composition;
+    re-running the drained stream (same checkpoint) adds nothing."""
+    from vector_db_api_spark.operators.chunking import chunk_documents
+    from vector_db_api_spark.operators.embed import embed_texts, fake_md5_embedder
+    from vector_db_api_spark.streaming.ingest import streaming_text_ingest
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", " ".join(f"w{i}_{j}" for j in range(50))) for i in range(10)],
+        "document_id string, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out, ck = str(tmp_path / "chunks"), str(tmp_path / "ck")
+
+    q = streaming_text_ingest(spark, src, out, ck, dim=8, chunk_tokens=16, stride=12)
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["id"], r["chunk_text"], tuple(r["embedding"]))
+        for r in spark.read.parquet(out).collect()
+    )
+    chunks = chunk_documents(docs, 16, 12, id_col="document_id").withColumn(
+        "id", F.concat("document_id", F.lit(":"), "position")
+    )
+    emb = embed_texts(chunks, dim=8, id_col="id", text_col="chunk_text",
+                      model_fn=fake_md5_embedder(8))
+    want = sorted(
+        (r["id"], r["chunk_text"], tuple(r["embedding"]))
+        for r in chunks.join(emb, "id").collect()
+    )
+    assert got == want and len(got) == 40  # ceil((50-16)/12)+1 = 4 per doc
+
+    # drained re-run: checkpoint says nothing new -> sink unchanged
+    q2 = streaming_text_ingest(spark, src, out, ck, dim=8, chunk_tokens=16, stride=12)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 40

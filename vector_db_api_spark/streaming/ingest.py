@@ -185,3 +185,61 @@ def trending_event_types(counts: DataFrame, k: int = 3) -> DataFrame:
         k,
         keep_rank=True,
     )
+
+
+def streaming_text_ingest(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint: str,
+    dim: int = 64,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    model_fn=None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Raw documents stream → chunk → embed → chunk-row sink: the write
+    half of a RAG pipeline as one continuous job (new document files land,
+    searchable chunk rows come out).
+
+    Chunking and embedding are stateless per-document transforms, so they
+    run inside ``foreachBatch`` on each micro-batch (which also lets the
+    chunk↔embedding join stay a plain batch join — no stream-stream join
+    state). The sink is epoch-stamped + dynamic-partition-overwrite, so an
+    at-least-once retry of a micro-batch overwrites its own epoch
+    partition instead of duplicating chunks — same idempotency discipline
+    as the other foreachBatch sinks here.
+    """
+    from vector_db_api_spark.operators.chunking import chunk_documents
+    from vector_db_api_spark.operators.embed import embed_texts, fake_md5_embedder
+
+    fn = model_fn or fake_md5_embedder(dim)
+    docs = spark.readStream.schema("document_id string, text string").parquet(
+        input_path
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        chunks = chunk_documents(
+            batch_df, chunk_tokens, stride, id_col="document_id"
+        ).withColumn(
+            "id",
+            F.concat(F.col("document_id"), F.lit(":"), F.col("position")),
+        )
+        embedded = embed_texts(
+            chunks, dim=dim, id_col="id", text_col="chunk_text", model_fn=fn
+        )
+        (
+            chunks.join(embedded, "id")
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(output_path)
+        )
+
+    writer = docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
