@@ -613,9 +613,15 @@ def span_overlap_pairs(
     fingerprints (a span shared by thousands of docs is a template, and
     would make its block quadratic) BEFORE pairs explode in place.
     """
-    from vector_db_api_spark.functions.text import winnow_table
+    from vector_db_api_spark.functions.kernels import winnow_table_np
 
-    fps = winnow_table(docs, id_col, text_col, k, window).select(
+    # The Arrow kernel twin (bit-equal to text.winnow_table, pinned in
+    # tests/test_kernels.py) rather than the expression path: exploding a
+    # Column-expression array re-evaluates the O(S·w) hash pipeline per
+    # OUTPUT row once CollapseProject inlines it into Generate — measured
+    # 224s -> 5.5s at sf0.1. The mapInPandas stage physically materializes
+    # the array, so the explode reads data, not an expression.
+    fps = winnow_table_np(_parallelize(docs), id_col, text_col, k, window).select(
         F.col(id_col), F.explode("winnow_fps").alias("fp")
     )
     groups = fps.groupBy("fp").agg(F.collect_set(id_col).alias("ids"))

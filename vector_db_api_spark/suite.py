@@ -1210,6 +1210,85 @@ FROM agg
 """
 
 
+def q_rel_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flowing between two specific nations —
+    supplier's nation on the lineitem side, customer's nation through
+    orders. Both nation dims broadcast; the two fact joins shuffle on
+    their keys once each."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(_rev_cents()).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_SQL_REL_TRADE_VOLUME = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(SUM({_SQL_REV_CENTS}) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2
+"""
+
+
+def q_rel_disjunctive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate over the joined part dim —
+    the disjunction Catalyst must push through the join as a
+    per-branch-prunable filter rather than a residual."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10)
+         & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#4") & (F.col("p_size") <= 20)
+           & (F.col("l_quantity") >= 5))
+        | ((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 5))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_rev_cents()).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_SQL_REL_DISJUNCTIVE_PARTS = f"""
+SELECT CAST(SUM({_SQL_REV_CENTS}) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#2' AND p.p_size <= 10 AND l.l_quantity >= 10)
+   OR (p.p_brand = 'Brand#4' AND p.p_size <= 20 AND l.l_quantity >= 5)
+   OR (p.p_type = 'ECONOMY' AND p.p_size <= 5)
+"""
+
+
 def q_rel_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape (orders above their customer's average)
     decorrelated the Spark way: one agg per customer joined back, with the
@@ -2423,6 +2502,8 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "rel_distinct_suppliers": (q_rel_distinct_suppliers, _SQL_REL_DISTINCT_SUPPLIERS),
     "rel_promo_ratio": (q_rel_promo_ratio, _SQL_REL_PROMO_RATIO),
     "rel_above_avg_orders": (q_rel_above_avg_orders, _SQL_REL_ABOVE_AVG_ORDERS),
+    "rel_trade_volume": (q_rel_trade_volume, _SQL_REL_TRADE_VOLUME),
+    "rel_disjunctive_parts": (q_rel_disjunctive_parts, _SQL_REL_DISJUNCTIVE_PARTS),
     "events_pivot": (q_events_pivot, _SQL_EVENTS_PIVOT),
     "knn_euclidean_top10": (_q_knn("euclidean"), _sql_knn("euclidean")),
     "knn_dot_top10": (_q_knn("dot_product"), _sql_knn("dot_product")),
