@@ -83,6 +83,7 @@ HEADLINE = [
     # decontamination / repetition / lexical+hybrid retrieval
     "doc_decontaminate",
     "doc_repetition",
+    "doc_repetition_np",
     "doc_bm25",
     "doc_hybrid_rrf",
     # chunking / span overlap / pii / layout / profile

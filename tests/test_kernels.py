@@ -68,3 +68,22 @@ def test_kernels_match_on_edge_shapes(spark):
     # null text: explode drops the doc in both implementations
     assert 8 not in s_expr and 8 not in s_kern
     assert s_kern == s_expr
+
+
+def test_repetition_kernel_matches_expression(spark):
+    from vector_db_api_spark.functions.kernels import repetition_stats_np
+    from vector_db_api_spark.operators.repetition import ngram_repetition_stats
+    from vector_db_api_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(map(tuple, ngram_repetition_stats(docs).collect()))
+    b = sorted(map(tuple, repetition_stats_np(docs).collect()))
+    assert a == b  # bit-equal incl. the double divisions
+
+    edge = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "solo"), (3, None), (4, "")],
+        "doc_id bigint, text string",
+    )
+    a = sorted(map(tuple, ngram_repetition_stats(edge).collect()))
+    b = sorted(map(tuple, repetition_stats_np(edge).collect()))
+    assert a == b

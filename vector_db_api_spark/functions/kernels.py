@@ -167,3 +167,57 @@ def simhash_np(
             yield pd.DataFrame({id_col: sub[id_col], "simhash": vals})
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def repetition_row(text: str | None, n: int = 2) -> tuple[int, float, float]:
+    """Twin of operators.repetition.ngram_repetition_stats for one doc:
+    (n_ngrams, top_ngram_frac, dup_ngram_frac). Null text -> zeros."""
+    if text is None:
+        return 0, 0.0, 0.0
+    from collections import Counter
+
+    grams = _shingles(_normalize(text).split(" "), n)
+    counts = Counter(grams)
+    total = len(grams)
+    if total == 0:
+        return 0, 0.0, 0.0
+    top = max(counts.values())
+    dup = sum(c for c in counts.values() if c > 1)
+    return total, top / total, dup / total
+
+
+def repetition_stats_np(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Throughput twin of repetition.ngram_repetition_stats — and a plan
+    UPGRADE, not just a constant-factor win: the expression path explodes
+    n-grams and aggregates twice (one wide shuffle of every gram string);
+    here each doc's whole count map lives inside its Arrow batch, so the
+    stats come off the scan with ZERO shuffle. Row equality vs the
+    expression path is pinned in tests/test_kernels.py."""
+    out_schema = (
+        f"{df.schema[id_col].dataType.simpleString()}"
+    )
+    schema = (
+        f"{id_col} {out_schema}, n_ngrams bigint, "
+        "top_ngram_frac double, dup_ngram_frac double"
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for b in batches:
+            stats = [repetition_row(t, n) for t in b[text_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "n_ngrams": [s[0] for s in stats],
+                    "top_ngram_frac": [s[1] for s in stats],
+                    "dup_ngram_frac": [s[2] for s in stats],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)

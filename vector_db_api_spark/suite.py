@@ -2532,6 +2532,12 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "emb_quantize_roundtrip": (q_emb_quantize_roundtrip, _sql_emb_quantize_roundtrip()),
     "knn_batch_numpy_ids_top5": (q_knn_batch_numpy_ids, _sql_knn_batch_ids()),
     # numpy throughput twins — same oracles as their expression twins
+    "doc_repetition_np": (
+        lambda spark, sf_dir: __import__(
+            "vector_db_api_spark.functions.kernels", fromlist=["repetition_stats_np"]
+        ).repetition_stats_np(_docs(spark, sf_dir)),
+        _sql_doc_repetition(),
+    ),
     "simhash_np": (
         q_simhash_np,
         f"{O.simhash_sql('documents', 'doc_id', 'text')}",
