@@ -271,3 +271,26 @@ def test_repetition_stats_two_stacked_aggs_one_wide_shuffle(spark):
     # must be keyed by doc_id or (doc_id, gram) — no all-to-all repartition
     assert plan.count("HashAggregate") >= 4  # two partial+final pairs
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_span_overlap_explodes_materialized_fps_not_expression(spark):
+    from vector_db_api_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(D.span_overlap_pairs(docs))
+    # the fingerprint array must be PHYSICALLY materialized (Arrow stage)
+    # before the explode — exploding the expression re-evaluates the
+    # O(S*w) hash pipeline per output row (measured 224s vs 5.5s at sf0.1)
+    assert "MapInPandas" in plan
+    gen = plan.index("Generate")
+    mip = plan.index("MapInPandas")
+    assert mip > gen  # physical plans print top-down: the source is below
+
+
+def test_repetition_kernel_is_shuffle_free(spark):
+    from vector_db_api_spark.functions.kernels import repetition_stats_np
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(repetition_stats_np(docs))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
