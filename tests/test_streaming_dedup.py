@@ -202,3 +202,47 @@ def test_trending_stream_matches_batch(spark, tmp_path):
         windowed_event_counts(events).filter(closed)).collect()))
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """Flags produced by the stream equal the batch operator's pairs;
+    a drained re-run adds nothing."""
+    from vector_db_api_spark.operators.decontaminate import contamination_pairs
+    from vector_db_api_spark.streaming.dedup import streaming_decontaminate
+
+    bench_q = "which moon of jupiter has the largest subsurface ocean volume"
+    train = spark.createDataFrame(
+        [
+            (1, f"article quoting the benchmark: {bench_q} verbatim inside"),
+            (2, "entirely unrelated training document about spark shuffles"),
+            (3, f"another copy embedding {bench_q} with extra words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_q)], "bench_id bigint, text string"
+    )
+    src = str(tmp_path / "docs")
+    train.write.parquet(src)
+    flags_path, ck = str(tmp_path / "flags"), str(tmp_path / "ck")
+
+    q = streaming_decontaminate(
+        spark, src, "doc_id bigint, text string", bench, flags_path, ck
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["train_id"], r["bench_id"], r["n_shared"])
+        for r in spark.read.parquet(flags_path).collect()
+    )
+    want = sorted(
+        (r["train_id"], r["bench_id"], r["n_shared"])
+        for r in contamination_pairs(train, bench).collect()
+    )
+    assert got == want and {g[0] for g in got} == {1, 3}
+
+    q2 = streaming_decontaminate(
+        spark, src, "doc_id bigint, text string", bench, flags_path, ck
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(flags_path).count() == len(want)

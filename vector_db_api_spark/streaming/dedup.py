@@ -213,3 +213,57 @@ def incremental_neardup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_decontaminate(
+    spark,
+    input_path: str,
+    input_schema: str,
+    benchmark: DataFrame,
+    flags_path: str,
+    checkpoint: str,
+    k: int = 8,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Benchmark decontamination as a continuous job: flag training docs
+    against the eval set AS THEY ARRIVE, not in a nightly sweep.
+
+    The benchmark side is static for the life of the stream — its shingle
+    table is computed once, cached, and broadcast into every micro-batch's
+    hash join (same plan as the batch operator: the arriving corpus never
+    shuffles). Flags land epoch-stamped with dynamic partition overwrite,
+    so an at-least-once retry of a micro-batch replaces its own epoch
+    instead of duplicating flags (the discipline every foreachBatch sink
+    in this module follows).
+    """
+    from pyspark.sql import functions as F
+
+    from vector_db_api_spark.operators.decontaminate import contamination_pairs
+
+    bench_cached = benchmark.cache()
+    bench_cached.count()  # materialize once; every batch reuses it
+
+    stream = spark.readStream.schema(input_schema).parquet(input_path)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        flags = contamination_pairs(
+            batch_df, bench_cached, id_col, bench_id_col, text_col, k, min_shared
+        )
+        (
+            flags.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(flags_path)
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
