@@ -1439,6 +1439,30 @@ def q_doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency table with rank + cumulative coverage
+    (operators/tokenizer.py) — the tokenizer-sizing query."""
+    from vector_db_api_spark.operators.tokenizer import corpus_vocabulary
+
+    return corpus_vocabulary(_docs(spark, sf_dir), min_count=2)
+
+
+def _sql_corpus_vocabulary() -> str:
+    n = O.normalize_text("text")
+    return f"""
+WITH t AS (SELECT unnest(string_split({n}, ' ')) AS token FROM documents),
+c AS (SELECT token, COUNT(*) AS count FROM t WHERE token <> '' GROUP BY 1
+      HAVING COUNT(*) >= 2)
+SELECT token, count,
+       CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token ASC) AS INT) AS rank,
+       CAST(SUM(count) OVER (ORDER BY count DESC, token ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE)
+         / SUM(count) OVER () AS cum_coverage
+FROM c
+"""
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus health report — the one-query composition a
     data platform answers first: volume, token budget + distribution
@@ -2498,6 +2522,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_doc_quality,
         f"SELECT doc_id, {O.quality_score('text')} AS quality FROM documents",
     ),
+    "corpus_vocabulary": (q_corpus_vocabulary, _sql_corpus_vocabulary()),
     "rel_large_orders": (q_rel_large_orders, _SQL_REL_LARGE_ORDERS),
     "rel_distinct_suppliers": (q_rel_distinct_suppliers, _SQL_REL_DISTINCT_SUPPLIERS),
     "rel_promo_ratio": (q_rel_promo_ratio, _SQL_REL_PROMO_RATIO),
