@@ -1,0 +1,55 @@
+"""Unigram-LM quality scoring: hand-computed NLL, OOV handling, filter."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vector_db_api_spark.operators import lm as LM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, None)], "doc_id bigint, text string"
+    )
+
+
+def test_unigram_model_hand_computed(docs):
+    model, oov = LM.train_unigram(docs)
+    # counts: a=3, b=2, total=5, V=2, denom=8
+    assert model["a"] == pytest.approx(math.log(4 / 8))
+    assert model["b"] == pytest.approx(math.log(3 / 8))
+    assert oov == pytest.approx(math.log(1 / 8))
+
+
+def test_doc_nll_fold_and_oov(spark, docs):
+    model, oov = LM.train_unigram(docs)
+    scored = {r["doc_id"]: r for r in LM.doc_nll(docs, model, oov).collect()}
+    la, lb = math.log(4 / 8), math.log(3 / 8)
+    assert scored[1]["nll"] == pytest.approx(-(la + la + lb))
+    assert scored[1]["n_tokens"] == 3
+    assert scored[3]["n_tokens"] == 0 and scored[3]["nll"] == 0.0
+    # an OOV-heavy doc scores worse per token than in-vocab text
+    weird = spark.createDataFrame([(9, "zzz qqq")], "doc_id bigint, text string")
+    w = LM.doc_nll(weird, model, oov).collect()[0]
+    assert w["nll_per_token"] == pytest.approx(-math.log(1 / 8))
+    assert w["nll_per_token"] > scored[1]["nll_per_token"]
+
+
+def test_lm_quality_filter_drops_high_perplexity(spark):
+    rows = [(i, "the common phrasing appears again and again") for i in range(9)]
+    rows.append((99, "xqj vvk zzt blorp wug"))  # gibberish vs the corpus
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    model, oov = LM.train_unigram(docs)
+    scores = LM.doc_nll(docs, model, oov)
+    bar = scores.filter(F.col("doc_id") != 99).agg(
+        F.max("nll_per_token")
+    ).collect()[0][0]
+    kept = sorted(
+        r["doc_id"] for r in LM.lm_quality_filter(docs, bar + 1e-9).collect()
+    )
+    assert kept == list(range(9))

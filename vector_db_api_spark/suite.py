@@ -1463,6 +1463,47 @@ FROM c
 """
 
 
+def q_doc_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scores (operators/lm.py): train on the corpus,
+    score every doc by sequential-fold NLL. The oracle retrains the same
+    smoothed model in SQL and replays the positional fold."""
+    from vector_db_api_spark.operators.lm import doc_nll, train_unigram
+
+    docs = _docs(spark, sf_dir)
+    model, oov = train_unigram(docs)
+    return doc_nll(docs, model, oov)
+
+
+def _sql_doc_lm_nll() -> str:
+    n = O.normalize_text("text")
+    toks = f"list_filter(string_split({n}, ' '), t -> t <> '')"
+    return f"""
+WITH tok AS (SELECT unnest({toks}) AS t FROM documents),
+c AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+s AS (SELECT CAST(SUM(c) AS BIGINT) + CAST(COUNT(*) AS BIGINT) + 1 AS denom FROM c),
+lp AS (SELECT t, ln((c + 1.0) / denom) AS lp FROM c, s),
+d AS (SELECT doc_id, {toks} AS toks FROM documents),
+e AS (SELECT d.doc_id, u.pos, u.t FROM d,
+      LATERAL unnest(list_transform(range(1, len(toks) + 1),
+                     i -> struct_pack(pos := i, t := toks[i]))) AS x(u)),
+scored AS (
+  SELECT e.doc_id, e.pos,
+         -COALESCE(lp.lp, (SELECT ln(1.0 / denom) FROM s)) AS term
+  FROM e LEFT JOIN lp ON e.t = lp.t),
+folded AS (
+  SELECT doc_id,
+         {O.fold('list(term ORDER BY pos)')} AS nll,
+         COUNT(*) AS n_toks
+  FROM scored GROUP BY doc_id)
+SELECT d2.doc_id,
+       CAST(COALESCE(f.n_toks, 0) AS INT) AS n_tokens,
+       COALESCE(f.nll, 0.0) AS nll,
+       CASE WHEN COALESCE(f.n_toks, 0) > 0 THEN f.nll / f.n_toks
+            ELSE 0.0 END AS nll_per_token
+FROM documents d2 LEFT JOIN folded f USING (doc_id)
+"""
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus health report — the one-query composition a
     data platform answers first: volume, token budget + distribution
@@ -2523,6 +2564,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         f"SELECT doc_id, {O.quality_score('text')} AS quality FROM documents",
     ),
     "corpus_vocabulary": (q_corpus_vocabulary, _sql_corpus_vocabulary()),
+    "doc_lm_nll": (q_doc_lm_nll, _sql_doc_lm_nll()),
     "rel_large_orders": (q_rel_large_orders, _SQL_REL_LARGE_ORDERS),
     "rel_distinct_suppliers": (q_rel_distinct_suppliers, _SQL_REL_DISTINCT_SUPPLIERS),
     "rel_promo_ratio": (q_rel_promo_ratio, _SQL_REL_PROMO_RATIO),
