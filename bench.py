@@ -93,6 +93,8 @@ HEADLINE = [
     "events_zorder",
     "doc_temperature_sample",
     "corpus_profile",
+    "corpus_vocabulary",
+    "doc_lm_nll",
     "knn_quantized_top10",
     # mutations
     "crud_upsert",

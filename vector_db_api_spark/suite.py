@@ -2476,7 +2476,6 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # --- in-window: exact kNN (FlatIndex parity) ---
     "knn_cosine_top10": (_q_knn("cosine"), _sql_knn("cosine")),
     "knn_batch_top5": (q_knn_batch, _sql_knn_batch()),
-    "knn_postfilter": (q_knn_postfilter, _sql_knn_postfilter()),
     "topk_per_label": (q_topk_per_label, _sql_topk_per_label()),
     # --- in-window: text analysis ---
     "doc_lang_id": (
@@ -2501,6 +2500,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "embedding_neardup_np": (q_embedding_neardup_np, _sql_embedding_neardup_ids()),
     "doc_decontaminate": (q_doc_decontaminate, _sql_doc_decontaminate()),
     "doc_repetition": (q_doc_repetition, _sql_doc_repetition()),
+    "doc_lm_nll": (q_doc_lm_nll, _sql_doc_lm_nll()),
     # --- in-window: multimodal ---
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL_STATS),
     # --- in-window: listing / pagination ---
@@ -2564,7 +2564,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         f"SELECT doc_id, {O.quality_score('text')} AS quality FROM documents",
     ),
     "corpus_vocabulary": (q_corpus_vocabulary, _sql_corpus_vocabulary()),
-    "doc_lm_nll": (q_doc_lm_nll, _sql_doc_lm_nll()),
+    "knn_postfilter": (q_knn_postfilter, _sql_knn_postfilter()),
     "rel_large_orders": (q_rel_large_orders, _SQL_REL_LARGE_ORDERS),
     "rel_distinct_suppliers": (q_rel_distinct_suppliers, _SQL_REL_DISTINCT_SUPPLIERS),
     "rel_promo_ratio": (q_rel_promo_ratio, _SQL_REL_PROMO_RATIO),
