@@ -76,3 +76,25 @@ def test_chunk_embed_search_composition(spark):
     ).collect()
     assert hits[0]["chunk_id"] == "3:1"
     assert hits[0]["score"] == pytest.approx(1.0)
+
+
+def test_chunking_coverage_property_random(spark):
+    """Hypothesis-style sweep over sizes: every token covered, window
+    count matches the closed form, overlap equals chunk-stride."""
+    import math
+
+    for n_tok, chunk, stride in [(1, 4, 2), (4, 4, 2), (5, 4, 2),
+                                 (17, 8, 8), (23, 7, 3), (100, 16, 12)]:
+        text = " ".join(f"t{i}" for i in range(n_tok))
+        docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        rows = chunk_documents(docs, chunk, stride).collect()
+        want_windows = math.ceil(max(n_tok - chunk, 0) / stride) + 1
+        assert len(rows) == want_windows, (n_tok, chunk, stride)
+        seen = set()
+        for r in rows:
+            toks = r["chunk_text"].split(" ")
+            assert toks == [f"t{i}" for i in
+                            range(r["position"] * stride,
+                                  min(r["position"] * stride + chunk, n_tok))]
+            seen.update(toks)
+        assert len(seen) == n_tok
