@@ -130,6 +130,26 @@ def main() -> None:
             ).bm25_scores(docs, suite.BM25_QUERY),
         ),
         (
+            "Document chunking (chunk_documents)",
+            "Token array materialized once per row, window starts via "
+            "sequence, slice+join per window, explode — all fused onto the "
+            "scan: no Exchange, output linear in corpus tokens.",
+            __import__(
+                "vector_db_api_spark.operators.chunking",
+                fromlist=["chunk_documents"],
+            ).chunk_documents(docs, chunk_tokens=16, stride=12),
+        ),
+        (
+            "LM quality scoring (doc_nll)",
+            "The unigram model ships as literals (map + fold expressions); "
+            "the scoring pass is scan + project only — no join, no "
+            "aggregate, no Exchange, no transcendental in the plan.",
+            (lambda _lm=__import__(
+                "vector_db_api_spark.operators.lm",
+                fromlist=["train_unigram", "doc_nll"],
+            ): _lm.doc_nll(docs, *_lm.train_unigram(docs)))(),
+        ),
+        (
             "Benchmark decontamination (contamination_pairs)",
             "The eval-set shingles broadcast; the training corpus shingles "
             "in place and hash-joins the broadcast — the 100 TB side never "
