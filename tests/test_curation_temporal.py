@@ -347,3 +347,24 @@ def test_temperature_sample_extends_with_budget(spark):
     # growing the budget extends the per-stratum hash-ranked prefix;
     # largest-remainder rounding can shift at most one row per stratum
     assert len(small - big) <= 1
+
+
+def test_leakage_free_split_keeps_dup_clusters_together(spark):
+    from vector_db_api_spark.operators.curation import leakage_free_split
+
+    base = "the exact same duplicated content repeated across these documents verbatim"
+    rows = [(i, base) for i in range(6)]                    # one dup cluster
+    rows += [(100 + i, f"unique document number {i} with its own words entirely") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["split"] for r in
+           leakage_free_split(docs, eval_rate=0.5, key_col="doc_id").collect()}
+    # the whole duplicate cluster lands on ONE side
+    cluster_sides = {out[i] for i in range(6)}
+    assert len(cluster_sides) == 1
+    # and at 50% the singles actually split both ways
+    single_sides = {out[100 + i] for i in range(20)}
+    assert single_sides == {"train", "eval"}
+    # deterministic across runs
+    out2 = {r["doc_id"]: r["split"] for r in
+            leakage_free_split(docs, eval_rate=0.5, key_col="doc_id").collect()}
+    assert out == out2

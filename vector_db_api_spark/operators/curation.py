@@ -261,3 +261,47 @@ def temperature_sample(
     }
     quotas = temperature_quotas(counts, total, weight_fn)
     return stratified_sample(df, strata_col, quotas, key_col, seed)
+
+
+def leakage_free_split(
+    docs: DataFrame,
+    eval_rate: float,
+    key_col: str,
+    pairs: DataFrame | None = None,
+    seed: int = 42,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval split where near-duplicates NEVER straddle the boundary.
+
+    A plain hash split leaks: two near-duplicate documents can land one in
+    train, one in eval, and the eval metric silently measures
+    memorization. Here the split key is the document's near-dup COMPONENT
+    (connected components over minhash-LSH pairs, or any ``pairs`` frame
+    you supply — span-overlap, embedding near-dup, ...), so an entire
+    duplicate cluster moves as one unit; singleton docs hash on their own
+    id. Same deterministic h32(key:seed) rule as :func:`hash_sample`, so
+    the assignment is retry-stable and replayable by any engine.
+
+    Scale: one minhash pipeline + component propagation (both already
+    bounded — see operators/dedup.py), one broadcast-size join of the
+    component labels (pairs cover only docs WITH a duplicate, a small
+    fraction of any real corpus), then a scan-side hash comparison.
+    """
+    from .dedup import connected_components, minhash_lsh_pairs
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, id_col=key_col, text_col=text_col)
+    comp = connected_components(pairs, "left_id", "right_id").select(
+        F.col("id").alias(key_col), F.col("component")
+    )
+    threshold = int(eval_rate * (1 << 32))
+    keyed = docs.join(F.broadcast(comp), key_col, "left").withColumn(
+        "__group",
+        F.coalesce(F.col("component").cast("string"), F.col(key_col).cast("string")),
+    )
+    return keyed.withColumn(
+        "split",
+        F.when(_sample_hash("__group", seed) < threshold, F.lit("eval")).otherwise(
+            F.lit("train")
+        ),
+    ).drop("component", "__group")

@@ -1627,6 +1627,45 @@ SELECT doc_id, lang FROM ranked WHERE {conds}
 """
 
 
+def q_doc_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/eval split (operators/curation.py): near-dup
+    components (minhash-LSH pairs → min-label propagation) move as one
+    unit across the hash boundary."""
+    from vector_db_api_spark.operators.curation import leakage_free_split
+
+    return leakage_free_split(
+        _docs(spark, sf_dir), eval_rate=0.2, key_col="doc_id"
+    ).select("doc_id", "split")
+
+
+def _sql_doc_leakage_split() -> str:
+    ctes, select = _minhash_pairs_sql_parts()
+    threshold = int(0.2 * (1 << 32))
+    grp_hash = O.h32("grp || ':42'")
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({select}),
+edges AS (
+  SELECT left_id AS src, right_id AS dst FROM pairs
+  UNION
+  SELECT right_id AS src, left_id AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+keyed AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(c.component, d.doc_id) AS VARCHAR) AS grp
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+SELECT doc_id,
+       CASE WHEN {grp_hash} < {threshold} THEN 'eval' ELSE 'train' END AS split
+FROM keyed
+"""
+
+
 def q_doc_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted mixture (operators/curation.py
     temperature_sample): per-language quotas apportioned from observed
@@ -2564,6 +2603,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         f"SELECT doc_id, {O.quality_score('text')} AS quality FROM documents",
     ),
     "corpus_vocabulary": (q_corpus_vocabulary, _sql_corpus_vocabulary()),
+    "doc_leakage_split": (q_doc_leakage_split, _sql_doc_leakage_split()),
     "knn_postfilter": (q_knn_postfilter, _sql_knn_postfilter()),
     "rel_large_orders": (q_rel_large_orders, _SQL_REL_LARGE_ORDERS),
     "rel_distinct_suppliers": (q_rel_distinct_suppliers, _SQL_REL_DISTINCT_SUPPLIERS),
