@@ -373,3 +373,33 @@ def test_streaming_text_ingest_matches_batch_and_is_idempotent(spark, tmp_path):
     q2 = streaming_text_ingest(spark, src, out, ck, dim=8, chunk_tokens=16, stride=12)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 40
+
+
+def test_media_phash_neardup_finds_duplicate_payloads(spark):
+    """Identical payloads -> hamming 0; near-identical payloads (one byte
+    perturbed) -> small distance; unrelated payloads stay apart."""
+    from vector_db_api_spark.operators.multimodal import (
+        derive_media,
+        media_neardup_pairs,
+        media_phash,
+    )
+    from vector_db_api_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    media = derive_media(docs)
+    # plant an exact duplicate payload under a new id
+    import pyspark.sql.functions as F
+
+    dup = media.limit(1).withColumn("media_id", F.lit("dup-of-first"))
+    withdup = media.unionByName(dup)
+    pairs = media_neardup_pairs(withdup, max_distance=0).collect()
+    flat = {(r["left_id"], r["right_id"]): r["hamming"] for r in pairs}
+    first_id = media.limit(1).collect()[0]["media_id"]
+    key = tuple(sorted([first_id, "dup-of-first"]))
+    assert flat.get(key) == 0
+
+    # phash is deterministic and 60-bit bounded
+    ph = {r["media_id"]: r["phash"] for r in media_phash(media).collect()}
+    ph2 = {r["media_id"]: r["phash"] for r in media_phash(media).collect()}
+    assert ph == ph2
+    assert all(0 <= v < (1 << 60) for v in ph.values())

@@ -309,27 +309,41 @@ def simhash_hamming_pairs(
     one projection; fully SQL-expressible (bit_count is ANSI-ish in both
     Spark and DuckDB).
     """
+    sh = simhash(docs, id_col, text_col, nbits)
+    return hamming_pairs(sh, id_col, "simhash", max_distance, nbits)
+
+
+def hamming_pairs(
+    fps: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_distance: int = 3,
+    nbits: int = 60,
+) -> DataFrame:
+    """Pigeonhole-banded near-pairs over ANY int64 fingerprint column
+    (simhash, media perceptual hash, ...): the banding/self-join core of
+    :func:`simhash_hamming_pairs`, usable with fingerprints computed
+    elsewhere."""
     bands = max_distance + 1
     width = nbits // bands
-    sh = simhash(docs, id_col, text_col, nbits)
     mask = (1 << width) - 1
-    stacked = sh.select(
+    stacked = fps.select(
         id_col,
-        "simhash",
+        fp_col,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band_no"),
-                    F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("band_bits"),
+                    F.shiftright(fp_col, b * width).bitwiseAND(F.lit(mask)).alias("band_bits"),
                 )
                 for b in range(bands)
             ])
         ).alias("bd"),
-    ).select(id_col, "simhash", "bd.band_no", "bd.band_bits")
+    ).select(id_col, fp_col, "bd.band_no", "bd.band_bits")
     # group band buckets once, explode member pairs in place (single
     # shuffle on (band_no, band_bits) instead of a two-sided self-join)
     groups = stacked.groupBy("band_no", "band_bits").agg(
-        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("h"))).alias("ms")
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(fp_col).alias("h"))).alias("ms")
     )
     return (
         groups.filter(F.size("ms") >= 2)

@@ -209,3 +209,49 @@ def media_embeddings(
         "modality",
         F.transform(summed, lambda s: s / n).alias("embedding"),
     )
+
+
+def media_phash(
+    media: DataFrame, n_frames: int = 4, nbits: int = 60, decode_stub: str = "fake"
+) -> DataFrame:
+    """(media_id, modality, phash): perceptual hash of a media payload —
+    sign bits of the mean-pooled frame features against their own mean
+    (the aHash/pHash recipe: threshold each component at the global mean,
+    pack the bits). Bit i is set iff component (i mod dim) of the pooled
+    embedding exceeds the embedding's mean; for nbits > dim the pattern
+    repeats shifted so the fingerprint fills the band width downstream
+    banding expects.
+
+    Pure Column expressions over the pooled embedding (JVM folds); near-
+    identical payloads decode to near-identical features, so their phashes
+    differ in few bits — feed :func:`dedup.hamming_pairs`.
+    """
+    emb = media_embeddings(media, n_frames=n_frames, decode_stub=decode_stub)
+    dim = F.size("embedding")
+    mean = F.aggregate(
+        "embedding", F.lit(0.0), lambda a, x: a + x
+    ) / dim.cast("double")
+    bit = lambda i: F.when(
+        F.element_at("embedding", (F.lit(i) % dim) + 1) > mean, F.lit(1).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    packed = None
+    for i in range(nbits):
+        term = F.shiftleft(bit(i), i)
+        packed = term if packed is None else packed + term
+    return emb.select("media_id", "modality", packed.alias("phash"))
+
+
+def media_neardup_pairs(
+    media: DataFrame,
+    max_distance: int = 3,
+    n_frames: int = 4,
+    nbits: int = 60,
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """(left_id, right_id, hamming): near-duplicate media payloads via
+    perceptual-hash banding — the image/audio analogue of text simhash
+    dedup, reusing the same pigeonhole-banded pair generator."""
+    from .dedup import hamming_pairs
+
+    ph = media_phash(media, n_frames, nbits, decode_stub)
+    return hamming_pairs(ph, "media_id", "phash", max_distance, nbits)

@@ -2664,6 +2664,19 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "knn_batch_numpy_top5": (q_knn_batch_numpy, None),
     "multimodal_features": (q_multimodal_features, None),
     "multimodal_embed": (q_multimodal_embed, None),
+    "multimodal_neardup": (
+        lambda spark, sf_dir: __import__(
+            "vector_db_api_spark.operators.multimodal",
+            fromlist=["derive_media", "media_neardup_pairs"],
+        ).media_neardup_pairs(
+            __import__(
+                "vector_db_api_spark.operators.multimodal",
+                fromlist=["derive_media"],
+            ).derive_media(_docs(spark, sf_dir)),
+            max_distance=3,
+        ),
+        None,  # decode is an Arrow-stage stub; exactness pinned in pytest
+    ),
 }
 
 
