@@ -368,3 +368,19 @@ def test_leakage_free_split_keeps_dup_clusters_together(spark):
     out2 = {r["doc_id"]: r["split"] for r in
             leakage_free_split(docs, eval_rate=0.5, key_col="doc_id").collect()}
     assert out == out2
+
+
+def test_mad_anomalies_flags_planted_spike(spark):
+    from vector_db_api_spark.operators.timeseries import mad_anomalies
+
+    rows = [("a", i, 100 + (i % 5)) for i in range(40)]  # tight band
+    rows.append(("a", 99, 10_000))                        # planted spike
+    rows += [("b", i, 10_000 + i) for i in range(10)]     # different scale, no spike
+    df = spark.createDataFrame(rows, "grp string, t int, v long")
+    out = mad_anomalies(df, "v", ("grp",), k=3.0).collect()
+    flagged = {(r["grp"], r["t"]) for r in out if r["is_anomaly"]}
+    assert ("a", 99) in flagged
+    assert not any(g == "b" for g, _ in flagged)
+    # median/MAD are robust: the spike does not drag the median
+    a_med = next(r["group_median"] for r in out if r["grp"] == "a")
+    assert 100 <= a_med <= 105

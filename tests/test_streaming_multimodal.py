@@ -403,3 +403,35 @@ def test_media_phash_neardup_finds_duplicate_payloads(spark):
     ph2 = {r["media_id"]: r["phash"] for r in media_phash(media).collect()}
     assert ph == ph2
     assert all(0 <= v < (1 << 60) for v in ph.values())
+
+
+def test_incremental_postings_serve_same_bm25(spark, tmp_path):
+    """Postings built incrementally by the stream answer BM25 identically
+    to the batch expression path."""
+    from vector_db_api_spark.operators.keyword import bm25_topk, bm25_topk_postings
+    from vector_db_api_spark.streaming.ingest import incremental_postings_ingest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins shuffle data across executors"),
+            (2, "spark spark tuning guide"),
+            (3, "completely unrelated words about gardens"),
+            (4, "join tuning for shuffle heavy jobs"),
+        ],
+        "doc_id bigint, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    pp, dp, ck = (str(tmp_path / p) for p in ("postings", "doclens", "ck"))
+    q = incremental_postings_ingest(
+        spark, src, "doc_id bigint, text string", pp, dp, ck
+    )
+    q.awaitTermination(120)
+
+    postings = spark.read.parquet(pp).drop("epoch")
+    doclens = spark.read.parquet(dp).drop("epoch")
+    a = {(r["doc_id"], round(r["score"], 9)) for r in
+         bm25_topk(docs, "spark shuffle", k=4).collect()}
+    b = {(r["doc_id"], round(r["score"], 9)) for r in
+         bm25_topk_postings(postings, doclens, "spark shuffle", k=4).collect()}
+    assert a == b

@@ -76,3 +76,38 @@ def time_gapfill(
         else:
             out_cols.append(F.col(c))
     return dense.select(*out_cols)
+
+
+def mad_anomalies(
+    series: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: float = 3.0,
+) -> DataFrame:
+    """Flag outliers per group by the median/MAD rule: a point is anomalous
+    when |value - median| > k * MAD (MAD = median absolute deviation).
+
+    The robust twin of z-scoring — immune to the outliers it hunts, and,
+    unlike mean/stddev, built entirely from exact percentiles (no float
+    summation), so an external engine replays the flags bit-for-bit. Two
+    grouped aggregates (median, then MAD of the deviations) broadcast back
+    onto the series; at 100 TB swap ``percentile`` for the mergeable
+    ``approx_percentile`` sketch and keep the same shape.
+
+    Returns the input plus (group_median, mad, is_anomaly).
+    """
+    gcols = list(group_cols)
+    med = series.groupBy(*gcols).agg(
+        F.percentile(value_col, 0.5).alias("group_median")
+    )
+    j1 = series.join(F.broadcast(med), gcols) if gcols else series.crossJoin(
+        F.broadcast(med)
+    )
+    dev = j1.withColumn("__absdev", F.abs(F.col(value_col) - F.col("group_median")))
+    mad = dev.groupBy(*gcols).agg(F.percentile("__absdev", 0.5).alias("mad"))
+    j2 = dev.join(F.broadcast(mad), gcols) if gcols else dev.crossJoin(
+        F.broadcast(mad)
+    )
+    return j2.withColumn(
+        "is_anomaly", F.col("__absdev") > F.lit(k) * F.col("mad")
+    ).drop("__absdev")

@@ -243,3 +243,46 @@ def streaming_text_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_postings_ingest(
+    spark: SparkSession,
+    input_path: str,
+    input_schema: str,
+    postings_path: str,
+    doclens_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Keep the BM25 inverted index fresh as documents arrive — the
+    lexical counterpart of ``incremental_index_ingest``: each micro-batch
+    contributes ONLY its own (term, id, tf) postings and (id, dl) doc
+    lengths, appended epoch-stamped (idempotent overwrite per epoch, like
+    every foreachBatch sink here). Corpus stats (N, total_dl, df) are
+    derived at query time from the doclens/postings tables, so no global
+    state is rebuilt in the stream — identical to the reference's
+    index.add discipline applied to keyword search.
+    """
+    from vector_db_api_spark.operators.keyword import build_postings
+
+    stream = spark.readStream.schema(input_schema).parquet(input_path)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        postings, doclens = build_postings(batch_df, id_col, text_col)
+        for frame, path in ((postings, postings_path), (doclens, doclens_path)):
+            (
+                frame.withColumn("epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(path)
+            )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

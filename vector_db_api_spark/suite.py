@@ -1666,6 +1666,36 @@ FROM keyed
 """
 
 
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier flags over the hourly per-type rollup
+    (operators/timeseries.py mad_anomalies) — robust anomaly detection
+    from exact percentiles only, composed on the gapfill-ready series."""
+    from vector_db_api_spark.operators.timeseries import mad_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    rollup = ev.groupBy(
+        "event_type", F.window("ts", "1 hour").getField("start").alias("hour")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"))
+    return mad_anomalies(rollup, "value_cents", ("event_type",), k=3.0)
+
+
+_SQL_EVENTS_ANOMALIES = """
+WITH rollup AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY 1, 2),
+med AS (SELECT event_type, quantile_cont(value_cents, 0.5) AS group_median
+        FROM rollup GROUP BY 1),
+dev AS (SELECT r.*, m.group_median,
+               abs(r.value_cents - m.group_median) AS absdev
+        FROM rollup r JOIN med m USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT d.event_type, d.hour, d.value_cents, d.group_median, md.mad,
+       d.absdev > 3.0 * md.mad AS is_anomaly
+FROM dev d JOIN mad md USING (event_type)
+"""
+
+
 def q_doc_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted mixture (operators/curation.py
     temperature_sample): per-language quotas apportioned from observed
@@ -2604,6 +2634,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     ),
     "corpus_vocabulary": (q_corpus_vocabulary, _sql_corpus_vocabulary()),
     "doc_leakage_split": (q_doc_leakage_split, _sql_doc_leakage_split()),
+    "events_anomalies": (q_events_anomalies, _SQL_EVENTS_ANOMALIES),
     "knn_postfilter": (q_knn_postfilter, _sql_knn_postfilter()),
     "rel_large_orders": (q_rel_large_orders, _SQL_REL_LARGE_ORDERS),
     "rel_distinct_suppliers": (q_rel_distinct_suppliers, _SQL_REL_DISTINCT_SUPPLIERS),
