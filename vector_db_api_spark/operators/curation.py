@@ -305,3 +305,42 @@ def leakage_free_split(
             F.lit("train")
         ),
     ).drop("component", "__group")
+
+
+def export_training_shards(
+    docs: DataFrame,
+    path: str,
+    budget_tokens: int,
+    token_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_shards: int = 256,
+) -> tuple[int, int]:
+    """The pipeline's terminal step: materialize packed training shards.
+
+    Composes :func:`pack_documents`, drops ``oversize`` docs (upstream
+    should split them — silently truncating data is how token budgets
+    lie), and writes one partition directory per shard with rows ordered
+    (bin_no, bin_offset) inside it — the exact layout a sequential
+    training reader consumes: scan shard=K in file order and the bins
+    stream out packed. Returns (rows_written, n_shards_written).
+
+    Scale: partitionBy('shard') + repartition on shard keeps the write a
+    single shuffle; each shard's sortWithinPartitions is bounded by the
+    shard's share of the corpus (num_shards controls that).
+    """
+    packed = pack_documents(docs, budget_tokens, token_col, id_col, num_shards)
+    good = packed.filter(~F.col("oversize"))
+    (
+        good.repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", "bin_no", "bin_offset")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    import glob
+    import os
+
+    n_rows = good.sparkSession.read.parquet(path).count()
+    n_shards = len(glob.glob(os.path.join(path, "shard=*")))
+    return n_rows, n_shards
