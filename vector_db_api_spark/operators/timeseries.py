@@ -30,14 +30,17 @@ FILL_POLICIES = ("zero", "locf", "null")
 def time_gapfill(
     rollup: DataFrame,
     ts_col: str,
-    step: str,
+    step: str | int,
     group_cols: tuple[str, ...] = (),
     fills: dict[str, str] | None = None,
 ) -> DataFrame:
     """Densify a bucketed rollup to a regular grid.
 
     ``rollup``: one row per (group, bucket) — the output of a windowed agg.
-    ``step``: interval string matching the bucket width (e.g. "1 hour").
+    ``step``: interval string matching the bucket width (e.g. "1 hour") for
+    timestamp buckets, or an integer step for numeric buckets (e.g. epoch
+    seconds — 3600 for hourly). The numeric form is timezone-proof: the grid
+    is plain integer arithmetic, with no calendar interpretation anywhere.
     ``fills``: value column → policy ("zero" | "locf" | "null"); value
     columns absent from ``fills`` default to "null".
     """
@@ -51,11 +54,12 @@ def time_gapfill(
     bounds = rollup.groupBy(*gcols).agg(
         F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
     )
+    step_expr = (
+        F.lit(step) if isinstance(step, int) else F.expr(f"INTERVAL {step}")
+    )
     grid = bounds.select(
         *gcols,
-        F.explode(
-            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
-        ).alias(ts_col),
+        F.explode(F.sequence("__lo", "__hi", step_expr)).alias(ts_col),
     )
     dense = grid.join(rollup, gcols + [ts_col], "left")
 

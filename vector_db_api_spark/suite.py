@@ -1795,37 +1795,44 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly rollup (operators/timeseries.py): dense per-type
-    hour grid, counts zero-filled, value_cents carried forward (locf)."""
+    hour grid, counts zero-filled, value_cents carried forward (locf).
+
+    The hour bucket is emitted as epoch-seconds BIGINT (``unix_timestamp``
+    on the NTZ column ↔ DuckDB ``epoch()``) so neither the grid nor the
+    result depends on session timezone or timestamp canonicalization; locf
+    leading nulls coalesce to 0 on both sides so no nullable-int column
+    reaches the comparator."""
     from vector_db_api_spark.operators.timeseries import time_gapfill
 
     ev = load_table(spark, sf_dir, "events")
-    # window() is epoch-aligned (TZ-independent); date_trunc would shift
-    # bucket boundaries under a non-whole-hour session timezone
-    rollup = ev.groupBy(
-        "event_type", F.window("ts", "1 hour").getField("start").alias("hour")
-    ).agg(
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    rollup = ev.groupBy("event_type", hour.alias("hour")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
-    return time_gapfill(
-        rollup, "hour", "1 hour", group_cols=("event_type",),
+    filled = time_gapfill(
+        rollup, "hour", 3600, group_cols=("event_type",),
         fills={"n_events": "zero", "value_cents": "locf"},
+    )
+    return filled.select(
+        "event_type", "hour", "n_events",
+        F.coalesce("value_cents", F.lit(0)).cast("long").alias("value_cents"),
     )
 
 
 _SQL_EVENTS_GAPFILL = """
 WITH rollup AS (
-  SELECT event_type, date_trunc('hour', ts) AS hour,
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour,
          COUNT(*) AS n_events,
-         SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS value_cents
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents
   FROM events GROUP BY 1, 2
 ),
 bounds AS (
   SELECT event_type, min(hour) AS lo, max(hour) AS hi FROM rollup GROUP BY 1
 ),
 grid AS (
-  SELECT event_type,
-         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+  SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS hour
   FROM bounds
 ),
 dense AS (
@@ -1833,10 +1840,11 @@ dense AS (
   FROM grid LEFT JOIN rollup r USING (event_type, hour)
 )
 SELECT event_type, hour,
-       COALESCE(n_events, 0) AS n_events,
-       last_value(value_cents IGNORE NULLS) OVER (
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(last_value(value_cents IGNORE NULLS) OVER (
          PARTITION BY event_type ORDER BY hour
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_cents
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+         AS value_cents
 FROM dense
 """
 
