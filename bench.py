@@ -400,7 +400,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    detail = {
         "metric": "suite_wall_sec",
         "value": total,
         "unit": "sec",
@@ -410,7 +410,46 @@ def main() -> None:
         "recall_bar": recall_bar,
         "cold_first_run_sec": round(sum(cold.values()), 3),
         "sf": sf_val,
-    }))
+    }
+    # Full detail: an early stdout line + a committed artifact. The driver
+    # captures only the last ~2000 chars of stdout, so the LAST line must be
+    # a compact headline (r3's full line overflowed and recorded no bench).
+    detail_line = json.dumps(detail)
+    print(detail_line)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_DETAIL.md"), "w") as f:
+            f.write("# Bench detail (written by bench.py)\n\n```json\n"
+                    + json.dumps(detail, indent=1) + "\n```\n")
+    except OSError:
+        pass
+    headline_queries = [
+        "corpus_clean", "minhash_lsh_pairs", "embedding_neardup_np",
+        "simhash_np", "doc_winnowing_np", "doc_repetition_np", "doc_bm25",
+        "doc_hybrid_rrf", "events_hourly", "events_sessions",
+        "rel_revenue_by_nation", "knn_self_join_ivf", "ivf_search_batch32",
+        "lsh_search", "crud_upsert",
+    ]
+    headline = {
+        "metric": "suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {q: round(timings[q], 2) for q in headline_queries
+                    if q in timings},
+        "n_queries": len(timings),
+        "recall_bar": {"lsh": recall_bar["lsh"], "ivf": recall_bar["ivf"]},
+        "recall_clustered": {
+            "lsh": recall.get("lsh_clustered"),
+            "ivf": recall.get("ivf_clustered"),
+            "pq": recall.get("pq_clustered"),
+        },
+        "cold_first_run_sec": round(sum(cold.values()), 2),
+        "sf": sf_val,
+        "detail": "BENCH_DETAIL.md",
+    }
+    line = json.dumps(headline)
+    assert len(line) <= 1500, f"headline line too long: {len(line)}"
+    print(line)
     spark.stop()
 
 
