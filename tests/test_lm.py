@@ -40,6 +40,68 @@ def test_doc_nll_fold_and_oov(spark, docs):
     assert w["nll_per_token"] > scored[1]["nll_per_token"]
 
 
+def test_train_unigram_df_matches_literal_trainer(spark, docs):
+    model, oov = LM.train_unigram(docs)
+    model_df, oov_df = LM.train_unigram_df(docs)
+    assert oov_df == oov
+    dist = {r["token"]: r["logprob"] for r in model_df.collect()}
+    assert dist == model  # bit-exact, not approx
+
+
+def test_doc_nll_join_equals_literal_path(spark, docs):
+    model, oov = LM.train_unigram(docs)
+    model_df, _ = LM.train_unigram_df(docs)
+    lit = {r["doc_id"]: tuple(r) for r in LM.doc_nll(docs, model, oov).collect()}
+    jn = {
+        r["doc_id"]: tuple(r)
+        for r in LM.doc_nll_join(docs, model_df, oov).collect()
+    }
+    assert jn == lit  # same rows incl. empty doc, bit-exact doubles
+
+
+def test_doc_nll_join_shuffle_join_variant(spark, docs):
+    # broadcast_model=False is the huge-vocab path: same result via a
+    # shuffle join on token
+    model, oov = LM.train_unigram(docs)
+    model_df, _ = LM.train_unigram_df(docs)
+    lit = {r["doc_id"]: tuple(r) for r in LM.doc_nll(docs, model, oov).collect()}
+    jn = {
+        r["doc_id"]: tuple(r)
+        for r in LM.doc_nll_join(
+            docs, model_df, oov, broadcast_model=False
+        ).collect()
+    }
+    assert jn == lit
+
+
+def test_doc_nll_join_large_vocab(spark):
+    # 50k-type vocabulary: far beyond what a map literal tolerates, routine
+    # for the join path. Score a few docs whose NLL is hand-computable.
+    n_types = 50_000
+    vocab = spark.range(n_types).select(
+        F.concat(F.lit("tok"), F.col("id")).alias("w")
+    )
+    corpus = vocab.agg(F.concat_ws(" ", F.collect_list("w")).alias("text")).select(
+        F.lit(0).alias("doc_id"), "text"
+    )
+    probe = spark.createDataFrame(
+        [(1, "tok0 tok1 tok0"), (2, "unseen_xyz tok49999")],
+        "doc_id bigint, text string",
+    )
+    docs = corpus.select("doc_id", "text").union(probe)
+    model_df, oov = LM.train_unigram_df(docs)
+    assert model_df.count() == n_types + 1  # +1 for unseen_xyz
+    scored = {r["doc_id"]: r for r in LM.doc_nll_join(docs, model_df, oov).collect()}
+    # counts: tok0=3, tok1=2, tok49999=2, unseen_xyz=1, others=1;
+    # total occurrences = n_types (corpus) + 5 (probe docs)
+    total = n_types + 5
+    denom = total + (n_types + 1) + 1
+    assert scored[1]["n_tokens"] == 3
+    la, lb = math.log(4 / denom), math.log(3 / denom)
+    assert scored[1]["nll"] == -(la + lb + la)
+    assert scored[2]["nll"] == -(math.log(2 / denom) + math.log(3 / denom))
+
+
 def test_lm_quality_filter_drops_high_perplexity(spark):
     rows = [(i, "the common phrasing appears again and again") for i in range(9)]
     rows.append((99, "xqj vvk zzt blorp wug"))  # gibberish vs the corpus

@@ -42,6 +42,30 @@ def test_bpe_merges_classic_example(docs):
     assert merges == TK.learn_bpe_merges(docs, n_merges=8)
 
 
+def test_vocabulary_min_count_coverage_denominator(docs):
+    # min_count filters the VOCAB but not the coverage denominator: the
+    # retained tokens (low 5, newest 5, lower 2) cover 12 of 13 total
+    # occurrences — widest's occurrence still counts in the denominator
+    rows = {r["token"]: r for r in TK.corpus_vocabulary(docs, min_count=2).collect()}
+    assert "widest" not in rows
+    assert rows["lower"]["cum_coverage"] == pytest.approx(12 / 13)
+
+
+def test_bpe_merges_max_words_bounds_the_collect(docs):
+    # the full table here is 4 words; a cap >= 4 is exact, and a tight cap
+    # still learns the merges supported by the surviving words
+    assert TK.learn_bpe_merges(docs, n_merges=8, max_words=100) == \
+        TK.learn_bpe_merges(docs, n_merges=8)
+    # a tight cap behaves exactly as if the corpus held only the top words
+    # (low 5, newest 5 — the count-desc, word-asc head of the table)
+    top2 = TK.learn_bpe_merges(docs, n_merges=4, max_words=2)
+    survivors = docs.sparkSession.createDataFrame(
+        [(1, "low low low low low"), (2, "newest newest newest newest newest")],
+        "doc_id bigint, text string",
+    )
+    assert top2 == TK.learn_bpe_merges(survivors, n_merges=4)
+
+
 def test_apply_bpe_roundtrip(docs):
     merges = TK.learn_bpe_merges(docs, n_merges=30)
     out = {r["doc_id"]: r for r in TK.apply_bpe(docs, merges).collect()}

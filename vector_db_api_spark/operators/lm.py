@@ -10,9 +10,18 @@ bit-for-bit (sequential fold over the token array; add-one smoothing with
 a single OOV bucket).
 
 Two-scale split, like operators/tokenizer.py: counts aggregate is the only
-corpus-sized work; the model (vocab-sized) collects to the driver and
-ships as literals. At real vocab sizes ship it as a broadcast-join table
-instead — the fold becomes a sorted collect_list per doc; same semantics.
+corpus-sized work. The model then ships one of two ways:
+
+- literal path (``train_unigram`` + ``doc_nll``): the vocab collects to the
+  driver and folds as a map literal — bit-exact, zero-shuffle scoring, but
+  the expression tree grows with the vocabulary, so it is the ORACLE TWIN,
+  viable only at fixture vocab sizes;
+- join path (``train_unigram_df`` + ``doc_nll_join``): the model stays a
+  DataFrame (token, logprob), scoring posexplodes tokens, joins the model
+  (broadcast by default — right up to millions of types; pass
+  ``broadcast_model=False`` beyond that and the join shuffles on token),
+  and re-folds per doc in positional order. Same semantics, same sequential
+  double arithmetic, corpus-linear at any vocabulary size.
 """
 
 from __future__ import annotations
@@ -44,6 +53,96 @@ def train_unigram(
     denom = total + v + 1
     model = {r["t"]: math.log((r["c"] + 1) / denom) for r in counts}
     return model, math.log(1 / denom)
+
+
+def train_unigram_df(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, float]:
+    """Distributed twin of ``train_unigram``: the model stays a DataFrame
+    (token string, logprob double) — nothing vocab-sized ever reaches the
+    driver (only the two scalars total/V collect). logprob is computed
+    JVM-side with the same (count+1)/denom add-one smoothing; ``F.log`` and
+    driver ``math.log`` are both correctly-rounded doubles, so the two
+    trainers agree bit-for-bit (pinned by tests/test_lm.py)."""
+    counts = (
+        docs.select(F.explode(F.split(T.normalize_text(text_col), " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    denom = int(stats["total"] or 0) + int(stats["v"]) + 1
+    model_df = counts.select(
+        F.col("t").alias("token"),
+        F.log((F.col("c") + F.lit(1)) / F.lit(float(denom))).alias("logprob"),
+    )
+    return model_df, math.log(1 / denom)
+
+
+def doc_nll_join(
+    docs: DataFrame,
+    model_df: DataFrame,
+    oov_logprob: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Scale twin of ``doc_nll``: same (id, n_tokens, nll, nll_per_token)
+    output, model shipped as a join instead of a map literal.
+
+    posexplode_outer keeps empty/null-text docs (they score 0 with 0
+    tokens); each token left-joins the model (miss → OOV bucket); the
+    per-doc fold re-sorts terms by position before summing, so the double
+    accumulation order is IDENTICAL to the literal path's sequential fold —
+    join-path == literal-path bit-for-bit, not just approximately.
+
+    Cost shape: one explode (|tokens| rows), one model join (broadcast
+    by default; set ``broadcast_model=False`` for vocabularies too big to
+    broadcast and it becomes a shuffle join on token), one groupBy(id)
+    shuffle. Corpus-linear; no driver-sized anything."""
+    model = F.broadcast(model_df) if broadcast_model else model_df
+    toks = F.filter(
+        F.split(T.normalize_text(text_col), " "), lambda t: t != F.lit("")
+    )
+    exploded = docs.select(
+        F.col(id_col), F.posexplode_outer(toks).alias("__pos", "__tok")
+    )
+    joined = exploded.join(
+        model, exploded["__tok"] == model["token"], "left"
+    ).select(
+        id_col,
+        "__pos",
+        F.when(
+            F.col("__tok").isNotNull(),
+            -F.coalesce(F.col("logprob"), F.lit(oov_logprob)),
+        ).alias("__term"),
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.count("__term").alias("n_tokens"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.filter(
+                        F.collect_list(F.struct("__pos", "__term")),
+                        lambda s: s["__term"].isNotNull(),
+                    )
+                ),
+                lambda s: s["__term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("nll"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("nll"),
+        F.when(
+            F.col("n_tokens") > 0, F.col("nll") / F.col("n_tokens")
+        ).otherwise(F.lit(0.0)).alias("nll_per_token"),
+    )
 
 
 def doc_nll(

@@ -32,21 +32,23 @@ def corpus_vocabulary(
     One explode + one aggregate (map-side combined) — the only corpus-sized
     work. rank/cum_coverage run on the aggregated vocabulary, which is
     tiny, so the un-partitioned window is driver-trivial at any corpus
-    size. cum_coverage is the fraction of ALL token occurrences covered by
-    the vocabulary up to this rank (the number tokenizer sizing decisions
-    read off). Ties rank deterministically by (count desc, token asc);
-    coverage is exact integer arithmetic over bigint sums until the final
-    division.
+    size. cum_coverage is the fraction of ALL token occurrences (including
+    those of tokens later dropped by ``min_count``) covered by the
+    vocabulary up to this rank — the denominator aggregates BEFORE the
+    min_count filter, so the number tokenizer sizing decisions read off is
+    true coverage, not coverage-of-the-retained-vocab. Ties rank
+    deterministically by (count desc, token asc); coverage is exact integer
+    arithmetic over bigint sums until the final division.
     """
     toks = docs.select(
         F.explode(F.split(T.normalize_text(text_col), " ")).alias("token")
     ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("count"))
+    total_occ = counts.agg(F.sum("count").alias("__total"))
     if min_count > 1:
         counts = counts.filter(F.col("count") >= min_count)
     w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
-    total = Window.partitionBy()
-    return counts.select(
+    return counts.crossJoin(F.broadcast(total_occ)).select(
         "token",
         "count",
         F.row_number().over(w).alias("rank"),
@@ -54,7 +56,7 @@ def corpus_vocabulary(
             F.sum("count").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast(
                 "double"
             )
-            / F.sum("count").over(total)
+            / F.col("__total")
         ).alias("cum_coverage"),
     )
 
@@ -65,6 +67,7 @@ def learn_bpe_merges(
     id_col: str = "doc_id",
     text_col: str = "text",
     end_of_word: str = "</w>",
+    max_words: int | None = None,
 ) -> list[tuple[str, str]]:
     """Learn BPE merges (Sennrich et al. 2016) from the corpus: greedy —
     repeatedly merge the most frequent adjacent symbol pair, weighted by
@@ -73,18 +76,24 @@ def learn_bpe_merges(
 
     Scale: the corpus contributes ONE word-count aggregate (the same
     shuffle ``corpus_vocabulary`` pays); the merge loop is pure Python
-    over the collected frequency table — thousands of entries, not
-    corpus-sized.
+    over the collected frequency table. At web scale the distinct-word
+    table is itself 10^7-10^8 rows — set ``max_words`` to collect only the
+    top-N words by (count desc, word asc): the dropped tail is the
+    frequency floor, which contributes negligibly to pair counts (this is
+    how production BPE trainers bound the driver-side dict too). Default
+    None keeps the exact full-table behavior for fixture-scale corpora.
     """
-    wc = (
+    wc_df = (
         docs.select(
             F.explode(F.split(T.normalize_text(text_col), " ")).alias("w")
         )
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
     )
+    if max_words is not None:
+        wc_df = wc_df.orderBy(F.col("c").desc(), F.col("w").asc()).limit(max_words)
+    wc = wc_df.collect()
     vocab: dict[tuple[str, ...], int] = {
         tuple(list(r["w"]) + [end_of_word]): r["c"] for r in wc
     }

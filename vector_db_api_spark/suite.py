@@ -1451,14 +1451,15 @@ def _sql_corpus_vocabulary() -> str:
     n = O.normalize_text("text")
     return f"""
 WITH t AS (SELECT unnest(string_split({n}, ' ')) AS token FROM documents),
-c AS (SELECT token, COUNT(*) AS count FROM t WHERE token <> '' GROUP BY 1
-      HAVING COUNT(*) >= 2)
+call AS (SELECT token, COUNT(*) AS count FROM t WHERE token <> '' GROUP BY 1),
+tot AS (SELECT SUM(count) AS total FROM call),
+c AS (SELECT * FROM call WHERE count >= 2)
 SELECT token, count,
        CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token ASC) AS INT) AS rank,
        CAST(SUM(count) OVER (ORDER BY count DESC, token ASC
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS DOUBLE)
-         / SUM(count) OVER () AS cum_coverage
+         / (SELECT total FROM tot) AS cum_coverage
 FROM c
 """
 
@@ -1502,6 +1503,19 @@ SELECT d2.doc_id,
             ELSE 0.0 END AS nll_per_token
 FROM documents d2 LEFT JOIN folded f USING (doc_id)
 """
+
+
+def q_doc_lm_nll_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of doc_lm_nll (operators/lm.py): the model is trained
+    distributed (train_unigram_df — vocab never collects) and shipped as a
+    broadcast join (doc_nll_join) instead of a map literal; the positional
+    re-fold keeps the double accumulation order identical, so the same
+    retrain-in-SQL oracle must match bit-for-bit."""
+    from vector_db_api_spark.operators.lm import doc_nll_join, train_unigram_df
+
+    docs = _docs(spark, sf_dir)
+    model_df, oov = train_unigram_df(docs)
+    return doc_nll_join(docs, model_df, oov)
 
 
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2574,10 +2588,10 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _sql_ngram_jaccard_pairs()),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, _sql_simhash_hamming_pairs()),
     "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup()),
-    "embedding_neardup_np": (q_embedding_neardup_np, _sql_embedding_neardup_ids()),
     "doc_decontaminate": (q_doc_decontaminate, _sql_doc_decontaminate()),
     "doc_repetition": (q_doc_repetition, _sql_doc_repetition()),
     "doc_lm_nll": (q_doc_lm_nll, _sql_doc_lm_nll()),
+    "doc_lm_nll_join": (q_doc_lm_nll_join, _sql_doc_lm_nll()),
     # --- in-window: multimodal ---
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL_STATS),
     # --- in-window: listing / pagination ---
@@ -2626,7 +2640,9 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # metric variants (kernel exactness in-window via vec_kernel_scores),
     # band buckets (minhash_lsh_pairs builds on them), raw simhash
     # signatures (hamming pairs recompute them), text-stat ratios
-    # (doc_quality composes them), CAS conflict rows (crud_cas in-window).
+    # (doc_quality composes them), CAS conflict rows (crud_cas in-window),
+    # the BLAS twin of the in-window fold-based embedding_neardup.
+    "embedding_neardup_np": (q_embedding_neardup_np, _sql_embedding_neardup_ids()),
     "doc_token_count_bpe": (
         q_doc_token_count_bpe,
         f"SELECT doc_id, {O.token_count_bpe('text')} AS n_bpe_tokens FROM documents",
