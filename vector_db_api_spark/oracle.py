@@ -115,6 +115,32 @@ def similarity_const(metric: str, a: str, qvec: list[float]) -> str:
     return similarity(metric, a, vec_literal(qvec))
 
 
+def dots_const_list(v: str, mat) -> str:
+    """DOUBLE[] of sequential-fold dots of ``v`` with each row of a constant
+    matrix — one explicit fold expression per row (no nested-lambda capture
+    needed), used to replay ANN signature/assignment math."""
+    elems = ", ".join(dot(v, vec_literal([float(x) for x in row])) for row in mat)
+    return f"[{elems}]"
+
+
+def lsh_packed_signature(v: str, planes) -> str:
+    """Packed little-endian sign-bit signature of ``v`` against an (H, d)
+    constant hyperplane matrix — mirror of SignLSH._signatures_np for one
+    table (bit i set iff dot(v, plane_i) >= 0)."""
+    bits = " + ".join(
+        f"(CASE WHEN {dot(v, vec_literal([float(x) for x in p]))} >= 0.0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, p in enumerate(planes)
+    )
+    return f"({bits})"
+
+
+def argmax_first(dlist: str) -> str:
+    """0-based index of the FIRST maximum of a DOUBLE[] (numpy argmax
+    semantics)."""
+    return f"CAST(list_position({dlist}, list_max({dlist})) - 1 AS INTEGER)"
+
+
 def argmax_idx(a: str) -> str:
     """First index of the max element, 0-based (Spark array_position - 1)."""
     return f"CAST(list_position({a}, list_max({a})) - 1 AS INTEGER)"

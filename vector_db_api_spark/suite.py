@@ -2329,45 +2329,196 @@ WHERE CAST(substring(c.document_id, 2) AS BIGINT) % 40 = 3
 
 
 # ---------------------------------------------------------------------------
-# ANN paths — rows-only (KMeans / numpy matmul are not SQL-expressible
-# bit-for-bit; pytest bounds their recall against the exact path instead)
+# ANN paths — value-bearing oracles via deterministic fixed models: the
+# hyperplanes / centroids are seeded constants, so the ENTIRE search pipeline
+# (signature/assignment → probe → candidate → exact re-rank) replays in SQL
+# with the model matrices embedded as literals. k-means/auto-sizing QUALITY
+# stays covered by the recall tests + bench (it cannot be value-oracled);
+# search-machinery CORRECTNESS is proven here bit-for-bit.
 # ---------------------------------------------------------------------------
 
-def q_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_db_api_spark.operators.lsh import SignLSH, build_bucket_table
+_LSH_FIXED = dict(dim=64, num_tables=4, hyperplanes_per_table=8, seed=7)
+_IVF_FIXED_K, _IVF_FIXED_SEED, _IVF_FIXED_NPROBE = 8, 7, 3
 
+
+def _lsh_fixed_model():
+    from vector_db_api_spark.operators.lsh import SignLSH
+
+    return SignLSH(**_LSH_FIXED)
+
+
+def _ivf_fixed_model():
+    import numpy as np
+
+    from vector_db_api_spark.operators.ivf import IVFIndex
+
+    rng = np.random.default_rng(_IVF_FIXED_SEED)
+    return IVFIndex(
+        rng.standard_normal((_IVF_FIXED_K, 64)), nprobe=_IVF_FIXED_NPROBE
+    )
+
+
+def q_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH search with a fixed seeded model (operators/lsh.py): probe
+    the query's buckets (multiprobe-1) in 4 tables, exact re-rank. The
+    oracle recomputes every corpus signature from the same hyperplane
+    constants and replays probe membership + the cosine re-rank."""
+    from vector_db_api_spark.operators.lsh import build_bucket_table
+
+    model = _lsh_fixed_model()
     emb = _emb(spark, sf_dir)
-    # H derived from corpus size (probed rows per table bounded under the
-    # multiprobe-1 default) — a fixed H silently degrades as n grows
-    model = SignLSH.auto_size(emb.count(), dim=64, seed=42)
     buckets = build_bucket_table(model, emb, id_col="vec_id")
-    return model.search(emb, buckets, Q0, 10, id_col="vec_id")
+    return model.search(
+        emb, buckets, Q0, 10, id_col="vec_id", pad_to_k=False, multiprobe=1
+    )
+
+
+def _sql_lsh_search() -> str:
+    model = _lsh_fixed_model()
+    probes = model.query_signatures(Q0, multiprobe=1)
+    by_table: dict[int, set[int]] = {}
+    for t, s in probes:
+        by_table.setdefault(t, set()).add(s)
+    conds = []
+    for t in sorted(by_table):
+        packed = O.lsh_packed_signature("e.embedding", model.hyperplanes[t])
+        in_list = ", ".join(
+            f"CAST({s} AS BIGINT)" for s in sorted(by_table[t])
+        )
+        conds.append(f"({packed} IN ({in_list}))")
+    cond = " OR ".join(conds)
+    return f"""
+SELECT vec_id, score FROM (
+  SELECT e.vec_id, {O.cosine_const('e.embedding', Q0)} AS score
+  FROM embeddings e
+  WHERE e.embedding IS NOT NULL AND {O.norm('e.embedding')} <> 0.0
+    AND ({cond})
+) ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
 
 
 def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_db_api_spark.operators.ivf import IVFIndex
-
+    """IVF search with fixed seeded centroids (operators/ivf.py): assign
+    every vector to its max-dot centroid, probe the query's top-nprobe
+    cells, exact re-rank the postings. The oracle replays assignment
+    (first-max argmax over the same centroid constants), embeds the probe
+    set computed from the same model, and re-ranks identically."""
+    model = _ivf_fixed_model()
     emb = _emb(spark, sf_dir)
-    ivf = IVFIndex.train(emb, num_centroids=16, nprobe=4, seed=42)
-    assignments = ivf.assign(emb, id_col="vec_id")
-    return ivf.search(emb, assignments, Q0, 10, id_col="vec_id")
+    assignments = model.assign(emb, id_col="vec_id")
+    return model.search(emb, assignments, Q0, 10, id_col="vec_id")
+
+
+def _sql_ivf_search() -> str:
+    model = _ivf_fixed_model()
+    probe = sorted(model.probe_centroids(Q0))
+    dlist = O.dots_const_list("e.embedding", model.centroids)
+    in_list = ", ".join(str(p) for p in probe)
+    return f"""
+SELECT vec_id, score FROM (
+  SELECT e.vec_id, {O.cosine_const('e.embedding', Q0)} AS score
+  FROM embeddings e
+  WHERE e.embedding IS NOT NULL AND {O.norm('e.embedding')} <> 0.0
+    AND {O.argmax_first(dlist)} IN ({in_list})
+) ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+_PQ_FIXED_M, _PQ_FIXED_K, _PQ_FIXED_SEED = 8, 16, 7
+
+
+def _pq_fixed_model():
+    import numpy as np
+
+    from vector_db_api_spark.operators.pq import PQIndex
+
+    rng = np.random.default_rng(_PQ_FIXED_SEED)
+    # codeword scale ~ unit-vector subvector components (1/sqrt(dim))
+    return PQIndex(
+        rng.standard_normal((_PQ_FIXED_M, _PQ_FIXED_K, 64 // _PQ_FIXED_M)) * 0.125
+    )
 
 
 def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ compressed-scan search: ADC over 16-byte codes → exact re-rank
-    (operators/pq.py). Rows-only (k-means codebooks aren't
-    SQL-expressible); encode/ADC bit-exactness and the recall bound live in
-    tests/test_pq.py."""
-    from vector_db_api_spark.operators.pq import PQIndex
-
+    """PQ compressed-scan search with fixed seeded codebooks: ADC over the
+    codes → exact re-rank (operators/pq.py). The oracle replays encode
+    (per-subspace argmin over the embedded codebooks, same expansion-trick
+    arithmetic), the ADC lookup-table scan (LUT constants computed from the
+    same model), and the exact re-rank; k-means codebook QUALITY stays
+    covered by tests/test_pq.py recall bounds."""
+    model = _pq_fixed_model()
     emb = _emb(spark, sf_dir)
-    pq = PQIndex.train(emb, m=8, k=64, seed=42, train_sample_rows=4096)
-    codes = pq.encode(emb, id_col="vec_id")
-    return pq.search(emb, codes, Q0, 10, id_col="vec_id")
+    codes = model.encode(emb, id_col="vec_id")
+    return model.search(emb, codes, Q0, 10, id_col="vec_id")
+
+
+def _sql_pq_search() -> str:
+    import numpy as np
+
+    model = _pq_fixed_model()
+    m, dsub = model.m, model.dsub
+    lut = model._lut(Q0)  # (m, k) constants — query-side math at gen time
+    nrm = O.norm("e.embedding")
+    u = (
+        f"list_transform(e.embedding, x -> CAST(x AS DOUBLE) / "
+        f"(CASE WHEN {nrm} = 0.0 THEN 1.0 ELSE {nrm} END))"
+    )
+    # per subspace: codes via argmin of (ss - 2*dot) + cc (numpy's expansion
+    # trick, same operation order), then the ADC term is a LUT gather
+    adc_terms = []
+    for j in range(m):
+        sub = f"list_slice(__u, {j * dsub + 1}, {(j + 1) * dsub})"
+        ss = O.fold(f"list_transform({sub}, x -> x * x)")
+        cc = (model.codebooks[j] * model.codebooks[j]).sum(axis=1)
+        d2 = ", ".join(
+            f"(({ss}) - (2.0 * {O.dot(sub, O.vec_literal([float(x) for x in model.codebooks[j][r]]))})"
+            f" + '{float(cc[r])!r}'::DOUBLE)"
+            for r in range(model.k)
+        )
+        lut_lit = O.vec_literal([float(x) for x in lut[j]])
+        adc_terms.append(f"{lut_lit}[list_position([{d2}], list_min([{d2}]))]")
+    adc = O.fold(f"[{', '.join(adc_terms)}]")
+    return f"""
+WITH uvec AS (
+  SELECT e.vec_id, {u} AS __u
+  FROM embeddings e WHERE e.embedding IS NOT NULL
+),
+adc AS (SELECT vec_id, {adc} AS adc_score FROM uvec),
+cand AS (SELECT vec_id FROM adc ORDER BY adc_score DESC, vec_id ASC LIMIT 40)
+SELECT e.vec_id, {O.cosine_const('e.embedding', Q0)} AS score
+FROM embeddings e JOIN cand USING (vec_id)
+ORDER BY score DESC, e.vec_id ASC LIMIT 10
+"""
 
 
 def q_knn_batch_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return KNN.knn_batch_numpy(_emb(spark, sf_dir), QUERY_BATCH, 5, id_col="vec_id")
+    """Arrow/numpy batch kNN, value-bearing: numpy's matmul SELECTS the
+    top-5 ids per query (selection agreement with the fold pinned by
+    knn_batch_numpy_ids_top5), then the reported score is recomputed
+    through the JVM sequential fold (rerank_pairs) so it equals the
+    oracle's fold cosine bit-for-bit — numpy's pairwise-summation ulp
+    noise never reaches the result."""
+    from vector_db_api_spark.operators.knn import rerank_pairs
+
+    emb = _emb(spark, sf_dir)
+    sel = KNN.knn_batch_numpy(emb, QUERY_BATCH, 5, id_col="vec_id").select(
+        "query_id", "vec_id"
+    )
+    qdf = spark.createDataFrame(
+        QUERY_BATCH, "query_id string, query_vec array<double>"
+    )
+    return rerank_pairs(emb, qdf, sel, 5, id_col="vec_id")
+
+
+def _sql_knn_batch_scored() -> str:
+    parts = []
+    for qid, vec in QUERY_BATCH:
+        parts.append(f"""
+(SELECT '{qid}' AS query_id, vec_id, score FROM (
+   SELECT e.vec_id, {O.cosine('e.embedding', O.vec_literal(vec))} AS score
+   FROM embeddings e WHERE e.embedding IS NOT NULL
+ ) ORDER BY score DESC, vec_id ASC LIMIT 5)""")
+    return " UNION ALL ".join(parts)
 
 
 def _corpus_query_df(spark: SparkSession, sf_dir: str, n: int = 4) -> DataFrame:
@@ -2379,14 +2530,56 @@ def _corpus_query_df(spark: SparkSession, sf_dir: str, n: int = 4) -> DataFrame:
 
 
 def q_lsh_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_db_api_spark.operators.lsh import SignLSH, build_bucket_table
+    """Batch sign-LSH with the fixed seeded model: the queries are the
+    first 4 corpus vectors (by vec_id), so the oracle can recompute their
+    probe signatures from the SAME corpus-signature expressions and join
+    buckets to buckets — the full batch pipeline (probe rows → bucket join
+    → dedup → shared re-rank) replayed in SQL. multiprobe=0 keeps the
+    probe a plain signature equi-join."""
+    from vector_db_api_spark.operators.lsh import build_bucket_table
 
+    model = _lsh_fixed_model()
     emb = _emb(spark, sf_dir)
-    model = SignLSH.auto_size(emb.count(), dim=64, seed=42)
     buckets = build_bucket_table(model, emb, id_col="vec_id")
     return model.search_batch(
-        emb, buckets, _corpus_query_df(spark, sf_dir), 10, id_col="vec_id"
+        emb, buckets, _corpus_query_df(spark, sf_dir), 10, id_col="vec_id",
+        multiprobe=0,
     )
+
+
+def _sql_lsh_search_batch() -> str:
+    model = _lsh_fixed_model()
+    sig_cols = ", ".join(
+        f"{O.lsh_packed_signature('e.embedding', model.hyperplanes[t])} AS sig{t}"
+        for t in range(model.num_tables)
+    )
+    match = " OR ".join(
+        f"q.sig{t} = e.sig{t}" for t in range(model.num_tables)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT e.vec_id, e.embedding, {sig_cols}
+  FROM embeddings e
+  WHERE e.embedding IS NOT NULL AND {O.norm('e.embedding')} <> 0.0
+),
+qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4),
+q AS (SELECT s.* FROM sigs s JOIN qids USING (vec_id)),
+cand AS (
+  SELECT 'q' || CAST(q.vec_id AS VARCHAR) AS query_id,
+         q.embedding AS qvec, e.vec_id, e.embedding
+  FROM q JOIN sigs e ON ({match})
+),
+scored AS (
+  SELECT query_id, vec_id, {O.cosine('embedding', 'qvec')} AS score
+  FROM cand
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
+"""
 
 
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2507,8 +2700,10 @@ WHERE rn <= 4 AND query_id <> CAST(vec_id AS VARCHAR)
 
 def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage search: int8-code scan (4× fewer bytes) → float re-rank of
-    oversample×k survivors (operators/knn.knn_quantized). Rows-only: stage-1
-    truncation is approximate; score exactness pinned by pytest."""
+    oversample×k survivors (operators/knn.knn_quantized). Every stage is
+    deterministic fold arithmetic (quantize = max/div/floor, stage-1 scores
+    the dequantized codes, stage-2 the floats), so the oracle replays the
+    whole pipeline: same codes, same stage-1 top-40, same final top-10."""
     from vector_db_api_spark.functions.quant import quantize_int8
     from vector_db_api_spark.operators.knn import knn_quantized
 
@@ -2516,15 +2711,72 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_quantized(corpus, Q0, 10, id_col="vec_id")
 
 
-def q_ivf_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_db_api_spark.operators.ivf import IVFIndex
+def _sql_knn_quantized() -> str:
+    scale, codes = O.int8_quant_exprs("embedding")
+    deq = f"list_transform({codes}, cc -> CAST(cc AS DOUBLE) * ({scale}))"
+    return f"""
+WITH s1 AS (
+  SELECT vec_id, {O.cosine_const(deq, Q0)} AS qs
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+stage1 AS (SELECT vec_id FROM s1 ORDER BY qs DESC, vec_id ASC LIMIT 40)
+SELECT e.vec_id, {O.cosine_const('e.embedding', Q0)} AS score
+FROM embeddings e JOIN stage1 USING (vec_id)
+ORDER BY score DESC, e.vec_id ASC LIMIT 10
+"""
 
+
+def q_ivf_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF with the fixed seeded centroids: per-query top-nprobe
+    probe pairs join the posting table, shared exact re-rank. The oracle
+    replays assignment and per-query probe ranking (row_number over the
+    same dot list) from the embedded centroid constants."""
+    model = _ivf_fixed_model()
     emb = _emb(spark, sf_dir)
-    ivf = IVFIndex.train(emb, num_centroids=16, nprobe=4, seed=42)
-    assignments = ivf.assign(emb, id_col="vec_id")
-    return ivf.search_batch(
+    assignments = model.assign(emb, id_col="vec_id")
+    return model.search_batch(
         emb, assignments, _corpus_query_df(spark, sf_dir), 10, id_col="vec_id"
     )
+
+
+def _sql_ivf_search_batch() -> str:
+    model = _ivf_fixed_model()
+    dlist = O.dots_const_list("e.embedding", model.centroids)
+    return f"""
+WITH base AS (
+  SELECT e.vec_id, e.embedding, {dlist} AS dots
+  FROM embeddings e
+  WHERE e.embedding IS NOT NULL AND {O.norm('e.embedding')} <> 0.0
+),
+asg AS (
+  SELECT vec_id, embedding,
+         CAST(list_position(dots, list_max(dots)) - 1 AS INTEGER) AS centroid_id
+  FROM base
+),
+qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4),
+qprobe AS (
+  SELECT b.vec_id, b.embedding, t.j - 1 AS centroid_id,
+         row_number() OVER (PARTITION BY b.vec_id
+                            ORDER BY b.dots[t.j] DESC, t.j ASC) AS rk
+  FROM base b JOIN qids USING (vec_id)
+  CROSS JOIN range(1, {_IVF_FIXED_K} + 1) AS t(j)
+),
+pairs AS (
+  SELECT 'q' || CAST(q.vec_id AS VARCHAR) AS query_id,
+         q.embedding AS qvec, a.vec_id, a.embedding
+  FROM (SELECT * FROM qprobe WHERE rk <= {_IVF_FIXED_NPROBE}) q
+  JOIN asg a USING (centroid_id)
+),
+scored AS (
+  SELECT query_id, vec_id, {O.cosine('embedding', 'qvec')} AS score FROM pairs
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
+"""
 
 
 def q_knn_batch_numpy_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2710,13 +2962,13 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         f"AS winnow_fps_csv FROM ({O.winnowing_sql()})",
     ),
     # rows-only ANN / multimodal paths (exactness pinned in pytest)
-    "lsh_search_top10": (q_lsh_search, None),
-    "ivf_search_top10": (q_ivf_search, None),
-    "pq_search_top10": (q_pq_search, None),
-    "lsh_search_batch_top10": (q_lsh_search_batch, None),
-    "ivf_search_batch_top10": (q_ivf_search_batch, None),
-    "knn_quantized_top10": (q_knn_quantized, None),
-    "knn_batch_numpy_top5": (q_knn_batch_numpy, None),
+    "lsh_search_top10": (q_lsh_search, _sql_lsh_search()),
+    "ivf_search_top10": (q_ivf_search, _sql_ivf_search()),
+    "pq_search_top10": (q_pq_search, _sql_pq_search()),
+    "lsh_search_batch_top10": (q_lsh_search_batch, _sql_lsh_search_batch()),
+    "ivf_search_batch_top10": (q_ivf_search_batch, _sql_ivf_search_batch()),
+    "knn_quantized_top10": (q_knn_quantized, _sql_knn_quantized()),
+    "knn_batch_numpy_top5": (q_knn_batch_numpy, _sql_knn_batch_scored()),
     "multimodal_features": (q_multimodal_features, None),
     "multimodal_embed": (q_multimodal_embed, None),
     "multimodal_neardup": (
