@@ -370,6 +370,27 @@ def test_leakage_free_split_keeps_dup_clusters_together(spark):
     assert out == out2
 
 
+def test_leakage_split_high_dup_fraction(spark):
+    # web-scale regime: MOST docs belong to a duplicate cluster, so the
+    # component-label frame is corpus-sized. The label join is unhinted
+    # (no forced broadcast) and must still split every cluster atomically.
+    from vector_db_api_spark.operators.curation import leakage_free_split
+
+    rows = []
+    for c in range(30):                      # 30 clusters x 4 members = 83%
+        for m in range(4):
+            rows.append((c * 10 + m, f"cluster {c} shared text body repeated for every member here"))
+    rows += [(9000 + i, f"singleton text number {i} unlike anything else") for i in range(25)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["split"] for r in
+           leakage_free_split(docs, eval_rate=0.5, key_col="doc_id").collect()}
+    assert len(out) == len(rows)
+    for c in range(30):
+        sides = {out[c * 10 + m] for m in range(4)}
+        assert len(sides) == 1, f"cluster {c} straddles the split: {sides}"
+    assert {out[9000 + i] for i in range(25)} == {"train", "eval"}
+
+
 def test_mad_anomalies_flags_planted_spike(spark):
     from vector_db_api_spark.operators.timeseries import mad_anomalies
 

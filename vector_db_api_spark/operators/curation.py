@@ -283,9 +283,13 @@ def leakage_free_split(
     the assignment is retry-stable and replayable by any engine.
 
     Scale: one minhash pipeline + component propagation (both already
-    bounded — see operators/dedup.py), one broadcast-size join of the
-    component labels (pairs cover only docs WITH a duplicate, a small
-    fraction of any real corpus), then a scan-side hash comparison.
+    bounded — see operators/dedup.py), one join of the component labels,
+    then a scan-side hash comparison. The label join is NOT hinted: pairs
+    cover only docs with a duplicate, but web-scale corpora run 30-50%
+    duplicate-cluster membership, so the label frame can be far too big to
+    broadcast — AQE picks broadcast when the actual size fits and a keyed
+    shuffle join when it doesn't (pinned by
+    tests/test_curation_temporal.py::test_leakage_split_high_dup_fraction).
     """
     from .dedup import connected_components, minhash_lsh_pairs
 
@@ -295,7 +299,7 @@ def leakage_free_split(
         F.col("id").alias(key_col), F.col("component")
     )
     threshold = int(eval_rate * (1 << 32))
-    keyed = docs.join(F.broadcast(comp), key_col, "left").withColumn(
+    keyed = docs.join(comp, key_col, "left").withColumn(
         "__group",
         F.coalesce(F.col("component").cast("string"), F.col(key_col).cast("string")),
     )

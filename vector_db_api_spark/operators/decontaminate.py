@@ -95,9 +95,11 @@ def decontaminate(
     k: int = DEFAULT_K,
     min_shared: int = 1,
 ) -> DataFrame:
-    """Training corpus minus contaminated docs (broadcast left-anti join —
-    the flagged-id set is small, so the corpus never shuffles)."""
+    """Training corpus minus contaminated docs (left-anti join). The
+    flagged-id set is usually tiny (docs overlapping benchmark n-grams),
+    but its size is data-dependent, so the join is unhinted — AQE
+    broadcasts when the measured size fits and shuffles otherwise."""
     flagged = contaminated_ids(
         train, benchmark, id_col, bench_id_col, text_col, k, min_shared
     ).select(F.col("train_id").alias(id_col))
-    return train.join(F.broadcast(flagged), id_col, "left_anti")
+    return train.join(flagged, id_col, "left_anti")

@@ -868,7 +868,7 @@ def q_rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
@@ -934,6 +934,7 @@ def q_rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     co = customer.join(
+        # nation x region is FIXED-size (25 x 5 rows) - broadcast is safe at any SF
         F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
         customer.c_nationkey == F.col("n_nationkey"),
     ).select("c_custkey", "n_name", "r_name")
@@ -1128,7 +1129,7 @@ def q_rel_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -1159,7 +1160,7 @@ def q_rel_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(
             F.countDistinct("l_suppkey").alias("n_suppliers"),
@@ -1182,7 +1183,7 @@ def q_rel_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the bit despite the aggregate being float-derived."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     agg = j.agg(
         F.sum(
             F.when(F.col("p_type") == "ECONOMY", _rev_cents()).otherwise(F.lit(0))
@@ -1227,10 +1228,10 @@ def q_rel_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation")
@@ -1270,7 +1271,7 @@ def q_rel_disjunctive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 5))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             F.sum(_rev_cents()).alias("revenue_cents"),
@@ -1545,7 +1546,7 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") > 1)
         .select("fp")
     )
-    flagged = docs.join(F.broadcast(dup_fps), "fp", "left_semi").select(
+    flagged = docs.join(dup_fps, "fp", "left_semi").select(
         "doc_id"
     ).withColumn("__dup", F.lit(1))
     return (
