@@ -1,17 +1,24 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed
 metadata, with Arrow-batched decode/feature plumbing.
 
-The container has no image/audio codecs, so the DECODE step is stubbed two
-ways (clearly marked):
+Three decode modes (``decode_stub``):
 
-- ``decode_stub="fake"`` — a deterministic fake decoder (bytes → pseudo
-  pixels/frames) so the Spark-side plumbing (schema, batch shape, UDF
-  signature, partitioning) is fully real and testable;
-- ``decode_stub="error"`` — raises ``NotImplementedError`` at the decode
-  call site, the hook where a real ``PIL.Image.open`` / ``av.open`` drops
-  in unchanged.
+- ``"real"`` — REAL pure-Python parsers for two uncompressed public
+  formats: binary PPM (P6) images and RIFF/WAVE 16-bit PCM audio. No
+  codec libraries needed; :func:`decode_ppm` / :func:`decode_wav` handle
+  any spec-conforming file (whitespace/comment-tolerant PPM header, chunked
+  RIFF walking). Pair with :func:`derive_media_files`, which synthesizes
+  deterministic VALID files whose pixel/sample bytes derive from
+  ``sha256(text)`` — so a SQL engine can replay decode → features →
+  pooled embedding → phash from the hex digest alone, making every
+  downstream operator value-oracle-checkable.
+- ``"fake"`` — a deterministic fake decoder (bytes → pseudo frames) for
+  plumbing tests on arbitrary payloads.
+- ``"error"`` — raises ``NotImplementedError`` at the decode call site,
+  the hook where a compressed-format codec (``PIL.Image.open`` /
+  ``av.open``) would drop in unchanged.
 
-Everything around the stub is production-shaped: binary columns flow
+Everything around decode is production-shaped: binary columns flow
 through Arrow ``mapInPandas`` in columnar batches (never row-at-a-time
 Python), byte-level ops (length, hash) stay JVM-side, and per-modality
 metadata is a typed struct, mirroring how the reference types chunk
@@ -19,6 +26,8 @@ metadata (models/metadata.py:15-18).
 """
 
 from __future__ import annotations
+
+import struct as _struct
 
 from collections.abc import Iterator
 
@@ -61,6 +70,152 @@ def media_stats(media: DataFrame) -> DataFrame:
     )
 
 
+# -- real formats: binary PPM (P6) and RIFF/WAVE 16-bit PCM -----------------
+
+_WAV_N_SAMPLES = 64
+_WAV_HEADER = (
+    b"RIFF"
+    + _struct.pack("<I", 36 + 2 * _WAV_N_SAMPLES)
+    + b"WAVEfmt "
+    + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    + b"data"
+    + _struct.pack("<I", 2 * _WAV_N_SAMPLES)
+)
+
+
+def derive_media_files(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Media table of VALID uncompressed files: P6 PPM images (8×8), P6
+    PPM "video" (8×16 — two stacked frames), and RIFF/WAVE 16-bit PCM
+    audio (64 samples), one per doc, modality round-robin on the id.
+
+    The pixel/sample payload repeats the 32 bytes of ``sha256(text)``, so
+    the files are deterministic AND an external SQL engine can recompute
+    every decoded value from the hex digest — that is what lets the
+    decode → feature → embed → phash chain carry a value-bearing oracle.
+    The files themselves are spec-conforming: any PPM/WAV reader decodes
+    them."""
+    digest = F.unhex(F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
+    image = F.concat(F.lit(b"P6\n8 8\n255\n"), *([digest] * 6))      # 192 B RGB
+    video = F.concat(F.lit(b"P6\n8 16\n255\n"), *([digest] * 12))    # 384 B RGB
+    audio = F.concat(F.lit(_WAV_HEADER), *([digest] * 4))            # 128 B PCM
+    m = F.col(id_col) % 3
+    content = (
+        F.when(m == 0, image).when(m == 1, audio).otherwise(video)
+    )
+    modality = (
+        F.when(m == 0, F.lit("image"))
+        .when(m == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    mime = (
+        F.when(m == 0, F.lit("image/x-portable-pixmap"))
+        .when(m == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/x-ppm-stack"))
+    )
+    return docs.select(
+        F.concat(F.lit("m"), F.col(id_col)).alias("media_id"),
+        modality.alias("modality"),
+        content.alias("content"),
+        F.struct(
+            mime.alias("mime_type"),
+            F.length(content).cast("long").alias("byte_len"),
+            F.sha2(content, 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6): returns (width, height, rgb_bytes).
+
+    A real parser, not a stub: tolerates arbitrary whitespace and ``#``
+    comments in the header (per the netpbm spec), validates the magic,
+    maxval and payload length. Raises ValueError on malformed input."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    pixels = payload[pos : pos + 3 * w * h]
+    if len(pixels) != 3 * w * h:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, pixels
+
+
+def decode_wav(payload: bytes) -> list[int]:
+    """Parse a RIFF/WAVE file: returns the int16 PCM samples (mono, or
+    channel-interleaved as stored). A real chunk-walking parser: finds
+    ``fmt `` and ``data`` wherever they sit, validates PCM/16-bit."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_ok, data = 12, False, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = _struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, _ch, _rate = _struct.unpack("<HHI", body[:8])
+            bits = _struct.unpack("<H", body[14:16])[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM supported")
+            fmt_ok = True
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if not fmt_ok or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return list(_struct.unpack(f"<{len(data) // 2}h", data))
+
+
+def _real_decode(payload: bytes, modality: str, n_frames: int) -> list[list[float]]:
+    """Decode a real PPM/WAV payload into ``n_frames`` 8-dim feature
+    frames — the arithmetic is deliberately simple (integer byte math, one
+    double division per component) so an external engine replays it:
+
+    - PPM: frame f reads pixel row ``(f*h)//n_frames``; component j is
+      ``(R+G+B)/765`` of the pixel in column ``(j*w)//8``.
+    - WAV: frame f reads 8 consecutive samples from offset
+      ``(f*n)//n_frames``; component j is ``sample/32768``.
+    """
+    if payload[:2] == b"P6":
+        w, h, pix = decode_ppm(payload)
+        out = []
+        for f in range(n_frames):
+            row = (f * h) // n_frames
+            frame = []
+            for j in range(8):
+                col = (j * w) // 8
+                o = 3 * (row * w + col)
+                frame.append((pix[o] + pix[o + 1] + pix[o + 2]) / 765.0)
+            out.append(frame)
+        return out
+    if payload[:4] == b"RIFF":
+        samples = decode_wav(payload)
+        n = len(samples)
+        if n == 0:
+            return [[0.0] * 8 for _ in range(n_frames)]
+        return [
+            [samples[((f * n) // n_frames + j) % n] / 32768.0 for j in range(8)]
+            for f in range(n_frames)
+        ]
+    raise ValueError(f"unrecognized media payload for modality {modality!r}")
+
+
 def _fake_decode(payload: bytes, modality: str, n_frames: int) -> list[list[float]]:
     """Deterministic fake decoder: n_frames 'frames', each an 8-dim feature
     from evenly-spaced payload bytes (/255). Replace with a real codec here."""
@@ -87,9 +242,10 @@ def extract_features(
     """
     import pandas as pd
 
-    if decode_stub not in ("fake", "error"):
-        raise ValueError("decode_stub must be 'fake' or 'error'")
+    if decode_stub not in ("real", "fake", "error"):
+        raise ValueError("decode_stub must be 'real', 'fake' or 'error'")
     out_schema = "media_id string, modality string, frame_no int, features array<float>"
+    decoder = _real_decode if decode_stub == "real" else _fake_decode
 
     def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -101,11 +257,12 @@ def extract_features(
             ):
                 if decode_stub == "error":
                     raise NotImplementedError(
-                        "real image/audio/video decode is not available in "
-                        "this environment — swap _fake_decode for a codec"
+                        "no codec for compressed formats in this environment "
+                        "— decode_stub='real' handles PPM/WAV; swap in "
+                        "PIL/av here for JPEG/MP4/..."
                     )
                 payload = bytes(content) if content is not None else b""
-                for fno, fv in enumerate(_fake_decode(payload, mod, n_frames)):
+                for fno, fv in enumerate(decoder(payload, mod, n_frames)):
                     ids.append(mid)
                     mods.append(mod)
                     frames.append(fno)
@@ -184,13 +341,17 @@ def media_embeddings(
     The pooling is JVM-side: frames collect per media row (bounded by
     ``n_frames``, not corpus size), element-wise summed with
     ``aggregate``/``zip_with`` folds, divided by the frame count. One
-    shuffle, keyed on media_id. Identical payloads pool to identical
-    embeddings (the fake decoder is deterministic), so exact/near dedup
-    composes downstream.
+    shuffle, keyed on media_id. The collected frames are SORTED by
+    frame_no before folding — collect_list order is nondeterministic, and
+    a fixed fold order is what makes the pooled doubles reproducible (and
+    oracle-checkable) run to run.
     """
     feats = extract_features(media, n_frames=n_frames, decode_stub=decode_stub)
     frames = feats.groupBy("media_id", "modality").agg(
-        F.collect_list("features").alias("__frames")
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("frame_no", "features"))),
+            lambda s: s["features"],
+        ).alias("__frames")
     )
     dim = F.size(F.element_at("__frames", 1))
     zero = F.transform(
@@ -215,12 +376,14 @@ def media_phash(
     media: DataFrame, n_frames: int = 4, nbits: int = 60, decode_stub: str = "fake"
 ) -> DataFrame:
     """(media_id, modality, phash): perceptual hash of a media payload —
-    sign bits of the mean-pooled frame features against their own mean
-    (the aHash/pHash recipe: threshold each component at the global mean,
-    pack the bits). Bit i is set iff component (i mod dim) of the pooled
-    embedding exceeds the embedding's mean; for nbits > dim the pattern
-    repeats shifted so the fingerprint fills the band width downstream
-    banding expects.
+    the aHash recipe plus varied pairwise projections. The first ``dim``
+    bits threshold each pooled-embedding component at the embedding's
+    mean; each FURTHER band of ``dim`` bits compares component
+    ``i mod dim`` against the component ``i // dim`` positions ahead
+    (cyclically) — a different projection per band, so a single component
+    difference flips ~one bit per band it genuinely participates in,
+    instead of the same bit repeated verbatim (which would multiply its
+    weight in hamming distance by nbits/dim).
 
     Pure Column expressions over the pooled embedding (JVM folds); near-
     identical payloads decode to near-identical features, so their phashes
@@ -231,9 +394,17 @@ def media_phash(
     mean = F.aggregate(
         "embedding", F.lit(0.0), lambda a, x: a + x
     ) / dim.cast("double")
-    bit = lambda i: F.when(
-        F.element_at("embedding", (F.lit(i) % dim) + 1) > mean, F.lit(1).cast("long")
-    ).otherwise(F.lit(0).cast("long"))
+
+    def bit(i):
+        base = F.element_at("embedding", (F.lit(i) % dim) + 1)
+        off = F.floor(F.lit(i) / dim).cast("int")  # band number
+        ref = F.when(off == 0, mean).otherwise(
+            F.element_at("embedding", ((F.lit(i) % dim + off) % dim) + 1)
+        )
+        return F.when(base > ref, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
     packed = None
     for i in range(nbits):
         term = F.shiftleft(bit(i), i)

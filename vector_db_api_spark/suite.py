@@ -760,37 +760,175 @@ FROM documents
 """
 
 
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_db_api_spark.operators.multimodal import derive_media, extract_features
+# -- multimodal real-decode oracles -----------------------------------------
+# derive_media_files builds VALID PPM/WAV files whose pixel/sample bytes
+# repeat sha256(text); the oracles replay decode → features → pooled
+# embedding → phash from the hex digest. Byte i of the digest in SQL:
 
-    feats = extract_features(derive_media(_docs(spark, sf_dir)), n_frames=2)
-    # rows-only check; CSV-stringify the feature array so the driver
-    # canonicalizer (pandas sort) can handle the column
+
+def _digest_byte(i: int) -> str:
+    return f"CAST('0x' || substr(__sha, {2 * (i % 32) + 1}, 2) AS BIGINT)"
+
+
+def _mm_feat(modality_case: str, f: int, j: int, n_frames: int) -> str:
+    """SQL for feature component j of frame f, per modality — mirrors
+    multimodal._real_decode's arithmetic exactly (ints summed, ONE double
+    division), including the float32 round-trip of the features column."""
+    # image: 8x8 PPM, row = (f*8)//n_frames; video: 8x16, row = (f*16)//n
+    img_p = 3 * (((f * 8) // n_frames) * 8 + j)
+    vid_p = 3 * (((f * 16) // n_frames) * 8 + j)
+    img = f"({_digest_byte(img_p)} + {_digest_byte(img_p + 1)} + {_digest_byte(img_p + 2)}) / 765.0"
+    vid = f"({_digest_byte(vid_p)} + {_digest_byte(vid_p + 1)} + {_digest_byte(vid_p + 2)}) / 765.0"
+    # audio: 64 samples, frame offset (f*64)//n_frames, int16 LE
+    k = (f * 64) // n_frames + j
+    raw = f"({_digest_byte(2 * k)} + 256 * {_digest_byte(2 * k + 1)})"
+    aud = f"(CASE WHEN {raw} >= 32768 THEN {raw} - 65536 ELSE {raw} END) / 32768.0"
+    expr = (
+        f"CASE WHEN {modality_case} = 0 THEN {img} "
+        f"WHEN {modality_case} = 1 THEN {aud} ELSE {vid} END"
+    )
+    return f"CAST(CAST({expr} AS FLOAT) AS DOUBLE)"
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode: derive_media_files → P6-PPM/WAV parsers → per-frame
+    features (operators/multimodal.py). Components emitted as scalar
+    doubles so the driver hashes values, not float formatting."""
+    from vector_db_api_spark.operators.multimodal import (
+        derive_media_files,
+        extract_features,
+    )
+
+    feats = extract_features(
+        derive_media_files(_docs(spark, sf_dir)), n_frames=2, decode_stub="real"
+    )
     return feats.select(
         "media_id",
         "modality",
         "frame_no",
-        F.concat_ws(
-            ",", F.transform("features", lambda x: x.cast("string"))
-        ).alias("features_csv"),
+        *[
+            F.element_at("features", j + 1).cast("double").alias(f"f{j}")
+            for j in range(8)
+        ],
     )
+
+
+def _sql_multimodal_features() -> str:
+    frames = []
+    for f in range(2):
+        cols = ", ".join(
+            f"{_mm_feat('__m', f, j, 2)} AS f{j}" for j in range(8)
+        )
+        frames.append(
+            f"SELECT 'm' || doc_id AS media_id, "
+            f"(['image','audio','video'])[CAST(__m + 1 AS INT)] AS modality, "
+            f"{f} AS frame_no, {cols} FROM base"
+        )
+    union = " UNION ALL ".join(frames)
+    return f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 3 AS __m, sha256(COALESCE(text, '')) AS __sha
+  FROM documents
+)
+{union}
+"""
+
+
+def _mm_embed_comp(j: int, n_frames: int = 4) -> str:
+    """Pooled-embedding component j: sequential fold over the per-frame
+    float32 features (same order as the sorted zip_with fold), / n."""
+    acc = "0.0"
+    for f in range(n_frames):
+        acc = f"({acc} + {_mm_feat('__m', f, j, n_frames)})"
+    return f"({acc} / {n_frames})"
 
 
 def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """binary → frame features → mean-pooled media embedding (the bridge
-    from multimodal columns into the vector operators; fake decoder, so
-    rows-only — the pooling itself is pinned by pytest)."""
-    from vector_db_api_spark.operators.multimodal import derive_media, media_embeddings
+    """binary → REAL PPM/WAV decode → frame features → mean-pooled media
+    embedding (the bridge from multimodal columns into the vector
+    operators). The oracle replays the whole chain from sha256(text)."""
+    from vector_db_api_spark.operators.multimodal import (
+        derive_media_files,
+        media_embeddings,
+    )
 
-    emb = media_embeddings(derive_media(_docs(spark, sf_dir)), n_frames=4)
-    # rows-only check; stringify the pooled embedding for the canonicalizer
+    emb = media_embeddings(
+        derive_media_files(_docs(spark, sf_dir)), n_frames=4, decode_stub="real"
+    )
     return emb.select(
         "media_id",
         "modality",
-        F.concat_ws(
-            ",", F.transform("embedding", lambda x: x.cast("string"))
-        ).alias("embedding_csv"),
+        *[
+            F.element_at("embedding", j + 1).alias(f"e{j}")
+            for j in range(8)
+        ],
     )
+
+
+def _sql_multimodal_embed() -> str:
+    cols = ", ".join(f"{_mm_embed_comp(j)} AS e{j}" for j in range(8))
+    return f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 3 AS __m, sha256(COALESCE(text, '')) AS __sha
+  FROM documents
+)
+SELECT 'm' || doc_id AS media_id,
+       (['image','audio','video'])[CAST(__m + 1 AS INT)] AS modality,
+       {cols}
+FROM base
+"""
+
+
+def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over REAL decoded media: phash (aHash +
+    varied pairwise bands) → pigeonhole-banded hamming pairs. The oracle
+    recomputes every phash from the digest math and checks all pairs —
+    banding is exact (pigeonhole), so the sets must match exactly."""
+    from vector_db_api_spark.operators.multimodal import (
+        derive_media_files,
+        media_neardup_pairs,
+    )
+
+    return media_neardup_pairs(
+        derive_media_files(_docs(spark, sf_dir)),
+        max_distance=8,
+        decode_stub="real",
+    ).select("left_id", "right_id", "hamming")
+
+
+def _sql_multimodal_phash_cte(nbits: int = 60, dim: int = 8) -> str:
+    mean = "(" + "(" * dim + "0.0" + "".join(
+        f" + e{j})" for j in range(dim)
+    ) + f" / CAST({dim} AS DOUBLE))"
+    bits = []
+    for i in range(nbits):
+        base = f"e{i % dim}"
+        band = i // dim
+        ref = mean if band == 0 else f"e{(i % dim + band) % dim}"
+        bits.append(
+            f"(CASE WHEN {base} > {ref} THEN CAST({1 << i} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    packed = " + ".join(bits)
+    ecols = ", ".join(f"{_mm_embed_comp(j)} AS e{j}" for j in range(dim))
+    return f"""
+base AS (
+  SELECT doc_id, doc_id % 3 AS __m, sha256(COALESCE(text, '')) AS __sha
+  FROM documents
+),
+emb AS (SELECT 'm' || doc_id AS media_id, {ecols} FROM base),
+ph AS (SELECT media_id, {packed} AS phash FROM emb)
+"""
+
+
+def _sql_multimodal_neardup() -> str:
+    return f"""
+WITH {_sql_multimodal_phash_cte()}
+SELECT a.media_id AS left_id, b.media_id AS right_id,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM ph a JOIN ph b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 8
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2970,21 +3108,9 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "ivf_search_batch_top10": (q_ivf_search_batch, _sql_ivf_search_batch()),
     "knn_quantized_top10": (q_knn_quantized, _sql_knn_quantized()),
     "knn_batch_numpy_top5": (q_knn_batch_numpy, _sql_knn_batch_scored()),
-    "multimodal_features": (q_multimodal_features, None),
-    "multimodal_embed": (q_multimodal_embed, None),
-    "multimodal_neardup": (
-        lambda spark, sf_dir: __import__(
-            "vector_db_api_spark.operators.multimodal",
-            fromlist=["derive_media", "media_neardup_pairs"],
-        ).media_neardup_pairs(
-            __import__(
-                "vector_db_api_spark.operators.multimodal",
-                fromlist=["derive_media"],
-            ).derive_media(_docs(spark, sf_dir)),
-            max_distance=3,
-        ),
-        None,  # decode is an Arrow-stage stub; exactness pinned in pytest
-    ),
+    "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
+    "multimodal_embed": (q_multimodal_embed, _sql_multimodal_embed()),
+    "multimodal_neardup": (q_multimodal_neardup, _sql_multimodal_neardup()),
 }
 
 
