@@ -34,6 +34,9 @@ MUST_BE_IN_WINDOW = {
     "events_gapfill",           # gapfill
     "skew_salted_agg",          # skew mitigation
     "rel_revenue_by_nation",    # relational joins
+    "doc_lm_nll_join",          # LM scale path (broadcast-join scoring)
+    "stream_bm25_state",        # stream-built postings == batch oracle
+    "stream_trending_state",    # stream-built rollup == batch oracle
 }
 
 

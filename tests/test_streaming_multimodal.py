@@ -547,3 +547,66 @@ def test_media_phash_band_bits_vary_by_projection(spark):
     def band(v, b):
         return (v >> (b * 8)) & 0xFF
     assert any(band(r["phash"], 1) != band(r["phash"], 0) for r in ph)
+
+
+def test_latest_rows_serves_updated_doc_only(spark, tmp_path):
+    """A doc re-ingested in a later epoch must count once, with its NEW
+    content — max-epoch dedup at query time (the append-only sink keeps
+    the stale rows)."""
+    from vector_db_api_spark.operators.keyword import bm25_scores, bm25_scores_postings
+    from vector_db_api_spark.streaming.ingest import (
+        incremental_postings_ingest,
+        latest_rows,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, "spark joins shuffle data"), (2, "gardening words only")],
+        "doc_id bigint, text string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "spark spark spark tuning")],  # doc 1 UPDATED
+        "doc_id bigint, text string",
+    )
+    src = str(tmp_path / "docs")
+    v1.write.parquet(src)
+    pp, dp, ck = (str(tmp_path / p) for p in ("postings", "doclens", "ck"))
+    q = incremental_postings_ingest(
+        spark, src, "doc_id bigint, text string", pp, dp, ck
+    )
+    q.awaitTermination(120)
+    v2.write.mode("append").parquet(src)  # new file -> new micro-batch
+    q = incremental_postings_ingest(
+        spark, src, "doc_id bigint, text string", pp, dp, ck
+    )
+    q.awaitTermination(120)
+
+    postings_raw = spark.read.parquet(pp)
+    assert postings_raw.select("epoch").distinct().count() == 2
+    # raw epochs double-count doc 1; latest_rows must not
+    postings = latest_rows(postings_raw)
+    doclens = latest_rows(spark.read.parquet(dp))
+    assert doclens.filter(F.col("doc_id") == 1).count() == 1
+    current = spark.createDataFrame(
+        [(1, "spark spark spark tuning"), (2, "gardening words only")],
+        "doc_id bigint, text string",
+    )
+    want = {(r["doc_id"], r["score"]) for r in bm25_scores(current, "spark").collect()}
+    got = {(r["doc_id"], r["score"]) for r in
+           bm25_scores_postings(postings, doclens, "spark").collect()}
+    assert got == want  # bit-exact, stale v1 rows invisible
+
+
+def test_bm25_scores_postings_matches_expression_path(spark):
+    from vector_db_api_spark.operators.keyword import (
+        bm25_scores,
+        bm25_scores_postings,
+        build_postings,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    postings, doclens = build_postings(docs)
+    a = {(r["doc_id"], r["score"]) for r in
+         bm25_scores(docs, "vector hash join").collect()}
+    b = {(r["doc_id"], r["score"]) for r in
+         bm25_scores_postings(postings, doclens, "vector hash join").collect()}
+    assert a == b  # bit-exact twin

@@ -145,6 +145,61 @@ def build_postings(
     return postings, doclens
 
 
+def bm25_scores_postings(
+    postings: DataFrame,
+    doclens: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Bit-exact twin of :func:`bm25_scores`, served from the inverted
+    structure: per-term tfs pivot out of the pruned postings as columns,
+    the stats (n, tdl from doclens; df = pruned posting count per term)
+    fold into the SAME fixed-order score expression — so a postings table
+    built any way (batch, or epoch-appended by the streaming ingest)
+    answers with the exact doubles the expression path produces, and the
+    one DuckDB oracle checks both.
+
+    (``bm25_topk_postings`` remains the low-latency serving shape — avgdl
+    division, per-term contributions summed by groupBy — equal to ~1e-9;
+    this function is the replay-exact shape.)
+    """
+    terms = _terms(query)
+    if not terms:
+        raise ValueError("query has no terms after normalization")
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tdl")
+    ).collect()[0]
+    n, tdl = stats["n"], stats["tdl"]
+    pruned = postings.filter(F.col("term").isin(terms))
+    dfs = {
+        r["term"]: r["df"]
+        for r in pruned.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
+    }
+    tf_cols = pruned.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0)).alias(
+                f"__tf{i}"
+            )
+            for i, t in enumerate(terms)
+        ]
+    )
+    with_dl = tf_cols.join(doclens, id_col)
+    score: Column = F.lit(0.0)
+    for i, t in enumerate(terms):
+        df = dfs.get(t, 0)
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        tf = F.col(f"__tf{i}").cast("double")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0)
+            - F.lit(b)
+            + F.lit(b) * F.col("dl") * F.lit(n) / F.lit(tdl)
+        )
+        score = score + F.lit(idf) * (tf * F.lit(k1 + 1.0)) / denom
+    return with_dl.withColumn("score", score).select(id_col, "score")
+
+
 def bm25_topk_postings(
     postings: DataFrame,
     doclens: DataFrame,

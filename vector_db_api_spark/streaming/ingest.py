@@ -245,6 +245,25 @@ def streaming_text_ingest(
     return writer.start()
 
 
+def latest_rows(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Query-time dedup for epoch-appended tables: keep only each id's
+    MAX-epoch rows and drop the epoch column.
+
+    The epoch-stamped sinks here are append-only per epoch; a document
+    RE-ingested (updated) in a later epoch leaves its stale postings/
+    doclens rows in earlier epochs, which would double-count that doc's
+    N/df/tf/dl at query time. Serving paths must read through this filter
+    (one max-aggregate + a semi-join-shaped equi-join on the id — AQE
+    broadcasts the small max table; no window over the full table).
+    """
+    mx = df.groupBy(id_col).agg(F.max("epoch").alias("__mx"))
+    return (
+        df.join(mx, id_col)
+        .filter(F.col("epoch") == F.col("__mx"))
+        .drop("__mx", "epoch")
+    )
+
+
 def incremental_postings_ingest(
     spark: SparkSession,
     input_path: str,
@@ -255,6 +274,7 @@ def incremental_postings_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Keep the BM25 inverted index fresh as documents arrive — the
     lexical counterpart of ``incremental_index_ingest``: each micro-batch
@@ -264,10 +284,18 @@ def incremental_postings_ingest(
     derived at query time from the doclens/postings tables, so no global
     state is rebuilt in the stream — identical to the reference's
     index.add discipline applied to keyword search.
+
+    Updates: re-ingesting a document stamps its fresh rows into a NEW
+    epoch; earlier epochs keep the stale rows. Readers therefore go
+    through :func:`latest_rows`, which serves only each doc's max-epoch
+    rows (pinned by tests and the stream_bm25_state oracle query).
     """
     from vector_db_api_spark.operators.keyword import build_postings
 
-    stream = spark.readStream.schema(input_schema).parquet(input_path)
+    reader = spark.readStream.schema(input_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         postings, doclens = build_postings(batch_df, id_col, text_col)

@@ -932,6 +932,95 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 8
 
 
 # ---------------------------------------------------------------------------
+# Stream-built state, checked by the BATCH oracle: the driver-visible proof
+# that streaming ingest materializes state equal to the batch computation.
+# ---------------------------------------------------------------------------
+
+def q_stream_bm25_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from STREAM-BUILT postings: the documents table is
+    split into two files, ingested by incremental_postings_ingest in two
+    micro-batches (maxFilesPerTrigger=1 → two epochs), read back through
+    the max-epoch dedup (latest_rows), and scored with the replay-exact
+    postings path — the result must hash-match the SAME oracle as the
+    batch doc_bm25 (streaming/ingest.py, operators/keyword.py)."""
+    import tempfile
+
+    from vector_db_api_spark.operators.keyword import bm25_scores_postings
+    from vector_db_api_spark.streaming.ingest import (
+        incremental_postings_ingest,
+        latest_rows,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_bm25_state_")
+    src, pp, dp, ck = (f"{tmp}/{d}" for d in ("src", "postings", "doclens", "ck"))
+    _docs(spark, sf_dir).select("doc_id", "text").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = incremental_postings_ingest(
+        spark, src, "doc_id bigint, text string", pp, dp, ck,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    postings = latest_rows(spark.read.parquet(pp))
+    doclens = latest_rows(spark.read.parquet(dp))
+    return bm25_scores_postings(postings, doclens, BM25_QUERY)
+
+
+def q_stream_trending_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types over a STREAM-BUILT hourly rollup: events run
+    through the watermarked streaming rollup (availableNow), the sink is
+    filtered to closed windows (append mode holds back windows inside the
+    watermark horizon), ranked top-3 per hour. Hours emit as epoch-seconds
+    bigint; the oracle rebuilds rollup + closure + ranking from the raw
+    events (streaming/ingest.py hourly_event_rollup + trending_event_types)."""
+    import tempfile
+
+    from vector_db_api_spark.streaming.ingest import (
+        hourly_event_rollup,
+        trending_event_types,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_trending_state_")
+    src, out, ck = (f"{tmp}/{d}" for d in ("src", "out", "ck"))
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(src)
+    q = hourly_event_rollup(spark, src, out, ck)
+    q.awaitTermination(300)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    closed = spark.read.parquet(out).filter(
+        F.col("window_start") + F.expr("INTERVAL 3 HOURS") <= F.lit(max_ts)
+    )
+    trend = trending_event_types(closed, k=3)
+    return trend.select(
+        F.unix_timestamp("window_start").cast("long").alias("hour"),
+        "event_type",
+        "n_events",
+        "rank",
+    )
+
+
+_SQL_STREAM_TRENDING = """
+WITH rollup AS (
+  SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+closed AS (
+  SELECT * FROM rollup
+  WHERE hour + 10800 <= (SELECT FLOOR(epoch(MAX(ts))) FROM events)
+),
+ranked AS (
+  SELECT hour, event_type, n_events,
+         CAST(row_number() OVER (PARTITION BY hour
+                                 ORDER BY n_events DESC, event_type ASC)
+              AS INT) AS rank
+  FROM closed
+)
+SELECT hour, event_type, n_events, rank FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Events (grouped agg; batch equivalent of the streaming ingest)
 # ---------------------------------------------------------------------------
 
@@ -2995,7 +3084,9 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
     "events_type_stats": (q_events_type_stats, _SQL_EVENTS_TYPE_STATS),
     "skew_salted_agg": (q_skew_salted_agg, _SQL_SKEW_SALTED_AGG),
-    "skew_salted_join": (q_skew_salted_join, _SQL_SKEW_SALTED_JOIN),
+    # --- in-window: stream-built state vs batch oracle ---
+    "stream_bm25_state": (q_stream_bm25_state, _sql_doc_bm25()),
+    "stream_trending_state": (q_stream_trending_state, _SQL_STREAM_TRENDING),
     # --- in-window: relational headliners ---
     "rel_pricing_summary": (q_rel_pricing_summary, _SQL_REL_PRICING_SUMMARY),
     "rel_revenue_by_nation": (q_rel_revenue_by_nation, _SQL_REL_REVENUE_BY_NATION),
@@ -3016,7 +3107,6 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "search_e2e": (q_search_e2e, _sql_search_e2e()),
     # --- in-window: similarity join + end-to-end corpus clean ---
     "knn_self_join_top3": (q_knn_self_join, _sql_knn_self_join()),
-    "corpus_clean": (q_corpus_clean, _sql_corpus_clean()),
     "corpus_clean_near": (q_corpus_clean_near, _sql_corpus_clean_near()),
     # --- in-window: curation + temporal (DuckDB native ASOF JOIN oracle) ---
     "doc_bm25": (q_doc_bm25, _sql_doc_bm25()),
@@ -3032,8 +3122,12 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # band buckets (minhash_lsh_pairs builds on them), raw simhash
     # signatures (hamming pairs recompute them), text-stat ratios
     # (doc_quality composes them), CAS conflict rows (crud_cas in-window),
-    # the BLAS twin of the in-window fold-based embedding_neardup.
+    # the BLAS twin of the in-window fold-based embedding_neardup, the
+    # salted-join twin of skew_salted_agg, and corpus_clean (subsumed by
+    # the in-window corpus_clean_near, which composes it).
     "embedding_neardup_np": (q_embedding_neardup_np, _sql_embedding_neardup_ids()),
+    "skew_salted_join": (q_skew_salted_join, _SQL_SKEW_SALTED_JOIN),
+    "corpus_clean": (q_corpus_clean, _sql_corpus_clean()),
     "doc_token_count_bpe": (
         q_doc_token_count_bpe,
         f"SELECT doc_id, {O.token_count_bpe('text')} AS n_bpe_tokens FROM documents",
