@@ -221,3 +221,49 @@ def test_facade_full_route_surface(spark, tmp_path_factory):
 
     assert f.delete_library("B")["status"] == 204
     assert f.get_library("B")["status"] == 404
+
+
+def test_reference_dto_parity_move_and_with_chunks(spark, tmp_path_factory):
+    """ADVICE round-3 items: move uses the reference's dst_library_id
+    (MoveDocumentIn), with-chunks accepts metadata + enforces min_items=1
+    and never leaves an orphan document behind a failed upsert."""
+    eng = Engine(spark, str(tmp_path_factory.mktemp("dto_parity")))
+    f = Facade(eng)
+    assert f.create_library({"id": "A", "name": "a", "embedding_dim": 4})["status"] == 201
+    assert f.create_library({"id": "B", "name": "b", "embedding_dim": 4})["status"] == 201
+
+    # with-chunks: metadata accepted (reference DocumentCreateWithChunks
+    # inherits it), stored on the document row
+    made = f.create_document_with_chunks("A", {
+        "id": "D1",
+        "metadata": {"title": "hello doc", "tags": ["x", "y"]},
+        "chunks": [{"id": "c1", "library_id": "A", "document_id": "ignored",
+                    "position": 0, "text": "hi",
+                    "embedding": [1.0, 0.0, 0.0, 0.0]}],
+    })
+    assert made["status"] == 201
+    doc = f.get_document("D1")
+    assert doc["status"] == 200
+    assert doc["data"]["metadata"]["title"] == "hello doc"
+    assert doc["data"]["metadata"]["tags"] == ["x", "y"]
+
+    # min_items=1: zero chunks is a 422, and no document is created
+    empty = f.create_document_with_chunks("A", {"id": "D2", "chunks": []})
+    assert empty["status"] == 422
+    assert f.get_document("D2")["status"] == 404
+
+    # engine-level upsert failure (dim mismatch) must delete the new doc
+    bad = f.create_document_with_chunks("A", {"id": "D3", "chunks": [
+        {"id": "c9", "library_id": "A", "document_id": "ignored",
+         "position": 0, "text": "bad dim", "embedding": [1.0, 0.0]},
+    ]})
+    assert bad["status"] == 422
+    assert f.get_document("D3")["status"] == 404  # no orphan
+
+    # move: reference field name works; alias still accepted; neither -> 422
+    assert f.move_document("A", "D1", {})["status"] == 422
+    assert f.move_document("A", "D1", {"dst_library_id": "B"})["status"] == 200
+    assert f.move_document("B", "D1", {"to_library_id": "A"})["status"] == 200
+
+    # unknown metadata fields rejected (extra='forbid' parity)
+    assert f.create_document("A", {"id": "D4", "metadata": {"nope": 1}})["status"] == 422

@@ -66,8 +66,15 @@ class Facade:
             return _err(e)
 
     def create_document(self, library_id: str, body: dict) -> dict:
+        """routers/documents.py:68-80 POST — reference DocumentCreate
+        carries optional ``metadata`` (api/dto.py:88-89)."""
         try:
-            doc_id = self.engine.create_document(library_id, body.get("id"))
+            unknown = set(body) - {"id", "metadata"}
+            if unknown:
+                raise ValidationError(f"unknown fields: {sorted(unknown)}")
+            doc_id = self.engine.create_document(
+                library_id, body.get("id"), metadata=body.get("metadata")
+            )
             return _ok({"id": doc_id}, 201)
         except EngineError as e:
             return _err(e)
@@ -107,11 +114,14 @@ class Facade:
             return _err(e)
 
     def move_document(self, library_id: str, document_id: str, body: dict) -> dict:
-        """routers/documents.py:138-147 POST {doc}:move."""
+        """routers/documents.py:138-147 POST {doc}:move. The reference DTO
+        field is ``dst_library_id`` (api/dto.py MoveDocumentIn:176-179);
+        ``to_library_id`` is accepted as an alias for earlier clients of
+        this engine."""
         try:
-            dst = body.get("to_library_id")
+            dst = body.get("dst_library_id") or body.get("to_library_id")
             if not dst:
-                raise ValidationError("to_library_id is required")
+                raise ValidationError("dst_library_id is required")
             self.engine.move_document(document_id, library_id, dst)
             return _ok({"document_id": document_id, "library_id": dst})
         except EngineError as e:
@@ -133,20 +143,37 @@ class Facade:
 
     def create_document_with_chunks(self, library_id: str, body: dict) -> dict:
         """routers/documents.py:82-101 POST /with-chunks — one call creates
-        the document and bulk-upserts its chunks."""
+        the document and bulk-upserts its chunks. Reference DTO parity
+        (api/dto.py DocumentCreateWithChunks:96-97): inherits optional
+        ``metadata`` from DocumentCreate, and ``chunks`` has min_items=1.
+        Chunk dicts are validated BEFORE the document row is written, and an
+        engine-level upsert failure deletes the just-created document — a
+        non-201 response never leaves an orphan doc behind."""
         try:
-            unknown = set(body) - {"id", "chunks"}
+            unknown = set(body) - {"id", "metadata", "chunks"}
             if unknown:
                 raise ValidationError(f"unknown fields: {sorted(unknown)}")
-            doc = self.create_document(library_id, {"id": body.get("id")} if body.get("id") else {})
+            chunks_in = body.get("chunks") or []
+            if not chunks_in:
+                raise ValidationError("at least one chunk is required")
+            for c in chunks_in:  # validate before creating anything
+                bad = set(c) - set(CHUNK_IN_FIELDS)
+                if bad:
+                    raise ValidationError(f"unknown chunk fields: {sorted(bad)}")
+                if not c.get("text"):
+                    raise ValidationError("chunk.text must be non-empty")
+            doc = self.create_document(
+                library_id,
+                {k: body[k] for k in ("id", "metadata") if body.get(k) is not None},
+            )
             if doc["status"] != 201:
                 return doc
             doc_id = doc["data"]["id"]
-            chunks = [dict(c, document_id=doc_id) for c in body.get("chunks", [])]
-            if chunks:
-                up = self.bulk_upsert_chunks(library_id, chunks)
-                if up["status"] != 200:
-                    return up
+            chunks = [dict(c, document_id=doc_id) for c in chunks_in]
+            up = self.bulk_upsert_chunks(library_id, chunks)
+            if up["status"] != 200:
+                self.engine.delete_document(library_id, doc_id)
+                return up
             return _ok({"id": doc_id, "chunks": len(chunks)}, 201)
         except EngineError as e:
             return _err(e)

@@ -111,7 +111,20 @@ class Engine:
 
     # -- DocumentService -----------------------------------------------------
 
-    def create_document(self, library_id: str, document_id: str | None = None) -> str:
+    DOC_META_FIELDS = (
+        "source_uri", "author", "lang", "mime_type", "tags", "title",
+        "summary", "sha256",
+    )
+
+    def create_document(
+        self,
+        library_id: str,
+        document_id: str | None = None,
+        metadata: dict | None = None,
+    ) -> str:
+        """Create a document row; ``metadata`` mirrors the reference
+        DocumentCreate DTO (api/dto.py:88-89) — optional, unknown fields
+        rejected 422 (extra='forbid' parity, models/entities.py)."""
         self._get_library_row(library_id)
         doc_id = document_id or str(uuid.uuid4())
         row = self.spark.sql(
@@ -123,6 +136,26 @@ class Engine:
             "1 AS version",
             id=doc_id, lib=library_id,
         )
+        if metadata is not None:
+            unknown = set(metadata) - set(self.DOC_META_FIELDS)
+            if unknown:
+                raise ValidationError(
+                    f"unknown metadata fields: {sorted(unknown)}"
+                )
+            tags = metadata.get("tags")
+            meta_col = F.struct(
+                *[
+                    (
+                        F.array(*[F.lit(str(t)) for t in tags]).cast("array<string>")
+                        if f == "tags" and tags
+                        else F.lit(metadata.get(f) if f != "tags" else None).cast(
+                            "array<string>" if f == "tags" else "string"
+                        )
+                    ).alias(f)
+                    for f in self.DOC_META_FIELDS
+                ]
+            )
+            row = row.withColumn("metadata", meta_col)
         self.store.write("documents", self.store.read("documents").unionByName(row))
         return doc_id
 
