@@ -294,3 +294,37 @@ def test_repetition_kernel_is_shuffle_free(spark):
     plan = _plan(repetition_stats_np(docs))
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_doc_nll_join_broadcasts_model_one_group_shuffle(spark):
+    from vector_db_api_spark.operators.lm import doc_nll_join, train_unigram_df
+
+    docs = load_table(spark, SF_DIR, "documents")
+    model_df, oov = train_unigram_df(docs)
+    plan = _plan(doc_nll_join(docs, model_df, oov))
+    # model ships as a broadcast build side; the corpus never re-shuffles
+    # for the join — only the per-doc groupBy pays an Exchange
+    assert "BroadcastHashJoin" in plan
+    import re
+    corpus_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert corpus_exchanges <= 2  # model-count agg + doc groupBy, nothing more
+
+
+def test_gapfill_numeric_grid_two_shuffles(spark):
+    # epoch-bigint gapfill: bounds agg + grid-join — linear shuffles on the
+    # ROLLUP (buckets x groups), never on the raw events
+    df = suite.q_events_gapfill(spark, SF_DIR)
+    plan = _plan(df)
+    assert "sequence" in plan.lower()  # generated grid, not a side table
+
+
+def test_leakage_split_label_join_is_unhinted(spark):
+    # the component-label join must carry NO forced broadcast hint: AQE
+    # decides from measured size (high-dup corpora make labels corpus-sized)
+    from vector_db_api_spark.operators.curation import leakage_free_split
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    opt = _optimized(leakage_free_split(docs, 0.5, "doc_id"))
+    import re
+    # ResolvedHint/broadcast markers on the comp join side would show here
+    assert "ResolvedHint" not in opt

@@ -2680,9 +2680,10 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.search(emb, codes, Q0, 10, id_col="vec_id")
 
 
-def _sql_pq_search() -> str:
-    import numpy as np
-
+def _sql_pq_like(extra_where: str = "") -> str:
+    """Shared PQ replay SQL: encode (per-subspace argmin with numpy's
+    expansion-trick operation order) → ADC LUT scan → exact re-rank;
+    ``extra_where`` narrows the scanned rows (IVF-PQ cell pruning)."""
     model = _pq_fixed_model()
     m, dsub = model.m, model.dsub
     lut = model._lut(Q0)  # (m, k) constants — query-side math at gen time
@@ -2691,8 +2692,6 @@ def _sql_pq_search() -> str:
         f"list_transform(e.embedding, x -> CAST(x AS DOUBLE) / "
         f"(CASE WHEN {nrm} = 0.0 THEN 1.0 ELSE {nrm} END))"
     )
-    # per subspace: codes via argmin of (ss - 2*dot) + cc (numpy's expansion
-    # trick, same operation order), then the ADC term is a LUT gather
     adc_terms = []
     for j in range(m):
         sub = f"list_slice(__u, {j * dsub + 1}, {(j + 1) * dsub})"
@@ -2709,7 +2708,7 @@ def _sql_pq_search() -> str:
     return f"""
 WITH uvec AS (
   SELECT e.vec_id, {u} AS __u
-  FROM embeddings e WHERE e.embedding IS NOT NULL
+  FROM embeddings e WHERE e.embedding IS NOT NULL{extra_where}
 ),
 adc AS (SELECT vec_id, {adc} AS adc_score FROM uvec),
 cand AS (SELECT vec_id FROM adc ORDER BY adc_score DESC, vec_id ASC LIMIT 40)
@@ -2717,6 +2716,36 @@ SELECT e.vec_id, {O.cosine_const('e.embedding', Q0)} AS score
 FROM embeddings e JOIN cand USING (vec_id)
 ORDER BY score DESC, e.vec_id ASC LIMIT 10
 """
+
+
+def _sql_pq_search() -> str:
+    return _sql_pq_like()
+
+
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ composition (operators/pq.py search_cells): probe the
+    fixed IVF's top-nprobe cells, ADC-scan ONLY those cells' codes with
+    the fixed PQ codebooks, exact re-rank. The oracle composes the two
+    proven replays — cell membership (argmax assignment ∈ embedded probe
+    set) narrows the PQ scan."""
+    pq = _pq_fixed_model()
+    ivf = _ivf_fixed_model()
+    emb = _emb(spark, sf_dir)
+    asg = ivf.assign(emb, id_col="vec_id")
+    cell_codes = pq.encode_with_cells(emb, asg, id_col="vec_id")
+    return pq.search_cells(emb, cell_codes, ivf, Q0, 10, id_col="vec_id")
+
+
+def _sql_ivfpq_search() -> str:
+    ivf = _ivf_fixed_model()
+    probe = sorted(ivf.probe_centroids(Q0))
+    dlist = O.dots_const_list("e.embedding", ivf.centroids)
+    in_list = ", ".join(str(p) for p in probe)
+    extra = (
+        f"\n    AND {O.norm('e.embedding')} <> 0.0"
+        f"\n    AND {O.argmax_first(dlist)} IN ({in_list})"
+    )
+    return _sql_pq_like(extra)
 
 
 def q_knn_batch_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3198,6 +3227,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "lsh_search_top10": (q_lsh_search, _sql_lsh_search()),
     "ivf_search_top10": (q_ivf_search, _sql_ivf_search()),
     "pq_search_top10": (q_pq_search, _sql_pq_search()),
+    "ivfpq_search_top10": (q_ivfpq_search, _sql_ivfpq_search()),
     "lsh_search_batch_top10": (q_lsh_search_batch, _sql_lsh_search_batch()),
     "ivf_search_batch_top10": (q_ivf_search_batch, _sql_ivf_search_batch()),
     "knn_quantized_top10": (q_knn_quantized, _sql_knn_quantized()),
