@@ -32,8 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     hits = knn(emb, suite.Q0, 10, metric="cosine", id_col="vec_id", extra_cols=("label",))
-    return hits.join(
-        F.broadcast(docs), hits.vec_id == docs.doc_id, "inner"
+    # broadcast the ≤k HITS into the documents scan (the documents side is
+    # corpus-sized — the k-row hit set is the only always-small frame here)
+    return docs.join(
+        F.broadcast(hits), hits.vec_id == docs.doc_id, "inner"
     ).select("vec_id", "label", "score", "lang", "source", "n_chars")
 
 

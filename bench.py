@@ -95,6 +95,8 @@ HEADLINE = [
     "corpus_profile",
     "corpus_vocabulary",
     "doc_lm_nll",
+    "doc_lm_nll_join",
+    "multimodal_embed",
     "doc_leakage_split",
     "events_anomalies",
     "knn_quantized_top10",

@@ -28,10 +28,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+# ts is TIMESTAMP_NTZ: the batch loader reads the naive parquet micros as
+# NTZ, and the stream must live in the SAME domain — declaring plain
+# `timestamp` here makes the watermark/window math session-timezone-
+# dependent (stream==batch then breaks under any non-UTC host TZ; caught
+# by the stream_trending_state oracle under TZ=Australia/Eucla).
 EVENT_SCHEMA = (
-    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
     "value double, props string"
 )
+
+
+def _ntz_as_utc_instant(src: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """TIMESTAMP_NTZ → TIMESTAMP with instant micros EQUAL to the naive
+    micros (i.e., the naive value read as a UTC instant), regardless of
+    session timezone. Watermarks/windows require TIMESTAMP; a plain cast
+    would interpret the naive value in the session zone and shift every
+    window under a non-UTC host (caught by the stream_trending_state
+    oracle under TZ=Australia/Eucla). timestampdiff between two NTZ values
+    is pure integer arithmetic — no zone anywhere."""
+    if dict(src.dtypes).get(ts_col) == "timestamp_ntz":
+        src = src.withColumn(
+            ts_col,
+            F.timestamp_micros(
+                F.expr(
+                    f"timestampdiff(MICROSECOND, "
+                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+                )
+            ),
+        )
+    return src
 
 
 def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -39,7 +65,9 @@ def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> Data
     stream (withWatermark is a no-op on batch frames)."""
     src = events
     if src.isStreaming:
-        src = src.withWatermark("ts", watermark)
+        # batch frames stay NTZ (their outputs join the NTZ oracles);
+        # only the watermarked path needs the TIMESTAMP conversion
+        src = _ntz_as_utc_instant(src).withWatermark("ts", watermark)
     return (
         src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -69,7 +97,7 @@ def sessionized_event_counts(
     """
     src = events
     if src.isStreaming:
-        src = src.withWatermark("ts", watermark)
+        src = _ntz_as_utc_instant(src).withWatermark("ts", watermark)
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(

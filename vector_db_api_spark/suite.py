@@ -986,9 +986,12 @@ def q_stream_trending_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.write.mode("overwrite").parquet(src)
     q = hourly_event_rollup(spark, src, out, ck)
     q.awaitTermination(300)
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # closure + output stay in the epoch-seconds domain end to end: the
+    # sink's window_start is a UTC instant whose micros equal the naive
+    # event micros (_ntz_as_utc_instant), so unix_timestamp is TZ-proof
+    max_epoch = ev.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
     closed = spark.read.parquet(out).filter(
-        F.col("window_start") + F.expr("INTERVAL 3 HOURS") <= F.lit(max_ts)
+        F.unix_timestamp("window_start") + F.lit(10800) <= F.lit(int(max_epoch))
     )
     trend = trending_event_types(closed, k=3)
     return trend.select(
