@@ -55,6 +55,7 @@ HEADLINE = [
     "exact_duplicates",
     "embedding_neardup",
     "embedding_neardup_np",
+    "semdedup_drop_np",
     "doc_quality",
     "doc_winnowing",
     "doc_winnowing_np",

@@ -1,0 +1,202 @@
+"""SemDeDup: semantic deduplication by cluster-then-prune (Abbas et al.,
+"SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication", arXiv:2303.09540).
+
+The reference engine (Kshitij-Bakliwal/vector-db-api) has the two halves of
+this pipeline as separate primitives — k-means clustering
+(``src/vector_db_api/indexing/ivf.py``, the IVF coarse quantizer) and exact
+cosine scoring (``src/vector_db_api/indexing/utils.py:10-15``) — but no
+composed corpus-pruning operator. This module composes them the way an LLM
+training-data pipeline does:
+
+1. **Assign** every embedding to its nearest centroid (max cosine == max dot
+   on unit vectors). The cluster is the dedup *block*: all pair work is
+   equi-keyed on ``cell``, so total pair cost is Σ|cell|² instead of N² —
+   choose ``num_centroids ≈ N / target_cell_size`` so cells stay Arrow-batch
+   sized at 100 TB (the paper uses 50k clusters for LAION-scale).
+2. **Prune** inside each cluster: a vector is dropped when a *higher-keep-
+   priority* member of the same cluster sits within the ε-ball
+   (``cosine ≥ threshold``). Keep priority follows the paper: prefer the
+   example FARTHEST from its centroid (maximizes retained diversity), with
+   the id as a deterministic tie-break.
+
+Two execution paths, same semantics (the repo-wide twin convention):
+
+- :func:`semdedup_dropped` — pure Column expressions (sequential-fold dots),
+  bit-reproducible against the DuckDB oracle, whole-stage-codegen friendly.
+- :func:`semdedup_dropped_numpy` — one BLAS gram matrix per cluster inside
+  ``applyInPandas``; identical drop SET, ~10× less CPU; the production path.
+
+Both shuffle exactly once on ``cell`` (plus the centroid-assignment scan).
+Giant clusters are the skew risk; the paper's answer (and ours) is a larger
+``num_centroids``, keeping the expensive step linear in corpus size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_db_api_spark.functions import vector as V
+
+
+def _const_vec(vals: Sequence[float]) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def assign_diversity(
+    vectors: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, __u, cell, csim): expression-only nearest-centroid assignment.
+
+    ``cell`` is the argmax (first-max, numpy semantics) of the sequential-fold
+    dots with each centroid row; ``csim`` is that max dot divided by the
+    vector norm — i.e. the cosine to the winning centroid, the paper's keep-
+    priority signal. Null / zero-norm vectors drop (they have no semantic
+    location; the exact-kNN path has the same guard, knn.py).
+
+    The whole assignment is Column arithmetic over a centroid matrix folded
+    into the plan as literals — no Python in the hot path, and every double
+    is reproducible by any engine that folds left-to-right (the DuckDB
+    oracle replays it; cf. suite._sql_semdedup).
+    """
+    d = V.as_double_array(vec_col)
+    e = (
+        vectors.filter(F.col(vec_col).isNotNull())
+        .withColumn("__d", d)
+        .withColumn("__n", V.norm("__d"))
+        .filter(F.col("__n") != 0.0)
+    )
+    dots = F.array(*[V.dot("__d", _const_vec(c)) for c in centroids])
+    return e.select(
+        F.col(id_col),
+        F.transform("__d", lambda x: x / F.col("__n")).alias("__u"),
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cell"),
+        (F.array_max(dots) / F.col("__n")).alias("csim"),
+    )
+
+
+def _priority_cond(a: str, b: str, id_col: str) -> F.Column:
+    """True when row ``b`` outranks row ``a`` for keeping: farther from the
+    centroid first (csim ASC), id ASC as the deterministic tie-break."""
+    return (F.col(f"{b}.csim") < F.col(f"{a}.csim")) | (
+        (F.col(f"{b}.csim") == F.col(f"{a}.csim"))
+        & (F.col(f"{b}.{id_col}") < F.col(f"{a}.{id_col}"))
+    )
+
+
+def semdedup_dropped(
+    vectors: DataFrame,
+    centroids,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rows PRUNED by SemDeDup: (id, cell, max_sim).
+
+    ``max_sim`` is the highest cosine to any higher-priority member of the
+    same cluster (≥ threshold by construction — it is the evidence for the
+    drop). The kept corpus is ``vectors`` anti-joined with this frame.
+
+    Plan: centroid assignment is scan-fused; the intra-cluster pair scoring
+    is ONE equi-join shuffle on ``cell``; the group-by reuses the same
+    partitioning (no second exchange). Unit vectors are precomputed before
+    the join so each pair costs a single dot fold.
+    """
+    s = assign_diversity(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    a, b = s.alias("a"), s.alias("b")
+    pair_cos = V.dot("a.__u", "b.__u")
+    return (
+        a.join(b, F.col("a.cell") == F.col("b.cell"))
+        .filter(_priority_cond("a", "b", id_col))
+        .filter(pair_cos >= threshold)
+        .groupBy(F.col(f"a.{id_col}").alias(id_col), F.col("a.cell").alias("cell"))
+        .agg(F.max(pair_cos).alias("max_sim"))
+    )
+
+
+def semdedup_kept(
+    vectors: DataFrame,
+    centroids,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The surviving corpus: input rows minus the pruned set (anti-join on
+    id — null-embedding rows survive untouched, mirroring the reference's
+    treatment of unembedded chunks as non-searchable but present)."""
+    dropped = semdedup_dropped(
+        vectors, centroids, threshold, id_col=id_col, vec_col=vec_col
+    ).select(id_col)
+    return vectors.join(dropped, id_col, "left_anti")
+
+
+def semdedup_dropped_numpy(
+    vectors: DataFrame,
+    centroids,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BLAS twin of :func:`semdedup_dropped`: per-cluster gram matrix.
+
+    Identical drop SET (priority order and ε-ball membership are float-
+    robust at any realistic threshold); per-pair cosines differ from the
+    fold path only by summation order, so this twin returns (id, cell)
+    without the score — the same id-projection contract as
+    ``embedding_neardup_pairs_numpy``. Cluster = pandas group; sizes are
+    bounded by the centroid count, the operator's explicit scale knob.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    id_kind = vectors.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_kind}, cell int"
+    thr = float(threshold)
+
+    e = vectors.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            keep = norms > 0
+            if not keep.any():
+                continue
+            unit = mat[keep] / norms[keep, None]
+            dots = unit @ cent.T
+            out = pdf.loc[keep, [id_col]].copy()
+            out["cell"] = dots.argmax(axis=1).astype(np.int32)
+            out["csim"] = dots.max(axis=1)
+            out["__u"] = list(unit)
+            yield out
+
+    assigned = e.mapInPandas(
+        assign_batches, schema=f"{id_col} {id_kind}, cell int, csim double, __u array<double>"
+    )
+
+    def prune_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({id_col: [], "cell": []}).astype(
+                {id_col: pdf[id_col].dtype, "cell": "int32"}
+            )
+        order = np.lexsort((pdf[id_col].to_numpy(), pdf["csim"].to_numpy()))
+        unit = np.asarray(pdf["__u"].tolist(), dtype=np.float64)[order]
+        ids = pdf[id_col].to_numpy()[order]
+        cells = pdf["cell"].to_numpy()[order]
+        gram = unit @ unit.T
+        # row i is dropped iff any earlier (higher-priority) row j has
+        # gram[i, j] >= threshold
+        tri = np.tril(gram, k=-1)
+        drop = (tri >= thr).any(axis=1)
+        return pd.DataFrame({id_col: ids[drop], "cell": cells[drop]})
+
+    return assigned.groupBy("cell").applyInPandas(prune_cell, schema=out_schema)

@@ -3061,6 +3061,87 @@ def _sql_knn_batch_ids() -> str:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup — cluster-then-prune semantic dedup (operators/semdedup.py).
+# Fixed seeded unit centroids (same proof strategy as the ANN family): the
+# whole pipeline — assignment argmax, keep-priority ordering, ε-ball pair
+# test — replays in SQL with the centroid matrix as literals. Production
+# uses IVFIndex.train centroids; the composition is identical.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_K, _SEMDEDUP_SEED = 8, 11
+
+
+def _semdedup_fixed_centroids():
+    rng = np.random.default_rng(_SEMDEDUP_SEED)
+    c = rng.standard_normal((_SEMDEDUP_K, 64))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def q_semdedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pruned set over the embeddings corpus: nearest-centroid
+    cells, keep the member farthest from its centroid, drop everything
+    within cosine ≥ threshold of a higher-priority member. Expression-only
+    fold path (the DuckDB oracle replays every double)."""
+    from vector_db_api_spark.operators.semdedup import semdedup_dropped
+
+    return semdedup_dropped(
+        _emb(spark, sf_dir),
+        _semdedup_fixed_centroids(),
+        NEARDUP_THRESHOLD,
+        id_col="vec_id",
+    )
+
+
+def q_semdedup_drop_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS twin (per-cell gram matrix in applyInPandas): identical drop
+    SET; scores projected away (matmul vs fold last-ulp, same contract as
+    embedding_neardup_np / knn_batch_numpy_ids)."""
+    from vector_db_api_spark.operators.semdedup import semdedup_dropped_numpy
+
+    return semdedup_dropped_numpy(
+        _emb(spark, sf_dir),
+        _semdedup_fixed_centroids(),
+        NEARDUP_THRESHOLD,
+        id_col="vec_id",
+    )
+
+
+def _sql_semdedup(ids_only: bool = False) -> str:
+    cent = _semdedup_fixed_centroids()
+    nrm = O.norm("embedding")
+    dlist = O.dots_const_list("embedding", cent)
+    unit = (
+        f"list_transform(range(1, len(embedding)+1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) / {nrm})"
+    )
+    d = O.dot("a.u", "b.u")
+    proj = (
+        "a.vec_id AS vec_id, a.cell AS cell"
+        if ids_only
+        else f"a.vec_id AS vec_id, a.cell AS cell, MAX({d}) AS max_sim"
+    )
+    return f"""
+WITH s0 AS (
+  SELECT vec_id, {unit} AS u, {dlist} AS dl, {nrm} AS nrm
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND {nrm} != 0.0
+),
+s AS (
+  SELECT vec_id, u,
+         CAST(list_position(dl, list_max(dl)) - 1 AS INTEGER) AS cell,
+         list_max(dl) / nrm AS csim
+  FROM s0
+)
+SELECT {proj}
+FROM s a JOIN s b
+  ON a.cell = b.cell
+ AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+WHERE {d} >= {NEARDUP_THRESHOLD}
+GROUP BY a.vec_id, a.cell
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3238,6 +3319,9 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
     "multimodal_embed": (q_multimodal_embed, _sql_multimodal_embed()),
     "multimodal_neardup": (q_multimodal_neardup, _sql_multimodal_neardup()),
+    # SemDeDup (cluster-then-prune semantic dedup; fixed-centroid replay)
+    "semdedup_drop": (q_semdedup_drop, _sql_semdedup()),
+    "semdedup_drop_np": (q_semdedup_drop_np, _sql_semdedup(ids_only=True)),
 }
 
 
