@@ -75,6 +75,8 @@ HEADLINE = [
     "events_sessions",
     "events_type_stats",
     "events_asof",
+    "events_distinct_kmv",
+    "events_value_histogram",
     # curation
     "doc_sample_hash",
     "doc_packing",

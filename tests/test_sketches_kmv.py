@@ -1,0 +1,89 @@
+"""KMV sketch (operators/sketches.py): mergeability + accuracy contracts.
+
+The reference engine keeps exact in-memory catalogs (services/*.py) and has
+no sketch surface; KMV is the scale extension that must behave like a
+CRDT: state(A ∪ B) == merge(state(A), state(B)) exactly, estimates within
+the ~1/sqrt(k) bound, and every number deterministic (portable h32)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from vector_db_api_spark.operators.sketches import (
+    kmv_distinct,
+    kmv_estimate,
+    kmv_merge_states,
+    kmv_state,
+    value_histogram,
+)
+
+
+def _ids(spark, n, offset=0, group="g"):
+    return (
+        spark.range(offset, offset + n)
+        .select(F.lit(group).alias("g"), F.col("id").alias("v"))
+    )
+
+
+def test_merge_of_disjoint_slices_equals_whole(spark):
+    k = 32
+    a, b = _ids(spark, 400), _ids(spark, 400, offset=400)
+    whole = kmv_state(a.union(b), ["g"], "v", k=k).collect()[0]["kmin"]
+    parts = kmv_state(a, ["g"], "v", k=k).union(kmv_state(b, ["g"], "v", k=k))
+    merged = kmv_merge_states(parts, ["g"], k=k).collect()[0]["kmin"]
+    assert merged == whole
+
+
+def test_merge_is_idempotent_under_overlap(spark):
+    """KMV sketches distinct values: merging overlapping slices must not
+    double-count (the property HLL shares and linear counters lack)."""
+    k = 32
+    a, b = _ids(spark, 500), _ids(spark, 500, offset=250)  # 250..499 overlap
+    whole = kmv_state(a.union(b), ["g"], "v", k=k).collect()[0]["kmin"]
+    parts = kmv_state(a, ["g"], "v", k=k).union(kmv_state(b, ["g"], "v", k=k))
+    merged = kmv_merge_states(parts, ["g"], k=k).collect()[0]["kmin"]
+    assert merged == whole
+
+
+def test_estimate_exact_below_k_and_bounded_above(spark):
+    k = 64
+    small = kmv_distinct(_ids(spark, 40), ["g"], "v", k=k).collect()[0]
+    assert small["est_distinct"] == 40.0
+    n = 20_000
+    big_state = kmv_state(_ids(spark, n), ["g"], "v", k=k)
+    est = big_state.select(kmv_estimate("kmin", k=k).alias("e")).collect()[0]["e"]
+    # 5/sqrt(k) ≈ 62% is a generous deterministic bound; typical error ~12%
+    assert abs(est - n) / n < 5.0 / math.sqrt(k)
+
+
+def test_estimate_matches_state_path(spark):
+    """kmv_distinct (one-query path) and kmv_estimate(kmv_state) (mergeable
+    path) are the same estimator over the same synopsis."""
+    k = 48
+    df = _ids(spark, 3000)
+    direct = kmv_distinct(df, ["g"], "v", k=k).collect()[0]["est_distinct"]
+    via_state = (
+        kmv_state(df, ["g"], "v", k=k)
+        .select(kmv_estimate("kmin", k=k).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert direct == via_state
+
+
+def test_histogram_partitions_rows_and_orders_edges(spark):
+    df = spark.range(1000).select((F.col("id") % 100).cast("double").alias("x"))
+    h = value_histogram(df, "x", bins=10).orderBy("bin").collect()
+    assert [r["bin"] for r in h] == list(range(10))
+    assert sum(r["n"] for r in h) == 1000
+    # right-closed top bin: the max value folds into bin 9
+    assert h[-1]["hi_val"] == 99.0
+    for prev, cur in zip(h, h[1:]):
+        assert prev["hi_val"] < cur["lo_val"]
+
+
+def test_histogram_constant_column_single_bin(spark):
+    df = spark.range(50).select(F.lit(7.5).alias("x"))
+    h = value_histogram(df, "x", bins=10).collect()
+    assert len(h) == 1 and h[0]["bin"] == 0 and h[0]["n"] == 50

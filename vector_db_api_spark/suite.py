@@ -3142,6 +3142,92 @@ GROUP BY a.vec_id, a.cell
 
 
 # ---------------------------------------------------------------------------
+# Mergeable sketches + distribution summaries (operators/sketches.py).
+# KMV is built on the portable md5 h32, so the ESTIMATE itself — an
+# approximate answer — is still a deterministic double the oracle replays
+# bit-for-bit (the verifiability trick the engine-internal HLL can't do).
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_HIST_BINS = 10
+
+
+def q_events_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users: exact count next to the KMV estimate
+    (k=64 → ~12.5% rel. error bound; at 100 TB the estimate costs one
+    distinct-hash shuffle and 64 longs of state per group vs the exact
+    count's full hash-set)."""
+    from vector_db_api_spark.operators.sketches import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.filter(F.col("user_id").isNotNull()).groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    est = kmv_distinct(ev, ["event_type"], "user_id", k=_KMV_K).withColumnRenamed(
+        "est_distinct", "est_users"
+    )
+    return exact.join(est, "event_type")
+
+
+def _sql_events_distinct_kmv() -> str:
+    h = O.h32("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH d AS (
+  SELECT DISTINCT event_type, {h} AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d
+),
+s AS (
+  SELECT event_type, COUNT(*) AS m,
+         MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
+  FROM r WHERE rn <= {_KMV_K} GROUP BY event_type
+),
+x AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+)
+SELECT x.event_type, x.exact_users,
+       CASE WHEN s.m < {_KMV_K} THEN CAST(s.m AS DOUBLE)
+            ELSE CAST({_KMV_K - 1} AS DOUBLE) * 4294967296.0
+                 / CAST(s.hk AS DOUBLE) END AS est_users
+FROM x JOIN s USING (event_type)
+"""
+
+
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of events.value: two parallel scans (min/max →
+    binning), no global sort — the scalable shape profile."""
+    from vector_db_api_spark.operators.sketches import value_histogram
+
+    return value_histogram(
+        load_table(spark, sf_dir, "events"), "value", bins=_HIST_BINS
+    )
+
+
+def _sql_events_value_histogram() -> str:
+    b = _HIST_BINS
+    return f"""
+WITH src AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+),
+bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM src),
+binned AS (
+  SELECT v,
+         CASE WHEN (hi - lo) / {float(b)!r} = 0.0 THEN 0
+              ELSE CAST(LEAST(FLOOR((v - lo) / ((hi - lo) / {float(b)!r})),
+                              {b - 1}) AS INTEGER) END AS bin
+  FROM src, bounds
+)
+SELECT bin, COUNT(*) AS n, MIN(v) AS lo_val, MAX(v) AS hi_val
+FROM binned GROUP BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3322,6 +3408,13 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # SemDeDup (cluster-then-prune semantic dedup; fixed-centroid replay)
     "semdedup_drop": (q_semdedup_drop, _sql_semdedup()),
     "semdedup_drop_np": (q_semdedup_drop_np, _sql_semdedup(ids_only=True)),
+    # mergeable sketches / distribution summaries (portable-hash KMV —
+    # the deterministic, oracle-replayable stand-in for HLL state)
+    "events_distinct_kmv": (q_events_distinct_kmv, _sql_events_distinct_kmv()),
+    "events_value_histogram": (
+        q_events_value_histogram,
+        _sql_events_value_histogram(),
+    ),
 }
 
 
