@@ -328,3 +328,53 @@ def test_leakage_split_label_join_is_unhinted(spark):
     import re
     # ResolvedHint/broadcast markers on the comp join side would show here
     assert "ResolvedHint" not in opt
+
+
+def test_semdedup_pair_join_is_equi_keyed_on_cell(spark, emb):
+    """The SemDeDup ε-ball test must run as an equi-join on the cluster cell
+    (pair work = Σ|cell|²) with the threshold predicate evaluated inside the
+    join — a CartesianProduct here would be the N² plan the operator exists
+    to avoid."""
+    import re
+
+    import numpy as np
+
+    from vector_db_api_spark.operators.semdedup import semdedup_dropped
+
+    rng = np.random.default_rng(11)
+    c = rng.standard_normal((8, 64))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    plan = _plan(semdedup_dropped(emb, c, 0.3, id_col="vec_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[cell", plan)
+    # the ε-threshold is part of the join condition, not a post-materialize
+    # filter over all intra-cell pairs
+    join_line = next(l for l in plan.splitlines() if "HashJoin [cell" in l or "MergeJoin [cell" in l)
+    assert ">= 0.3" in join_line
+
+
+def test_kmv_limits_per_partition_before_shuffle(spark):
+    """The KMV rank-≤k must apply map-side (WindowGroupLimit Partial): each
+    task forwards at most k hashes per group into the exchange — the
+    property that keeps sketch build cost flat as partitions multiply."""
+    from vector_db_api_spark.operators.sketches import kmv_distinct
+
+    ev = load_table(spark, SF_DIR, "events")
+    plan = _plan(kmv_distinct(ev, ["event_type"], "user_id", k=64))
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "PushedFilters: [IsNotNull(user_id)]" in plan
+
+
+def test_histogram_two_scans_no_sort(spark):
+    """value_histogram: 1-row bounds aggregate broadcast into the binning
+    scan; one hash shuffle on the bin key; never a global sort."""
+    import re
+
+    from vector_db_api_spark.operators.sketches import value_histogram
+
+    ev = load_table(spark, SF_DIR, "events")
+    plan = _plan(value_histogram(ev, "value", bins=10))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds side broadcasts
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert not re.search(r"\bSort \[", plan)

@@ -3141,6 +3141,70 @@ GROUP BY a.vec_id, a.cell
 """
 
 
+def q_rel_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → left-semi): orders with at least one
+    returned line, counted per priority. The semi-join materializes nothing
+    from the probe side and dedups l_orderkey for free — the shape Catalyst
+    rewrites EXISTS subqueries into."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    flagged = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(flagged, orders.o_orderkey == flagged.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_SQL_REL_PRIORITY_RETURNS = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
+def q_rel_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (NOT EXISTS → left-anti): above-average-balance
+    customers with no URGENT order, rolled up per nation. "Above average" is
+    decided in exact integer arithmetic (bal_cents * n > total_cents — a
+    cross-multiplied mean) so the predicate is reproducible in any engine;
+    a float AVG differs across summation orders exactly at the boundary
+    rows this query selects."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = customer.withColumn(
+        "bal_cents", F.floor(F.col("c_acctbal") * 100).cast("long")
+    )
+    stats = cust.agg(
+        F.sum("bal_cents").alias("__tot"), F.count(F.lit(1)).alias("__n")
+    )
+    rich = cust.crossJoin(F.broadcast(stats)).filter(
+        F.col("bal_cents") * F.col("__n") > F.col("__tot")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"), F.sum("bal_cents").alias("bal_cents_sum")
+    )
+
+
+_SQL_REL_IDLE_CUSTOMERS = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer),
+s AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS tot, COUNT(*) AS n FROM c)
+SELECT c_nationkey, COUNT(*) AS n_cust, CAST(SUM(bal_cents) AS BIGINT) AS bal_cents_sum
+FROM c, s
+WHERE bal_cents * s.n > s.tot
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Mergeable sketches + distribution summaries (operators/sketches.py).
 # KMV is built on the portable md5 h32, so the ESTIMATE itself — an
@@ -3350,6 +3414,8 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "rel_above_avg_orders": (q_rel_above_avg_orders, _SQL_REL_ABOVE_AVG_ORDERS),
     "rel_trade_volume": (q_rel_trade_volume, _SQL_REL_TRADE_VOLUME),
     "rel_disjunctive_parts": (q_rel_disjunctive_parts, _SQL_REL_DISJUNCTIVE_PARTS),
+    "rel_priority_returns": (q_rel_priority_returns, _SQL_REL_PRIORITY_RETURNS),
+    "rel_idle_customers": (q_rel_idle_customers, _SQL_REL_IDLE_CUSTOMERS),
     "events_pivot": (q_events_pivot, _SQL_EVENTS_PIVOT),
     "knn_euclidean_top10": (_q_knn("euclidean"), _sql_knn("euclidean")),
     "knn_dot_top10": (_q_knn("dot_product"), _sql_knn("dot_product")),
