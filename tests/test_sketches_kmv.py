@@ -87,3 +87,34 @@ def test_histogram_constant_column_single_bin(spark):
     df = spark.range(50).select(F.lit(7.5).alias("x"))
     h = value_histogram(df, "x", bins=10).collect()
     assert len(h) == 1 and h[0]["bin"] == 0 and h[0]["n"] == 50
+
+
+def test_incremental_kmv_reingest_is_idempotent(spark, tmp_path):
+    """Epoch-appended sketch states never lie: re-ingesting the SAME rows
+    in a later epoch leaves the merged estimate untouched (the property
+    that lets this sink skip latest_rows-style max-epoch dedup)."""
+    from vector_db_api_spark.streaming.ingest import (
+        incremental_kmv_ingest,
+        served_kmv_estimates,
+    )
+
+    src, sp, ck = str(tmp_path / "src"), str(tmp_path / "state"), str(tmp_path / "ck")
+    df = _ids(spark, 500).withColumnRenamed("g", "grp")
+    df.repartition(2).write.mode("overwrite").parquet(src)
+    q = incremental_kmv_ingest(
+        spark, src, "grp string, v bigint", sp, ck, ["grp"], "v",
+        k=32, max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    first = served_kmv_estimates(spark, sp, ["grp"], k=32).collect()
+
+    # re-ingest the same rows as new files → new epochs, same value sets
+    df.repartition(1).write.mode("append").parquet(src)
+    q2 = incremental_kmv_ingest(
+        spark, src, "grp string, v bigint", sp, ck, ["grp"], "v",
+        k=32, max_files_per_trigger=1,
+    )
+    q2.awaitTermination(300)
+    assert len(spark.read.parquet(sp).select("epoch").distinct().collect()) >= 2
+    again = served_kmv_estimates(spark, sp, ["grp"], k=32).collect()
+    assert again == first

@@ -342,3 +342,69 @@ def incremental_postings_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_kmv_ingest(
+    spark: SparkSession,
+    input_path: str,
+    input_schema: str,
+    state_path: str,
+    checkpoint: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Keep per-group distinct-count sketches fresh as data arrives: each
+    micro-batch contributes ONLY its own KMV state (the batch's ≤k smallest
+    distinct hashes per group), appended epoch-stamped like every
+    foreachBatch sink here. Serving reads merge all epochs with
+    ``kmv_merge_states`` — and because KMV is a *distinct* sketch the merge
+    is idempotent, so re-ingested (updated) rows need NO max-epoch dedup:
+    stale epochs can only re-contribute hashes already in the union. This
+    is the one incremental sink in this module whose history never lies
+    (contrast incremental_postings_ingest + latest_rows).
+    """
+    from vector_db_api_spark.operators.sketches import kmv_state
+
+    reader = spark.readStream.schema(input_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        state = kmv_state(batch_df, group_cols, value_col, k=k)
+        (
+            state.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(state_path)
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def served_kmv_estimates(
+    spark: SparkSession, state_path: str, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Merge every epoch's sketch state and estimate per group — the
+    serving-side read for :func:`incremental_kmv_ingest`. By the KMV merge
+    theorem the result equals the single-pass sketch over the union of all
+    ingested batches, exactly (pinned by the stream_kmv_state oracle)."""
+    from vector_db_api_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge_states,
+    )
+
+    states = spark.read.parquet(state_path).drop("epoch")
+    merged = kmv_merge_states(states, group_cols, k=k)
+    return merged.select(
+        *group_cols, kmv_estimate("kmin", k=k).alias("est_distinct")
+    )

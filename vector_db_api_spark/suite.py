@@ -3262,6 +3262,60 @@ FROM x JOIN s USING (event_type)
 """
 
 
+def q_stream_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimates served from STREAM-BUILT sketch state: the
+    events table is split into two files, ingested by incremental_kmv_ingest
+    in two micro-batches (two epochs), merged at read time — by the KMV
+    merge theorem the served estimate must equal the single-pass batch
+    sketch bit-for-bit, so the oracle is the same replayed-SQL estimator
+    (streaming/ingest.py incremental_kmv_ingest / served_kmv_estimates)."""
+    import tempfile
+
+    from vector_db_api_spark.streaming.ingest import (
+        incremental_kmv_ingest,
+        served_kmv_estimates,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_kmv_state_")
+    src, sp, ck = (f"{tmp}/{d}" for d in ("src", "state", "ck"))
+    load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    ).repartition(2).write.mode("overwrite").parquet(src)
+    q = incremental_kmv_ingest(
+        spark, src, "event_type string, user_id bigint", sp, ck,
+        ["event_type"], "user_id", k=_KMV_K, max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    return served_kmv_estimates(spark, sp, ["event_type"], k=_KMV_K).withColumnRenamed(
+        "est_distinct", "est_users"
+    )
+
+
+def _sql_stream_kmv_state() -> str:
+    h = O.h32("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH d AS (
+  SELECT DISTINCT event_type, {h} AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d
+),
+s AS (
+  SELECT event_type, COUNT(*) AS m,
+         MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
+  FROM r WHERE rn <= {_KMV_K} GROUP BY event_type
+)
+SELECT event_type,
+       CASE WHEN m < {_KMV_K} THEN CAST(m AS DOUBLE)
+            ELSE CAST({_KMV_K - 1} AS DOUBLE) * 4294967296.0
+                 / CAST(hk AS DOUBLE) END AS est_users
+FROM s
+"""
+
+
 def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of events.value: two parallel scans (min/max →
     binning), no global sort — the scalable shape profile."""
@@ -3481,6 +3535,8 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_events_value_histogram,
         _sql_events_value_histogram(),
     ),
+    # stream-built sketch state == single-pass batch sketch (merge theorem)
+    "stream_kmv_state": (q_stream_kmv_state, _sql_stream_kmv_state()),
 }
 
 
