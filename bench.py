@@ -57,6 +57,7 @@ HEADLINE = [
     "embedding_neardup_np",
     "semdedup_drop_np",
     "doc_quality",
+    "doc_quality_model_join",
     "doc_winnowing",
     "doc_winnowing_np",
     "simhash_np",

@@ -3141,6 +3141,68 @@ GROUP BY a.vec_id, a.cell
 """
 
 
+# ---------------------------------------------------------------------------
+# Model-based quality gate (operators/quality_model.py): hashed linear
+# classifier — fixed seeded weights, logit output (monotone with sigmoid,
+# but exp is the one op libm implementations round differently; the linear
+# score replays exactly). Literal + broadcast-join twins share the oracle.
+# ---------------------------------------------------------------------------
+
+_QM_BUCKETS, _QM_SEED, _QM_BIAS = 256, 13, -0.05
+
+
+def _qm_weights():
+    from vector_db_api_spark.operators.quality_model import fixed_model
+
+    return fixed_model(_QM_BUCKETS, _QM_SEED)
+
+
+def q_doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-gate scoring scan (literal weights): per doc the hashed
+    bag-of-words logit and the keep decision."""
+    from vector_db_api_spark.operators.quality_model import score_quality_linear
+
+    return score_quality_linear(
+        _docs(spark, sf_dir), _qm_weights(), bias=_QM_BIAS
+    )
+
+
+def q_doc_quality_model_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join twin: weights as a (bucket, weight) frame; positional
+    re-sort fold makes it bit-identical to the literal path (lm.py trick),
+    so it shares the oracle."""
+    from vector_db_api_spark.operators.quality_model import (
+        score_quality_linear_join,
+    )
+
+    w = _qm_weights()
+    wdf = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(w)], "bucket int, weight double"
+    )
+    return score_quality_linear_join(
+        _docs(spark, sf_dir), wdf, _QM_BUCKETS, bias=_QM_BIAS
+    )
+
+
+def _sql_doc_quality_model() -> str:
+    w = _qm_weights()
+    wlit = O.vec_literal([float(x) for x in w])
+    n = O.normalize_text("text")
+    toks = f"list_filter(string_split({n}, ' '), t -> t <> '')"
+    terms = (
+        f"list_transform(toks, t -> {wlit}[(({O.h32('t')}) % {_QM_BUCKETS}) + 1])"
+    )
+    logit = f"COALESCE({O.fold(terms)}, 0.0) + '{float(_QM_BIAS)!r}'::DOUBLE"
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents)
+SELECT doc_id,
+       CAST(COALESCE(len(toks), 0) AS INT) AS n_tokens,
+       {logit} AS logit,
+       ({logit} > 0.0) AS keep
+FROM d
+"""
+
+
 def q_rel_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (EXISTS → left-semi): orders with at least one
     returned line, counted per priority. The semi-join materializes nothing
@@ -3537,6 +3599,10 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     ),
     # stream-built sketch state == single-pass batch sketch (merge theorem)
     "stream_kmv_state": (q_stream_kmv_state, _sql_stream_kmv_state()),
+    # model-based quality gate (hashed linear classifier; literal + join
+    # twins share one oracle — positional re-sort keeps them bit-equal)
+    "doc_quality_model": (q_doc_quality_model, _sql_doc_quality_model()),
+    "doc_quality_model_join": (q_doc_quality_model_join, _sql_doc_quality_model()),
 }
 
 
