@@ -222,3 +222,21 @@ def test_span_overlap_fp_df_cap_drops_boilerplate(spark):
     capped = D.span_overlap_pairs(docs, max_fp_df=3).count()
     assert uncapped == 15
     assert capped < uncapped
+
+
+def test_select_canonical_best_quality_then_min_id(spark):
+    from vector_db_api_spark.operators.dedup import select_canonical
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "id long, component long"
+    )
+    qual = spark.createDataFrame(
+        # group 1: id 2 wins on quality; group 7: tie → min id 7 wins
+        [(1, 0.1), (2, 0.9), (3, 0.5), (7, 0.4), (8, 0.4)],
+        "id long, q double",
+    )
+    got = {
+        r["component"]: (r["canonical_id"], r["n_members"], r["best_quality"])
+        for r in select_canonical(comp, qual, "q").collect()
+    }
+    assert got == {1: (2, 3, 0.9), 7: (7, 2, 0.4)}

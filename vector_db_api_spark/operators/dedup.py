@@ -650,3 +650,44 @@ def span_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= min_shared_fps)
     )
+
+
+def select_canonical(
+    components: DataFrame,
+    quality: DataFrame,
+    quality_col: str,
+    id_col: str = "id",
+    comp_col: str = "component",
+) -> DataFrame:
+    """(component, canonical_id, n_members, best_quality): pick each dedup
+    group's representative by quality.
+
+    ``connected_components`` answers "which docs are the same"; this
+    answers "which copy do we keep" — the canonicalization step between
+    dedup and the training corpus. Highest ``quality_col`` wins (the score
+    must be engine-reproducible for cross-engine determinism — the model
+    logit and the heuristic quality_score both are); ties break to the
+    smallest id, so the choice is a pure function of the inputs.
+
+    One join keyed on the id, then ONE shuffle on the component for the
+    rank-and-count window; components are dup groups (bounded, shallow), so
+    no window partition can be corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    j = components.join(quality, id_col)
+    w = Window.partitionBy(comp_col).orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    wc = Window.partitionBy(comp_col)
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(comp_col).alias("component"),
+            F.col(id_col).alias("canonical_id"),
+            F.col("__n").cast("long").alias("n_members"),
+            F.col(quality_col).alias("best_quality"),
+        )
+    )

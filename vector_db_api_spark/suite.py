@@ -3203,6 +3203,68 @@ FROM d
 """
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical member per near-dup group: minhash-LSH pairs → connected
+    components → keep the highest-classifier-logit copy (ties → min id).
+    Composes three real operators (dedup.py pairs + components +
+    select_canonical, quality_model.py scoring); the oracle rebuilds the
+    whole chain — recursive closure, logit replay, rank — in one SQL."""
+    from vector_db_api_spark.operators.quality_model import score_quality_linear
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=MINHASH_P, bands=MINHASH_BANDS, k=JACCARD_K
+    )
+    comp = D.connected_components(pairs, "left_id", "right_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+    scored = score_quality_linear(docs, _qm_weights(), bias=_QM_BIAS).select(
+        "doc_id", "logit"
+    )
+    return D.select_canonical(comp, scored, "logit", id_col="doc_id")
+
+
+def _sql_dedup_canonical() -> str:
+    ctes, select = _minhash_pairs_sql_parts()
+    w = _qm_weights()
+    wlit = O.vec_literal([float(x) for x in w])
+    n = O.normalize_text("text")
+    toks = f"list_filter(string_split({n}, ' '), t -> t <> '')"
+    terms = (
+        f"list_transform(toks, t -> {wlit}[(({O.h32('t')}) % {_QM_BUCKETS}) + 1])"
+    )
+    logit = f"COALESCE({O.fold(terms)}, 0.0) + '{float(_QM_BIAS)!r}'::DOUBLE"
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({select}),
+edges AS (
+  SELECT left_id AS src, right_id AS dst FROM pairs
+  UNION
+  SELECT right_id AS src, left_id AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+q AS (
+  SELECT doc_id, {logit} AS logit
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)
+),
+ranked AS (
+  SELECT c.component, c.id, q.logit,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY q.logit DESC, c.id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY c.component) AS n
+  FROM comp c JOIN q ON q.doc_id = c.id
+)
+SELECT component, id AS canonical_id, CAST(n AS BIGINT) AS n_members,
+       logit AS best_quality
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_rel_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (EXISTS → left-semi): orders with at least one
     returned line, counted per priority. The semi-join materializes nothing
@@ -3603,6 +3665,8 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # twins share one oracle — positional re-sort keeps them bit-equal)
     "doc_quality_model": (q_doc_quality_model, _sql_doc_quality_model()),
     "doc_quality_model_join": (q_doc_quality_model_join, _sql_doc_quality_model()),
+    # canonicalization: dedup groups → best-quality representative
+    "dedup_canonical": (q_dedup_canonical, _sql_dedup_canonical()),
 }
 
 
