@@ -118,3 +118,45 @@ def test_incremental_kmv_reingest_is_idempotent(spark, tmp_path):
     assert len(spark.read.parquet(sp).select("epoch").distinct().collect()) >= 2
     again = served_kmv_estimates(spark, sp, ["grp"], k=32).collect()
     assert again == first
+
+
+def _vals(spark, n, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.lit("g").alias("g"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 1000).cast("double").alias("x"),
+    )
+
+
+def test_quantile_sketch_merge_equals_whole(spark):
+    from vector_db_api_spark.operators.sketches import (
+        quantile_merge_states,
+        quantile_sketch_state,
+    )
+
+    k = 64
+    a, b = _vals(spark, 800), _vals(spark, 800, offset=500)  # overlapping
+    whole = quantile_sketch_state(a.union(b).distinct(), ["g"], "x", "rid", k=k)
+    parts = quantile_sketch_state(a, ["g"], "x", "rid", k=k).union(
+        quantile_sketch_state(b, ["g"], "x", "rid", k=k)
+    )
+    merged = quantile_merge_states(parts, ["g"], k=k)
+    assert merged.collect()[0]["qsample"] == whole.collect()[0]["qsample"]
+
+
+def test_quantile_estimate_within_sampling_error(spark):
+    from vector_db_api_spark.operators.sketches import (
+        quantile_estimate,
+        quantile_sketch_state,
+    )
+
+    k = 256
+    df = _vals(spark, 20_000)  # x uniform over 0..999
+    st = quantile_sketch_state(df, ["g"], "x", "rid", k=k)
+    row = st.select(
+        quantile_estimate("qsample", 0.5).alias("p50"),
+        quantile_estimate("qsample", 0.9).alias("p90"),
+    ).collect()[0]
+    # uniform[0,1000): p50≈500, p90≈900; sampling error ~ 3/sqrt(k) quantile
+    assert abs(row["p50"] - 500) < 1000 * 3 / (k ** 0.5)
+    assert abs(row["p90"] - 900) < 1000 * 3 / (k ** 0.5)

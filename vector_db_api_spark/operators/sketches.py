@@ -175,3 +175,67 @@ def value_histogram(
             F.max("__v").alias("hi_val"),
         )
     )
+
+
+def quantile_sketch_state(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group mergeable quantile synopsis by hash-rank sampling:
+    (group_cols..., qsample array<struct<h:long, v:double>>).
+
+    Hashing each row's UNIQUE id gives a deterministic uniform random
+    permutation; the k smallest-hash rows per group are therefore a
+    uniform-without-replacement sample — but one that is reproducible,
+    engine-portable, and mergeable exactly like KMV (union the pairs,
+    re-take the k smallest hashes; overlapping slices dedup on the hash).
+    Quantiles read off the sample with the usual ~1/sqrt(k) error.
+
+    ``id_col`` must be a unique row key (event_id, doc_id…): hashing the
+    VALUE would collapse duplicates and bias the sample; hashing a
+    nondeterministic surrogate (monotonically_increasing_id) would break
+    reproducibility. The same map-side WindowGroupLimit bound applies as in
+    :func:`kmv_state` — each task forwards ≤k rows per group.
+    """
+    h = H.h32(F.col(id_col).cast("string"))
+    d = df.filter(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(*group_cols, h.alias("__h"), F.col(value_col).cast("double").alias("__v"))
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")))
+            ).alias("qsample")
+        )
+    )
+
+
+def quantile_merge_states(
+    states: DataFrame,
+    group_cols: Sequence[str],
+    k: int = 256,
+    state_col: str = "qsample",
+) -> DataFrame:
+    """Merge quantile-sketch states group-wise (flatten → dedup on the
+    hash pair → k smallest) — same CRDT contract as kmv_merge_states."""
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(state_col)))), 1, k
+    )
+    return states.groupBy(*group_cols).agg(merged.alias(state_col))
+
+
+def quantile_estimate(state_col: Column | str, p: float) -> Column:
+    """The p-quantile (discrete, ceil-index convention) read off a sketch
+    state's sampled values — deterministic in any engine."""
+    s = F.col(state_col) if isinstance(state_col, str) else state_col
+    vs = F.array_sort(F.transform(s, lambda x: x["v"]))
+    m = F.size(vs)
+    idx = F.greatest(F.ceil(F.lit(float(p)) * m).cast("int"), F.lit(1))
+    return F.element_at(vs, idx)

@@ -3440,6 +3440,57 @@ FROM s
 """
 
 
+_QSK_K = 256
+
+
+def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p90 from the hash-rank-sample quantile sketch:
+    deterministic uniform sample (k smallest h32(event_id)), quantiles read
+    off the sampled values — the mergeable, engine-portable stand-in for
+    percentile_approx whose every output replays in SQL."""
+    from vector_db_api_spark.operators.sketches import (
+        quantile_estimate,
+        quantile_sketch_state,
+    )
+
+    st = quantile_sketch_state(
+        load_table(spark, sf_dir, "events"),
+        ["event_type"],
+        "value",
+        "event_id",
+        k=_QSK_K,
+    )
+    return st.select(
+        "event_type",
+        F.size("qsample").alias("n_sample"),
+        quantile_estimate("qsample", 0.5).alias("p50_est"),
+        quantile_estimate("qsample", 0.9).alias("p90_est"),
+    )
+
+
+def _sql_events_quantile_sketch() -> str:
+    h = O.h32("CAST(event_id AS VARCHAR)")
+    return f"""
+WITH d AS (
+  SELECT event_type, {h} AS h, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, h, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d
+),
+s AS (
+  SELECT event_type, list_sort(list(v)) AS vs, COUNT(*) AS m
+  FROM r WHERE rn <= {_QSK_K} GROUP BY event_type
+)
+SELECT event_type, CAST(m AS INT) AS n_sample,
+       vs[GREATEST(CAST(ceil(0.5 * m) AS INT), 1)] AS p50_est,
+       vs[GREATEST(CAST(ceil(0.9 * m) AS INT), 1)] AS p90_est
+FROM s
+"""
+
+
 def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of events.value: two parallel scans (min/max →
     binning), no global sort — the scalable shape profile."""
@@ -3667,6 +3718,11 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "doc_quality_model_join": (q_doc_quality_model_join, _sql_doc_quality_model()),
     # canonicalization: dedup groups → best-quality representative
     "dedup_canonical": (q_dedup_canonical, _sql_dedup_canonical()),
+    # mergeable quantile sketch (hash-rank sampling)
+    "events_quantile_sketch": (
+        q_events_quantile_sketch,
+        _sql_events_quantile_sketch(),
+    ),
 }
 
 
