@@ -166,6 +166,61 @@ def main() -> None:
                 k=8,
             ),
         ),
+        (
+            "SemDeDup prune (expression path)",
+            "Centroid assignment is scan-fused Column arithmetic; the ε-ball "
+            "pair test is an equi-join on the cluster cell (Σ|cell|² pair "
+            "work, broadcast at fixture scale / SMJ at corpus scale) with "
+            "the cosine threshold INSIDE the join condition; the drop "
+            "aggregate reuses the pair stream. No CartesianProduct at any "
+            "scale.",
+            (lambda: __import__(
+                "vector_db_api_spark.operators.semdedup",
+                fromlist=["semdedup_dropped"],
+            ).semdedup_dropped(
+                emb,
+                __import__("numpy").random.default_rng(11).standard_normal((8, 64)),
+                0.3,
+                id_col="vec_id",
+            ))(),
+        ),
+        (
+            "KMV distinct sketch (kmv_distinct)",
+            "Distinct-hash Exchange, then the rank-≤k runs as "
+            "WindowGroupLimit(Partial) BEFORE the group Exchange — every map "
+            "task forwards at most k hashes per group; the estimate "
+            "aggregate reuses the window's partitioning.",
+            (lambda ev=load_table(spark, SF_DIR, "events"): __import__(
+                "vector_db_api_spark.operators.sketches",
+                fromlist=["kmv_distinct"],
+            ).kmv_distinct(ev, ["event_type"], "user_id", k=64))(),
+        ),
+        (
+            "Quality-classifier scoring (broadcast-join path)",
+            "posexplode → BroadcastHashJoin on the weight bucket (the model "
+            "never shuffles the corpus) → one groupBy(id) Exchange whose "
+            "positional re-sort fold makes the sum bit-equal to the literal "
+            "path.",
+            (lambda: __import__(
+                "vector_db_api_spark.operators.quality_model",
+                fromlist=["score_quality_linear_join", "fixed_model"],
+            ).score_quality_linear_join(
+                docs,
+                spark.createDataFrame(
+                    [
+                        (i, float(x))
+                        for i, x in enumerate(
+                            __import__(
+                                "vector_db_api_spark.operators.quality_model",
+                                fromlist=["fixed_model"],
+                            ).fixed_model(256, 13)
+                        )
+                    ],
+                    "bucket int, weight double",
+                ),
+                256,
+            ))(),
+        ),
     ]
 
     out = [
