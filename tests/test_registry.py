@@ -34,7 +34,10 @@ MUST_BE_IN_WINDOW = {
     "events_gapfill",           # gapfill
     "skew_salted_agg",          # skew mitigation
     "rel_revenue_by_nation",    # relational joins
-    "doc_lm_nll_join",          # LM scale path (broadcast-join scoring)
+    "semdedup_drop",            # semantic dedup (round-4 class; displaced
+                                # doc_lm_nll_join, whose oracle is shared
+                                # with in-window doc_lm_nll and whose
+                                # join==literal equality test_lm.py pins)
     "stream_bm25_state",        # stream-built postings == batch oracle
     "stream_trending_state",    # stream-built rollup == batch oracle
 }

@@ -3563,7 +3563,8 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "doc_decontaminate": (q_doc_decontaminate, _sql_doc_decontaminate()),
     "doc_repetition": (q_doc_repetition, _sql_doc_repetition()),
     "doc_lm_nll": (q_doc_lm_nll, _sql_doc_lm_nll()),
-    "doc_lm_nll_join": (q_doc_lm_nll_join, _sql_doc_lm_nll()),
+    # --- in-window: semantic dedup (SemDeDup, round-4 class) ---
+    "semdedup_drop": (q_semdedup_drop, _sql_semdedup()),
     # --- in-window: multimodal ---
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL_STATS),
     # --- in-window: listing / pagination ---
@@ -3700,9 +3701,11 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
     "multimodal_embed": (q_multimodal_embed, _sql_multimodal_embed()),
     "multimodal_neardup": (q_multimodal_neardup, _sql_multimodal_neardup()),
-    # SemDeDup (cluster-then-prune semantic dedup; fixed-centroid replay)
-    "semdedup_drop": (q_semdedup_drop, _sql_semdedup()),
+    # SemDeDup BLAS twin (expression path is in-window; shared drop set)
     "semdedup_drop_np": (q_semdedup_drop_np, _sql_semdedup(ids_only=True)),
+    # LM broadcast-join scale twin (same oracle as in-window doc_lm_nll;
+    # join==literal bit-equality additionally pinned by tests/test_lm.py)
+    "doc_lm_nll_join": (q_doc_lm_nll_join, _sql_doc_lm_nll()),
     # mergeable sketches / distribution summaries (portable-hash KMV —
     # the deterministic, oracle-replayable stand-in for HLL state)
     "events_distinct_kmv": (q_events_distinct_kmv, _sql_events_distinct_kmv()),
