@@ -3265,6 +3265,91 @@ FROM ranked WHERE rn = 1
 """
 
 
+_QM_GATE = -0.6
+
+
+def q_corpus_clean_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern training-data pipeline in one query: heuristic gates
+    (lang/quality/length) + CLASSIFIER gate (hashed linear logit) →
+    exact-dup keep-min → minhash-LSH pairs → connected components → each
+    near-dup group keeps its BEST-LOGIT member (select_canonical) instead
+    of min-id. Every stage is the real operator; the oracle replays the
+    whole chain — gates, logit, banding, recursive closure, rank."""
+    from vector_db_api_spark.operators.quality_model import score_quality_linear
+
+    docs = _docs(spark, sf_dir)
+    scored = score_quality_linear(docs, _qm_weights(), bias=_QM_BIAS).select(
+        "doc_id", "logit"
+    )
+    cleaned = (
+        q_corpus_clean(spark, sf_dir)
+        .select("doc_id")
+        .join(scored.filter(F.col("logit") > _QM_GATE), "doc_id")
+    )
+    cdocs = docs.join(cleaned.select("doc_id"), "doc_id")
+    pairs = D.minhash_lsh_pairs(
+        cdocs, num_hashes=MINHASH_P, bands=MINHASH_BANDS, k=JACCARD_K
+    )
+    comp = D.connected_components(pairs, "left_id", "right_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+    canon = D.select_canonical(comp, scored, "logit", id_col="doc_id")
+    ungrouped = cleaned.join(comp.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id"
+    )
+    return ungrouped.union(canon.select(F.col("canonical_id").alias("doc_id")))
+
+
+def _sql_corpus_clean_modern() -> str:
+    clean_sql = _sql_corpus_clean()
+    ctes, select = _minhash_pairs_sql_parts(table="cdocs")
+    w = _qm_weights()
+    wlit = O.vec_literal([float(x) for x in w])
+    n = O.normalize_text("text")
+    toks = f"list_filter(string_split({n}, ' '), t -> t <> '')"
+    terms = (
+        f"list_transform(toks, t -> {wlit}[(({O.h32('t')}) % {_QM_BUCKETS}) + 1])"
+    )
+    logit = f"COALESCE({O.fold(terms)}, 0.0) + '{float(_QM_BIAS)!r}'::DOUBLE"
+    return f"""
+WITH RECURSIVE cleaned0 AS ({clean_sql}),
+ql AS (
+  SELECT doc_id, {logit} AS logit
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)
+),
+cleaned AS (
+  SELECT c.doc_id, ql.logit FROM cleaned0 c
+  JOIN ql USING (doc_id) WHERE ql.logit > {_QM_GATE}
+),
+cdocs AS (SELECT d.doc_id, d.text FROM documents d
+          JOIN cleaned USING (doc_id)),
+{ctes},
+pairs AS ({select}),
+edges AS (
+  SELECT left_id AS src, right_id AS dst FROM pairs
+  UNION
+  SELECT right_id AS src, left_id AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+canon AS (
+  SELECT id FROM (
+    SELECT c.id,
+           ROW_NUMBER() OVER (PARTITION BY c.component
+                              ORDER BY q2.logit DESC, c.id ASC) AS rn
+    FROM comp c JOIN ql q2 ON q2.doc_id = c.id
+  ) WHERE rn = 1
+)
+SELECT doc_id FROM cleaned WHERE doc_id NOT IN (SELECT id FROM comp)
+UNION ALL
+SELECT id AS doc_id FROM canon
+"""
+
+
 def q_rel_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (EXISTS → left-semi): orders with at least one
     returned line, counted per priority. The semi-join materializes nothing
@@ -3721,6 +3806,8 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "doc_quality_model_join": (q_doc_quality_model_join, _sql_doc_quality_model()),
     # canonicalization: dedup groups → best-quality representative
     "dedup_canonical": (q_dedup_canonical, _sql_dedup_canonical()),
+    # the modern pipeline end-to-end (gates + classifier + dedup + canonical)
+    "corpus_clean_modern": (q_corpus_clean_modern, _sql_corpus_clean_modern()),
     # mergeable quantile sketch (hash-rank sampling)
     "events_quantile_sketch": (
         q_events_quantile_sketch,
