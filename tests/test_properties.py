@@ -9,6 +9,7 @@ tests can't sweep.
 from __future__ import annotations
 
 import math
+import sys
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -89,10 +90,16 @@ def test_metric_symmetry(spark, ab):
 @given(VEC)
 def test_normalize_is_unit_norm(spark, a):
     out = _eval(spark, V.normalize(_arr(a)))
-    if math.sqrt(sum(x * x for x in a)) == 0.0:  # incl. squared underflow
+    sq = sum(x * x for x in a)
+    if math.sqrt(sq) == 0.0:  # incl. squared underflow
         assert out is None
     else:
-        assert math.sqrt(sum(x * x for x in out)) == pytest.approx(1.0, abs=1e-9)
+        # when the squared sum is subnormal (components ~1e-158 and below),
+        # sqrt works on a reduced mantissa and x/n legitimately drifts past
+        # 1e-9; the reference kernel (utils.py:32-37) has the identical
+        # behavior, so the property relaxes there instead of masking it
+        tol = 1e-9 if sq >= sys.float_info.min else 1e-6
+        assert math.sqrt(sum(x * x for x in out)) == pytest.approx(1.0, abs=tol)
 
 
 @given(st.integers(min_value=1, max_value=64), st.integers(min_value=0, max_value=2**31))
