@@ -378,3 +378,25 @@ def test_histogram_two_scans_no_sort(spark):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds side broadcasts
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert not re.search(r"\bSort \[", plan)
+
+
+def test_filtered_ivf_search_pushes_predicate_to_scan(spark, emb):
+    """Filtered vector search must PRE-filter: the metadata predicate
+    reaches the corpus parquet scan (PushedFilters), so non-matching rows
+    never enter the candidate semi-join — the opposite of the reference's
+    post-filter-after-top-k."""
+    import numpy as np
+
+    from vector_db_api_spark.operators.ivf import IVFIndex
+
+    rng = np.random.default_rng(7)
+    model = IVFIndex(rng.standard_normal((8, 64)), nprobe=3)
+    assignments = model.assign(emb, id_col="vec_id")
+    plan = _plan(
+        model.search(
+            emb, assignments, suite.Q0, 10, id_col="vec_id",
+            prefilter=(F.col("label") < 5),
+        )
+    )
+    assert "LessThan(label,5)" in plan  # pushed, not a post-scan Filter only
+    assert "TakeOrderedAndProject" in plan

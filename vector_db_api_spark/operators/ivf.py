@@ -31,7 +31,7 @@ from collections.abc import Sequence
 
 import numpy as np
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vector_db_api_spark.operators.knn import knn
@@ -295,15 +295,27 @@ class IVFIndex:
         id_col: str = "id",
         vec_col: str = "embedding",
         nprobe: int | None = None,
+        prefilter: Column | None = None,
     ) -> DataFrame:
         """ANN top-k: nprobe centroid filter (partition-prunable) → semi-join
-        → exact re-rank of ALL candidates."""
+        → exact re-rank of ALL candidates.
+
+        ``prefilter`` (a boolean Column over corpus attributes) makes this a
+        FILTERED vector search: the predicate applies to the corpus BEFORE
+        the candidate semi-join, so Catalyst pushes it into the parquet scan
+        and only matching rows pay the re-rank — pre-filtering, not the
+        reference's post-filter-after-top-k (services/search.py:52-64, which
+        ``apply_post_filters`` mirrors). A highly selective predicate can
+        return fewer than k rows from the probed cells; raise ``nprobe``
+        (per-query override) to widen the candidate pool — the standard
+        filtered-ANN recall/cost trade."""
         probe = self.probe_centroids(query_vec, nprobe=nprobe)
         if not probe:
             id_type = corpus.schema[id_col].dataType.simpleString()
             return corpus.sparkSession.createDataFrame([], f"{id_col} {id_type}, score double")
         cand = assignments.filter(F.col("centroid_id").isin(probe)).select(id_col)
-        hydrated = corpus.join(cand, id_col, "left_semi")
+        corpus2 = corpus.filter(prefilter) if prefilter is not None else corpus
+        hydrated = corpus2.join(cand, id_col, "left_semi")
         return knn(hydrated, query_vec, k, metric=metric, id_col=id_col, vec_col=vec_col)
 
     def assign_queries(

@@ -2640,7 +2640,7 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.search(emb, assignments, Q0, 10, id_col="vec_id")
 
 
-def _sql_ivf_search() -> str:
+def _sql_ivf_search(extra_where: str = "") -> str:
     model = _ivf_fixed_model()
     probe = sorted(model.probe_centroids(Q0))
     dlist = O.dots_const_list("e.embedding", model.centroids)
@@ -2650,9 +2650,25 @@ SELECT vec_id, score FROM (
   SELECT e.vec_id, {O.cosine_const('e.embedding', Q0)} AS score
   FROM embeddings e
   WHERE e.embedding IS NOT NULL AND {O.norm('e.embedding')} <> 0.0
-    AND {O.argmax_first(dlist)} IN ({in_list})
+    AND {O.argmax_first(dlist)} IN ({in_list}){extra_where}
 ) ORDER BY score DESC, vec_id ASC LIMIT 10
 """
+
+
+def q_ivf_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: the metadata predicate (label even) applies
+    to the corpus BEFORE the candidate semi-join — pushed into the parquet
+    scan (PushedFilters carries it, pinned in test_plan_shapes), rather
+    than the reference's post-filter-after-top-k (the contrast case to
+    knn_postfilter). Same fixed-model replay oracle with the predicate
+    added to the WHERE."""
+    model = _ivf_fixed_model()
+    emb = _emb(spark, sf_dir)
+    assignments = model.assign(emb, id_col="vec_id")
+    return model.search(
+        emb, assignments, Q0, 10, id_col="vec_id",
+        prefilter=(F.col("label") < 5),
+    )
 
 
 _PQ_FIXED_M, _PQ_FIXED_K, _PQ_FIXED_SEED = 8, 16, 7
@@ -3777,6 +3793,10 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # rows-only ANN / multimodal paths (exactness pinned in pytest)
     "lsh_search_top10": (q_lsh_search, _sql_lsh_search()),
     "ivf_search_top10": (q_ivf_search, _sql_ivf_search()),
+    "ivf_search_filtered_top10": (
+        q_ivf_search_filtered,
+        _sql_ivf_search(extra_where=" AND e.label < 5"),
+    ),
     "pq_search_top10": (q_pq_search, _sql_pq_search()),
     "ivfpq_search_top10": (q_ivfpq_search, _sql_ivfpq_search()),
     "lsh_search_batch_top10": (q_lsh_search_batch, _sql_lsh_search_batch()),
