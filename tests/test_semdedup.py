@@ -109,3 +109,25 @@ def test_threshold_one_epsilon_ball_prunes_nothing_distinct(spark, corpus, centr
     assert all_but_one.count() == n_emb - n_cells
     # survivors: one per cell + the two degenerate rows
     assert kept.count() == n_cells + 2
+
+
+def test_semdedup_with_trained_centroids_finds_planted_dups(spark, clustered_vectors):
+    """Production path: centroids from IVFIndex.train (spherical k-means)
+    instead of fixed constants. Tight clusters with near-identical members
+    must lose most members to pruning at a high threshold, and the drop
+    set must agree between the expression and BLAS paths."""
+    from vector_db_api_spark.operators.ivf import IVFIndex
+
+    ids, mat, _ = clustered_vectors
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(ids, mat)],
+        "vec_id long, embedding array<float>",
+    )
+    ivf = IVFIndex.train(df, num_centroids=20, seed=3)
+    dropped = semdedup_dropped(df, ivf.centroids, 0.999, id_col="vec_id")
+    blas = semdedup_dropped_numpy(df, ivf.centroids, 0.999, id_col="vec_id")
+    d_ids = {r["vec_id"] for r in dropped.collect()}
+    # 20 clusters x 25 near-identical members: at cosine>=0.999 nearly every
+    # cluster collapses toward its keeper — at least half the corpus prunes
+    assert len(d_ids) >= len(ids) // 2
+    assert d_ids == {r["vec_id"] for r in blas.collect()}
