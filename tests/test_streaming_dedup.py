@@ -246,3 +246,39 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(flags_path).count() == len(want)
+
+
+def test_incremental_semdedup_reingest_is_noop(spark, tmp_path):
+    """Re-ingesting already-admitted vectors in a later run admits no
+    second copy: each is within ε of itself in the state, so history
+    self-heals without any max-epoch dedup."""
+    import numpy as np
+
+    from vector_db_api_spark.streaming.dedup import incremental_semdedup_ingest
+
+    rng = np.random.default_rng(4)
+    c = rng.standard_normal((4, 8))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(rng.standard_normal((40, 8)) * 3.0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+    src, sp = str(tmp_path / "src"), str(tmp_path / "state")
+    df.write.mode("overwrite").parquet(src)
+
+    def run(i):
+        stream = spark.readStream.schema(
+            "doc_id long, embedding array<float>"
+        ).parquet(src)
+        q = incremental_semdedup_ingest(
+            stream, sp, str(tmp_path / f"ck{i}"), c, 0.4,
+            id_col="doc_id", epoch_offset=i * 1_000_000,
+        )
+        q.awaitTermination(300)
+
+    run(0)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(sp).collect())
+    run(1)  # same rows arrive again as a fresh run
+    again = sorted(r["doc_id"] for r in spark.read.parquet(sp).collect())
+    assert again == first

@@ -267,3 +267,89 @@ def streaming_decontaminate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_semdedup_ingest(
+    doc_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    centroids,
+    threshold: float,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+    epoch_offset: int = 0,
+):
+    """Continuous SemDeDup: admit a vector only if no already-admitted
+    vector sits within ``cosine ≥ threshold`` in the same centroid cell.
+
+    ``epoch_offset`` namespaces the state partitions when SEPARATE
+    streaming runs (fresh checkpoints, e.g. a daily availableNow job)
+    append to the same state: each run's epochs restart at 0, and without
+    an offset run N's dynamic partition overwrite would wipe run N-1's
+    ``epoch=0`` partition. One long-lived checkpointed stream needs no
+    offset — its epoch ids already never repeat.
+
+    Two-stage rule per micro-batch, both stages the real batch operators
+    (operators/semdedup.py):
+
+    1. batch-internal prune with the paper's diversity priority
+       (``semdedup_kept``);
+    2. survivors are checked against the PERSISTED admitted corpus —
+       first-seen-wins across epochs (arrival order IS the cross-batch
+       priority, the streaming analogue of the batch diversity rule).
+
+    State is the admitted corpus itself (id + embedding, epoch-stamped
+    parquet) — exactly what a batch job would hand to an indexer, so batch
+    can take over seamlessly. Per batch: one cell-keyed join delta×state;
+    history's embeddings are re-read but never re-compared against each
+    other. Epoch retries overwrite their own partition (idempotent), and
+    re-ingesting an admitted document is a no-op by construction: it is
+    within ε of itself, so the state admits no second copy — sketch-like
+    self-healing history (contrast the postings sink's latest_rows).
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from vector_db_api_spark.functions import vector as V
+    from vector_db_api_spark.operators.semdedup import (
+        assign_diversity,
+        semdedup_kept,
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        kept = semdedup_kept(
+            batch_df, centroids, threshold, id_col=id_col, vec_col=vec_col
+        )
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException:
+            state = None
+        if state is not None:
+            cand = assign_diversity(kept, centroids, id_col=id_col, vec_col=vec_col)
+            prior = assign_diversity(
+                state, centroids, id_col=id_col, vec_col=vec_col
+            ).select(F.col("cell").alias("__pcell"), F.col("__u").alias("__pu"))
+            conflict = (
+                cand.join(prior, cand["cell"] == prior["__pcell"])
+                .filter(V.dot("__u", "__pu") >= threshold)
+                .select(id_col)
+                .distinct()
+            )
+            kept = kept.join(conflict, id_col, "left_anti")
+        (
+            kept.withColumn("epoch", F.lit(epoch_id + epoch_offset))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(state_path)
+        )
+
+    writer = doc_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -3122,6 +3122,92 @@ def q_semdedup_drop_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_semdedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admitted corpus from CONTINUOUS SemDeDup: even vec_ids stream in
+    first, odd second (two availableNow runs against the same state), each
+    batch pruned internally by diversity priority then against the
+    persisted admitted set (first-seen-wins across epochs). The oracle
+    replays the two-stage greedy relationally
+    (streaming/dedup.py incremental_semdedup_ingest)."""
+    import tempfile
+
+    from vector_db_api_spark.streaming.dedup import incremental_semdedup_ingest
+
+    tmp = tempfile.mkdtemp(prefix="stream_semdedup_")
+    a, b, sp = f"{tmp}/a", f"{tmp}/b", f"{tmp}/state"
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(a)
+    emb.filter(F.col("vec_id") % 2 == 1).write.mode("overwrite").parquet(b)
+    cent = _semdedup_fixed_centroids()
+    for i, src in enumerate((a, b)):
+        stream = spark.readStream.schema(
+            "vec_id bigint, embedding array<float>"
+        ).parquet(src)
+        q = incremental_semdedup_ingest(
+            stream, sp, f"{tmp}/ck{i}", cent, NEARDUP_THRESHOLD,
+            id_col="vec_id", epoch_offset=i * 1_000_000,
+        )
+        q.awaitTermination(300)
+    return spark.read.parquet(sp).select("vec_id")
+
+
+def _sql_stream_semdedup_state() -> str:
+    cent = _semdedup_fixed_centroids()
+    nrm = O.norm("embedding")
+    dlist = O.dots_const_list("embedding", cent)
+    unit = (
+        f"list_transform(range(1, len(embedding)+1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) / {nrm})"
+    )
+    d = O.dot("a.u", "b.u")
+    t = NEARDUP_THRESHOLD
+    prio = "(b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))"
+    return f"""
+WITH s0 AS (
+  SELECT vec_id, vec_id % 2 AS batch, {unit} AS u, {dlist} AS dl, {nrm} AS nrm
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND {nrm} != 0.0
+),
+s AS (
+  SELECT vec_id, batch, u,
+         CAST(list_position(dl, list_max(dl)) - 1 AS INTEGER) AS cell,
+         list_max(dl) / nrm AS csim
+  FROM s0
+),
+drop0 AS (
+  SELECT DISTINCT a.vec_id FROM s a JOIN s b
+    ON a.batch = 0 AND b.batch = 0 AND a.cell = b.cell AND {prio}
+  WHERE {d} >= {t}
+),
+kept0 AS (
+  SELECT vec_id, u, cell FROM s
+  WHERE batch = 0 AND vec_id NOT IN (SELECT vec_id FROM drop0)
+),
+drop1 AS (
+  SELECT DISTINCT a.vec_id FROM s a JOIN s b
+    ON a.batch = 1 AND b.batch = 1 AND a.cell = b.cell AND {prio}
+  WHERE {d} >= {t}
+),
+kept1a AS (
+  SELECT vec_id, u, cell FROM s
+  WHERE batch = 1 AND vec_id NOT IN (SELECT vec_id FROM drop1)
+),
+kept1 AS (
+  SELECT a.vec_id FROM kept1a a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM kept0 b WHERE b.cell = a.cell AND {d} >= {t}
+  )
+),
+degenerate AS (
+  SELECT vec_id FROM embeddings
+  WHERE embedding IS NULL OR {nrm} = 0.0
+)
+SELECT vec_id FROM kept0
+UNION ALL SELECT vec_id FROM kept1
+UNION ALL SELECT vec_id FROM degenerate
+"""
+
+
 def _sql_semdedup(ids_only: bool = False) -> str:
     cent = _semdedup_fixed_centroids()
     nrm = O.norm("embedding")
@@ -3832,6 +3918,11 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "events_quantile_sketch": (
         q_events_quantile_sketch,
         _sql_events_quantile_sketch(),
+    ),
+    # continuous semantic dedup: stream-admitted corpus == two-stage greedy
+    "stream_semdedup_state": (
+        q_stream_semdedup_state,
+        _sql_stream_semdedup_state(),
     ),
 }
 
