@@ -431,6 +431,7 @@ def main() -> None:
         pass
     headline_queries = [
         "corpus_clean", "minhash_lsh_pairs", "embedding_neardup_np",
+        "semdedup_drop_np", "events_distinct_kmv",
         "simhash_np", "doc_winnowing_np", "doc_repetition_np", "doc_bm25",
         "doc_hybrid_rrf", "events_hourly", "events_sessions",
         "rel_revenue_by_nation", "knn_self_join_ivf", "ivf_search_batch32",

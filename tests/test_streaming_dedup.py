@@ -263,6 +263,8 @@ def test_incremental_semdedup_reingest_is_noop(spark, tmp_path):
         (i, [float(x) for x in v])
         for i, v in enumerate(rng.standard_normal((40, 8)) * 3.0)
     ]
+    # degenerate rows must be admitted once and stay single across re-ingest
+    rows += [(100, None), (101, [0.0] * 8)]
     df = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
     src, sp = str(tmp_path / "src"), str(tmp_path / "state")
     df.write.mode("overwrite").parquet(src)

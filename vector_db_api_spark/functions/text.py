@@ -38,6 +38,16 @@ def normalize_text(col: ColumnOrName) -> Column:
     return F.regexp_replace(F.trim(F.lower(_c(col))), " +", " ")
 
 
+def scoring_tokens(col: ColumnOrName) -> Column:
+    """The canonical token array for per-token scoring paths (LM NLL,
+    classifier logit): normalize → split on single spaces → drop empties.
+    ONE definition shared by every operator whose oracle must replay the
+    token universe bit-for-bit — change it here or nowhere."""
+    return F.filter(
+        F.split(normalize_text(col), " "), lambda t: t != F.lit("")
+    )
+
+
 def token_count(col: ColumnOrName) -> Column:
     """Whitespace token count of normalized text (0 for empty)."""
     n = normalize_text(col)

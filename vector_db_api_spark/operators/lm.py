@@ -103,9 +103,7 @@ def doc_nll_join(
     broadcast and it becomes a shuffle join on token), one groupBy(id)
     shuffle. Corpus-linear; no driver-sized anything."""
     model = F.broadcast(model_df) if broadcast_model else model_df
-    toks = F.filter(
-        F.split(T.normalize_text(text_col), " "), lambda t: t != F.lit("")
-    )
+    toks = T.scoring_tokens(text_col)
     exploded = docs.select(
         F.col(id_col), F.posexplode_outer(toks).alias("__pos", "__tok")
     )
@@ -158,9 +156,7 @@ def doc_nll(
     nll 0 with n_tokens 0 (filter them with a length gate, not here)."""
     kv = [x for t, lp in sorted(model.items()) for x in (F.lit(t), F.lit(lp))]
     lp_map = F.create_map(*kv) if kv else F.create_map()
-    toks = F.filter(
-        F.split(T.normalize_text(text_col), " "), lambda t: t != F.lit("")
-    )
+    toks = T.scoring_tokens(text_col)
     terms = F.transform(
         toks, lambda t: -F.coalesce(lp_map.getItem(t), F.lit(oov_logprob))
     )

@@ -44,9 +44,7 @@ from vector_db_api_spark.functions import text as T
 
 
 def _tokens(text_col: str):
-    return F.filter(
-        F.split(T.normalize_text(text_col), " "), lambda t: t != F.lit("")
-    )
+    return T.scoring_tokens(text_col)
 
 
 def bucket_of(tok, num_buckets: int):

@@ -145,10 +145,15 @@ def semdedup_dropped_numpy(
 ) -> DataFrame:
     """BLAS twin of :func:`semdedup_dropped`: per-cluster gram matrix.
 
-    Identical drop SET (priority order and ε-ball membership are float-
-    robust at any realistic threshold); per-pair cosines differ from the
-    fold path only by summation order, so this twin returns (id, cell)
-    without the score — the same id-projection contract as
+    Drop-set parity caveat: cell assignment and the csim priority are
+    computed on a different float path here (matmul on unit vectors) than
+    in the expression twin (fold on raw vectors / norm). ε-membership and
+    priority ORDER are robust at any realistic threshold, but an argmax or
+    priority tie within a few ulps — measure-zero for continuous
+    embeddings, conceivable for adversarially symmetric ones — could land
+    a vector in a different cell between the twins. Per-pair cosines also
+    differ in the last ulp (summation order), so this twin returns
+    (id, cell) without the score — the same id-projection contract as
     ``embedding_neardup_pairs_numpy``. Cluster = pandas group; sizes are
     bounded by the centroid count, the operator's explicit scale knob.
     """

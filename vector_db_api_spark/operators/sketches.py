@@ -199,12 +199,22 @@ def quantile_sketch_state(
     nondeterministic surrogate (monotonically_increasing_id) would break
     reproducibility. The same map-side WindowGroupLimit bound applies as in
     :func:`kmv_state` — each task forwards ≤k rows per group.
+
+    The rank order is (hash, value) over DISTINCT pairs: ids colliding on
+    h32 would otherwise make row_number's tie-break nondeterministic
+    exactly when the tie straddles rank k (colliding ids with the same
+    value are one sample point — losing such a twin is the same
+    ~n²/2³³-probability, ±1-point perturbation any hash sketch carries).
     """
     h = H.h32(F.col(id_col).cast("string"))
-    d = df.filter(
-        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
-    ).select(*group_cols, h.alias("__h"), F.col(value_col).cast("double").alias("__v"))
-    w = Window.partitionBy(*group_cols).orderBy("__h")
+    d = (
+        df.filter(F.col(value_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(
+            *group_cols, h.alias("__h"), F.col(value_col).cast("double").alias("__v")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__h", "__v")
     return (
         d.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)

@@ -299,14 +299,24 @@ def incremental_semdedup_ingest(
        first-seen-wins across epochs (arrival order IS the cross-batch
        priority, the streaming analogue of the batch diversity rule).
 
-    State is the admitted corpus itself (id + embedding, epoch-stamped
-    parquet) — exactly what a batch job would hand to an indexer, so batch
-    can take over seamlessly. Per batch: one cell-keyed join delta×state;
-    history's embeddings are re-read but never re-compared against each
-    other. Epoch retries overwrite their own partition (idempotent), and
-    re-ingesting an admitted document is a no-op by construction: it is
-    within ε of itself, so the state admits no second copy — sketch-like
-    self-healing history (contrast the postings sink's latest_rows).
+    State is the admitted corpus annotated for reuse — original columns
+    plus ``cell`` and the unit vector ``__u`` (null for rows with no
+    embedding), epoch-stamped parquet — so each batch compares its delta
+    against history WITHOUT re-deriving history's assignments: the
+    delta×state join reads the stored (cell, __u) directly, and a batch
+    job (or an indexer) can take over the corpus seamlessly.
+
+    Idempotence, precisely:
+
+    * Epoch retries: the state read EXCLUDES the epoch being written
+      (partition-pruned filter), so a replayed foreachBatch sees exactly
+      the pre-crash history and recomputes the identical partition — a
+      survivor can never be re-judged against its own half-committed
+      write.
+    * Re-ingest: a document id already admitted in an earlier epoch is
+      final (id anti-join — covers null-embedding rows too), and a new id
+      whose vector sits within ε of an admitted one is rejected by the
+      ε-check — history self-heals with no latest_rows-style dedup.
     """
     from pyspark.sql.utils import AnalysisException
 
@@ -320,27 +330,37 @@ def incremental_semdedup_ingest(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        this_epoch = epoch_id + epoch_offset
         kept = semdedup_kept(
             batch_df, centroids, threshold, id_col=id_col, vec_col=vec_col
         )
+        # annotate survivors once; degenerate rows keep null (cell, __u)
+        ann = assign_diversity(
+            kept, centroids, id_col=id_col, vec_col=vec_col
+        ).select(id_col, "cell", "__u")
+        kept = kept.join(ann, id_col, "left")
         try:
-            state = spark.read.parquet(state_path)
+            state = spark.read.parquet(state_path).filter(
+                F.col("epoch") != this_epoch
+            )
         except AnalysisException:
             state = None
         if state is not None:
-            cand = assign_diversity(kept, centroids, id_col=id_col, vec_col=vec_col)
-            prior = assign_diversity(
-                state, centroids, id_col=id_col, vec_col=vec_col
-            ).select(F.col("cell").alias("__pcell"), F.col("__u").alias("__pu"))
+            # an already-admitted id is final (incl. embedding-less docs)
+            kept = kept.join(state.select(id_col), id_col, "left_anti")
+            prior = state.filter(F.col("cell").isNotNull()).select(
+                F.col("cell").alias("__pcell"), F.col("__u").alias("__pu")
+            )
             conflict = (
-                cand.join(prior, cand["cell"] == prior["__pcell"])
+                kept.filter(F.col("cell").isNotNull())
+                .join(prior, F.col("cell") == F.col("__pcell"))
                 .filter(V.dot("__u", "__pu") >= threshold)
                 .select(id_col)
                 .distinct()
             )
             kept = kept.join(conflict, id_col, "left_anti")
         (
-            kept.withColumn("epoch", F.lit(epoch_id + epoch_offset))
+            kept.withColumn("epoch", F.lit(this_epoch))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch")

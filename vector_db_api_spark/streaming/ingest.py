@@ -355,6 +355,7 @@ def incremental_kmv_ingest(
     k: int = 64,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    epoch_offset: int = 0,
 ) -> StreamingQuery:
     """Keep per-group distinct-count sketches fresh as data arrives: each
     micro-batch contributes ONLY its own KMV state (the batch's ≤k smallest
@@ -365,6 +366,13 @@ def incremental_kmv_ingest(
     stale epochs can only re-contribute hashes already in the union. This
     is the one incremental sink in this module whose history never lies
     (contrast incremental_postings_ingest + latest_rows).
+
+    ``epoch_offset`` namespaces the state partitions when SEPARATE runs
+    (fresh checkpoints — e.g. a daily availableNow job) append to one
+    state dir: each run's epoch ids restart at 0, and without an offset
+    run N's dynamic partition overwrite would silently wipe run N-1's
+    ``epoch=0`` sketch. A single long-lived checkpointed stream needs no
+    offset.
     """
     from vector_db_api_spark.operators.sketches import kmv_state
 
@@ -376,7 +384,7 @@ def incremental_kmv_ingest(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         state = kmv_state(batch_df, group_cols, value_col, k=k)
         (
-            state.withColumn("epoch", F.lit(epoch_id))
+            state.withColumn("epoch", F.lit(epoch_id + epoch_offset))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch")

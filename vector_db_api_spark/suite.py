@@ -2656,7 +2656,7 @@ SELECT vec_id, score FROM (
 
 
 def q_ivf_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FILTERED vector search: the metadata predicate (label even) applies
+    """FILTERED vector search: the metadata predicate (label < 5) applies
     to the corpus BEFORE the candidate semi-join — pushed into the parquet
     scan (PushedFilters carries it, pinned in test_plan_shapes), rather
     than the reference's post-filter-after-top-k (the contrast case to
@@ -3199,8 +3199,11 @@ kept1 AS (
   )
 ),
 degenerate AS (
+  -- rows with no semantic location: null array, zero norm, or an array
+  -- containing null elements (the norm fold yields NULL → the Spark side
+  -- filters them out of assignment but keeps them in the corpus)
   SELECT vec_id FROM embeddings
-  WHERE embedding IS NULL OR {nrm} = 0.0
+  WHERE embedding IS NULL OR {nrm} = 0.0 OR {nrm} IS NULL
 )
 SELECT vec_id FROM kept0
 UNION ALL SELECT vec_id FROM kept1
@@ -3659,12 +3662,12 @@ def _sql_events_quantile_sketch() -> str:
     h = O.h32("CAST(event_id AS VARCHAR)")
     return f"""
 WITH d AS (
-  SELECT event_type, {h} AS h, CAST(value AS DOUBLE) AS v
+  SELECT DISTINCT event_type, {h} AS h, CAST(value AS DOUBLE) AS v
   FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
 ),
 r AS (
   SELECT event_type, h, v,
-         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
   FROM d
 ),
 s AS (
