@@ -3681,6 +3681,85 @@ FROM s
 """
 
 
+def q_events_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table profile of events: exact nulls/min/max in one aggregate
+    pass + KMV distinct estimates for the hashable (int/string) columns
+    (operators/profile.py)."""
+    from vector_db_api_spark.operators.profile import table_profile
+
+    return table_profile(load_table(spark, sf_dir, "events"), kmv_k=_KMV_K)
+
+
+def _sql_events_table_profile() -> str:
+    cols = {
+        "event_id": "bigint",
+        "ts": "timestamp",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    }
+    parts = []
+    for c, t in cols.items():
+        parts.append(
+            f"SELECT '{c}' AS \"column\", 'n_nonnull' AS metric, "
+            f"CAST(COUNT({c}) AS DOUBLE) AS value_num, "
+            f"CAST(NULL AS VARCHAR) AS value_str FROM events"
+        )
+        parts.append(
+            f"SELECT '{c}', 'n_null', CAST(COUNT(*) - COUNT({c}) AS DOUBLE), "
+            f"CAST(NULL AS VARCHAR) FROM events"
+        )
+        if t in ("bigint", "double"):
+            for m in ("min", "max"):
+                parts.append(
+                    f"SELECT '{c}', '{m}', CAST({m.upper()}({c}) AS DOUBLE), "
+                    f"CAST(NULL AS VARCHAR) FROM events"
+                )
+        elif t == "timestamp":
+            for m in ("min", "max"):
+                parts.append(
+                    f"SELECT '{c}', '{m}', CAST(NULL AS DOUBLE), "
+                    f"strftime({m.upper()}({c}), '%Y-%m-%d %H:%M:%S') FROM events"
+                )
+        else:
+            for m in ("min", "max"):
+                parts.append(
+                    f"SELECT '{c}', '{m}', CAST(NULL AS DOUBLE), "
+                    f"{m.upper()}({c}) FROM events"
+                )
+    melted = " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", CAST({c} AS VARCHAR) AS v "
+        f"FROM events WHERE {c} IS NOT NULL"
+        for c, t in cols.items()
+        if t in ("bigint", "string")
+    )
+    h = O.h32("v")
+    exact_union = " UNION ALL ".join(parts)
+    return f"""
+WITH m AS ({melted}),
+d AS (SELECT DISTINCT "column", {h} AS h FROM m),
+r AS (
+  SELECT "column", h,
+         ROW_NUMBER() OVER (PARTITION BY "column" ORDER BY h) AS rn
+  FROM d
+),
+s AS (
+  SELECT "column", COUNT(*) AS cnt,
+         MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
+  FROM r WHERE rn <= {_KMV_K} GROUP BY "column"
+)
+SELECT * FROM ({exact_union})
+UNION ALL
+SELECT "column", 'distinct_est',
+       CASE WHEN cnt < {_KMV_K} THEN CAST(cnt AS DOUBLE)
+            ELSE CAST({_KMV_K - 1} AS DOUBLE) * 4294967296.0
+                 / CAST(hk AS DOUBLE) END,
+       CAST(NULL AS VARCHAR)
+FROM s
+"""
+
+
 def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of events.value: two parallel scans (min/max →
     binning), no global sort — the scalable shape profile."""
@@ -3927,6 +4006,8 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_stream_semdedup_state,
         _sql_stream_semdedup_state(),
     ),
+    # whole-table deterministic profile (exact stats + KMV cardinalities)
+    "events_table_profile": (q_events_table_profile, _sql_events_table_profile()),
 }
 
 
