@@ -267,3 +267,38 @@ def test_reference_dto_parity_move_and_with_chunks(spark, tmp_path_factory):
 
     # unknown metadata fields rejected (extra='forbid' parity)
     assert f.create_document("A", {"id": "D4", "metadata": {"nope": 1}})["status"] == 422
+
+
+def test_duplicate_id_and_tags_validation(spark, tmp_path_factory):
+    """Review round-4 items: a duplicate caller-supplied document id is a
+    409 (NOT a silent second row), so a failed with-chunks request can
+    never cascade-delete a PRE-EXISTING document on rollback; tags must be
+    a real list (scalar/str -> 422, not a raw TypeError) and an empty list
+    stores [] rather than NULL."""
+    eng = Engine(spark, str(tmp_path_factory.mktemp("dup_tags")))
+    f = Facade(eng)
+    assert f.create_library({"id": "A", "name": "a", "embedding_dim": 4})["status"] == 201
+    ok = f.create_document_with_chunks("A", {"id": "D1", "chunks": [
+        {"id": "c1", "library_id": "A", "document_id": "ignored",
+         "position": 0, "text": "hi", "embedding": [1.0, 0.0, 0.0, 0.0]},
+    ]})
+    assert ok["status"] == 201
+
+    # duplicate id via plain create and via with-chunks -> 409 both ways
+    assert f.create_document("A", {"id": "D1"})["status"] == 409
+    dup = f.create_document_with_chunks("A", {"id": "D1", "chunks": [
+        {"id": "c2", "library_id": "A", "document_id": "ignored",
+         "position": 0, "text": "bad dim", "embedding": [1.0, 0.0]},
+    ]})
+    assert dup["status"] == 409
+    # and the ORIGINAL document + its chunk survived the failed request
+    assert f.get_document("D1")["status"] == 200
+    assert f.get_chunk("c1")["status"] == 200
+
+    # tags DTO parity
+    assert f.create_document("A", {"id": "T1", "metadata": {"tags": 5}})["status"] == 422
+    assert f.create_document("A", {"id": "T2", "metadata": {"tags": "xy"}})["status"] == 422
+    ok2 = f.create_document("A", {"id": "T3", "metadata": {"tags": []}})
+    assert ok2["status"] == 201
+    got = f.get_document("T3")
+    assert got["data"]["metadata"]["tags"] == []

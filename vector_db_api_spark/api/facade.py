@@ -79,17 +79,23 @@ class Facade:
         except EngineError as e:
             return _err(e)
 
+    @staticmethod
+    def _validate_chunks(chunks: list[dict]) -> None:
+        """ONE definition of chunk-DTO validation (extra='forbid' parity)
+        shared by the bulk route and the with-chunks route — two copies
+        here previously meant a rule change in one could let with-chunks
+        pre-validate OK and then have the bulk upsert reject mid-flight."""
+        for c in chunks:
+            unknown = set(c) - set(CHUNK_IN_FIELDS)
+            if unknown:
+                raise ValidationError(f"unknown chunk fields: {sorted(unknown)}")
+            if not c.get("text"):
+                raise ValidationError("chunk.text must be non-empty")
+
     def bulk_upsert_chunks(self, library_id: str, chunks: list[dict]) -> dict:
         """routers/chunks.py:79-92 — JSON chunk list → validated batch."""
         try:
-            for c in chunks:
-                unknown = set(c) - set(CHUNK_IN_FIELDS)
-                if unknown:
-                    raise ValidationError(
-                        f"unknown chunk fields: {sorted(unknown)}"
-                    )  # extra='forbid' parity
-                if not c.get("text"):
-                    raise ValidationError("chunk.text must be non-empty")
+            self._validate_chunks(chunks)
             rows = [tuple(c.get(f) for f in CHUNK_IN_FIELDS) for c in chunks]
             df = self.engine.spark.createDataFrame(rows, CHUNK_IN_SCHEMA)
             self.engine.upsert_chunks(library_id, df)
@@ -156,12 +162,7 @@ class Facade:
             chunks_in = body.get("chunks") or []
             if not chunks_in:
                 raise ValidationError("at least one chunk is required")
-            for c in chunks_in:  # validate before creating anything
-                bad = set(c) - set(CHUNK_IN_FIELDS)
-                if bad:
-                    raise ValidationError(f"unknown chunk fields: {sorted(bad)}")
-                if not c.get("text"):
-                    raise ValidationError("chunk.text must be non-empty")
+            self._validate_chunks(chunks_in)  # validate before creating anything
             doc = self.create_document(
                 library_id,
                 {k: body[k] for k in ("id", "metadata") if body.get(k) is not None},

@@ -124,9 +124,22 @@ class Engine:
     ) -> str:
         """Create a document row; ``metadata`` mirrors the reference
         DocumentCreate DTO (api/dto.py:88-89) — optional, unknown fields
-        rejected 422 (extra='forbid' parity, models/entities.py)."""
+        rejected 422 (extra='forbid' parity, models/entities.py). A caller-
+        supplied id that already exists is a 409 (ConflictError taxonomy,
+        services/document.py:99) — without this check a duplicate create
+        would append a second row, and with-chunks' failure rollback could
+        then cascade-delete the PRE-EXISTING document's chunks."""
         self._get_library_row(library_id)
         doc_id = document_id or str(uuid.uuid4())
+        if document_id is not None:
+            exists = (
+                self.store.read("documents")
+                .filter(F.col("id") == doc_id)
+                .limit(1)
+                .count()
+            )
+            if exists:
+                raise ConflictError(f"document {doc_id!r} already exists")
         row = self.spark.sql(
             "SELECT {id} AS id, {lib} AS library_id, "
             "CAST(NULL AS struct<source_uri:string,author:string,lang:string,"
@@ -143,11 +156,18 @@ class Engine:
                     f"unknown metadata fields: {sorted(unknown)}"
                 )
             tags = metadata.get("tags")
+            if tags is not None:
+                # DTO parity: tags is List[str] — a scalar/str here would
+                # either TypeError out of the 422 taxonomy or iterate
+                # char-wise; an empty list must store [] rather than NULL
+                if isinstance(tags, str) or not isinstance(tags, (list, tuple)):
+                    raise ValidationError("metadata.tags must be a list of strings")
+                tags = [str(t) for t in tags]
             meta_col = F.struct(
                 *[
                     (
-                        F.array(*[F.lit(str(t)) for t in tags]).cast("array<string>")
-                        if f == "tags" and tags
+                        F.array(*[F.lit(t) for t in tags]).cast("array<string>")
+                        if f == "tags" and tags is not None
                         else F.lit(metadata.get(f) if f != "tags" else None).cast(
                             "array<string>" if f == "tags" else "string"
                         )

@@ -60,10 +60,25 @@ def train_unigram_df(
 ) -> tuple[DataFrame, float]:
     """Distributed twin of ``train_unigram``: the model stays a DataFrame
     (token string, logprob double) — nothing vocab-sized ever reaches the
-    driver (only the two scalars total/V collect). logprob is computed
-    JVM-side with the same (count+1)/denom add-one smoothing; ``F.log`` and
-    driver ``math.log`` are both correctly-rounded doubles, so the two
-    trainers agree bit-for-bit (pinned by tests/test_lm.py)."""
+    driver (only the two scalars total/V collect). The division uses the
+    same (count+1)/denom add-one smoothing (IEEE division is correctly
+    rounded everywhere); the LOG runs as an Arrow pandas_udf calling
+    ``math.log`` per element — i.e. the platform libm, the exact library
+    behind the literal trainer's driver-side logs and DuckDB's ``ln``.
+    NOT ``F.log`` (java.lang.Math.log is only guaranteed within 1 ulp and
+    its intrinsic varies by arch/JIT — keyword.py folds idf to driver
+    literals for the same reason) and NOT ``numpy.log`` (numpy ships its
+    own SIMD log that measurably disagrees with libm on this container:
+    62/286 probe values off by an ulp). The per-element Python loop runs
+    over VOCAB-sized batches once per training, not over the corpus."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    _libm_log = pandas_udf(
+        lambda p: pd.Series([math.log(x) for x in p], dtype="float64"),
+        "double",
+    )
+
     counts = (
         docs.select(F.explode(F.split(T.normalize_text(text_col), " ")).alias("t"))
         .filter(F.col("t") != "")
@@ -76,7 +91,7 @@ def train_unigram_df(
     denom = int(stats["total"] or 0) + int(stats["v"]) + 1
     model_df = counts.select(
         F.col("t").alias("token"),
-        F.log((F.col("c") + F.lit(1)) / F.lit(float(denom))).alias("logprob"),
+        _libm_log((F.col("c") + F.lit(1)) / F.lit(float(denom))).alias("logprob"),
     )
     return model_df, math.log(1 / denom)
 

@@ -135,14 +135,11 @@ def lsh_packed_signature(v: str, planes) -> str:
     return f"({bits})"
 
 
-def argmax_first(dlist: str) -> str:
-    """0-based index of the FIRST maximum of a DOUBLE[] (numpy argmax
-    semantics)."""
-    return f"CAST(list_position({dlist}, list_max({dlist})) - 1 AS INTEGER)"
-
-
 def argmax_idx(a: str) -> str:
-    """First index of the max element, 0-based (Spark array_position - 1)."""
+    """0-based index of the FIRST maximum of a list (numpy argmax / Spark
+    array_position semantics) — the ONE argmax the kernel oracle and every
+    ANN assignment replay share; two names for this expression previously
+    invited divergent tie-semantics edits."""
     return f"CAST(list_position({a}, list_max({a})) - 1 AS INTEGER)"
 
 

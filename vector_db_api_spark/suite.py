@@ -46,6 +46,15 @@ def _q0_lit():
     return F.array(*[F.lit(x) for x in Q0])
 
 
+def _await_stream(q, seconds: int = 300) -> None:
+    """availableNow streams must FINISH before their sink is read —
+    awaitTermination returns False on timeout, and silently reading a
+    half-written sink would fail the oracle with no hint why."""
+    if not q.awaitTermination(seconds):
+        q.stop()
+        raise RuntimeError(f"stream did not finish within {seconds}s")
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -960,7 +969,7 @@ def q_stream_bm25_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, "doc_id bigint, text string", pp, dp, ck,
         max_files_per_trigger=1,
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     postings = latest_rows(spark.read.parquet(pp))
     doclens = latest_rows(spark.read.parquet(dp))
     return bm25_scores_postings(postings, doclens, BM25_QUERY)
@@ -985,11 +994,18 @@ def q_stream_trending_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev.write.mode("overwrite").parquet(src)
     q = hourly_event_rollup(spark, src, out, ck)
-    q.awaitTermination(300)
+    _await_stream(q)
     # closure + output stay in the epoch-seconds domain end to end: the
     # sink's window_start is a UTC instant whose micros equal the naive
     # event micros (_ntz_as_utc_instant), so unix_timestamp is TZ-proof
     max_epoch = ev.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
+    if max_epoch is None:  # empty events table -> nothing is closed
+        return spark.read.parquet(out).limit(0).select(
+            F.lit(0).cast("long").alias("hour"),
+            "event_type",
+            "n_events",
+            F.lit(0).cast("int").alias("rank"),
+        )
     closed = spark.read.parquet(out).filter(
         F.unix_timestamp("window_start") + F.lit(10800) <= F.lit(int(max_epoch))
     )
@@ -2566,6 +2582,13 @@ WHERE CAST(substring(c.document_id, 2) AS BIGINT) % 40 = 3
 # with the model matrices embedded as literals. k-means/auto-sizing QUALITY
 # stays covered by the recall tests + bench (it cannot be value-oracled);
 # search-machinery CORRECTNESS is proven here bit-for-bit.
+#
+# Scoped claim: the Spark side computes signatures/assignments with BLAS
+# (numpy matmul) while the SQL replays them as sequential folds — a
+# hyperplane dot within ~1 ulp of 0, or top-2 centroid dots tied within
+# rounding, could bucket differently between the two float paths (and
+# between BLAS builds). Measure-zero for continuous embeddings and stable
+# on this container; the same caveat is documented on semdedup's BLAS twin.
 # ---------------------------------------------------------------------------
 
 _LSH_FIXED = dict(dim=64, num_tables=4, hyperplanes_per_table=8, seed=7)
@@ -2650,7 +2673,7 @@ SELECT vec_id, score FROM (
   SELECT e.vec_id, {O.cosine_const('e.embedding', Q0)} AS score
   FROM embeddings e
   WHERE e.embedding IS NOT NULL AND {O.norm('e.embedding')} <> 0.0
-    AND {O.argmax_first(dlist)} IN ({in_list}){extra_where}
+    AND {O.argmax_idx(dlist)} IN ({in_list}){extra_where}
 ) ORDER BY score DESC, vec_id ASC LIMIT 10
 """
 
@@ -2762,7 +2785,7 @@ def _sql_ivfpq_search() -> str:
     in_list = ", ".join(str(p) for p in probe)
     extra = (
         f"\n    AND {O.norm('e.embedding')} <> 0.0"
-        f"\n    AND {O.argmax_first(dlist)} IN ({in_list})"
+        f"\n    AND {O.argmax_idx(dlist)} IN ({in_list})"
     )
     return _sql_pq_like(extra)
 
@@ -3147,7 +3170,7 @@ def q_stream_semdedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, sp, f"{tmp}/ck{i}", cent, NEARDUP_THRESHOLD,
             id_col="vec_id", epoch_offset=i * 1_000_000,
         )
-        q.awaitTermination(300)
+        _await_stream(q)
     return spark.read.parquet(sp).select("vec_id")
 
 
@@ -3599,7 +3622,7 @@ def q_stream_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, "event_type string, user_id bigint", sp, ck,
         ["event_type"], "user_id", k=_KMV_K, max_files_per_trigger=1,
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return served_kmv_estimates(spark, sp, ["event_type"], k=_KMV_K).withColumnRenamed(
         "est_distinct", "est_users"
     )
