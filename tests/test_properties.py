@@ -249,3 +249,36 @@ def test_rrf_input_order_invariance(spark, perm_seed):
     base = sorted(map(tuple, rrf_fuse(mk(rows_a), mk(rows_b), k=12).collect()))
     perm = sorted(map(tuple, rrf_fuse(mk(pa), mk(pb), k=12).collect()))
     assert base == perm
+
+
+@SLOW
+@given(
+    st.lists(st.integers(min_value=0, max_value=5000), min_size=0, max_size=200),
+    st.integers(min_value=2, max_value=4),
+)
+def test_kmv_merge_equals_whole_for_any_partition(spark, values, nparts):
+    """CRDT law, fuzzed: for ANY multiset of values and ANY way of slicing
+    it (here: round-robin with duplicates straddling slices), merging the
+    per-slice KMV states equals the single-pass state over the whole."""
+    from vector_db_api_spark.operators.sketches import kmv_merge_states, kmv_state
+
+    k = 16
+    whole_df = spark.createDataFrame(
+        [("g", v) for v in values] or [("g", None)], "g string, v long"
+    )
+    whole = kmv_state(whole_df, ["g"], "v", k=k).collect()
+    slices = [values[i::nparts] for i in range(nparts)]
+    states = None
+    for sl in slices:
+        if not sl:
+            continue
+        sdf = kmv_state(
+            spark.createDataFrame([("g", v) for v in sl], "g string, v long"),
+            ["g"], "v", k=k,
+        )
+        states = sdf if states is None else states.union(sdf)
+    if states is None:
+        assert whole == []
+        return
+    merged = kmv_merge_states(states, ["g"], k=k).collect()
+    assert [r["kmin"] for r in merged] == [r["kmin"] for r in whole]
