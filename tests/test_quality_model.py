@@ -66,6 +66,18 @@ def test_sparse_weights_equal_zero_filled_dense(spark):
     assert sorted(map(tuple, dense)) == sorted(map(tuple, sparse))
 
 
+def test_duplicate_bucket_in_weights_fails_loudly(spark):
+    """A duplicate bucket row would fan out the join and silently inflate
+    logit and n_tokens — the precondition check must raise instead."""
+    import pytest
+
+    wdf = spark.createDataFrame(
+        [(0, 0.5), (0, 0.7), (1, 0.1)], "bucket int, weight double"
+    )
+    with pytest.raises(ValueError, match="duplicate bucket"):
+        score_quality_linear_join(_docs(spark), wdf, 64, BIAS)
+
+
 def test_gate_returns_original_rows_above_threshold(spark):
     docs = _docs(spark)
     kept = quality_model_filter(docs, W, BIAS, min_logit=BIAS)

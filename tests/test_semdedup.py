@@ -96,6 +96,23 @@ def test_numpy_twin_matches_expression_drop_set(spark, corpus, centroids):
     assert exp == blas
 
 
+def test_numpy_twin_matches_expression_at_nonpositive_threshold(spark, corpus, centroids):
+    """Regression: tril's zero fill used to make any threshold <= 0 drop
+    EVERY row (0 >= thr on the padded upper triangle) in the BLAS twin,
+    including each cell's highest-priority keeper. The strict-lower-triangle
+    mask must keep the twins identical at thr = 0 and thr = -1."""
+    for thr in (0.0, -1.0):
+        exp = {
+            (r["vec_id"], r["cell"])
+            for r in semdedup_dropped(corpus, centroids, thr).collect()
+        }
+        blas = {
+            (r["vec_id"], r["cell"])
+            for r in semdedup_dropped_numpy(corpus, centroids, thr).collect()
+        }
+        assert exp == blas, f"twin divergence at threshold {thr}"
+
+
 def test_threshold_one_epsilon_ball_prunes_nothing_distinct(spark, corpus, centroids):
     """With threshold > max pair cosine nothing drops; with threshold -1
     every cluster collapses to its single highest-priority member."""

@@ -83,6 +83,20 @@ def test_histogram_partitions_rows_and_orders_edges(spark):
         assert prev["hi_val"] < cur["lo_val"]
 
 
+def test_histogram_ignores_nan_values(spark):
+    """Spark's max orders NaN above every double, so one NaN used to poison
+    __hi (width=NaN, all rows → null bin). NaN rows are excluded like nulls
+    and the finite rows bin exactly as if the NaNs were absent."""
+    clean = spark.range(100).select((F.col("id") % 10).cast("double").alias("x"))
+    dirty = clean.unionAll(
+        spark.range(3).select(F.lit(float("nan")).alias("x"))
+    ).unionAll(spark.range(2).select(F.lit(None).cast("double").alias("x")))
+    want = sorted(map(tuple, value_histogram(clean, "x", bins=5).collect()))
+    got = sorted(map(tuple, value_histogram(dirty, "x", bins=5).collect()))
+    assert got == want
+    assert sum(r[1] for r in got) == 100
+
+
 def test_histogram_constant_column_single_bin(spark):
     df = spark.range(50).select(F.lit(7.5).alias("x"))
     h = value_histogram(df, "x", bins=10).collect()

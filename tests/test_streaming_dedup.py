@@ -284,3 +284,34 @@ def test_incremental_semdedup_reingest_is_noop(spark, tmp_path):
     run(1)  # same rows arrive again as a fresh run
     again = sorted(r["doc_id"] for r in spark.read.parquet(sp).collect())
     assert again == first
+
+
+def test_incremental_semdedup_dedups_ids_within_batch(spark, tmp_path):
+    """Two rows with the SAME id in one micro-batch tie on (csim, id) in the
+    stage-1 priority (neither outranks the other), so without the in-batch
+    id dedup BOTH would be admitted. Exactly one state row per id must
+    survive."""
+    import numpy as np
+
+    from vector_db_api_spark.streaming.dedup import incremental_semdedup_ingest
+
+    rng = np.random.default_rng(9)
+    c = rng.standard_normal((3, 6))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    vecs = rng.standard_normal((5, 6)) * 3.0
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows += rows[:3]  # exact duplicate ids within the same batch
+    rows.append((50, None))
+    rows.append((50, None))  # duplicate embedding-less id too
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+    src, sp = str(tmp_path / "src"), str(tmp_path / "state")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, embedding array<float>").parquet(src)
+    q = incremental_semdedup_ingest(
+        stream, sp, str(tmp_path / "ck"), c, 0.999, id_col="doc_id"
+    )
+    q.awaitTermination(300)
+    state = spark.read.parquet(sp)
+    ids = [r["doc_id"] for r in state.collect()]
+    assert len(ids) == len(set(ids)), f"duplicate state rows: {sorted(ids)}"
+    assert set(ids) == {0, 1, 2, 3, 4, 50}

@@ -89,12 +89,32 @@ def score_quality_linear_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_weights: bool = True,
+    check_unique_buckets: bool = True,
 ) -> DataFrame:
     """Scale twin of :func:`score_quality_linear`: weights shipped as a
     (bucket int, weight double) frame. Buckets absent from ``weights_df``
     weigh 0.0 (sparse models are the norm after L1 training). Cost shape:
     one explode, one broadcast (or shuffle) join on bucket, one groupBy(id)
-    — corpus-linear, nothing driver-sized."""
+    — corpus-linear, nothing driver-sized.
+
+    Precondition: ``bucket`` must be UNIQUE in ``weights_df`` — a duplicate
+    bucket fans out the join and silently inflates both logit and n_tokens,
+    a divergence the literal twin cannot exhibit. Enforced eagerly (one
+    tiny agg over the model-sized frame) unless ``check_unique_buckets``
+    is disabled for pre-validated weight tables."""
+    if check_unique_buckets:
+        dup = (
+            weights_df.groupBy("bucket")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"weights_df has duplicate bucket {dup[0]['bucket']}; "
+                "buckets must be unique or scores would be inflated"
+            )
     wdf = F.broadcast(weights_df) if broadcast_weights else weights_df
     exploded = docs.select(
         F.col(id_col), F.posexplode_outer(_tokens(text_col)).alias("__pos", "__tok")

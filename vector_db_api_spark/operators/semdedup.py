@@ -199,9 +199,11 @@ def semdedup_dropped_numpy(
         cells = pdf["cell"].to_numpy()[order]
         gram = unit @ unit.T
         # row i is dropped iff any earlier (higher-priority) row j has
-        # gram[i, j] >= threshold
-        tri = np.tril(gram, k=-1)
-        drop = (tri >= thr).any(axis=1)
+        # gram[i, j] >= threshold. Compare through an explicit strict-lower-
+        # triangle mask (not tril's zero fill) so a threshold <= 0 still
+        # tests only the real pairs — matching the expression twin.
+        mask = np.tril(np.ones(gram.shape, dtype=bool), k=-1)
+        drop = ((gram >= thr) & mask).any(axis=1)
         return pd.DataFrame({id_col: ids[drop], "cell": cells[drop]})
 
     return assigned.groupBy("cell").applyInPandas(prune_cell, schema=out_schema)

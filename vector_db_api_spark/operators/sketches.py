@@ -148,10 +148,13 @@ def value_histogram(
     broadcast back into the binning pass — no global sort, no collect; the
     pattern survives any scale the scans do. Values equal to the max fold
     into the last bin (standard right-closed top bin). A constant column
-    (width 0) lands entirely in bin 0.
+    (width 0) lands entirely in bin 0. Null AND NaN values are excluded:
+    Spark's max orders NaN above every double, so one NaN would poison
+    __hi/width and collapse every row into a null bin (and NaN ordering
+    differs between engines anyway).
     """
     v = F.col(value_col).cast("double")
-    src = df.filter(v.isNotNull()).withColumn("__v", v)
+    src = df.filter(v.isNotNull() & ~F.isnan(v)).withColumn("__v", v)
     if group_cols:
         bounds = src.groupBy(*group_cols).agg(
             F.min("__v").alias("__lo"), F.max("__v").alias("__hi")

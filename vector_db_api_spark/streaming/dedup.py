@@ -331,6 +331,11 @@ def incremental_semdedup_ingest(
             return
         spark = batch_df.sparkSession
         this_epoch = epoch_id + epoch_offset
+        # one row per id within the batch: duplicate ids tie on (csim, id)
+        # in the stage-1 priority, so neither would outrank the other and
+        # both would survive — mirror the cross-epoch "admitted id is
+        # final" rule inside the batch before any ε-work.
+        batch_df = batch_df.dropDuplicates([id_col])
         kept = semdedup_kept(
             batch_df, centroids, threshold, id_col=id_col, vec_col=vec_col
         )
