@@ -242,13 +242,18 @@ class IVFIndex:
 
         import pandas as pd
 
-        cent = self.centroids
+        from vector_db_api_spark.functions.ship import ship_model
+
+        # large centroid matrices (auto_train sizes k ~ 2√n — 100k+ cells at
+        # corpus scale) ride a broadcast, not the per-task closure
+        shipped = ship_model(corpus, self.centroids)
         # Match the corpus id type exactly so downstream semi-joins never
         # implicitly coerce (string=bigint loses precision on large int64).
         id_type = corpus.schema[id_col].dataType.simpleString()
         out_schema = f"{id_col} {id_type}, centroid_id int"
 
         def assign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cent = shipped.get()
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -327,16 +332,19 @@ class IVFIndex:
     ) -> DataFrame:
         """(query_id, centroid_id) probe pairs for a BATCH of queries — the
         distributed analogue of :meth:`probe_centroids` (top-nprobe by dot
-        with the unit query; the centroid matrix rides in the UDF closure).
+        with the unit query; the centroid matrix broadcast when large).
         Zero-vector queries produce no probe rows."""
         import pandas as pd
 
-        cent = self.centroids
-        nprobe = min(nprobe or self.nprobe, len(cent))
+        from vector_db_api_spark.functions.ship import ship_model
+
+        shipped = ship_model(queries, self.centroids)
+        nprobe = min(nprobe or self.nprobe, len(self.centroids))
         id_type = queries.schema[query_id_col].dataType.simpleString()
         out_schema = f"{query_id_col} {id_type}, centroid_id int"
 
         def probe_batches(batches):
+            cent = shipped.get()
             for pdf in batches:
                 if pdf.empty:
                     continue

@@ -152,14 +152,18 @@ def knn_batch_numpy(
     """
     import numpy as np
 
+    from vector_db_api_spark.functions.ship import ship_model
+
     qids = [str(qid) for qid, _ in queries]
-    qmat = np.asarray([v for _, v in queries], dtype=np.float64)
-    qnorm = np.linalg.norm(qmat, axis=1)
+    # big query batches ride a broadcast, not every task's closure
+    shipped = ship_model(corpus, np.asarray([v for _, v in queries], dtype=np.float64))
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"query_id string, {id_col} {id_type}, score double"
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qmat = shipped.get()
+        qnorm = np.linalg.norm(qmat, axis=1)
         for pdf in batches:
             if pdf.empty:
                 continue

@@ -48,6 +48,19 @@ DEFAULT_NUM_TABLES = 8          # registry.py:47-49 defaults
 DEFAULT_HYPERPLANES = 16
 
 
+def _pack_signatures(mat: np.ndarray, hyperplanes: np.ndarray) -> np.ndarray:
+    """(n, d) × (L, H, d) → (n, L) packed int64 signatures: sign bits of the
+    hyperplane dots, little-endian per table. Module-level so executor
+    kernels can call it on a broadcast-fetched matrix without dragging the
+    whole model object through the closure."""
+    n = mat.shape[0]
+    l, h, d = hyperplanes.shape
+    dots = mat @ hyperplanes.reshape(l * h, d).T
+    bits = (dots >= 0).reshape(n, l, h)
+    weights = (1 << np.arange(h, dtype=np.int64))
+    return (bits * weights).sum(axis=2).astype(np.int64)
+
+
 class SignLSH:
     """Random-hyperplane LSH model. Deterministic given (dim, seed)."""
 
@@ -119,14 +132,9 @@ class SignLSH:
     # -- signature computation -------------------------------------------
 
     def _signatures_np(self, mat: np.ndarray) -> np.ndarray:
-        """(n, d) → (n, L) packed int64 signatures."""
-        n = mat.shape[0]
-        l, h, _ = self.hyperplanes.shape
-        # (n, L*H) dots → sign bits → pack little-endian per table
-        dots = mat @ self.hyperplanes.reshape(l * h, self.dim).T
-        bits = (dots >= 0).reshape(n, l, h)
-        weights = (1 << np.arange(h, dtype=np.int64))
-        return (bits * weights).sum(axis=2).astype(np.int64)
+        """(n, d) → (n, L) packed int64 signatures (driver-side; executor
+        kernels use :func:`_pack_signatures` on a shipped matrix)."""
+        return _pack_signatures(mat, self.hyperplanes)
 
     def signatures(
         self, corpus: DataFrame, id_col: str = "id", vec_col: str = "embedding"
@@ -136,7 +144,11 @@ class SignLSH:
         Zero vectors are excluded — the reference drops them from the index
         because normalize() returns None (lsh.py:59, 67-69).
         """
-        model = self
+        from vector_db_api_spark.functions.ship import ship_model
+
+        # ship ONLY the hyperplane matrix (broadcast when large), never the
+        # whole model object through the task closure
+        shipped = ship_model(corpus, self.hyperplanes)
         # Derive the id type from the corpus schema so the later candidate
         # semi-join is an exact-type equi-join (no implicit string↔bigint
         # coercion that loses precision for large int64 ids).
@@ -144,6 +156,7 @@ class SignLSH:
         out_schema = f"{id_col} {id_type}, table_id int, signature long"
 
         def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            hp = shipped.get()
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -152,7 +165,7 @@ class SignLSH:
                 keep = norms > 0
                 if not keep.any():
                     continue
-                sigs = model._signatures_np(mat[keep])  # (n, L)
+                sigs = _pack_signatures(mat[keep], hp)  # (n, L)
                 ids = pdf[id_col].to_numpy()[keep]
                 n, l = sigs.shape
                 yield pd.DataFrame(
@@ -209,12 +222,15 @@ class SignLSH:
         — the distributed analogue of :meth:`query_signatures`. Same Arrow
         matmul kernel as corpus hashing; zero-vector queries produce no probe
         rows (and therefore no hits), matching the single-query contract."""
-        model = self
+        from vector_db_api_spark.functions.ship import ship_model
+
+        shipped = ship_model(queries, self.hyperplanes)
         flips = np.asarray(self._probe_masks(multiprobe), dtype=np.int64)
         id_type = queries.schema[query_id_col].dataType.simpleString()
         out_schema = f"{query_id_col} {id_type}, table_id int, signature long"
 
         def probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            hp = shipped.get()
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -222,7 +238,7 @@ class SignLSH:
                 keep = np.linalg.norm(mat, axis=1) > 0
                 if not keep.any():
                     continue
-                sigs = model._signatures_np(mat[keep])  # (n, L)
+                sigs = _pack_signatures(mat[keep], hp)  # (n, L)
                 ids = pdf[query_id_col].to_numpy()[keep]
                 n, l = sigs.shape
                 m = len(flips)

@@ -46,6 +46,25 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _encode_codes(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) codes: per subspace, argmin L2 to that subspace's codewords.
+    Module-level so executor kernels can run it on a broadcast-fetched
+    codebook tensor without closing over the model object."""
+    m, _, dsub = books.shape
+    mat = _unit(np.asarray(mat, dtype=np.float64))
+    out = np.empty((mat.shape[0], m), dtype=np.int64)
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        cb = books[j]
+        d2 = (
+            (sub * sub).sum(axis=1, keepdims=True)
+            - 2.0 * sub @ cb.T
+            + (cb * cb).sum(axis=1)
+        )
+        out[:, j] = d2.argmin(axis=1)
+    return out
+
+
 def _kmeans_l2(sample: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
     """Plain seeded Lloyd's in a subspace (L2 — subvectors are not unit).
     Deterministic: seeded init by sampling distinct rows, empty clusters
@@ -112,31 +131,25 @@ class PQIndex:
     # -- encode ----------------------------------------------------------
 
     def _encode_np(self, mat: np.ndarray) -> np.ndarray:
-        """(n, m) uint8/uint16 codes: per subspace, argmin L2 to codewords."""
-        mat = _unit(np.asarray(mat, dtype=np.float64))
-        out = np.empty((mat.shape[0], self.m), dtype=np.int64)
-        for j in range(self.m):
-            sub = mat[:, j * self.dsub : (j + 1) * self.dsub]
-            cb = self.codebooks[j]
-            d2 = (
-                (sub * sub).sum(axis=1, keepdims=True)
-                - 2.0 * sub @ cb.T
-                + (cb * cb).sum(axis=1)
-            )
-            out[:, j] = d2.argmin(axis=1)
-        return out
+        """(n, m) codes (driver-side; executor kernels call
+        :func:`_encode_codes` on a shipped codebook matrix)."""
+        return _encode_codes(mat, self.codebooks)
 
     def encode(
         self, corpus: DataFrame, id_col: str = "id", vec_col: str = "embedding"
     ) -> DataFrame:
         """(id, codes array<smallint>) — the 32×-smaller scan target. Null
         embeddings drop (parity with the null-embedding projection)."""
-        books = self.codebooks
+        from vector_db_api_spark.functions.ship import ship_model
+
+        # ship only the codebook tensor (broadcast when large: m=64, k=2^12
+        # style books are real at corpus scale), never self through the task
+        shipped = ship_model(corpus, self.codebooks)
         id_type = corpus.schema[id_col].dataType.simpleString()
         schema = f"{id_col} {id_type}, codes array<smallint>"
-        me = PQIndex(books)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            books = shipped.get()
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -145,7 +158,7 @@ class PQIndex:
                 if sub.empty:
                     continue
                 mat = np.asarray([np.asarray(v) for v in sub[vec_col]])
-                codes = me._encode_np(mat).astype(np.int16)
+                codes = _encode_codes(mat, books).astype(np.int16)
                 yield pd.DataFrame(
                     {id_col: sub[id_col], "codes": list(codes)}
                 )
@@ -173,11 +186,14 @@ class PQIndex:
 
     def adc_scores(self, codes: DataFrame, qvec: list[float], id_col: str = "id") -> DataFrame:
         """(id, adc_score) over the codes table — the compressed scan."""
-        lut = self._lut(qvec)
+        from vector_db_api_spark.functions.ship import ship_model
+
+        shipped = ship_model(codes, self._lut(qvec))
         id_type = codes.schema[id_col].dataType.simpleString()
         schema = f"{id_col} {id_type}, adc_score double"
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            lut = shipped.get()
             for pdf in batches:
                 if pdf.empty:
                     continue

@@ -160,7 +160,11 @@ def semdedup_dropped_numpy(
     import numpy as np
     import pandas as pd
 
-    cent = np.asarray(centroids, dtype=np.float64)
+    from vector_db_api_spark.functions.ship import ship_model
+
+    # the paper-scale centroid matrix (50k × 768 ≈ 300 MB) must ride a
+    # broadcast, not the per-task closure — ship_model picks by size
+    shipped = ship_model(vectors, np.asarray(centroids, dtype=np.float64))
     id_kind = vectors.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_kind}, cell int"
     thr = float(threshold)
@@ -168,6 +172,7 @@ def semdedup_dropped_numpy(
     e = vectors.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
 
     def assign_batches(batches):
+        cent = shipped.get()
         for pdf in batches:
             if pdf.empty:
                 continue
