@@ -40,6 +40,15 @@ MUST_BE_IN_WINDOW = {
                                 # join==literal equality test_lm.py pins)
     "stream_bm25_state",        # stream-built postings == batch oracle
     "stream_trending_state",    # stream-built rollup == batch oracle
+    # round-5 rotation (VERDICT r4 #3): the round-4 family's first
+    # driver-checked rows
+    "events_distinct_kmv",      # KMV distinct sketch
+    "events_quantile_sketch",   # mergeable quantile sketch
+    "events_value_histogram",   # exact equi-width histogram
+    "doc_quality_model_join",   # hashed linear quality classifier (join twin)
+    "dedup_canonical",          # canonical-copy selection
+    "events_table_profile",     # deterministic table profiler
+    "stream_semdedup_state",    # continuous SemDeDup admission
 }
 
 

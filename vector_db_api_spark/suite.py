@@ -3827,7 +3827,6 @@ FROM binned GROUP BY bin
 SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- in-window: vector kernel ---
     "vec_kernel_scores": (q_vec_kernel_scores, _sql_vec_kernel_scores()),
-    "vec_norm_argmax": (q_vec_norm_argmax, _sql_vec_norm_argmax()),
     # --- in-window: exact kNN (FlatIndex parity) ---
     "knn_cosine_top10": (_q_knn("cosine"), _sql_knn("cosine")),
     "knn_batch_top5": (q_knn_batch, _sql_knn_batch()),
@@ -3839,7 +3838,6 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     ),
     "corpus_profile": (q_corpus_profile, _sql_corpus_profile()),
     "doc_chunking": (q_doc_chunking, _sql_doc_chunking()),
-    "embed_knn_top10": (q_embed_knn, _sql_embed_knn()),
     "doc_winnowing": (
         q_doc_winnowing,
         f"SELECT doc_id, COALESCE(array_to_string(winnow_fps, ','), '') "
@@ -3849,7 +3847,6 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "exact_duplicates": (q_exact_duplicates, _sql_exact_duplicates()),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh_pairs()),
     "dedup_components": (q_dedup_components, _sql_dedup_components()),
-    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _sql_ngram_jaccard_pairs()),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, _sql_simhash_hamming_pairs()),
     "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup()),
     "doc_decontaminate": (q_doc_decontaminate, _sql_doc_decontaminate()),
@@ -3857,6 +3854,25 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "doc_lm_nll": (q_doc_lm_nll, _sql_doc_lm_nll()),
     # --- in-window: semantic dedup (SemDeDup, round-4 class) ---
     "semdedup_drop": (q_semdedup_drop, _sql_semdedup()),
+    # --- in-window: round-4 family rotation (VERDICT r4 #3: first
+    # driver-checked rows for sketches / profiler / quality model /
+    # canonicalization / continuous semdedup) ---
+    "events_distinct_kmv": (q_events_distinct_kmv, _sql_events_distinct_kmv()),
+    "events_quantile_sketch": (
+        q_events_quantile_sketch,
+        _sql_events_quantile_sketch(),
+    ),
+    "events_value_histogram": (
+        q_events_value_histogram,
+        _sql_events_value_histogram(),
+    ),
+    "doc_quality_model_join": (q_doc_quality_model_join, _sql_doc_quality_model()),
+    "dedup_canonical": (q_dedup_canonical, _sql_dedup_canonical()),
+    "events_table_profile": (q_events_table_profile, _sql_events_table_profile()),
+    "stream_semdedup_state": (
+        q_stream_semdedup_state,
+        _sql_stream_semdedup_state(),
+    ),
     # --- in-window: multimodal ---
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL_STATS),
     # --- in-window: listing / pagination ---
@@ -3865,9 +3881,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "doc_hybrid_rrf": (q_hybrid_rrf, _sql_hybrid_rrf()),
     # --- in-window: events / streaming batch-paths / skew ---
     "events_hourly": (q_events_hourly, _SQL_EVENTS_HOURLY),
-    "events_first_seen": (q_events_first_seen, _SQL_EVENTS_FIRST_SEEN),
     "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
-    "events_type_stats": (q_events_type_stats, _SQL_EVENTS_TYPE_STATS),
     "skew_salted_agg": (q_skew_salted_agg, _SQL_SKEW_SALTED_AGG),
     # --- in-window: stream-built state vs batch oracle ---
     "stream_bm25_state": (q_stream_bm25_state, _sql_doc_bm25()),
@@ -3880,7 +3894,6 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_rel_customer_running_total,
         _SQL_REL_CUSTOMER_RUNNING_TOTAL,
     ),
-    "rel_pricing_rollup": (q_rel_pricing_rollup, _SQL_REL_PRICING_ROLLUP),
     # --- in-window: quantization ---
     "emb_quantize_int8": (q_emb_quantize_int8, _sql_emb_quantize_int8()),
     # --- in-window: CRUD / mutation layer + composed search ---
@@ -3895,7 +3908,6 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "corpus_clean_near": (q_corpus_clean_near, _sql_corpus_clean_near()),
     # --- in-window: curation + temporal (DuckDB native ASOF JOIN oracle) ---
     "doc_bm25": (q_doc_bm25, _sql_doc_bm25()),
-    "doc_mixture_sample": (q_doc_mixture_sample, _sql_doc_mixture_sample()),
     "doc_packing": (q_doc_packing, _sql_doc_packing()),
     "events_asof": (q_events_asof, _SQL_EVENTS_ASOF),
     "events_interval_join": (q_events_interval_join, _SQL_EVENTS_INTERVAL_JOIN),
@@ -3910,6 +3922,19 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # the BLAS twin of the in-window fold-based embedding_neardup, the
     # salted-join twin of skew_salted_agg, and corpus_clean (subsumed by
     # the in-window corpus_clean_near, which composes it).
+    # rotated out in round 5 to open window slots for the round-4 family
+    # (all still oracle-backed and locally swept): vec_norm_argmax ⊂
+    # vec_kernel_scores, embed_knn ⊂ knn_cosine + embed pytest,
+    # ngram_jaccard ⊂ the 4 in-window dedup entries, first_seen /
+    # type_stats ⊂ events_hourly + stream state, pricing_rollup ⊂
+    # pricing_summary, mixture_sample ⊂ temperature_sample pytest.
+    "vec_norm_argmax": (q_vec_norm_argmax, _sql_vec_norm_argmax()),
+    "embed_knn_top10": (q_embed_knn, _sql_embed_knn()),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _sql_ngram_jaccard_pairs()),
+    "events_first_seen": (q_events_first_seen, _SQL_EVENTS_FIRST_SEEN),
+    "events_type_stats": (q_events_type_stats, _SQL_EVENTS_TYPE_STATS),
+    "rel_pricing_rollup": (q_rel_pricing_rollup, _SQL_REL_PRICING_ROLLUP),
+    "doc_mixture_sample": (q_doc_mixture_sample, _sql_doc_mixture_sample()),
     "embedding_neardup_np": (q_embedding_neardup_np, _sql_embedding_neardup_ids()),
     "skew_salted_join": (q_skew_salted_join, _SQL_SKEW_SALTED_JOIN),
     "corpus_clean": (q_corpus_clean, _sql_corpus_clean()),
@@ -4002,35 +4027,14 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # LM broadcast-join scale twin (same oracle as in-window doc_lm_nll;
     # join==literal bit-equality additionally pinned by tests/test_lm.py)
     "doc_lm_nll_join": (q_doc_lm_nll_join, _sql_doc_lm_nll()),
-    # mergeable sketches / distribution summaries (portable-hash KMV —
-    # the deterministic, oracle-replayable stand-in for HLL state)
-    "events_distinct_kmv": (q_events_distinct_kmv, _sql_events_distinct_kmv()),
-    "events_value_histogram": (
-        q_events_value_histogram,
-        _sql_events_value_histogram(),
-    ),
-    # stream-built sketch state == single-pass batch sketch (merge theorem)
+    # stream-built sketch state == single-pass batch sketch (merge theorem;
+    # the KMV estimator itself is in-window via events_distinct_kmv)
     "stream_kmv_state": (q_stream_kmv_state, _sql_stream_kmv_state()),
-    # model-based quality gate (hashed linear classifier; literal + join
-    # twins share one oracle — positional re-sort keeps them bit-equal)
+    # literal twin of the in-window doc_quality_model_join (shared oracle;
+    # join==literal bit-equality additionally pinned by pytest)
     "doc_quality_model": (q_doc_quality_model, _sql_doc_quality_model()),
-    "doc_quality_model_join": (q_doc_quality_model_join, _sql_doc_quality_model()),
-    # canonicalization: dedup groups → best-quality representative
-    "dedup_canonical": (q_dedup_canonical, _sql_dedup_canonical()),
     # the modern pipeline end-to-end (gates + classifier + dedup + canonical)
     "corpus_clean_modern": (q_corpus_clean_modern, _sql_corpus_clean_modern()),
-    # mergeable quantile sketch (hash-rank sampling)
-    "events_quantile_sketch": (
-        q_events_quantile_sketch,
-        _sql_events_quantile_sketch(),
-    ),
-    # continuous semantic dedup: stream-admitted corpus == two-stage greedy
-    "stream_semdedup_state": (
-        q_stream_semdedup_state,
-        _sql_stream_semdedup_state(),
-    ),
-    # whole-table deterministic profile (exact stats + KMV cardinalities)
-    "events_table_profile": (q_events_table_profile, _sql_events_table_profile()),
 }
 
 
