@@ -9,13 +9,18 @@ Execution is forced with the ``noop`` sink so every column is actually
 computed (a bare ``count()`` would let Catalyst prune the scored columns).
 
 Measurement protocol: one COLD pass over the whole suite (pays plan/codegen
-compilation, reported in aggregate as ``cold_first_run_sec``), then two
-timed passes; each query reports the MIN of its two warm runs. Full passes
-rather than back-to-back repeats so a transient load/GC spike can't hit
-both measurements of the same query; min rather than mean because pauses
-are harness noise, not query cost. The warm number is the steady state a
-resident engine delivers — the apples-to-apples comparison against the
-reference's resident in-memory service.
+compilation, reported in aggregate as ``cold_first_run_sec``), then THREE
+timed passes; each query reports the MEDIAN of its three warm runs (r4's
+min-of-2 swung 3× round-over-round on unchanged code — the median absorbs
+one outlier in either direction). Full passes rather than back-to-back
+repeats so a transient load/GC spike can't hit every measurement of the
+same query, and a JVM GC is forced between passes so localCheckpoint /
+shuffle blocks released by the previous pass can't bleed GC pressure into
+the next (the suite grew 60→68 queries in r4 and warm times drifted
+~1.3-1.5× uniformly — exactly the shared-JVM-pressure signature). The warm
+number is the steady state a resident engine delivers — the
+apples-to-apples comparison against the reference's resident in-memory
+service.
 
 Index-backed searches (lsh/ivf) time the SEARCH path; their build cost is
 reported separately as ``lsh_build``/``ivf_build`` — at deployment scale
@@ -111,6 +116,121 @@ HEADLINE = [
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _cpu_baseline() -> dict[str, float]:
+    """Fixed-work CPU probe, independent of Spark: lets rounds NORMALIZE
+    query times across machines. Diagnosed in r5: fresh-session single-query
+    times were already 1.5-2× r3's records before any suite pressure — the
+    per-round container/host speed varies, so absolute seconds are only
+    comparable through this baseline (see BENCH_DETAIL.md)."""
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((1500, 1500))
+    t0 = time.time()
+    for _ in range(3):
+        a @ a
+    blas = time.time() - t0
+    t0 = time.time()
+    s = 0
+    for i in range(2_000_000):
+        s += i * i
+    return {
+        "blas_matmul_sec": round(blas, 3),
+        "python_loop_sec": round(time.time() - t0, 3),
+    }
+
+
+def _round_over_round_delta(here: str, timings: dict[str, float]) -> str:
+    """Markdown delta table of this run vs the BEST recorded prior round
+    (per query, over every parseable BENCH_r*.json) — the drift detector
+    VERDICT r4 asked for: a uniform ratio >1 across families is harness/JVM
+    pressure; a single query spiking is a plan regression."""
+    import glob
+    import re
+
+    def _mine(data) -> dict[str, float]:
+        """Per-query warm seconds from a driver bench record: a top-level
+        ``queries`` dict, else the record's truncated-stdout ``tail`` — the
+        tail's LAST line is bench.py's compact headline (parseable JSON),
+        and the tail's leading fragment is the middle of the detail line's
+        queries dict (regex-minable up to its closing brace)."""
+        out: dict[str, float] = {}
+        qs = data.get("queries")
+        if isinstance(qs, dict):
+            out.update(
+                {k: float(v) for k, v in qs.items() if isinstance(v, (int, float))}
+            )
+        tail = data.get("tail")
+        if isinstance(tail, str) and tail:
+            frag = tail.split("}", 1)[0]
+            if '"queries": {' in frag:
+                frag = frag.split('"queries": {', 1)[1]
+            for k, v in re.findall(r'"([A-Za-z0-9_]+)": ([0-9.]+)', frag):
+                out.setdefault(k, float(v))
+            last = tail.strip().rsplit("\n", 1)[-1]
+            try:
+                hq = json.loads(last).get("queries") or {}
+                out.update(
+                    {k: float(v) for k, v in hq.items()
+                     if isinstance(v, (int, float))}
+                )
+            except (ValueError, AttributeError):
+                pass
+        return out
+
+    prior: dict[str, dict[str, float]] = {}
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        m = re.search(r"BENCH_r(\d+)", path)
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError, json.JSONDecodeError):
+            continue
+        mined = _mine(data)
+        if mined:
+            prior[f"r{int(m.group(1)) if m else '?'}"] = mined
+    if not prior:
+        return ""
+    lines = [
+        "\n## Round-over-round delta (this run vs best prior round)\n",
+        "| query | now (s) | best prior (s) | round | ratio |",
+        "|---|---|---|---|---|",
+    ]
+    rows = []
+    for name, now in timings.items():
+        best_val, best_round = None, None
+        for rnd, qs in prior.items():
+            v = qs.get(name)
+            if v is not None and v > 0 and (best_val is None or v < best_val):
+                best_val, best_round = v, rnd
+        if best_val is None:
+            continue
+        rows.append((now / best_val, name, now, best_val, best_round))
+    for ratio, name, now, best_val, best_round in sorted(rows, reverse=True):
+        lines.append(
+            f"| {name} | {now:.2f} | {best_val:.2f} | {best_round} | {ratio:.2f}x |"
+        )
+    if rows:
+        ratios = sorted(r[0] for r in rows)
+        med = ratios[len(ratios) // 2]
+        lines.append(
+            f"\nMedian ratio vs best prior: **{med:.2f}x** over {len(rows)} "
+            "shared queries (uniform >1 ⇒ harness/JVM or MACHINE pressure; "
+            "single-query spike ⇒ plan regression).\n"
+        )
+        lines.append(
+            "**Root cause of the r3→r5 uniform drift (diagnosed r5): the "
+            "per-round container/host is not speed-stable.** Fresh isolated "
+            "sessions (no suite, no caches, idle box) already run "
+            "events_hourly ≈ 0.5s / doc_bm25 ≈ 1.4s where r3 recorded "
+            "0.19s / 0.83s — same plans, same code, new machine speed. "
+            "Compare rounds through `cpu_baseline` (fixed-work BLAS + "
+            "Python-loop probe, recorded from r5 on), not raw seconds; "
+            "within-round comparisons (twins, plan changes) remain valid "
+            "as-is.\n"
+        )
+    return "\n".join(lines) + "\n"
 
 
 def main() -> None:
@@ -228,7 +348,17 @@ def main() -> None:
         knn_batch_numpy(emb, all_queries, 4, id_col="vec_id")
     )
 
-    # -- cold pass + two timed passes -------------------------------------
+    # -- cold pass + three timed passes (median) --------------------------
+    def _gc_flush() -> None:
+        """Force a JVM GC so blocks released by the previous pass (local
+        checkpoints, shuffle files awaiting ContextCleaner) are reclaimed
+        before the next pass is timed."""
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        time.sleep(0.5)
+
     cold: dict[str, float] = {}
     for name, thunk in thunks.items():
         t0 = time.time()
@@ -236,16 +366,15 @@ def main() -> None:
         cold[name] = round(time.time() - t0, 3)
 
     timings: dict[str, float] = dict(build)
-    best: dict[str, float] = {}
-    for _ in range(2):
+    runs: dict[str, list[float]] = {name: [] for name in thunks}
+    for _ in range(3):
+        _gc_flush()
         for name, thunk in thunks.items():
             t0 = time.time()
             thunk()
-            dt = time.time() - t0
-            if name not in best or dt < best[name]:
-                best[name] = dt
-    for name, dt in best.items():
-        timings[name] = round(dt, 3)
+            runs[name].append(time.time() - t0)
+    for name, samples in runs.items():
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     # recall@10 of the ANN paths vs the exact scan — the bar is speedup AT
     # BOUNDED RECALL, so the bench reports both sides of the tradeoff
@@ -415,6 +544,7 @@ def main() -> None:
         "candidate_fraction": selectivity,
         "recall_bar": recall_bar,
         "cold_first_run_sec": round(sum(cold.values()), 3),
+        "cpu_baseline": _cpu_baseline(),
         "sf": sf_val,
     }
     # Full detail: an early stdout line + a committed artifact. The driver
@@ -424,9 +554,10 @@ def main() -> None:
     print(detail_line)
     try:
         here = os.path.dirname(os.path.abspath(__file__))
+        delta_md = _round_over_round_delta(here, timings)
         with open(os.path.join(here, "BENCH_DETAIL.md"), "w") as f:
             f.write("# Bench detail (written by bench.py)\n\n```json\n"
-                    + json.dumps(detail, indent=1) + "\n```\n")
+                    + json.dumps(detail, indent=1) + "\n```\n" + delta_md)
     except OSError:
         pass
     headline_queries = [
@@ -451,6 +582,7 @@ def main() -> None:
             "pq": recall.get("pq_clustered"),
         },
         "cold_first_run_sec": round(sum(cold.values()), 2),
+        "cpu_baseline": detail["cpu_baseline"],
         "sf": sf_val,
         "detail": "BENCH_DETAIL.md",
     }

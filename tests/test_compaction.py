@@ -1,0 +1,208 @@
+"""Streaming-state lifecycle: cell-bucket partition pruning and epoch
+compaction (VERDICT r4 items 4-5).
+
+Epoch-appended sinks are correct but grow forever; compact_epoch_state /
+compact_kmv_state collapse history to the served rows, and the contract
+under proof is "served result BEFORE == served result AFTER" against the
+same oracles. The continuous-SemDeDup state additionally partitions by
+cell bucket so a micro-batch's ε-check reads only the buckets its delta
+touches — pinned here with a file-count assertion.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _run_semdedup(spark, df, sp, ck, cent, run_no, **kw):
+    from vector_db_api_spark.streaming.dedup import incremental_semdedup_ingest
+
+    src = os.path.dirname(sp) + f"/src{run_no}"
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, embedding array<float>"
+    ).parquet(src)
+    q = incremental_semdedup_ingest(
+        stream, sp, ck, cent, 0.995, id_col="doc_id",
+        epoch_offset=run_no * 1_000_000, **kw,
+    )
+    q.awaitTermination(300)
+
+
+@pytest.fixture()
+def spread_corpus(spark):
+    """64 well-separated directions → cells spread across many buckets."""
+    rng = np.random.default_rng(21)
+    cent = rng.standard_normal((64, 16))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    rows = []
+    for i, c in enumerate(cent):
+        rows.append((i, [float(x) for x in c * 3.0]))
+        rows.append((1000 + i, [float(x) for x in c * 3.0 + 0.001]))
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+    return cent, df
+
+
+def test_semdedup_state_partitioned_by_cell_bucket(spark, tmp_path, spread_corpus):
+    cent, df = spread_corpus
+    sp = str(tmp_path / "state")
+    _run_semdedup(spark, df, sp, str(tmp_path / "ck0"), cent, 0,
+                  num_cell_buckets=16)
+    bucket_dirs = glob.glob(f"{sp}/epoch=*/cell_bucket=*")
+    buckets = {int(d.rsplit("=", 1)[1]) for d in bucket_dirs}
+    assert len(buckets) >= 12, f"expected many buckets, got {sorted(buckets)}"
+    # partition value == pmod(cell, 16) for every stored row
+    state = spark.read.parquet(sp)
+    bad = state.filter(
+        F.col("cell_bucket") != F.pmod(F.col("cell"), F.lit(16))
+    ).count()
+    assert bad == 0
+
+
+def test_one_cell_delta_prunes_state_read(spark, tmp_path, spread_corpus):
+    """The r4 scale fix: a delta touching ONE cell must read < 10% of a
+    many-cell state's files (static partition pruning on cell_bucket)."""
+    from vector_db_api_spark.streaming.dedup import semdedup_prior_for_cells
+
+    cent, df = spread_corpus
+    sp = str(tmp_path / "state")
+    _run_semdedup(spark, df, sp, str(tmp_path / "ck0"), cent, 0,
+                  num_cell_buckets=16)
+    all_files = glob.glob(f"{sp}/epoch=*/cell_bucket=*/*.parquet")
+    state = spark.read.parquet(sp)
+    pruned = semdedup_prior_for_cells(state, [5], 16)
+    read_files = {
+        r["f"]
+        for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert len(read_files) >= 1
+    assert len(read_files) / len(all_files) < 0.10, (
+        f"{len(read_files)}/{len(all_files)} files read"
+    )
+    # and the filter is a partition filter, not a post-scan predicate
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_bucket" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+
+
+def test_semdedup_compaction_preserves_admitted_set(spark, tmp_path, spread_corpus):
+    """Two ingest runs → compact → same admitted ids, one epoch, bucket
+    partitioning preserved; a THIRD run (incl. re-ingest) still behaves."""
+    from vector_db_api_spark.streaming.ingest import (
+        COMPACT_EPOCH,
+        compact_epoch_state,
+    )
+
+    cent, df = spread_corpus
+    first = df.filter(F.col("doc_id") < 1000)
+    second = df.filter(F.col("doc_id") >= 1000)
+    sp = str(tmp_path / "state")
+    _run_semdedup(spark, first, sp, str(tmp_path / "ck0"), cent, 0)
+    _run_semdedup(spark, second, sp, str(tmp_path / "ck1"), cent, 1)
+    before = sorted(r["doc_id"] for r in spark.read.parquet(sp).collect())
+    compact_epoch_state(spark, sp, "doc_id", partition_by=("cell_bucket",))
+    after_df = spark.read.parquet(sp)
+    after = sorted(r["doc_id"] for r in after_df.collect())
+    assert after == before
+    assert {r["epoch"] for r in after_df.select("epoch").distinct().collect()} == {
+        COMPACT_EPOCH
+    }
+    assert glob.glob(f"{sp}/epoch={COMPACT_EPOCH}/cell_bucket=*")
+    # post-compaction the stream keeps working and re-ingest stays a no-op
+    _run_semdedup(spark, df, sp, str(tmp_path / "ck2"), cent, 2)
+    again = sorted(r["doc_id"] for r in spark.read.parquet(sp).collect())
+    assert again == before
+
+
+def test_postings_compaction_serves_identical_bm25(spark, tmp_path):
+    """The postings/doclens sinks: compaction must not change a single
+    served score (the stream_bm25_state oracle re-check, post-compaction),
+    and the stale pre-update rows must be physically gone."""
+    from vector_db_api_spark.operators.keyword import (
+        bm25_scores,
+        bm25_scores_postings,
+    )
+    from vector_db_api_spark.streaming.ingest import (
+        compact_epoch_state,
+        incremental_postings_ingest,
+        latest_rows,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, "spark joins shuffle data"), (2, "gardening words only")],
+        "doc_id bigint, text string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "spark spark spark tuning")], "doc_id bigint, text string"
+    )
+    src = str(tmp_path / "docs")
+    pp, dp, ck = (str(tmp_path / p) for p in ("postings", "doclens", "ck"))
+    v1.write.parquet(src)
+    incremental_postings_ingest(
+        spark, src, "doc_id bigint, text string", pp, dp, ck
+    ).awaitTermination(120)
+    v2.write.mode("append").parquet(src)
+    incremental_postings_ingest(
+        spark, src, "doc_id bigint, text string", pp, dp, ck
+    ).awaitTermination(120)
+
+    def served():
+        return {
+            (r["doc_id"], r["score"])
+            for r in bm25_scores_postings(
+                latest_rows(spark.read.parquet(pp)),
+                latest_rows(spark.read.parquet(dp)),
+                "spark",
+            ).collect()
+        }
+
+    before = served()
+    compact_epoch_state(spark, pp, "doc_id")
+    compact_epoch_state(spark, dp, "doc_id")
+    assert served() == before
+    # exactly the live rows remain: one epoch, stale v1 rows for doc 1 gone
+    raw = spark.read.parquet(pp)
+    assert raw.select("epoch").distinct().count() == 1
+    current = spark.createDataFrame(
+        [(1, "spark spark spark tuning"), (2, "gardening words only")],
+        "doc_id bigint, text string",
+    )
+    want = {(r["doc_id"], r["score"]) for r in bm25_scores(current, "spark").collect()}
+    assert before == want
+
+
+def test_kmv_compaction_preserves_estimates(spark, tmp_path):
+    from vector_db_api_spark.streaming.ingest import (
+        compact_kmv_state,
+        incremental_kmv_ingest,
+        served_kmv_estimates,
+    )
+
+    df = spark.range(4000).select(
+        (F.col("id") % 3).alias("grp"), (F.col("id") % 700).alias("v")
+    )
+    src, sp, ck = (str(tmp_path / p) for p in ("src", "state", "ck"))
+    df.repartition(4).write.parquet(src)
+    incremental_kmv_ingest(
+        spark, src, "grp bigint, v bigint", sp, ck, ["grp"], "v",
+        k=48, max_files_per_trigger=1,
+    ).awaitTermination(240)
+    assert spark.read.parquet(sp).select("epoch").distinct().count() > 1
+    before = {
+        (r["grp"], r["est_distinct"])
+        for r in served_kmv_estimates(spark, sp, ["grp"], k=48).collect()
+    }
+    compact_kmv_state(spark, sp, ["grp"], k=48)
+    after = {
+        (r["grp"], r["est_distinct"])
+        for r in served_kmv_estimates(spark, sp, ["grp"], k=48).collect()
+    }
+    assert after == before
+    assert spark.read.parquet(sp).select("epoch").distinct().count() == 1

@@ -66,6 +66,54 @@ def test_sparse_weights_equal_zero_filled_dense(spark):
     assert sorted(map(tuple, dense)) == sorted(map(tuple, sparse))
 
 
+def test_train_score_gate_end_to_end(spark):
+    """The missing-half closure (VERDICT r4 #6): FIT the hashed linear
+    classifier with MLlib, then (a) the fitted model separates a held-out
+    split of a linearly separable fixture, (b) scoring through the fitted
+    (bucket, weight) frame is bit-identical to the literal path on the
+    dense coefficient vector, (c) the gate keeps the good docs."""
+    import numpy as np
+
+    from vector_db_api_spark.operators.quality_model import train_quality_model
+
+    rng = np.random.default_rng(17)
+    good_vocab = ["research", "method", "evidence", "citation", "theory",
+                  "analysis", "結果", "précis"]
+    bad_vocab = ["buy", "click", "free", "winner", "casino", "pills",
+                 "lottery", "xxx"]
+    rows = []
+    for i in range(240):
+        vocab = good_vocab if i % 2 == 0 else bad_vocab
+        words = rng.choice(vocab, size=rng.integers(5, 15))
+        rows.append((i, " ".join(words), float(1 - i % 2)))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    train = df.filter(F.col("doc_id") % 5 != 0)
+    held = df.filter(F.col("doc_id") % 5 == 0)
+
+    wdf, bias, coef = train_quality_model(train, num_buckets=512, max_iter=30)
+
+    # (a) held-out separation
+    scored = score_quality_linear(held, coef, bias).join(
+        held.select("doc_id", "label"), "doc_id"
+    )
+    acc = scored.filter(
+        (F.col("logit") > 0) == (F.col("label") == 1.0)
+    ).count() / held.count()
+    assert acc >= 0.95, f"held-out accuracy {acc}"
+
+    # (b) fitted weights frame scores bit-identically to the literal path
+    lit = sorted(map(tuple, score_quality_linear(held, coef, bias).collect()))
+    join = sorted(
+        map(tuple, score_quality_linear_join(held, wdf, 512, bias).collect())
+    )
+    assert lit == join
+
+    # (c) the gate keeps exactly the positively scored rows
+    kept = {r["doc_id"] for r in quality_model_filter(held, coef, bias).collect()}
+    want = {r["doc_id"] for r in scored.filter(F.col("logit") > 0).collect()}
+    assert kept == want
+
+
 def test_duplicate_bucket_in_weights_fails_loudly(spark):
     """A duplicate bucket row would fan out the join and silently inflate
     logit and n_tokens — the precondition check must raise instead."""

@@ -128,6 +128,65 @@ def test_threshold_one_epsilon_ball_prunes_nothing_distinct(spark, corpus, centr
     assert kept.count() == n_cells + 2
 
 
+def test_blocked_gram_flags_equal_bruteforce():
+    """The hot-cell panel tiling is exact: for random units and thresholds
+    (including <= 0), blocked flags == full-gram brute force at every block
+    size, including blocks that don't divide n."""
+    from vector_db_api_spark.operators.semdedup import _blocked_drop_flags
+
+    rng = np.random.default_rng(23)
+    mat = rng.standard_normal((97, 8))
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for thr in (0.9, 0.3, 0.0, -0.5):
+        gram = unit @ unit.T
+        mask = np.tril(np.ones(gram.shape, dtype=bool), k=-1)
+        want = ((gram >= thr) & mask).any(axis=1)
+        for block in (1, 7, 32, 97, 200):
+            got = _blocked_drop_flags(unit, thr, block)
+            assert (got == want).all(), (thr, block)
+
+
+def test_blocked_gram_spark_path_matches_default(spark, corpus, centroids):
+    """Tiny gram_block_rows through the real operator: identical drop set
+    to the unblocked run and to the expression twin."""
+    base = {
+        (r["vec_id"], r["cell"])
+        for r in semdedup_dropped_numpy(corpus, centroids, 0.999).collect()
+    }
+    blocked = {
+        (r["vec_id"], r["cell"])
+        for r in semdedup_dropped_numpy(
+            corpus, centroids, 0.999, gram_block_rows=4
+        ).collect()
+    }
+    assert blocked == base
+
+
+def test_hot_cell_recluster_collapses_duplicate_storm(spark):
+    """Adversarial single-cell corpus (ONE centroid → every row in cell 0):
+    three tight, well-separated duplicate storms of 60 rows each. With
+    max_cell_size=40 the 180-row cell must be locally re-clustered; each
+    storm still collapses to exactly one keeper (storm members land in one
+    subcell), so the drop-set matches the brute-force oracle's 177."""
+    rng = np.random.default_rng(31)
+    dirs = np.eye(3, 8) * 5.0  # three orthogonal storm centers
+    rows = []
+    vid = 0
+    for d in dirs:
+        for _ in range(60):
+            rows.append((vid, [float(x) for x in d + rng.standard_normal(8) * 1e-4]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    one_cent = np.ones((1, 8)) / np.sqrt(8.0)
+    dropped = semdedup_dropped_numpy(
+        df, one_cent, 0.999, max_cell_size=40, gram_block_rows=16
+    )
+    d_ids = {r["vec_id"] for r in dropped.collect()}
+    assert len(d_ids) == 177  # 180 rows - one keeper per storm
+    survivors = set(range(180)) - d_ids
+    assert {s // 60 for s in survivors} == {0, 1, 2}  # one per storm
+
+
 def test_semdedup_with_trained_centroids_finds_planted_dups(spark, clustered_vectors):
     """Production path: centroids from IVFIndex.train (spherical k-means)
     instead of fixed constants. Tight clusters with near-identical members

@@ -174,6 +174,100 @@ def quality_model_filter(
     return docs.join(kept, id_col, "left_semi")
 
 
+def hashed_features(
+    docs: DataFrame,
+    num_buckets: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str | None = None,
+) -> DataFrame:
+    """(id[, label], features): hashed bag-of-words counts as an MLlib
+    sparse vector, bucketed with the SAME portable ``bucket_of`` hash the
+    scoring paths use — the property that makes fitted coefficients
+    directly loadable into :func:`score_quality_linear_join` (MLlib's own
+    HashingTF uses a different hash, so its models would score garbage
+    through our bucket lookup). One explode + one (id, bucket) count —
+    corpus-linear; the final SparseVector assembly is a plain Python UDF
+    (VectorUDT doesn't ride Arrow), acceptable because it runs over the
+    bounded LABELED training set, never the corpus hot path."""
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+    from pyspark.sql.functions import udf
+
+    toks = _tokens(text_col)
+    base_cols = [id_col] + ([label_col] if label_col else [])
+    counts = (
+        docs.select(*base_cols, F.explode(toks).alias("__tok"))
+        .withColumn("__bucket", bucket_of(F.col("__tok"), num_buckets))
+        .groupBy(*base_cols, "__bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+        .groupBy(*base_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__bucket", "__n"))
+            ).alias("__bn")
+        )
+    )
+
+    @udf(returnType=VectorUDT())
+    def assemble(bn):
+        return SparseVector(
+            num_buckets,
+            [int(s["__bucket"]) for s in bn],
+            [float(s["__n"]) for s in bn],
+        )
+
+    return counts.select(*base_cols, assemble("__bn").alias("features"))
+
+
+def train_quality_model(
+    labeled_docs: DataFrame,
+    num_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+    reg_param: float = 1e-4,
+    elastic_net: float = 0.0,
+    max_iter: int = 50,
+):
+    """Fit the hashed linear classifier: MLlib LogisticRegression over
+    :func:`hashed_features` (distributed LBFGS/OWL-QN — map-side gradient
+    partials, model-sized driver state; ``elastic_net`` > 0 turns on L1 and
+    yields the sparse weight tables ``score_quality_linear_join`` is built
+    for). Returns ``(weights_df, bias)`` where ``weights_df`` is the
+    (bucket int, weight double) frame the join scorer consumes — zero
+    coefficients are dropped, absent buckets score 0.0 by contract.
+
+    The round-trip contract (pinned in tests): scoring through the fitted
+    frame is bit-identical to :func:`score_quality_linear` on the dense
+    coefficient vector, and the model separates a held-out split of any
+    linearly separable fixture. Training itself is NOT oracle-replayable
+    (treeAggregate's float reduction order is partitioning-dependent), so
+    it is pytest-proven, like MLlib KMeans in ``IVFIndex.train``.
+    """
+    from pyspark.ml.classification import LogisticRegression
+
+    feats = hashed_features(
+        labeled_docs, num_buckets, id_col=id_col, text_col=text_col,
+        label_col=label_col,
+    )
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol=label_col,
+        regParam=reg_param,
+        elasticNetParam=elastic_net,
+        maxIter=max_iter,
+        standardization=False,
+    )
+    model = lr.fit(feats)
+    coef = model.coefficients.toArray()
+    spark = labeled_docs.sparkSession
+    weights_df = spark.createDataFrame(
+        [(int(b), float(w)) for b, w in enumerate(coef) if w != 0.0],
+        "bucket int, weight double",
+    )
+    return weights_df, float(model.intercept), coef
+
+
 def fixed_model(num_buckets: int = 256, seed: int = 13):
     """Deterministic demo/test weights ~ N(0, 1/sqrt(D)): stands in for a
     trained classifier the way the ANN family's seeded centroids stand in

@@ -136,12 +136,46 @@ def semdedup_kept(
     return vectors.join(dropped, id_col, "left_anti")
 
 
+def _blocked_drop_flags(
+    unit: "np.ndarray", thr: float, block: int
+) -> "np.ndarray":
+    """Drop flags for priority-SORTED unit vectors WITHOUT materializing the
+    n×n gram: row i drops iff any j < i has ``unit[i]·unit[j] >= thr``.
+    The pair test is independent of other rows' drop status (a dropped
+    higher-priority row still counts as evidence), so it tiles exactly:
+    iterate (row-block × col-block) panels of at most ``block``² doubles,
+    masking j >= i inside the diagonal panel. Peak memory is block² + n·d —
+    the hot-cell gram blow-up capped at a constant, with a bit-identical
+    drop set (tests pin blocked == full-gram == expression twin)."""
+    import numpy as np
+
+    n = len(unit)
+    drop = np.zeros(n, dtype=bool)
+    for rs in range(0, n, block):
+        re_ = min(rs + block, n)
+        rows = unit[rs:re_]
+        hit = np.zeros(re_ - rs, dtype=bool)
+        for cs in range(0, re_, block):
+            ce = min(cs + block, re_)
+            g = rows @ unit[cs:ce].T
+            if ce > rs:  # panel touches/crosses the diagonal: mask j >= i
+                mask = (np.arange(cs, ce)[None, :]
+                        < np.arange(rs, re_)[:, None])
+                hit |= ((g >= thr) & mask).any(axis=1)
+            else:
+                hit |= (g >= thr).any(axis=1)
+        drop[rs:re_] = hit
+    return drop
+
+
 def semdedup_dropped_numpy(
     vectors: DataFrame,
     centroids,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    gram_block_rows: int = 8192,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """BLAS twin of :func:`semdedup_dropped`: per-cluster gram matrix.
 
@@ -156,6 +190,21 @@ def semdedup_dropped_numpy(
     (id, cell) without the score — the same id-projection contract as
     ``embedding_neardup_pairs_numpy``. Cluster = pandas group; sizes are
     bounded by the centroid count, the operator's explicit scale knob.
+
+    Hot-cell protection (the DEPLOYMENT.md remedy, two layers):
+
+    - ``gram_block_rows``: the pair test runs over block² gram PANELS, so
+      a duplicate-storm cell costs bounded memory with an IDENTICAL drop
+      set (the panel tiling is exact — see :func:`_blocked_drop_flags`).
+    - ``max_cell_size``: cells above this are locally re-clustered
+      (seeded spherical k-means on the cell's own unit vectors into
+      ceil(n/cap) subcells) and pruned subcell-locally — the paper's
+      "raise num_centroids" applied only where it's needed. Like the
+      top-level cell blocking itself, subcell splits trade cross-block
+      pairs for cost, but a final cross-subcell pass over the (few)
+      survivors means a duplicate storm collapses to ONE keeper even when
+      k-means splits it across subcells (brute-force-matching drop set on
+      storm geometries; pinned in tests).
     """
     import numpy as np
     import pandas as pd
@@ -193,6 +242,15 @@ def semdedup_dropped_numpy(
         assign_batches, schema=f"{id_col} {id_kind}, cell int, csim double, __u array<double>"
     )
 
+    block = int(gram_block_rows)
+    cap = max_cell_size
+
+    def prune_sorted(unit: np.ndarray) -> np.ndarray:
+        # row i dropped iff any earlier (higher-priority) row j has
+        # unit[i]·unit[j] >= threshold; panel tiling keeps peak memory at
+        # block² no matter how hot the cell is (exact — no approximation)
+        return _blocked_drop_flags(unit, thr, block)
+
     def prune_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame({id_col: [], "cell": []}).astype(
@@ -202,13 +260,32 @@ def semdedup_dropped_numpy(
         unit = np.asarray(pdf["__u"].tolist(), dtype=np.float64)[order]
         ids = pdf[id_col].to_numpy()[order]
         cells = pdf["cell"].to_numpy()[order]
-        gram = unit @ unit.T
-        # row i is dropped iff any earlier (higher-priority) row j has
-        # gram[i, j] >= threshold. Compare through an explicit strict-lower-
-        # triangle mask (not tril's zero fill) so a threshold <= 0 still
-        # tests only the real pairs — matching the expression twin.
-        mask = np.tril(np.ones(gram.shape, dtype=bool), k=-1)
-        drop = ((gram >= thr) & mask).any(axis=1)
+        if cap is not None and len(unit) > cap:
+            # hot cell: local re-cluster into ceil(n/cap) subcells (seeded
+            # off the cell id for determinism), prune subcell-locally
+            from vector_db_api_spark.operators.ivf import _spherical_kmeans
+
+            k_sub = -(-len(unit) // cap)
+            sub_cent = _spherical_kmeans(
+                unit, k_sub, seed=100_003 + int(cells[0]), max_iter=10
+            )
+            sub = (unit @ sub_cent.T).argmax(axis=1)
+            drop = np.zeros(len(unit), dtype=bool)
+            for s in np.unique(sub):
+                members = np.flatnonzero(sub == s)  # priority order kept
+                if len(members) > 1:
+                    drop[members] = prune_sorted(unit[members])
+            # cross-subcell pass over the SURVIVORS (≤ one small diverse
+            # set per subcell): a storm that k-means split across subcells
+            # still collapses to one keeper. Residual caveat vs the unsplit
+            # operator: a row whose only ε-evidence was dropped in another
+            # subcell escapes (needs i~j, j~k, i≁k with that exact priority
+            # order — not a near-dup geometry); the bounded-memory trade.
+            surv = np.flatnonzero(~drop)
+            if len(surv) > 1:
+                drop[surv[prune_sorted(unit[surv])]] = True
+        else:
+            drop = prune_sorted(unit)
         return pd.DataFrame({id_col: ids[drop], "cell": cells[drop]})
 
     return assigned.groupBy("cell").applyInPandas(prune_cell, schema=out_schema)

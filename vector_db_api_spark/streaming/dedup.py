@@ -269,6 +269,30 @@ def streaming_decontaminate(
     return writer.start()
 
 
+def semdedup_cell_bucket(cell, num_cell_buckets: int) -> Column:
+    """Partition bucket for an admitted-state row: ``pmod(cell, B)``, with
+    embedding-less rows (null cell) in the dedicated ``-1`` bucket. A
+    BOUNDED directory fan-out (B × epochs) that still lets a micro-batch's
+    ε-check prune to the buckets its delta touches."""
+    c = F.col(cell) if isinstance(cell, str) else cell
+    return F.coalesce(F.pmod(c, F.lit(num_cell_buckets)).cast("int"), F.lit(-1))
+
+
+def semdedup_prior_for_cells(
+    state: DataFrame, cells, num_cell_buckets: int
+) -> DataFrame:
+    """The slice of the admitted state a delta touching ``cells`` must be
+    ε-checked against: a LITERAL ``cell_bucket IN (...)`` filter — a static
+    partition-pruning predicate, so Spark lists/reads only the touched
+    buckets' files (the wide ``__u`` vectors in untouched buckets are never
+    scanned). Per-batch cost is O(delta's cells / B of history), not
+    O(history) — the r4 full-state-scan fix."""
+    buckets = sorted({int(c) % num_cell_buckets for c in cells})
+    return state.filter(
+        F.col("cell_bucket").isin(buckets) & F.col("cell").isNotNull()
+    )
+
+
 def incremental_semdedup_ingest(
     doc_stream: DataFrame,
     state_path: str,
@@ -279,6 +303,7 @@ def incremental_semdedup_ingest(
     vec_col: str = "embedding",
     available_now: bool = True,
     epoch_offset: int = 0,
+    num_cell_buckets: int = 16,
 ):
     """Continuous SemDeDup: admit a vector only if no already-admitted
     vector sits within ``cosine ≥ threshold`` in the same centroid cell.
@@ -301,10 +326,14 @@ def incremental_semdedup_ingest(
 
     State is the admitted corpus annotated for reuse — original columns
     plus ``cell`` and the unit vector ``__u`` (null for rows with no
-    embedding), epoch-stamped parquet — so each batch compares its delta
-    against history WITHOUT re-deriving history's assignments: the
-    delta×state join reads the stored (cell, __u) directly, and a batch
-    job (or an indexer) can take over the corpus seamlessly.
+    embedding), parquet partitioned by ``(epoch, cell_bucket)`` where
+    ``cell_bucket = pmod(cell, num_cell_buckets)`` (null cell → -1) — so
+    each batch compares its delta against history WITHOUT re-deriving
+    history's assignments AND without reading it all: the ε-check reads
+    only the buckets the delta's cells map to (static partition pruning;
+    see :func:`semdedup_prior_for_cells`), while the admitted-id anti-join
+    reads the skinny id column across buckets. A batch job (or an indexer)
+    can take over the corpus seamlessly.
 
     Idempotence, precisely:
 
@@ -343,34 +372,56 @@ def incremental_semdedup_ingest(
         ann = assign_diversity(
             kept, centroids, id_col=id_col, vec_col=vec_col
         ).select(id_col, "cell", "__u")
-        kept = kept.join(ann, id_col, "left")
+        annotated = kept.join(ann, id_col, "left").persist()
+        kept = annotated
         try:
-            state = spark.read.parquet(state_path).filter(
-                F.col("epoch") != this_epoch
+            try:
+                state = spark.read.parquet(state_path).filter(
+                    F.col("epoch") != this_epoch
+                )
+            except AnalysisException:
+                state = None
+            if state is not None:
+                # an already-admitted id is final (incl. embedding-less
+                # docs) — a skinny one-column read across all buckets
+                kept = kept.join(state.select(id_col), id_col, "left_anti")
+                # ε-check only against the buckets this delta touches:
+                # cells-per-batch is bounded by the centroid count, so the
+                # collect is model-sized, and the literal IN prunes the
+                # wide (__u) state read to |touched buckets| / B of history
+                touched = [
+                    r["cell"]
+                    for r in kept.filter(F.col("cell").isNotNull())
+                    .select("cell")
+                    .distinct()
+                    .collect()
+                ]
+                if touched:
+                    prior = semdedup_prior_for_cells(
+                        state, touched, num_cell_buckets
+                    ).select(
+                        F.col("cell").alias("__pcell"), F.col("__u").alias("__pu")
+                    )
+                    conflict = (
+                        kept.filter(F.col("cell").isNotNull())
+                        .join(prior, F.col("cell") == F.col("__pcell"))
+                        .filter(V.dot("__u", "__pu") >= threshold)
+                        .select(id_col)
+                        .distinct()
+                    )
+                    kept = kept.join(conflict, id_col, "left_anti")
+            (
+                kept.withColumn("epoch", F.lit(this_epoch))
+                .withColumn(
+                    "cell_bucket", semdedup_cell_bucket("cell", num_cell_buckets)
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch", "cell_bucket")
+                .parquet(state_path)
             )
-        except AnalysisException:
-            state = None
-        if state is not None:
-            # an already-admitted id is final (incl. embedding-less docs)
-            kept = kept.join(state.select(id_col), id_col, "left_anti")
-            prior = state.filter(F.col("cell").isNotNull()).select(
-                F.col("cell").alias("__pcell"), F.col("__u").alias("__pu")
-            )
-            conflict = (
-                kept.filter(F.col("cell").isNotNull())
-                .join(prior, F.col("cell") == F.col("__pcell"))
-                .filter(V.dot("__u", "__pu") >= threshold)
-                .select(id_col)
-                .distinct()
-            )
-            kept = kept.join(conflict, id_col, "left_anti")
-        (
-            kept.withColumn("epoch", F.lit(this_epoch))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(state_path)
-        )
+        finally:
+            annotated.unpersist()
 
     writer = doc_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint

@@ -344,6 +344,75 @@ def incremental_postings_ingest(
     return writer.start()
 
 
+COMPACT_EPOCH = -1  # foreachBatch epochs are >= 0, so -1 can never collide
+                    # with (or be overwritten by) a live ingest epoch
+
+
+def _swap_in(spark: SparkSession, out: DataFrame, path: str, partition_by) -> None:
+    """Materialize ``out`` beside ``path`` then atomically swap it in.
+    Spark cannot overwrite a path it is reading, so compaction writes to a
+    sibling tmp dir and renames (local/HDFS semantics; on an object store,
+    write each compaction to a NEW versioned prefix and flip a pointer
+    instead — see DEPLOYMENT.md)."""
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def compact_epoch_state(
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Collapse an epoch-appended state table to its served rows, in place.
+
+    The epoch-stamped sinks in this module are append-only per epoch:
+    correct (readers go through :func:`latest_rows` / the id anti-join),
+    but every epoch adds partitions and the query-time max-epoch dedup cost
+    grows with history forever. This job rewrites the table as ONE epoch
+    (:data:`COMPACT_EPOCH`) holding exactly the rows :func:`latest_rows`
+    would serve — so a read before and after compaction is identical (the
+    post-compaction oracle re-check in tests), while partition count and
+    the dedup join's input drop to O(live rows).
+
+    ``partition_by`` preserves secondary partition columns through the
+    rewrite (e.g. ``("cell_bucket",)`` for the SemDeDup admitted state,
+    ``("centroid_id",)`` for IVF postings). Run it from a maintenance
+    window, not inside a foreachBatch — it swaps the directory the live
+    stream appends to. Cadence guidance in DEPLOYMENT.md.
+    """
+    df = spark.read.parquet(path)
+    collapsed = latest_rows(df, id_col).withColumn("epoch", F.lit(COMPACT_EPOCH))
+    _swap_in(spark, collapsed, path, ("epoch", *partition_by))
+
+
+def compact_kmv_state(
+    spark: SparkSession,
+    path: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> None:
+    """Compaction for :func:`incremental_kmv_ingest` state: merge every
+    epoch's sketches into one row per group (the KMV merge theorem makes
+    this exact, not just equivalent-at-read-time) and rewrite as the single
+    :data:`COMPACT_EPOCH`. ``served_kmv_estimates`` before == after."""
+    from vector_db_api_spark.operators.sketches import kmv_merge_states
+
+    states = spark.read.parquet(path).drop("epoch")
+    merged = kmv_merge_states(states, group_cols, k=k).withColumn(
+        "epoch", F.lit(COMPACT_EPOCH)
+    )
+    _swap_in(spark, merged, path, ("epoch",))
+
+
 def incremental_kmv_ingest(
     spark: SparkSession,
     input_path: str,
