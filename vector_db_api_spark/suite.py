@@ -975,6 +975,37 @@ def q_stream_bm25_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores_postings(postings, doclens, BM25_QUERY)
 
 
+def q_stream_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_stream_bm25_state's exact pipeline + compact_epoch_state on both
+    the postings and doclens tables before serving: the collapsed
+    single-epoch state must score bit-identically against the SAME batch
+    BM25 oracle (the post-compaction re-check VERDICT r4 asked for)."""
+    import tempfile
+
+    from vector_db_api_spark.operators.keyword import bm25_scores_postings
+    from vector_db_api_spark.streaming.ingest import (
+        compact_epoch_state,
+        incremental_postings_ingest,
+        latest_rows,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_bm25_c_")
+    src, pp, dp, ck = (f"{tmp}/{d}" for d in ("src", "postings", "doclens", "ck"))
+    _docs(spark, sf_dir).select("doc_id", "text").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = incremental_postings_ingest(
+        spark, src, "doc_id bigint, text string", pp, dp, ck,
+        max_files_per_trigger=1,
+    )
+    _await_stream(q)
+    compact_epoch_state(spark, pp, "doc_id")
+    compact_epoch_state(spark, dp, "doc_id")
+    postings = latest_rows(spark.read.parquet(pp))
+    doclens = latest_rows(spark.read.parquet(dp))
+    return bm25_scores_postings(postings, doclens, BM25_QUERY)
+
+
 def q_stream_trending_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending event types over a STREAM-BUILT hourly rollup: events run
     through the watermarked streaming rollup (availableNow), the sink is
@@ -3145,6 +3176,22 @@ def q_semdedup_drop_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_drop_np_hotcell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-cell panel tiling under the SAME oracle as semdedup_drop_np:
+    gram computed in 64²-double panels instead of one |cell|² matrix. The
+    tiling is exact (tests pin blocked == brute force), so the drop set —
+    and therefore the DuckDB oracle — is identical at every scale."""
+    from vector_db_api_spark.operators.semdedup import semdedup_dropped_numpy
+
+    return semdedup_dropped_numpy(
+        _emb(spark, sf_dir),
+        _semdedup_fixed_centroids(),
+        NEARDUP_THRESHOLD,
+        id_col="vec_id",
+        gram_block_rows=64,
+    )
+
+
 def q_stream_semdedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Admitted corpus from CONTINUOUS SemDeDup: even vec_ids stream in
     first, odd second (two availableNow runs against the same state), each
@@ -3171,6 +3218,35 @@ def q_stream_semdedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             id_col="vec_id", epoch_offset=i * 1_000_000,
         )
         _await_stream(q)
+    return spark.read.parquet(sp).select("vec_id")
+
+
+def q_stream_semdedup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_stream_semdedup_state's exact pipeline with compact_epoch_state
+    run between ingest and read: compaction must be INVISIBLE to the
+    served result (same oracle), while physically collapsing the epoch
+    partitions (streaming/ingest.py compact_epoch_state)."""
+    import tempfile
+
+    from vector_db_api_spark.streaming.dedup import incremental_semdedup_ingest
+    from vector_db_api_spark.streaming.ingest import compact_epoch_state
+
+    tmp = tempfile.mkdtemp(prefix="stream_semdedup_c_")
+    a, b, sp = f"{tmp}/a", f"{tmp}/b", f"{tmp}/state"
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(a)
+    emb.filter(F.col("vec_id") % 2 == 1).write.mode("overwrite").parquet(b)
+    cent = _semdedup_fixed_centroids()
+    for i, src in enumerate((a, b)):
+        stream = spark.readStream.schema(
+            "vec_id bigint, embedding array<float>"
+        ).parquet(src)
+        q = incremental_semdedup_ingest(
+            stream, sp, f"{tmp}/ck{i}", cent, NEARDUP_THRESHOLD,
+            id_col="vec_id", epoch_offset=i * 1_000_000,
+        )
+        _await_stream(q)
+    compact_epoch_state(spark, sp, "vec_id", partition_by=("cell_bucket",))
     return spark.read.parquet(sp).select("vec_id")
 
 
@@ -4024,12 +4100,24 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "multimodal_neardup": (q_multimodal_neardup, _sql_multimodal_neardup()),
     # SemDeDup BLAS twin (expression path is in-window; shared drop set)
     "semdedup_drop_np": (q_semdedup_drop_np, _sql_semdedup(ids_only=True)),
+    # hot-cell panel tiling, same oracle (exact blocked gram — round 5)
+    "semdedup_drop_np_hotcell": (
+        q_semdedup_drop_np_hotcell,
+        _sql_semdedup(ids_only=True),
+    ),
     # LM broadcast-join scale twin (same oracle as in-window doc_lm_nll;
     # join==literal bit-equality additionally pinned by tests/test_lm.py)
     "doc_lm_nll_join": (q_doc_lm_nll_join, _sql_doc_lm_nll()),
     # stream-built sketch state == single-pass batch sketch (merge theorem;
     # the KMV estimator itself is in-window via events_distinct_kmv)
     "stream_kmv_state": (q_stream_kmv_state, _sql_stream_kmv_state()),
+    # post-compaction re-checks (round 5): epoch-collapsed state must serve
+    # bit-identically against the SAME oracles as the uncompacted streams
+    "stream_bm25_compacted": (q_stream_bm25_compacted, _sql_doc_bm25()),
+    "stream_semdedup_compacted": (
+        q_stream_semdedup_compacted,
+        _sql_stream_semdedup_state(),
+    ),
     # literal twin of the in-window doc_quality_model_join (shared oracle;
     # join==literal bit-equality additionally pinned by pytest)
     "doc_quality_model": (q_doc_quality_model, _sql_doc_quality_model()),
