@@ -102,6 +102,71 @@ def test_embedding_neardup_blocked(spark):
     assert pairs == [(1, 2)]
 
 
+def test_multiprobe_blocking_catches_boundary_pair(spark):
+    """A near-dup pair whose members fall on OPPOSITE sides of a Voronoi
+    boundary is invisible to single-cell blocking but must be caught by
+    top-2 multi-probe blocking (both members share the {c0, c1} probe
+    set). Plus: multi-probe pairs are always a superset of top-1 pairs."""
+    import numpy as np
+
+    c0 = np.array([1.0, 0.0, 0.0, 0.0])
+    c1 = np.array([0.0, 1.0, 0.0, 0.0])
+    c2 = np.array([0.0, 0.0, 1.0, 0.0])
+    cent = np.stack([c0, c1, c2])
+    mid = (c0 + c1) / np.linalg.norm(c0 + c1)
+    # straddle the c0/c1 bisector: cosine(a, b) ≈ 1, top-1 cells differ
+    a = mid + 1e-3 * (c0 - c1)
+    b = mid - 1e-3 * (c0 - c1)
+    rows = [
+        (1, [float(x) for x in a]),
+        (2, [float(x) for x in b]),
+        (3, [float(x) for x in c2 * 2.0]),  # far away, its own cell
+        (4, None),
+        (5, [0.0] * 4),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    top1 = D.multiprobe_cells(df, cent, nprobe=1)
+    cells = {r["vec_id"]: r["cell"] for r in top1.collect()}
+    assert cells[1] != cells[2]  # the boundary split that loses the pair
+    assert set(cells) == {1, 2, 3}  # null/zero rows dropped
+    mp_pairs = {
+        (r["left_id"], r["right_id"])
+        for r in D.embedding_neardup_pairs_multiprobe(
+            df, cent, threshold=0.99, nprobe=2
+        ).collect()
+    }
+    assert mp_pairs == {(1, 2)}
+    # exactly one output row per pair even though (1,2) co-blocks twice
+    n_rows = D.embedding_neardup_pairs_multiprobe(
+        df, cent, threshold=0.99, nprobe=2
+    ).count()
+    assert n_rows == 1
+
+
+def test_multiprobe_pairs_superset_of_top1(spark):
+    from vector_db_api_spark.sources.tables import load_table
+
+    import numpy as np
+
+    rng = np.random.default_rng(19)
+    cent = rng.standard_normal((8, 64))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    p1 = {
+        (r["left_id"], r["right_id"])
+        for r in D.embedding_neardup_pairs_multiprobe(
+            emb, cent, threshold=0.3, nprobe=1
+        ).collect()
+    }
+    p2 = {
+        (r["left_id"], r["right_id"])
+        for r in D.embedding_neardup_pairs_multiprobe(
+            emb, cent, threshold=0.3, nprobe=2
+        ).collect()
+    }
+    assert p1 <= p2
+
+
 def test_embedding_neardup_numpy_matches_fold(spark):
     from vector_db_api_spark.sources.tables import load_table
 

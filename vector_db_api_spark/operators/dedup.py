@@ -493,6 +493,92 @@ def block_by_ivf(
     return vectors.join(assign, id_col)
 
 
+def multiprobe_cells(
+    vectors: DataFrame,
+    centroids,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, __u, cell) with ``nprobe`` rows per vector: its top-nprobe
+    centroid cells by dot product (first-max argmax at each rank, numpy
+    semantics — replayed exactly by the DuckDB oracle via iterated
+    mask-and-argmax). Expression-only, scan-fused; row count is
+    nprobe × corpus, the explicit recall/cost knob.
+
+    Zero/null vectors drop (no semantic location), matching
+    ``semdedup.assign_diversity``.
+    """
+    from vector_db_api_spark.functions import vector as V
+
+    cents = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    d = V.as_double_array(vec_col)
+    e = (
+        vectors.filter(F.col(vec_col).isNotNull())
+        .withColumn("__d", d)
+        .withColumn("__n", V.norm("__d"))
+        .filter(F.col("__n") != 0.0)
+        .withColumn("__u", F.transform("__d", lambda x: x / F.col("__n")))
+        .withColumn("__dots", F.array(*[V.dot("__d", c) for c in cents]))
+        .select(id_col, "__u", "__dots")
+    )
+    probes = []
+    dots = F.col("__dots")
+    neg_inf = F.lit(float("-inf"))
+    for _ in range(min(nprobe, len(centroids))):
+        pos = F.array_position(dots, F.array_max(dots))  # 1-based first-max
+        probes.append((pos - 1).cast("int"))
+        # mask the chosen position for the next rank
+        masked = F.zip_with(
+            dots,
+            F.sequence(F.lit(1), F.size(dots)),
+            lambda x, i: F.when(i == pos, neg_inf).otherwise(x),
+        )
+        dots = masked
+    return e.select(
+        id_col, "__u", F.explode(F.array(*probes)).alias("cell")
+    )
+
+
+def embedding_neardup_pairs_multiprobe(
+    vectors: DataFrame,
+    centroids,
+    threshold: float = 0.95,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid-blocked near-dup pairs with MULTI-PROBE blocking: a pair
+    is a candidate when the two vectors share ANY of their top-nprobe
+    cells. Single-cell blocking (``block_by_ivf`` + equi-join) misses
+    exactly the pairs that straddle a Voronoi boundary — the classic
+    blocked-dedup recall gap; probing each vector's runner-up cells closes
+    most of it for nprobe × the candidate cost (still equi-keyed, still
+    nothing quadratic outside a cell). Returns (left_id, right_id, cosine)
+    distinct — a pair co-blocked in several cells scores once (the fold
+    cosine is deterministic, so DISTINCT collapses exact duplicates).
+    """
+    from vector_db_api_spark.functions import vector as V
+
+    s = multiprobe_cells(
+        vectors, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    )
+    a = s.select(
+        F.col("cell"), F.col(id_col).alias("left_id"), F.col("__u").alias("__lv")
+    )
+    b = s.select(
+        F.col("cell"), F.col(id_col).alias("right_id"), F.col("__u").alias("__rv")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("cosine", V.dot("__lv", "__rv"))
+        .filter(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     left_col: str = "id_a",

@@ -754,6 +754,70 @@ def _sql_embedding_neardup_ids() -> str:
     return f"SELECT left_id, right_id FROM ({_sql_embedding_neardup()})"
 
 
+_MPROBE_K, _MPROBE_SEED = 32, 19
+
+
+def _mprobe_centroids():
+    rng = np.random.default_rng(_MPROBE_SEED)
+    c = rng.standard_normal((_MPROBE_K, 64))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def q_embedding_neardup_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs under MULTI-PROBE centroid blocking (top-2 cells per
+    vector, fixed seeded centroids): the boundary-recall upgrade over the
+    single-cell blocking of embedding_neardup. The oracle replays the
+    iterated mask-and-argmax probe assignment from the centroid constants
+    and the same unit-fold cosine (operators/dedup.py
+    embedding_neardup_pairs_multiprobe)."""
+    return D.embedding_neardup_pairs_multiprobe(
+        _emb(spark, sf_dir),
+        _mprobe_centroids(),
+        threshold=NEARDUP_THRESHOLD,
+        nprobe=2,
+        id_col="vec_id",
+    )
+
+
+def _sql_embedding_neardup_mp() -> str:
+    cent = _mprobe_centroids()
+    nrm = O.norm("embedding")
+    dl = O.dots_const_list("embedding", cent)
+    unit = (
+        f"list_transform(range(1, len(embedding)+1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) / {nrm})"
+    )
+    d = O.dot("a.u", "b.u")
+    return f"""
+WITH e AS (
+  SELECT vec_id, {unit} AS u, {dl} AS dl
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND {nrm} != 0.0
+),
+p1 AS (
+  SELECT vec_id, u, dl, list_position(dl, list_max(dl)) AS pos1 FROM e
+),
+p2 AS (
+  SELECT vec_id, u, pos1,
+         list_transform(range(1, len(dl)+1),
+                        i -> CASE WHEN i = pos1
+                             THEN CAST('-infinity' AS DOUBLE)
+                             ELSE dl[i] END) AS dl2
+  FROM p1
+),
+probes AS (
+  SELECT vec_id, u, CAST(pos1 - 1 AS INTEGER) AS cell FROM p2
+  UNION ALL
+  SELECT vec_id, u,
+         CAST(list_position(dl2, list_max(dl2)) - 1 AS INTEGER) AS cell
+  FROM p2
+)
+SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id, {d} AS cosine
+FROM probes a JOIN probes b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE {d} >= {NEARDUP_THRESHOLD}
+"""
+
+
 def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_api_spark.operators.multimodal import derive_media, media_stats
 
@@ -4012,6 +4076,8 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "rel_pricing_rollup": (q_rel_pricing_rollup, _SQL_REL_PRICING_ROLLUP),
     "doc_mixture_sample": (q_doc_mixture_sample, _sql_doc_mixture_sample()),
     "embedding_neardup_np": (q_embedding_neardup_np, _sql_embedding_neardup_ids()),
+    # multi-probe (top-2 cell) blocking — the boundary-recall upgrade
+    "embedding_neardup_mp": (q_embedding_neardup_mp, _sql_embedding_neardup_mp()),
     "skew_salted_join": (q_skew_salted_join, _SQL_SKEW_SALTED_JOIN),
     "corpus_clean": (q_corpus_clean, _sql_corpus_clean()),
     "doc_token_count_bpe": (
