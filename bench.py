@@ -60,7 +60,10 @@ HEADLINE = [
     "exact_duplicates",
     "embedding_neardup",
     "embedding_neardup_np",
+    "embedding_neardup_mp",
+    "embedding_neardup_mp_np",
     "semdedup_drop_np",
+    "semdedup_drop_np_hotcell",
     "doc_quality",
     "doc_quality_model_join",
     "doc_winnowing",

@@ -165,6 +165,14 @@ def test_multiprobe_pairs_superset_of_top1(spark):
         ).collect()
     }
     assert p1 <= p2
+    # BLAS twin: identical pair set through the per-cell gram path
+    p2_np = {
+        (r["left_id"], r["right_id"])
+        for r in D.embedding_neardup_pairs_multiprobe_numpy(
+            emb, cent, threshold=0.3, nprobe=2
+        ).collect()
+    }
+    assert p2_np == p2
 
 
 def test_embedding_neardup_numpy_matches_fold(spark):

@@ -579,6 +579,52 @@ def embedding_neardup_pairs_multiprobe(
     )
 
 
+def embedding_neardup_pairs_multiprobe_numpy(
+    vectors: DataFrame,
+    centroids,
+    threshold: float = 0.95,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BLAS twin of :func:`embedding_neardup_pairs_multiprobe`: the probe
+    assignment is the SAME expression path (``multiprobe_cells``), only the
+    within-cell pair scoring becomes one gram matrix per cell inside
+    ``applyInPandas``. Pair SET identical to the fold twin; cosines are
+    projected away (matmul vs fold last-ulp — the embedding_neardup_np
+    contract). Returns (left_id, right_id) distinct."""
+    import numpy as np
+    import pandas as pd
+
+    id_kind = vectors.schema[id_col].dataType.simpleString()
+    out_schema = f"left_id {id_kind}, right_id {id_kind}"
+    thr = float(threshold)
+
+    s = multiprobe_cells(
+        vectors, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    )
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"left_id": [], "right_id": []}).astype(
+                {"left_id": pdf[id_col].dtype, "right_id": pdf[id_col].dtype}
+            )
+        unit = np.asarray(pdf["__u"].tolist(), dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        unit, ids = unit[order], ids[order]
+        gram = unit @ unit.T
+        li, ri = np.triu_indices(len(ids), k=1)
+        hit = gram[li, ri] >= thr
+        return pd.DataFrame({"left_id": ids[li[hit]], "right_id": ids[ri[hit]]})
+
+    return (
+        s.groupBy("cell")
+        .applyInPandas(score_cell, schema=out_schema)
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     left_col: str = "id_a",
