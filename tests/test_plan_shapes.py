@@ -354,6 +354,36 @@ def test_semdedup_pair_join_is_equi_keyed_on_cell(spark, emb):
     assert ">= 0.3" in join_line
 
 
+def test_multiprobe_neardup_join_is_equi_keyed_on_cell(spark, emb):
+    """Multi-probe blocking must stay an equi-join on the probe cell
+    (candidate work = Σ|cell multiset|², nprobe× rows, never a cross
+    product), with the cosine threshold inside the join."""
+    import re
+
+    import numpy as np
+
+    from vector_db_api_spark.operators.dedup import (
+        embedding_neardup_pairs_multiprobe,
+    )
+
+    rng = np.random.default_rng(13)
+    c = rng.standard_normal((8, 64))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    plan = _plan(
+        embedding_neardup_pairs_multiprobe(emb, c, threshold=0.3, nprobe=2)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[cell", plan
+    )
+    join_line = next(
+        l for l in plan.splitlines()
+        if "HashJoin [cell" in l or "MergeJoin [cell" in l
+    )
+    assert ">= 0.3" in join_line
+
+
 def test_kmv_limits_per_partition_before_shuffle(spark):
     """The KMV rank-≤k must apply map-side (WindowGroupLimit Partial): each
     task forwards at most k hashes per group into the exchange — the
