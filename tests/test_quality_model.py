@@ -116,14 +116,16 @@ def test_train_score_gate_end_to_end(spark):
 
 def test_duplicate_bucket_in_weights_fails_loudly(spark):
     """A duplicate bucket row would fan out the join and silently inflate
-    logit and n_tokens — the precondition check must raise instead."""
+    logit and n_tokens — the lazy in-plan guard must raise at execution
+    (the plan itself builds job-free)."""
     import pytest
 
     wdf = spark.createDataFrame(
         [(0, 0.5), (0, 0.7), (1, 0.1)], "bucket int, weight double"
     )
-    with pytest.raises(ValueError, match="duplicate bucket"):
-        score_quality_linear_join(_docs(spark), wdf, 64, BIAS)
+    scored = score_quality_linear_join(_docs(spark), wdf, 64, BIAS)
+    with pytest.raises(Exception, match="duplicate bucket"):
+        scored.collect()
 
 
 def test_gate_returns_original_rows_above_threshold(spark):

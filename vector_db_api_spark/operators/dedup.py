@@ -506,6 +506,15 @@ def multiprobe_cells(
     mask-and-argmax). Expression-only, scan-fused; row count is
     nprobe × corpus, the explicit recall/cost knob.
 
+    This is the ORACLE-REPLAYABLE path: the centroid matrix folds into the
+    plan as literals, so K is model-sized by construction (hundreds, not
+    the 2√n cells IVF auto-sizing reaches). At production K, probe with
+    numpy instead (``embedding_neardup_pairs_multiprobe_numpy`` /
+    ``IVFIndex.assign_queries``). Each rank's argmax is materialized into
+    its own projection before the next rank's mask references it, keeping
+    the per-row cost O(nprobe·K) instead of re-evaluating the argmax
+    inside the masking lambda per element.
+
     Zero/null vectors drop (no semantic location), matching
     ``semdedup.assign_diversity``.
     """
@@ -519,22 +528,31 @@ def multiprobe_cells(
         .withColumn("__n", V.norm("__d"))
         .filter(F.col("__n") != 0.0)
         .withColumn("__u", F.transform("__d", lambda x: x / F.col("__n")))
-        .withColumn("__dots", F.array(*[V.dot("__d", c) for c in cents]))
-        .select(id_col, "__u", "__dots")
+        .withColumn("__dots0", F.array(*[V.dot("__d", c) for c in cents]))
+        .select(id_col, "__u", "__dots0")
     )
-    probes = []
-    dots = F.col("__dots")
     neg_inf = F.lit(float("-inf"))
-    for _ in range(min(nprobe, len(centroids))):
-        pos = F.array_position(dots, F.array_max(dots))  # 1-based first-max
-        probes.append((pos - 1).cast("int"))
-        # mask the chosen position for the next rank
-        masked = F.zip_with(
-            dots,
-            F.sequence(F.lit(1), F.size(dots)),
-            lambda x, i: F.when(i == pos, neg_inf).otherwise(x),
+
+    def mask_at(pos_name):
+        return lambda x, i: F.when(i == F.col(pos_name), neg_inf).otherwise(x)
+
+    probes = []
+    for r in range(min(nprobe, len(centroids))):
+        dots, pos = f"__dots{r}", f"__pos{r}"
+        # 1-based first-max argmax, materialized once per rank
+        e = e.withColumn(
+            pos, F.array_position(F.col(dots), F.array_max(F.col(dots)))
         )
-        dots = masked
+        probes.append((F.col(pos) - 1).cast("int"))
+        if r + 1 < min(nprobe, len(centroids)):
+            e = e.withColumn(
+                f"__dots{r + 1}",
+                F.zip_with(
+                    F.col(dots),
+                    F.sequence(F.lit(1), F.size(F.col(dots))),
+                    mask_at(pos),
+                ),
+            )
     return e.select(
         id_col, "__u", F.explode(F.array(*probes)).alias("cell")
     )
@@ -587,21 +605,56 @@ def embedding_neardup_pairs_multiprobe_numpy(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """BLAS twin of :func:`embedding_neardup_pairs_multiprobe`: the probe
-    assignment is the SAME expression path (``multiprobe_cells``), only the
-    within-cell pair scoring becomes one gram matrix per cell inside
-    ``applyInPandas``. Pair SET identical to the fold twin; cosines are
-    projected away (matmul vs fold last-ulp — the embedding_neardup_np
-    contract). Returns (left_id, right_id) distinct."""
+    """BLAS twin of :func:`embedding_neardup_pairs_multiprobe`: probe
+    assignment AND pair scoring both run in numpy (Arrow-batched matmul
+    top-nprobe via a broadcast-shipped centroid matrix, then one gram per
+    cell inside ``applyInPandas``) — the production path at IVF-scale K
+    where the expression twin's plan-literal centroids stop making sense.
+    Pair SET identical to the fold twin up to argmax/threshold ulp ties
+    (measure-zero for continuous embeddings — the semdedup_dropped_numpy
+    contract); cosines are projected away. Returns (left_id, right_id)
+    distinct."""
     import numpy as np
     import pandas as pd
+
+    from vector_db_api_spark.functions.ship import ship_model
 
     id_kind = vectors.schema[id_col].dataType.simpleString()
     out_schema = f"left_id {id_kind}, right_id {id_kind}"
     thr = float(threshold)
+    shipped = ship_model(vectors, np.asarray(centroids, dtype=np.float64))
+    np_probe = min(nprobe, len(centroids))
 
-    s = multiprobe_cells(
-        vectors, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    def probe_batches(batches):
+        cent = shipped.get()
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            keep = norms > 0
+            if not keep.any():
+                continue
+            unit = mat[keep] / norms[keep, None]
+            dots = unit @ cent.T
+            if np_probe < dots.shape[1]:
+                top = np.argpartition(-dots, np_probe - 1, axis=1)[:, :np_probe]
+            else:
+                top = np.broadcast_to(
+                    np.arange(dots.shape[1]), (len(unit), dots.shape[1])
+                )
+            ids = pdf[id_col].to_numpy()[keep]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, top.shape[1]),
+                    "__u": list(np.repeat(unit, top.shape[1], axis=0)),
+                    "cell": top.reshape(-1).astype(np.int32),
+                }
+            )
+
+    s = vectors.filter(F.col(vec_col).isNotNull()).mapInPandas(
+        probe_batches,
+        schema=f"{id_col} {id_kind}, __u array<double>, cell int",
     )
 
     def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -99,22 +99,28 @@ def score_quality_linear_join(
 
     Precondition: ``bucket`` must be UNIQUE in ``weights_df`` — a duplicate
     bucket fans out the join and silently inflates both logit and n_tokens,
-    a divergence the literal twin cannot exhibit. Enforced eagerly (one
-    tiny agg over the model-sized frame) unless ``check_unique_buckets``
-    is disabled for pre-validated weight tables."""
+    a divergence the literal twin cannot exhibit. Enforced LAZILY inside
+    the plan (a model-sized pre-aggregation whose weight column raises at
+    execution on any duplicate) so composing/scoring stays job-free —
+    disable with ``check_unique_buckets=False`` for pre-validated tables."""
     if check_unique_buckets:
-        dup = (
-            weights_df.groupBy("bucket")
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .collect()
+        g = weights_df.groupBy("bucket").agg(
+            F.first("weight").alias("weight"),
+            F.count(F.lit(1)).alias("__c"),
         )
-        if dup:
-            raise ValueError(
-                f"weights_df has duplicate bucket {dup[0]['bucket']}; "
-                "buckets must be unique or scores would be inflated"
+        weights_df = g.select(
+            "bucket",
+            F.when(F.col("__c") == 1, F.col("weight"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("duplicate bucket in weights_df: "),
+                        F.col("bucket").cast("string"),
+                    )
+                )
             )
+            .alias("weight"),
+        )
     wdf = F.broadcast(weights_df) if broadcast_weights else weights_df
     exploded = docs.select(
         F.col(id_col), F.posexplode_outer(_tokens(text_col)).alias("__pos", "__tok")
@@ -196,27 +202,34 @@ def hashed_features(
     toks = _tokens(text_col)
     base_cols = [id_col] + ([label_col] if label_col else [])
     counts = (
-        docs.select(*base_cols, F.explode(toks).alias("__tok"))
+        docs.select(id_col, F.explode(toks).alias("__tok"))
         .withColumn("__bucket", bucket_of(F.col("__tok"), num_buckets))
-        .groupBy(*base_cols, "__bucket")
+        .groupBy(id_col, "__bucket")
         .agg(F.count(F.lit(1)).cast("double").alias("__n"))
-        .groupBy(*base_cols)
+        .groupBy(id_col)
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("__bucket", "__n"))
             ).alias("__bn")
         )
     )
+    # LEFT join back to the full doc set: token-less docs (empty/null text)
+    # are legitimate training rows with an all-zero feature vector — an
+    # inner explode would silently drop them and bias the intercept, while
+    # the scoring paths DO score them (posexplode_outer → exactly ``bias``)
+    full = docs.select(*base_cols).join(counts, id_col, "left")
 
     @udf(returnType=VectorUDT())
     def assemble(bn):
+        if bn is None:
+            return SparseVector(num_buckets, [], [])
         return SparseVector(
             num_buckets,
             [int(s["__bucket"]) for s in bn],
             [float(s["__n"]) for s in bn],
         )
 
-    return counts.select(*base_cols, assemble("__bn").alias("features"))
+    return full.select(*base_cols, assemble("__bn").alias("features"))
 
 
 def train_quality_model(
@@ -233,9 +246,10 @@ def train_quality_model(
     :func:`hashed_features` (distributed LBFGS/OWL-QN — map-side gradient
     partials, model-sized driver state; ``elastic_net`` > 0 turns on L1 and
     yields the sparse weight tables ``score_quality_linear_join`` is built
-    for). Returns ``(weights_df, bias)`` where ``weights_df`` is the
-    (bucket int, weight double) frame the join scorer consumes — zero
-    coefficients are dropped, absent buckets score 0.0 by contract.
+    for). Returns ``(weights_df, bias, coef)``: the (bucket int, weight
+    double) frame the join scorer consumes (zero coefficients dropped,
+    absent buckets score 0.0 by contract), the fitted intercept, and the
+    dense coefficient vector for the literal twin.
 
     The round-trip contract (pinned in tests): scoring through the fitted
     frame is bit-identical to :func:`score_quality_linear` on the dense

@@ -363,8 +363,22 @@ def incremental_semdedup_ingest(
         # one row per id within the batch: duplicate ids tie on (csim, id)
         # in the stage-1 priority, so neither would outrank the other and
         # both would survive — mirror the cross-epoch "admitted id is
-        # final" rule inside the batch before any ε-work.
-        batch_df = batch_df.dropDuplicates([id_col])
+        # final" rule inside the batch before any ε-work. The survivor must
+        # be DETERMINISTIC (min content fingerprint, not dropDuplicates'
+        # arbitrary pick): a replayed epoch rewrites only the cell_bucket
+        # partitions its output touches, so a retry that chose a different
+        # row could land a different bucket and leave the first attempt's
+        # stale bucket row alive.
+        from pyspark.sql import Window
+
+        # whole-row fingerprint: ties after it can only be bit-identical rows
+        fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in batch_df.columns])))
+        w = Window.partitionBy(id_col).orderBy(fp)
+        batch_df = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         kept = semdedup_kept(
             batch_df, centroids, threshold, id_col=id_col, vec_col=vec_col
         )
@@ -381,6 +395,13 @@ def incremental_semdedup_ingest(
                 )
             except AnalysisException:
                 state = None
+            if state is not None and "cell_bucket" not in state.columns:
+                # state written by the pre-bucketed (epoch-only) layout:
+                # derive the bucket on the fly — correct, just unpruned
+                # for the legacy rows until a compaction rewrites them
+                state = state.withColumn(
+                    "cell_bucket", semdedup_cell_bucket("cell", num_cell_buckets)
+                )
             if state is not None:
                 # an already-admitted id is final (incl. embedding-less
                 # docs) — a skinny one-column read across all buckets

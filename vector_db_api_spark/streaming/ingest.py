@@ -348,22 +348,31 @@ COMPACT_EPOCH = -1  # foreachBatch epochs are >= 0, so -1 can never collide
                     # with (or be overwritten by) a live ingest epoch
 
 
-def _swap_in(spark: SparkSession, out: DataFrame, path: str, partition_by) -> None:
-    """Materialize ``out`` beside ``path`` then atomically swap it in.
+def _swap_in(out: DataFrame, path: str, partition_by) -> None:
+    """Materialize ``out`` beside ``path`` then swap it in via two renames.
+
     Spark cannot overwrite a path it is reading, so compaction writes to a
-    sibling tmp dir and renames (local/HDFS semantics; on an object store,
-    write each compaction to a NEW versioned prefix and flip a pointer
-    instead — see DEPLOYMENT.md)."""
+    sibling tmp dir, renames the live dir aside, renames the tmp in, and
+    only THEN deletes the old data — a crash at any point leaves either
+    the old state live or recoverable at ``path + '__compact_old'`` (never
+    both gone; the old rmtree-then-rename had a window that lost the
+    table). Local-filesystem rename semantics; on HDFS use a FileSystem
+    rename equivalent, and on an object store write each compaction to a
+    NEW versioned prefix and flip a pointer instead — see DEPLOYMENT.md."""
     import os
     import shutil
 
     tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
     writer = out.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    shutil.rmtree(path)
+    if os.path.exists(old):
+        shutil.rmtree(old)  # leftover from a crashed earlier compaction
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
 
 
 def compact_epoch_state(
@@ -391,7 +400,7 @@ def compact_epoch_state(
     """
     df = spark.read.parquet(path)
     collapsed = latest_rows(df, id_col).withColumn("epoch", F.lit(COMPACT_EPOCH))
-    _swap_in(spark, collapsed, path, ("epoch", *partition_by))
+    _swap_in(collapsed, path, ("epoch", *partition_by))
 
 
 def compact_kmv_state(
@@ -410,7 +419,7 @@ def compact_kmv_state(
     merged = kmv_merge_states(states, group_cols, k=k).withColumn(
         "epoch", F.lit(COMPACT_EPOCH)
     )
-    _swap_in(spark, merged, path, ("epoch",))
+    _swap_in(merged, path, ("epoch",))
 
 
 def incremental_kmv_ingest(
