@@ -178,6 +178,37 @@ def test_postings_compaction_serves_identical_bm25(spark, tmp_path):
     assert before == want
 
 
+def test_compaction_is_idempotent_and_cleans_crash_leftovers(spark, tmp_path):
+    """Compacting twice serves the same rows (second pass is a no-op
+    collapse), and a leftover __compact_old dir from a crashed earlier
+    attempt is swept instead of failing the swap."""
+    import shutil
+
+    from vector_db_api_spark.streaming.ingest import (
+        COMPACT_EPOCH,
+        compact_epoch_state,
+        latest_rows,
+    )
+
+    path = str(tmp_path / "state")
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (1, "a2", 1)], "doc_id long, v string, epoch int"
+    )
+    df.write.partitionBy("epoch").parquet(path)
+    compact_epoch_state(spark, path, "doc_id")
+    once = sorted(map(tuple, latest_rows(spark.read.parquet(path)).collect()))
+    assert once == [(1, "a2"), (2, "b")]
+    # simulate a crashed prior attempt leaving the backup dir behind
+    shutil.copytree(path, path + "__compact_old")
+    compact_epoch_state(spark, path, "doc_id")
+    twice = sorted(map(tuple, latest_rows(spark.read.parquet(path)).collect()))
+    assert twice == once
+    assert not os.path.exists(path + "__compact_old")
+    assert not os.path.exists(path + "__compact_tmp")
+    eps = {r["epoch"] for r in spark.read.parquet(path).select("epoch").collect()}
+    assert eps == {COMPACT_EPOCH}
+
+
 def test_kmv_compaction_preserves_estimates(spark, tmp_path):
     from vector_db_api_spark.streaming.ingest import (
         compact_kmv_state,
