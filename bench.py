@@ -190,6 +190,8 @@ def _round_over_round_delta(here: str, timings: dict[str, float]) -> str:
                 data = json.load(f)
         except (OSError, ValueError, json.JSONDecodeError):
             continue
+        if not isinstance(data, dict):
+            continue  # valid JSON but not a record object
         mined = _mine(data)
         if mined:
             prior[f"r{int(m.group(1)) if m else '?'}"] = mined

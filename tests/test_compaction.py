@@ -209,6 +209,48 @@ def test_compaction_is_idempotent_and_cleans_crash_leftovers(spark, tmp_path):
     assert eps == {COMPACT_EPOCH}
 
 
+def test_legacy_state_auto_migrates_before_first_bucketed_write(
+    spark, tmp_path, spread_corpus
+):
+    """Upgrade path (empirically-confirmed review finding): a bucketed
+    write landing BESIDE legacy epoch-only partitions makes the dir
+    unreadable (CONFLICTING_PARTITION_COLUMN_NAMES). The ingest must
+    migrate the legacy dir to (epoch, cell_bucket) first, after which
+    ingest keeps working across further batches and re-ingest is a no-op."""
+    cent, df = spread_corpus
+    first = df.filter(F.col("doc_id") < 1000)
+    second = df.filter(F.col("doc_id") >= 1000)
+    sp = str(tmp_path / "state")
+    # build the state with the NEW code, then rewrite it into the LEGACY
+    # epoch-only layout (drop cell_bucket, partition by epoch alone)
+    _run_semdedup(spark, first, sp, str(tmp_path / "ck0"), cent, 0)
+    legacy_rows = spark.read.parquet(sp).drop("cell_bucket")
+    legacy = str(tmp_path / "legacy_state")
+    legacy_rows.write.partitionBy("epoch").parquet(legacy)
+    want_first = sorted(r["doc_id"] for r in spark.read.parquet(legacy).collect())
+    # second batch against the legacy dir triggers the auto-migration
+    _run_semdedup(spark, second, legacy, str(tmp_path / "ck1"), cent, 1)
+    state = spark.read.parquet(legacy)  # readable: one coherent layout
+    assert "cell_bucket" in state.columns
+    got = sorted(r["doc_id"] for r in state.collect())
+    assert set(want_first) <= set(got)
+    # a third batch (full re-ingest) still works and admits nothing new
+    _run_semdedup(spark, df, legacy, str(tmp_path / "ck2"), cent, 2)
+    again = sorted(r["doc_id"] for r in spark.read.parquet(legacy).collect())
+    assert again == got
+
+
+def test_compaction_refuses_missing_partition_column(spark, tmp_path):
+    from vector_db_api_spark.streaming.ingest import compact_epoch_state
+
+    path = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, 0)], "doc_id long, epoch int"
+    ).write.partitionBy("epoch").parquet(path)
+    with pytest.raises(ValueError, match="cell_bucket"):
+        compact_epoch_state(spark, path, "doc_id", partition_by=("cell_bucket",))
+
+
 def test_kmv_compaction_preserves_estimates(spark, tmp_path):
     from vector_db_api_spark.streaming.ingest import (
         compact_kmv_state,

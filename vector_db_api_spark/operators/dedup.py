@@ -362,6 +362,21 @@ def hamming_pairs(
 
 # -- embedding cosine near-dup ------------------------------------------------
 
+def _gram_pair_hits(ids, unit, thr):
+    """Shared BLAS pair kernel for the blocked near-dup twins: sort by id
+    (left < right by construction), one gram matrix, strict-upper-triangle
+    threshold test. Returns (left_ids, right_ids, cosines) arrays — ONE
+    implementation so a tie-break/threshold fix can't silently miss a
+    twin (the round-5 tril lesson)."""
+    import numpy as np
+
+    order = np.argsort(ids)
+    unit, ids = unit[order], ids[order]
+    gram = unit @ unit.T
+    li, ri = np.triu_indices(len(ids), k=1)
+    hit = gram[li, ri] >= thr
+    return ids[li[hit]], ids[ri[hit]], gram[li[hit], ri[hit]]
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -452,15 +467,8 @@ def embedding_neardup_pairs_numpy(
             return pd.DataFrame({"left_id": [], "right_id": [], "cosine": []})
         unit = mat[keep] / norms[keep, None]
         ids = pdf[id_col].to_numpy()[keep]
-        order = np.argsort(ids)
-        unit, ids = unit[order], ids[order]
-        gram = unit @ unit.T
-        li, ri = np.triu_indices(len(ids), k=1)
-        hit = gram[li, ri] >= thr
-        return pd.DataFrame(
-            {"left_id": ids[li[hit]], "right_id": ids[ri[hit]],
-             "cosine": gram[li[hit], ri[hit]]}
-        )
+        left, right, cos = _gram_pair_hits(ids, unit, thr)
+        return pd.DataFrame({"left_id": left, "right_id": right, "cosine": cos})
 
     return (
         vectors.filter(F.col(vec_col).isNotNull())
@@ -664,12 +672,8 @@ def embedding_neardup_pairs_multiprobe_numpy(
             )
         unit = np.asarray(pdf["__u"].tolist(), dtype=np.float64)
         ids = pdf[id_col].to_numpy()
-        order = np.argsort(ids)
-        unit, ids = unit[order], ids[order]
-        gram = unit @ unit.T
-        li, ri = np.triu_indices(len(ids), k=1)
-        hit = gram[li, ri] >= thr
-        return pd.DataFrame({"left_id": ids[li[hit]], "right_id": ids[ri[hit]]})
+        left, right, _ = _gram_pair_hits(ids, unit, thr)
+        return pd.DataFrame({"left_id": left, "right_id": right})
 
     return (
         s.groupBy("cell")

@@ -293,6 +293,32 @@ def semdedup_prior_for_cells(
     )
 
 
+def migrate_semdedup_state(
+    spark, state_path: str, num_cell_buckets: int = 16
+) -> None:
+    """One-time rewrite of a legacy (epoch-only) admitted-state dir into
+    the ``(epoch, cell_bucket)`` layout, via the crash-safe two-rename
+    swap. No-op when the state is already bucketed.
+
+    This must happen BEFORE any bucketed write lands in a legacy dir:
+    parquet refuses to read a directory whose partition trees disagree
+    (``CONFLICTING_PARTITION_COLUMN_NAMES``), so appending the new layout
+    beside old epoch-only partitions would poison the whole table. The
+    ingest calls this automatically on first contact with legacy state."""
+    from vector_db_api_spark.streaming.ingest import _swap_in
+
+    df = spark.read.parquet(state_path)
+    if "cell_bucket" in df.columns:
+        return
+    _swap_in(
+        df.withColumn(
+            "cell_bucket", semdedup_cell_bucket("cell", num_cell_buckets)
+        ),
+        state_path,
+        ("epoch", "cell_bucket"),
+    )
+
+
 def incremental_semdedup_ingest(
     doc_stream: DataFrame,
     state_path: str,
@@ -396,11 +422,13 @@ def incremental_semdedup_ingest(
             except AnalysisException:
                 state = None
             if state is not None and "cell_bucket" not in state.columns:
-                # state written by the pre-bucketed (epoch-only) layout:
-                # derive the bucket on the fly — correct, just unpruned
-                # for the legacy rows until a compaction rewrites them
-                state = state.withColumn(
-                    "cell_bucket", semdedup_cell_bucket("cell", num_cell_buckets)
+                # legacy (epoch-only) layout: MIGRATE the directory before
+                # this epoch's bucketed write lands beside it — mixed
+                # partition trees make the dir unreadable
+                # (CONFLICTING_PARTITION_COLUMN_NAMES on the next read)
+                migrate_semdedup_state(spark, state_path, num_cell_buckets)
+                state = spark.read.parquet(state_path).filter(
+                    F.col("epoch") != this_epoch
                 )
             if state is not None:
                 # an already-admitted id is final (incl. embedding-less

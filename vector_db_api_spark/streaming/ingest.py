@@ -394,11 +394,20 @@ def compact_epoch_state(
 
     ``partition_by`` preserves secondary partition columns through the
     rewrite (e.g. ``("cell_bucket",)`` for the SemDeDup admitted state,
-    ``("centroid_id",)`` for IVF postings). Run it from a maintenance
-    window, not inside a foreachBatch — it swaps the directory the live
-    stream appends to. Cadence guidance in DEPLOYMENT.md.
+    ``("centroid_id",)`` for IVF postings) — a legacy state missing such
+    a column must be migrated first (``migrate_semdedup_state``); this
+    fails loudly instead of writing a broken layout. Run it from a
+    maintenance window, not inside a foreachBatch — it swaps the
+    directory the live stream appends to. Cadence guidance in
+    DEPLOYMENT.md.
     """
     df = spark.read.parquet(path)
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"state at {path} lacks partition column(s) {missing}; migrate "
+            "the layout first (e.g. streaming.dedup.migrate_semdedup_state)"
+        )
     collapsed = latest_rows(df, id_col).withColumn("epoch", F.lit(COMPACT_EPOCH))
     _swap_in(collapsed, path, ("epoch", *partition_by))
 
