@@ -221,6 +221,25 @@ def main() -> None:
                 256,
             ))(),
         ),
+        (
+            "Multi-probe near-dup blocking (embedding_neardup_pairs_multiprobe)",
+            "Top-nprobe probe assignment is scan-fused Column arithmetic "
+            "(each rank's argmax materialized in its own projection); the "
+            "pair test is an equi-join on the probe cell with the cosine "
+            "threshold INSIDE the join condition, then one distinct "
+            "Exchange dedups pairs co-blocked in several cells. Candidate "
+            "work = Σ|cell multiset|², never a CartesianProduct.",
+            (lambda: __import__(
+                "vector_db_api_spark.operators.dedup",
+                fromlist=["embedding_neardup_pairs_multiprobe"],
+            ).embedding_neardup_pairs_multiprobe(
+                emb,
+                __import__("numpy").random.default_rng(19).standard_normal((8, 64)),
+                threshold=0.3,
+                nprobe=2,
+                id_col="vec_id",
+            ))(),
+        ),
     ]
 
     out = [
