@@ -144,6 +144,26 @@ def test_ivf_centroids_normalized(ivf_index):
     assert np.allclose(norms[norms > 0], 1.0)
 
 
+def test_ivf_frame_round_trip(spark, tmp_path, ivf_index, clustered_df):
+    """to_frame → parquet → from_frame preserves centroids bit-exactly and
+    cell ids (so existing posting tables stay valid), and rejects a
+    corrupted frame with missing ids."""
+    path = str(tmp_path / "centroids")
+    ivf_index.to_frame(spark).write.parquet(path)
+    from vector_db_api_spark.operators.ivf import IVFIndex
+
+    back = IVFIndex.from_frame(spark.read.parquet(path), nprobe=ivf_index.nprobe)
+    assert np.array_equal(back.centroids, ivf_index.centroids)
+    a = {r["id"]: r["centroid_id"] for r in ivf_index.assign(clustered_df).collect()}
+    b = {r["id"]: r["centroid_id"] for r in back.assign(clustered_df).collect()}
+    assert a == b
+    import pytest
+
+    broken = spark.read.parquet(path).filter("centroid_id <> 3")
+    with pytest.raises(ValueError, match="0..k-1"):
+        IVFIndex.from_frame(broken)
+
+
 def test_ivf_assignment_id_type(ivf_assignments, clustered_df):
     assert dict(ivf_assignments.dtypes)["id"] == dict(clustered_df.dtypes)["id"]
 

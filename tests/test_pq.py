@@ -33,6 +33,21 @@ def test_train_shapes_and_determinism(emb, pq):
     assert pq.codebooks.shape == (8, 64, 8)
     again = PQIndex.train(emb, m=8, k=64, seed=42, train_sample_rows=4096)
     assert np.array_equal(pq.codebooks, again.codebooks)
+
+
+def test_codebook_frame_round_trip(spark, tmp_path, emb, pq):
+    """A trained quantizer must survive the session: to_frame → parquet →
+    from_frame rebuilds bit-identical codebooks, so stored codes keep
+    decoding to the same centroids."""
+    path = str(tmp_path / "codebooks")
+    pq.to_frame(spark).write.parquet(path)
+    back = PQIndex.from_frame(spark.read.parquet(path))
+    assert np.array_equal(back.codebooks, pq.codebooks)
+    # codes computed by the reloaded model match the original encoder
+    sample = emb.limit(50)
+    a = {r["vec_id"]: list(r["codes"]) for r in pq.encode(sample, id_col="vec_id").collect()}
+    b = {r["vec_id"]: list(r["codes"]) for r in back.encode(sample, id_col="vec_id").collect()}
+    assert a == b
     with pytest.raises(ValueError, match="divisible"):
         PQIndex.train(emb, m=7)
 

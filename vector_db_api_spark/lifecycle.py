@@ -24,7 +24,6 @@ import tempfile
 import time
 from dataclasses import dataclass, field
 
-import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -131,15 +130,9 @@ class IndexLifecycle:
                 seed=p["seed"],
                 max_iter=p.get("max_kmeans_iters", 20),
             )
-            cent_rows = [
-                (int(i), [float(x) for x in ivf.centroids[i]])
-                for i in range(len(ivf.centroids))
-            ]
-            self.spark.createDataFrame(
-                cent_rows, "centroid_id int, vec array<double>"
-            ).coalesce(1).write.mode("errorifexists").parquet(
-                os.path.join(vdir, "ivf_centroids")
-            )
+            ivf.to_frame(self.spark).coalesce(1).write.mode(
+                "errorifexists"
+            ).parquet(os.path.join(vdir, "ivf_centroids"))
             # partitioned by centroid_id → the nprobe probe partition-prunes
             ivf.assign(embedded, id_col=id_col, vec_col=vec_col).write.mode(
                 "errorifexists"
@@ -197,10 +190,10 @@ class IndexLifecycle:
             delta.write.mode("append").parquet(os.path.join(vdir, "lsh_buckets"))
             return delta.count()
         # ivf: assign against the stored centroids, append partition-locally
-        cent = self.spark.read.parquet(os.path.join(vdir, "ivf_centroids"))
-        rows = sorted(cent.collect(), key=lambda r: r["centroid_id"])
-        mat = np.asarray([r["vec"] for r in rows], dtype=np.float64)
-        ivf = IVFIndex(mat, nprobe=p["nprobe"])
+        ivf = IVFIndex.from_frame(
+            self.spark.read.parquet(os.path.join(vdir, "ivf_centroids")),
+            nprobe=p["nprobe"],
+        )
         delta = ivf.assign(embedded, id_col=id_col, vec_col=vec_col)
         delta.write.mode("append").partitionBy("centroid_id").parquet(
             os.path.join(vdir, "ivf_assignments")
@@ -282,10 +275,10 @@ class IndexLifecycle:
             return model.search(chunks, buckets, query_vec, k, metric=metric,
                                 id_col=id_col, vec_col=vec_col)
         if desc["type"] == "ivf":
-            cent = self.spark.read.parquet(os.path.join(vdir, "ivf_centroids"))
-            rows = sorted(cent.collect(), key=lambda r: r["centroid_id"])
-            mat = np.asarray([r["vec"] for r in rows], dtype=np.float64)
-            ivf = IVFIndex(mat, nprobe=desc["params"]["nprobe"])
+            ivf = IVFIndex.from_frame(
+                self.spark.read.parquet(os.path.join(vdir, "ivf_centroids")),
+                nprobe=desc["params"]["nprobe"],
+            )
             assignments = self.spark.read.parquet(os.path.join(vdir, "ivf_assignments"))
             return ivf.search(chunks, assignments, query_vec, k, metric=metric,
                               id_col=id_col, vec_col=vec_col)

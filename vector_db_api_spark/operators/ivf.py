@@ -229,6 +229,34 @@ class IVFIndex:
         norms = np.linalg.norm(mat, axis=1)
         return mat[norms > 0]
 
+    # -- persistence -------------------------------------------------------
+
+    def to_frame(self, spark) -> DataFrame:
+        """(centroid_id int, vec array<double>) — the trained quantizer as
+        a tiny DataFrame, writable wherever the posting table lives (this
+        is the layout ``lifecycle.rebuild`` persists as ``ivf_centroids``).
+        A trained model must outlive the session: seeds reproduce the
+        TRAINING RUN, not a model trained on data you no longer have."""
+        rows = [
+            (int(i), [float(x) for x in self.centroids[i]])
+            for i in range(len(self.centroids))
+        ]
+        return spark.createDataFrame(rows, "centroid_id int, vec array<double>")
+
+    @classmethod
+    def from_frame(cls, frame: DataFrame, nprobe: int = DEFAULT_NPROBE) -> "IVFIndex":
+        """Rehydrate from :meth:`to_frame`'s layout (model-sized collect;
+        centroid_id fixes the row order so cell ids survive the round
+        trip)."""
+        rows = sorted(frame.collect(), key=lambda r: r["centroid_id"])
+        ids = [r["centroid_id"] for r in rows]
+        if ids != list(range(len(ids))):
+            raise ValueError(
+                f"centroid frame ids must be exactly 0..k-1, got {ids[:5]}..."
+            )
+        mat = np.asarray([r["vec"] for r in rows], dtype=np.float64)
+        return cls(mat, nprobe=nprobe)
+
     # -- assignment (posting lists) ----------------------------------------
 
     def assign(

@@ -128,6 +128,40 @@ class PQIndex:
         )
         return cls(books)
 
+    # -- persistence ------------------------------------------------------
+
+    def to_frame(self, spark) -> DataFrame:
+        """(subspace int, codeword int, vec array<double>) — the codebook
+        tensor flattened into a tiny DataFrame so a TRAINED quantizer
+        outlives the session beside its codes table (k·m rows; the codes
+        are meaningless without exactly these codebooks)."""
+        rows = [
+            (j, c, [float(x) for x in self.codebooks[j, c]])
+            for j in range(self.m)
+            for c in range(self.k)
+        ]
+        return spark.createDataFrame(
+            rows, "subspace int, codeword int, vec array<double>"
+        )
+
+    @classmethod
+    def from_frame(cls, frame: DataFrame) -> "PQIndex":
+        """Rehydrate from :meth:`to_frame`'s layout (model-sized collect;
+        (subspace, codeword) fixes positions so stored codes keep decoding
+        to the same centroids)."""
+        rows = frame.collect()
+        m = 1 + max(r["subspace"] for r in rows)
+        k = 1 + max(r["codeword"] for r in rows)
+        if len(rows) != m * k:
+            raise ValueError(
+                f"codebook frame has {len(rows)} rows; expected m*k = {m * k}"
+            )
+        dsub = len(rows[0]["vec"])
+        books = np.empty((m, k, dsub), dtype=np.float64)
+        for r in rows:
+            books[r["subspace"], r["codeword"]] = r["vec"]
+        return cls(books)
+
     # -- encode ----------------------------------------------------------
 
     def _encode_np(self, mat: np.ndarray) -> np.ndarray:
