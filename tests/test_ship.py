@@ -125,3 +125,24 @@ def test_forced_broadcast_is_bit_identical_across_operators(
         for r in semdedup_dropped_numpy(corpus, cent, 0.999, id_col="id").collect()
     }
     assert exp == blas
+
+    # multi-probe near-dup numpy twin: broadcast-shipped centroids must
+    # reproduce the expression twin's pair set
+    from vector_db_api_spark.operators.dedup import (
+        embedding_neardup_pairs_multiprobe,
+        embedding_neardup_pairs_multiprobe_numpy,
+    )
+
+    fold_pairs = {
+        (r["left_id"], r["right_id"])
+        for r in embedding_neardup_pairs_multiprobe(
+            corpus, ivf.centroids, threshold=0.9, nprobe=2, id_col="id"
+        ).collect()
+    }
+    np_pairs = {
+        (r["left_id"], r["right_id"])
+        for r in embedding_neardup_pairs_multiprobe_numpy(
+            corpus, ivf.centroids, threshold=0.9, nprobe=2, id_col="id"
+        ).collect()
+    }
+    assert np_pairs == fold_pairs
