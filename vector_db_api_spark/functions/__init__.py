@@ -1,3 +1,3 @@
-from vector_db_api_spark.functions import hashing, text, vector
+from vector_db_api_spark.functions import hashing, ship, text, vector
 
-__all__ = ["vector", "text", "hashing"]
+__all__ = ["vector", "text", "hashing", "ship"]
