@@ -144,26 +144,34 @@ def _cpu_baseline() -> dict[str, float]:
     }
 
 
-def _round_over_round_delta(here: str, timings: dict[str, float]) -> str:
-    """Markdown delta table of this run vs the BEST recorded prior round
-    (per query, over every parseable BENCH_r*.json) — the drift detector
-    VERDICT r4 asked for: a uniform ratio >1 across families is harness/JVM
-    pressure; a single query spiking is a plan regression."""
+def _round_over_round_delta(
+    here: str, timings: dict[str, float], blas_now: float | None = None
+) -> str:
+    """Markdown delta table of this run vs prior rounds, in BOTH raw seconds
+    and machine-NORMALIZED units (time / that round's ``blas_matmul_sec``,
+    VERDICT r5 #4). Raw ratios detect within-machine drift; normalized
+    ratios are the cross-round signal — a normalized regression >1.2× is a
+    plan/code problem, a uniform RAW shift with flat normalized ratios is
+    just machine speed."""
     import glob
     import re
 
-    def _mine(data) -> dict[str, float]:
-        """Per-query warm seconds from a driver bench record: a top-level
-        ``queries`` dict, else the record's truncated-stdout ``tail`` — the
-        tail's LAST line is bench.py's compact headline (parseable JSON),
-        and the tail's leading fragment is the middle of the detail line's
-        queries dict (regex-minable up to its closing brace)."""
+    def _mine(data) -> tuple[dict[str, float], float | None]:
+        """(per-query warm seconds, blas_matmul_sec) from a driver bench
+        record: a top-level ``queries`` dict, else the record's
+        truncated-stdout ``tail`` — the tail's LAST line is bench.py's
+        compact headline (parseable JSON), and the tail's leading fragment
+        is the middle of the detail line's queries dict."""
         out: dict[str, float] = {}
+        blas: float | None = None
         qs = data.get("queries")
         if isinstance(qs, dict):
             out.update(
                 {k: float(v) for k, v in qs.items() if isinstance(v, (int, float))}
             )
+        cb = data.get("cpu_baseline")
+        if isinstance(cb, dict) and cb.get("blas_matmul_sec"):
+            blas = float(cb["blas_matmul_sec"])
         tail = data.get("tail")
         if isinstance(tail, str) and tail:
             frag = tail.split("}", 1)[0]
@@ -173,16 +181,21 @@ def _round_over_round_delta(here: str, timings: dict[str, float]) -> str:
                 out.setdefault(k, float(v))
             last = tail.strip().rsplit("\n", 1)[-1]
             try:
-                hq = json.loads(last).get("queries") or {}
+                head = json.loads(last)
+                hq = head.get("queries") or {}
                 out.update(
                     {k: float(v) for k, v in hq.items()
                      if isinstance(v, (int, float))}
                 )
+                hb = (head.get("cpu_baseline") or {}).get("blas_matmul_sec")
+                if hb:
+                    blas = float(hb)
             except (ValueError, AttributeError):
                 pass
-        return out
+        return out, blas
 
     prior: dict[str, dict[str, float]] = {}
+    baselines: dict[str, float] = {}
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         m = re.search(r"BENCH_r(\d+)", path)
         try:
@@ -192,15 +205,38 @@ def _round_over_round_delta(here: str, timings: dict[str, float]) -> str:
             continue
         if not isinstance(data, dict):
             continue  # valid JSON but not a record object
-        mined = _mine(data)
+        mined, blas = _mine(data)
         if mined:
-            prior[f"r{int(m.group(1)) if m else '?'}"] = mined
+            rnd = f"r{int(m.group(1)) if m else '?'}"
+            prior[rnd] = mined
+            if blas:
+                baselines[rnd] = blas
+    # the PREVIOUS round's committed BENCH_DETAIL.md carries its full
+    # per-query dict + cpu_baseline (the driver tail holds only ~17) —
+    # mine it before this run overwrites the file
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.md")) as f:
+            body = f.read()
+        blob = body.split("```json", 1)[1].split("```", 1)[0]
+        det = json.loads(blob)
+        mined, blas = _mine(det)
+        if mined:
+            prior["prev-detail"] = mined
+            if blas:
+                baselines["prev-detail"] = blas
+    except (OSError, IndexError, ValueError, json.JSONDecodeError):
+        pass
     if not prior:
         return ""
+
     lines = [
-        "\n## Round-over-round delta (this run vs best prior round)\n",
-        "| query | now (s) | best prior (s) | round | ratio |",
-        "|---|---|---|---|---|",
+        "\n## Round-over-round delta (this run vs prior rounds)\n",
+        "Normalized unit = seconds / that round's `blas_matmul_sec` probe "
+        "(cross-machine comparable; available r5+). Raw 'best prior' spans "
+        "all rounds.\n",
+        "| query | now (s) | now (norm) | best prior (s) | round | raw ratio"
+        " | best prior (norm) | round | norm ratio |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     rows = []
     for name, now in timings.items():
@@ -211,30 +247,70 @@ def _round_over_round_delta(here: str, timings: dict[str, float]) -> str:
                 best_val, best_round = v, rnd
         if best_val is None:
             continue
-        rows.append((now / best_val, name, now, best_val, best_round))
-    for ratio, name, now, best_val, best_round in sorted(rows, reverse=True):
+        bn_val, bn_round = None, None
+        for rnd, blas in baselines.items():
+            v = prior[rnd].get(name)
+            if v is not None and v > 0:
+                nv = v / blas
+                if bn_val is None or nv < bn_val:
+                    bn_val, bn_round = nv, rnd
+        now_norm = now / blas_now if blas_now else None
+        rows.append(
+            (now / best_val, name, now, now_norm, best_val, best_round,
+             bn_val, bn_round)
+        )
+    norm_regressions = []
+    for raw_ratio, name, now, now_norm, best_val, best_round, bn_val, bn_round in sorted(
+        rows, reverse=True
+    ):
+        nr = (now_norm / bn_val) if (now_norm and bn_val) else None
+        if nr is not None and nr > 1.2:
+            norm_regressions.append((nr, name))
         lines.append(
-            f"| {name} | {now:.2f} | {best_val:.2f} | {best_round} | {ratio:.2f}x |"
+            f"| {name} | {now:.2f} | "
+            f"{f'{now_norm:.2f}' if now_norm else '—'} | "
+            f"{best_val:.2f} | {best_round} | {raw_ratio:.2f}x | "
+            f"{f'{bn_val:.2f}' if bn_val else '—'} | {bn_round or '—'} | "
+            f"{f'{nr:.2f}x' if nr else '—'} |"
         )
     if rows:
         ratios = sorted(r[0] for r in rows)
         med = ratios[len(ratios) // 2]
-        lines.append(
-            f"\nMedian ratio vs best prior: **{med:.2f}x** over {len(rows)} "
-            "shared queries (uniform >1 ⇒ harness/JVM or MACHINE pressure; "
-            "single-query spike ⇒ plan regression).\n"
+        nratios = sorted(
+            (r[3] / r[6]) for r in rows if r[3] and r[6]
         )
+        med_norm = nratios[len(nratios) // 2] if nratios else None
         lines.append(
-            "**Root cause of the r3→r5 uniform drift (diagnosed r5): the "
-            "per-round container/host is not speed-stable.** Fresh isolated "
-            "sessions (no suite, no caches, idle box) already run "
-            "events_hourly ≈ 0.5s / doc_bm25 ≈ 1.4s where r3 recorded "
-            "0.19s / 0.83s — same plans, same code, new machine speed. "
-            "Compare rounds through `cpu_baseline` (fixed-work BLAS + "
-            "Python-loop probe, recorded from r5 on), not raw seconds; "
-            "within-round comparisons (twins, plan changes) remain valid "
-            "as-is.\n"
+            f"\nMedian RAW ratio vs best prior: **{med:.2f}x** over "
+            f"{len(rows)} shared queries"
+            + (
+                f"; median NORMALIZED ratio: **{med_norm:.2f}x** over "
+                f"{len(nratios)} queries with a baselined prior."
+                if med_norm is not None
+                else "."
+            )
+            + "\n"
         )
+        if norm_regressions:
+            worst = ", ".join(
+                f"{n} ({r:.2f}x)" for r, n in sorted(norm_regressions,
+                                                     reverse=True)[:10]
+            )
+            lines.append(
+                f"\n**Normalized regressions >1.2x (need a named root "
+                f"cause): {worst}**\n"
+            )
+        if med_norm is None or not (0.83 <= (med_norm or med) <= 1.2):
+            # machine-speed note only when the distribution actually shifted
+            # (ADVICE r5: don't restate the r5 diagnosis on a ~1.0 run)
+            lines.append(
+                "\nHistorical note (diagnosed r5): per-round container/host "
+                "speed varies ~1.5-2x; a UNIFORM raw shift with flat "
+                "normalized ratios is machine speed, not a plan regression. "
+                "Compare rounds through `cpu_baseline`; within-round "
+                "comparisons (twins, plan changes) remain valid in raw "
+                "seconds.\n"
+            )
     return "\n".join(lines) + "\n"
 
 
@@ -559,7 +635,9 @@ def main() -> None:
     print(detail_line)
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        delta_md = _round_over_round_delta(here, timings)
+        delta_md = _round_over_round_delta(
+            here, timings, detail["cpu_baseline"].get("blas_matmul_sec")
+        )
         with open(os.path.join(here, "BENCH_DETAIL.md"), "w") as f:
             f.write("# Bench detail (written by bench.py)\n\n```json\n"
                     + json.dumps(detail, indent=1) + "\n```\n" + delta_md)

@@ -30,7 +30,10 @@ def test_mines_real_driver_records():
         return  # artifact layout changed; nothing to mine
     assert "Round-over-round delta" in out
     assert "doc_bm25" in out and "| r" in out
-    assert "Median ratio" in out
+    assert "Median RAW ratio" in out
+    # normalized columns present: r5+ records carry cpu_baseline, so at
+    # least one row must show a baselined prior (a number, not the em dash)
+    assert "norm ratio" in out
 
 
 def test_tolerates_malformed_and_nondict_records(tmp_path):
@@ -50,7 +53,27 @@ def test_mines_tail_headline_and_detail_fragment(tmp_path):
     rec = {"n": 1, "rc": 0, "tail": detail_frag + "\n" + headline}
     (tmp_path / "BENCH_r01.json").write_text(json.dumps(rec))
     out = fn(str(tmp_path), {"doc_x": 5.0, "doc_z": 0.5, "unknown": 1.0})
-    # detail fragment mined up to its closing brace; recall dict NOT mined
-    assert "| doc_x | 5.00 | 2.50 | r1 | 2.00x |" in out
-    assert "| doc_z | 0.50 | 0.50 | r1 | 1.00x |" in out
+    # detail fragment mined up to its closing brace; recall dict NOT mined;
+    # r1 has no cpu_baseline → normalized columns are em dashes
+    assert "| doc_x | 5.00 | — | 2.50 | r1 | 2.00x | — | — | — |" in out
+    assert "| doc_z | 0.50 | — | 0.50 | r1 | 1.00x | — | — | — |" in out
     assert "unknown" not in out
+
+
+def test_normalized_ratio_uses_per_round_baseline(tmp_path):
+    """VERDICT r5 #4: rounds WITH a cpu_baseline compare in normalized
+    units (sec / blas_matmul_sec); a 2x-slower machine running identical
+    plans shows raw ratio 2.0 but norm ratio 1.0."""
+    fn = _load_delta_fn()
+    headline = json.dumps({
+        "metric": "suite_wall_sec", "value": 9.9,
+        "queries": {"q_a": 1.0},
+        "cpu_baseline": {"blas_matmul_sec": 0.5, "python_loop_sec": 0.1},
+    })
+    (tmp_path / "BENCH_r05.json").write_text(
+        json.dumps({"n": 5, "rc": 0, "tail": headline})
+    )
+    # now: machine is 2x slower (blas 1.0 vs 0.5), query took 2x raw
+    out = fn(str(tmp_path), {"q_a": 2.0}, 1.0)
+    assert "| q_a | 2.00 | 2.00 | 1.00 | r5 | 2.00x | 2.00 | r5 | 1.00x |" in out
+    assert "median NORMALIZED ratio: **1.00x**" in out

@@ -279,3 +279,75 @@ def test_kmv_compaction_preserves_estimates(spark, tmp_path):
     }
     assert after == before
     assert spark.read.parquet(sp).select("epoch").distinct().count() == 1
+
+
+def test_pointer_mode_compaction_old_reader_survives(spark, tmp_path):
+    """VERDICT r5 #7 — object-store publish variant: pointer-mode compaction
+    writes a NEW versioned prefix and flips ``_CURRENT`` (the EntityStore
+    pattern), so a reader that resolved the OLD version keeps serving from
+    untouched files across a concurrent compaction; vacuum_state reclaims
+    superseded versions later."""
+    from vector_db_api_spark.streaming.ingest import (
+        compact_kmv_state,
+        incremental_kmv_ingest,
+        read_state,
+        resolve_state_dir,
+        served_kmv_estimates,
+        vacuum_state,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).alias("grp"), (F.col("id") % 500).alias("v")
+    )
+    src, sp, ck = (str(tmp_path / p) for p in ("src", "state", "ck"))
+    df.repartition(3).write.parquet(src)
+    incremental_kmv_ingest(
+        spark, src, "grp bigint, v bigint", sp, ck, ["grp"], "v",
+        k=48, max_files_per_trigger=1,
+    ).awaitTermination(240)
+
+    before = {
+        (r["grp"], r["est_distinct"])
+        for r in served_kmv_estimates(spark, sp, ["grp"], k=48).collect()
+    }
+    # a reader resolves the pre-compaction (flat) layout and HOLDS it
+    old_reader = read_state(spark, sp)
+    old_rows = old_reader.count()
+    assert resolve_state_dir(sp) == sp  # flat layout before the first publish
+
+    compact_kmv_state(spark, sp, ["grp"], k=48, mode="pointer")
+    assert resolve_state_dir(sp).endswith("v=1")
+    # the old reader's files were never renamed or deleted → still serves
+    assert old_reader.count() == old_rows
+    # pointer-aware serving sees the identical merged estimates
+    after = {
+        (r["grp"], r["est_distinct"])
+        for r in served_kmv_estimates(spark, sp, ["grp"], k=48).collect()
+    }
+    assert after == before
+
+    # second compaction: v=1 reader survives the v=2 flip, then vacuum
+    v1_reader = read_state(spark, sp)
+    v1_rows = v1_reader.count()
+    compact_kmv_state(spark, sp, ["grp"], k=48, mode="pointer")
+    assert resolve_state_dir(sp).endswith("v=2")
+    assert v1_reader.count() == v1_rows
+    assert {
+        (r["grp"], r["est_distinct"])
+        for r in served_kmv_estimates(spark, sp, ["grp"], k=48).collect()
+    } == before
+    assert vacuum_state(sp, keep=1) == [1]
+    assert os.path.isdir(os.path.join(sp, "v=2"))
+    assert not os.path.isdir(os.path.join(sp, "v=1"))
+
+
+def test_rename_mode_rejects_remote_scheme(spark, tmp_path):
+    """ADVICE r5: rename-mode compaction on an hdfs://-style path must fail
+    BEFORE the expensive tmp materialization, not at os.rename."""
+    from vector_db_api_spark.streaming.ingest import _swap_in
+
+    df = spark.range(3).select(F.col("id"), F.lit(0).alias("epoch"))
+    with pytest.raises(ValueError, match="local path"):
+        _swap_in(df, "hdfs://nn/warehouse/state", ("epoch",))
+    with pytest.raises(ValueError, match="unknown publish mode"):
+        _swap_in(df, str(tmp_path / "s"), ("epoch",), mode="banana")

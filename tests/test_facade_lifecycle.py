@@ -302,3 +302,86 @@ def test_duplicate_id_and_tags_validation(spark, tmp_path_factory):
     assert ok2["status"] == 201
     got = f.get_document("T3")
     assert got["data"]["metadata"]["tags"] == []
+
+
+def test_rest_parity_routes_round6(spark, tmp_path_factory):
+    """VERDICT r5 #2 — the four previously-missing reference routes, with
+    the reference routers' status-code matrix:
+    - POST .../documents/{doc}/chunks (single upsert, routers/chunks.py:62-77)
+    - DELETE .../chunks/{chunk_id} (routers/chunks.py:95-107, 204 always)
+    - GET /libraries page + has_more (routers/libraries.py:62-82)
+    - POST /libraries/{id}/rebuild-index (routers/libraries.py:110-123)
+    """
+    eng = Engine(spark, str(tmp_path_factory.mktemp("routes6")))
+    f = Facade(eng)
+    for i in range(3):
+        assert f.create_library(
+            {"id": f"R{i}", "name": f"lib{i}", "embedding_dim": 4}
+        )["status"] == 201
+    assert f.create_document("R0", {"id": "D"})["status"] == 201
+
+    # -- single-chunk upsert ------------------------------------------------
+    up = f.upsert_chunk("R0", "D", {
+        "position": 0, "text": "solo", "embedding": [1.0, 0.0, 0.0, 0.0],
+    })
+    assert up["status"] == 200
+    cid = up["data"]["id"]
+    assert len(cid) == 36  # generated uuid when id omitted
+    assert up["data"]["text"] == "solo"
+    # update in place: explicit id, version bumps
+    up2 = f.upsert_chunk("R0", "D", {
+        "id": cid, "position": 0, "text": "solo2",
+        "embedding": [0.0, 1.0, 0.0, 0.0],
+    })
+    assert up2["status"] == 200 and up2["data"]["version"] == 2
+    # reference raises ValidationError (422) for doc-not-in-library
+    assert f.upsert_chunk("R1", "D", {"text": "x", "position": 0})["status"] == 422
+    assert f.upsert_chunk("R0", "ghost", {"text": "x", "position": 0})["status"] == 422
+    # missing library → 404 before the doc check
+    assert f.upsert_chunk("ghost", "D", {"text": "x", "position": 0})["status"] == 404
+    # dim mismatch → 422
+    assert f.upsert_chunk("R0", "D", {
+        "text": "bad", "position": 1, "embedding": [1.0],
+    })["status"] == 422
+    # unknown DTO field → 422 (extra='forbid' parity)
+    assert f.upsert_chunk("R0", "D", {"text": "x", "position": 0, "nope": 1})["status"] == 422
+
+    # -- DELETE chunk -------------------------------------------------------
+    assert f.delete_chunk("R0", "D", cid)["status"] == 204
+    assert f.get_chunk(cid)["status"] == 404
+    # silent no-op on missing chunk / wrong library → still 204
+    assert f.delete_chunk("R0", "D", "ghost-chunk")["status"] == 204
+    assert f.delete_chunk("R1", "D", cid)["status"] == 204
+
+    # -- GET /libraries page ------------------------------------------------
+    page = f.list_libraries(limit=2)
+    assert page["status"] == 200
+    assert [it["id"] for it in page["data"]["items"]] == ["R0", "R1"]
+    assert page["data"]["page"] == {"limit": 2, "offset": 0, "has_more": True}
+    page2 = f.list_libraries(offset=2, limit=2)
+    assert [it["id"] for it in page2["data"]["items"]] == ["R2"]
+    assert page2["data"]["page"]["has_more"] is False
+    assert f.list_libraries(limit=0)["status"] == 422  # Query(gt=0) parity
+    assert f.list_libraries(limit=1001)["status"] == 422
+    assert f.list_libraries(offset=-1)["status"] == 422
+
+    # -- POST rebuild-index (no config change) ------------------------------
+    assert f.upsert_chunk("R0", "D", {
+        "id": "k1", "position": 1, "text": "keep",
+        "embedding": [1.0, 0.0, 0.0, 0.0],
+    })["status"] == 200
+    rb = f.rebuild_index("R0")
+    assert rb["status"] == 200
+    assert rb["data"]["library_id"] == "R0"
+    assert rb["data"]["index_type"] == "flat"  # stored config re-applied
+    assert "rebuild_at" in rb["data"]
+    assert f.rebuild_index("ghost")["status"] == 404
+    # rebuild under a non-default stored config keeps that config's type
+    assert f.update_index_config(
+        "R0", {"type": "lsh", "params": {"hyperplanes_per_table": 4}}
+    )["status"] == 200
+    rb2 = f.rebuild_index("R0")
+    assert rb2["data"]["index_type"] == "lsh"
+    # the rebuilt index still serves
+    hits = f.search("R0", {"query_embedding": [1.0, 0.0, 0.0, 0.0], "k": 1})
+    assert hits["status"] == 200 and hits["data"]["hits"][0]["chunk_id"] == "k1"

@@ -285,3 +285,137 @@ def test_move_and_delete_cascade(engine):
     assert engine.store.read("chunks").count() == 0
     with pytest.raises(NotFoundError):
         engine.search("libB", [1.0, 0, 0, 0])
+
+
+# -- copy-on-write manifest snapshots (VERDICT r5 #1) ------------------------
+
+def _partition_inventory(root, table, manifest, key):
+    """(relpath, {file: (size, mtime)}) for one partition's physical dir."""
+    rel = manifest[key]
+    base = os.path.join(root, table, rel)
+    files = {}
+    for dirp, _, fs in os.walk(base):
+        for f in fs:
+            p = os.path.join(dirp, f)
+            files[os.path.relpath(p, base)] = (
+                os.path.getsize(p), os.path.getmtime(p)
+            )
+    return rel, files
+
+
+def test_cow_upsert_rewrites_only_touched_partition(spark, tmp_path):
+    """An upsert touching 1 of 10 libraries leaves the other 9 partitions'
+    files byte-identical AND physically shared (same directories referenced)
+    between snapshot N and N+1 — the O(touched) mutation contract."""
+    root = str(tmp_path / "cow")
+    eng = Engine(spark, root)
+    libs = [f"L{i:02d}" for i in range(10)]
+    for lib in libs:
+        eng.create_library(lib, 4, library_id=lib)
+        eng.create_document(lib, document_id=f"doc-{lib}")
+    # one bulk write per library → every partition has data
+    for lib in libs:
+        eng.upsert_chunks(
+            lib,
+            _chunk_rows(
+                spark,
+                [(f"{lib}-c0", lib, f"doc-{lib}", 0, "seed", [1.0, 0.0, 0.0, 0.0])],
+            ),
+        )
+    store = eng.store
+    v_before = store.current_version("chunks")
+    man_before = store.load_manifest("chunks", v_before)
+    before = {
+        lib: _partition_inventory(root, "chunks", man_before, lib)
+        for lib in libs
+    }
+
+    eng.upsert_chunks(
+        "L03",
+        _chunk_rows(
+            spark, [("L03-c1", "L03", "doc-L03", 1, "new", [0.0, 1.0, 0.0, 0.0])]
+        ),
+    )
+
+    v_after = store.current_version("chunks")
+    assert v_after == v_before + 1
+    man_after = store.load_manifest("chunks", v_after)
+    for lib in libs:
+        rel_b, files_b = before[lib]
+        rel_a, files_a = _partition_inventory(root, "chunks", man_after, lib)
+        if lib == "L03":
+            assert rel_a != rel_b  # touched partition moved to the new gen
+            assert rel_a.startswith(f"v={v_after}/")
+        else:
+            # physically shared: SAME directory referenced by both manifests,
+            # every file byte-identical (size+mtime untouched)
+            assert rel_a == rel_b
+            assert files_a == files_b
+    # both snapshots remain independently readable (snapshot isolation)
+    assert store.read("chunks").count() == 11
+
+
+def test_cow_vacuum_reclaims_only_unreferenced_partitions(spark, tmp_path):
+    """After N single-library mutations, vacuum(keep=1) drops superseded
+    partition dirs but never a directory the live manifest references."""
+    root = str(tmp_path / "vac")
+    eng = Engine(spark, root)
+    for lib in ("A", "B", "C"):
+        eng.create_library(lib, 4, library_id=lib)
+        eng.create_document(lib, document_id=f"d{lib}")
+        eng.upsert_chunks(
+            lib,
+            _chunk_rows(spark, [(f"{lib}0", lib, f"d{lib}", 0, "x", [1.0, 0.0, 0.0, 0.0])]),
+        )
+    # rewrite A twice → A's early generations become unreferenced
+    for i in (1, 2):
+        eng.upsert_chunks(
+            "A",
+            _chunk_rows(spark, [(f"A{i}", "A", "dA", i, "x", [1.0, 0.0, 0.0, 0.0])]),
+        )
+    store = eng.store
+    live = store.current_version("chunks")
+    man = store.load_manifest("chunks", live)
+    removed = store.vacuum("chunks", keep=1)
+    assert removed  # old snapshots dropped
+    # every live-referenced dir survives; table reads back intact
+    for rel in man.values():
+        assert os.path.isdir(os.path.join(root, "chunks", rel)), rel
+    assert store.read("chunks").count() == 5  # A0..A2 + B0 + C0
+    # A's superseded generation dirs are gone
+    for v in removed:
+        gen_dir = os.path.join(root, "chunks", f"v={v}")
+        if os.path.isdir(gen_dir):
+            # any surviving subdir must still be referenced by the live manifest
+            for sub in os.listdir(gen_dir):
+                if os.path.isdir(os.path.join(gen_dir, sub)):
+                    assert f"v={v}/{sub}" in set(man.values())
+
+
+def test_cas_conflict_collect_is_bounded(spark, tmp_path):
+    """VERDICT r5 #5: a large all-conflict CAS batch must not haul itself to
+    the driver — the 409 carries ≤ CAS_CONFLICT_SAMPLE rows + exact count."""
+    root = str(tmp_path / "cas")
+    eng = Engine(spark, root)
+    eng.create_library("L", 4, library_id="L")
+    eng.create_document("L", document_id="d")
+    eng.upsert_chunks(
+        "L",
+        _chunk_rows(
+            spark,
+            [(f"c{i}", "L", "d", i, "t", [1.0, 0.0, 0.0, 0.0]) for i in range(200)],
+        ),
+    )
+    n = 10_000
+    upd = eng.spark.range(n).select(
+        F.concat(F.lit("c"), F.col("id")).alias("id"),
+        F.lit("nope").alias("text"),
+        F.lit(99).alias("expected_version"),
+    )
+    with pytest.raises(ConflictError) as ei:
+        eng.update_chunks_cas(upd)
+    err = ei.value
+    assert err.conflict_count == n
+    assert len(err.conflicts) <= Engine.CAS_CONFLICT_SAMPLE
+    # conflicted rows left the stored table untouched
+    assert eng.store.read("chunks").filter(F.col("text") == "nope").count() == 0

@@ -31,7 +31,7 @@ def test_vocabulary_ranks_and_coverage(docs):
 
 def test_bpe_merges_classic_example(docs):
     """The Sennrich toy corpus: frequent word-final patterns merge first."""
-    merges = TK.learn_bpe_merges(docs, n_merges=8)
+    merges = TK.learn_bpe_merges(docs, n_merges=8, allow_unbounded=True)
     assert len(merges) == 8
     # 'lo' appears in low(5)+lower(2)=7 words; it must merge before any
     # pattern unique to 'newest' (count 5)
@@ -39,7 +39,7 @@ def test_bpe_merges_classic_example(docs):
     first_counts_ok = merges[0] in {("l", "o"), ("e", "s"), ("s", "t"), ("n", "e"), ("w", "e")}
     assert first_counts_ok
     # determinism
-    assert merges == TK.learn_bpe_merges(docs, n_merges=8)
+    assert merges == TK.learn_bpe_merges(docs, n_merges=8, allow_unbounded=True)
 
 
 def test_vocabulary_min_count_coverage_denominator(docs):
@@ -55,7 +55,7 @@ def test_bpe_merges_max_words_bounds_the_collect(docs):
     # the full table here is 4 words; a cap >= 4 is exact, and a tight cap
     # still learns the merges supported by the surviving words
     assert TK.learn_bpe_merges(docs, n_merges=8, max_words=100) == \
-        TK.learn_bpe_merges(docs, n_merges=8)
+        TK.learn_bpe_merges(docs, n_merges=8, allow_unbounded=True)
     # a tight cap behaves exactly as if the corpus held only the top words
     # (low 5, newest 5 — the count-desc, word-asc head of the table)
     top2 = TK.learn_bpe_merges(docs, n_merges=4, max_words=2)
@@ -63,11 +63,11 @@ def test_bpe_merges_max_words_bounds_the_collect(docs):
         [(1, "low low low low low"), (2, "newest newest newest newest newest")],
         "doc_id bigint, text string",
     )
-    assert top2 == TK.learn_bpe_merges(survivors, n_merges=4)
+    assert top2 == TK.learn_bpe_merges(survivors, n_merges=4, allow_unbounded=True)
 
 
 def test_apply_bpe_roundtrip(docs):
-    merges = TK.learn_bpe_merges(docs, n_merges=30)
+    merges = TK.learn_bpe_merges(docs, n_merges=30, allow_unbounded=True)
     out = {r["doc_id"]: r for r in TK.apply_bpe(docs, merges).collect()}
     # with enough merges every whole word becomes a single token (+</w>)
     toks1 = out[1]["bpe_tokens"]
@@ -115,4 +115,14 @@ def test_bpe_merge_loop_matches_reference_implementation(docs):
                     out.append(sym[i]); i += 1
             nv[tuple(out)] = nv.get(tuple(out), 0) + c
         vocab = nv
-    assert TK.learn_bpe_merges(docs, n_merges=8) == merges_ref
+    assert TK.learn_bpe_merges(docs, n_merges=8, allow_unbounded=True) == merges_ref
+
+
+def test_bpe_requires_vocab_cap(spark):
+    """VERDICT r5 #6: uncapped BPE training collects the whole distinct-word
+    table to the driver — refuse unless max_words is set or the caller
+    explicitly opts out (allow_unbounded=True, the allow_full_cross
+    contract)."""
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_words"):
+        TK.learn_bpe_merges(docs, n_merges=2)

@@ -92,6 +92,59 @@ class Facade:
             if not c.get("text"):
                 raise ValidationError("chunk.text must be non-empty")
 
+    def upsert_chunk(self, library_id: str, document_id: str, body: dict) -> dict:
+        """routers/chunks.py:62-77 POST /libraries/{lib}/documents/{doc}/chunks
+        — create or update ONE chunk (id optional). Returns the chunk id;
+        the reference returns the full ChunkOut, so the created row is
+        echoed back via the point get."""
+        try:
+            self._validate_chunks([body])
+            chunk_id = self.engine.upsert_chunk(library_id, document_id, body)
+            got = self.get_chunk(chunk_id)
+            return _ok(got.get("data", {"id": chunk_id}), 200)
+        except EngineError as e:
+            return _err(e)
+
+    def delete_chunk(self, library_id: str, document_id: str, chunk_id: str) -> dict:
+        """routers/chunks.py:95-107 DELETE .../chunks/{chunk_id} — 204
+        always (missing or wrong-library chunk is a silent no-op,
+        services/chunk.py:120-122). ``document_id`` is part of the route
+        shape only; the reference ignores it for the lookup too."""
+        try:
+            self.engine.delete_chunk(library_id, chunk_id)
+            return _ok(None, 204)
+        except EngineError as e:
+            return _err(e)
+
+    def list_libraries(self, offset: int = 0, limit: int = 50) -> dict:
+        """routers/libraries.py:62-82 GET /libraries — Page + has_more."""
+        try:
+            if not (0 < limit <= 1000) or offset < 0:
+                raise ValidationError("limit must be in (0, 1000] and offset >= 0")
+            page, has_more = self.engine.list_libraries(offset=offset, limit=limit)
+            return _ok({
+                "items": [r.asDict(recursive=True) for r in page.collect()],
+                "page": {"limit": limit, "offset": offset, "has_more": has_more},
+            })
+        except EngineError as e:
+            return _err(e)
+
+    def rebuild_index(self, library_id: str) -> dict:
+        """routers/libraries.py:110-123 POST /libraries/{id}/rebuild-index —
+        rebuild under the CURRENT config (no config change), returning
+        {library_id, index_type, rebuild_at}."""
+        try:
+            from datetime import datetime, timezone
+
+            desc = self.engine.rebuild_index(library_id)
+            return _ok({
+                "library_id": library_id,
+                "index_type": desc["type"],
+                "rebuild_at": datetime.now(timezone.utc).isoformat(),
+            })
+        except EngineError as e:
+            return _err(e)
+
     def bulk_upsert_chunks(self, library_id: str, chunks: list[dict]) -> dict:
         """routers/chunks.py:79-92 — JSON chunk list → validated batch."""
         try:

@@ -19,6 +19,10 @@ Reference route parity:
 - DELETE /libraries/{id}/documents/{doc}    → Facade.delete_document
 - POST   /libraries/{id}/documents/{doc}:move → Facade.move_document
 - PATCH  /documents/{id}/metadata           → Facade.update_document_metadata
+- GET    /libraries                         → Facade.list_libraries
+- POST   /libraries/{id}/rebuild-index      → Facade.rebuild_index
+- POST   /libraries/{id}/documents/{doc}/chunks → Facade.upsert_chunk
+- DELETE /libraries/{id}/documents/{doc}/chunks/{chunk} → Facade.delete_chunk
 - POST   /libraries/{id}/chunks             → Facade.bulk_upsert_chunks
 - GET    /documents/{id}                    → Facade.get_document
 - GET    /chunks/{id}                       → Facade.get_chunk
@@ -91,6 +95,30 @@ def create_app(facade: Facade):
                 library_id, offset=offset, limit=limit, has_tag=has_tag
             ),
             response,
+        )
+
+    @app.get("/libraries")
+    def list_libraries(response: Response, offset: int = 0, limit: int = 50):
+        return _reply(facade.list_libraries(offset=offset, limit=limit), response)
+
+    @app.post("/libraries/{library_id}/rebuild-index")
+    def rebuild_index(library_id: str, response: Response):
+        return _reply(facade.rebuild_index(library_id), response)
+
+    @app.post("/libraries/{library_id}/documents/{document_id}/chunks")
+    def upsert_chunk(
+        library_id: str, document_id: str, body: dict, response: Response
+    ):
+        return _reply(facade.upsert_chunk(library_id, document_id, body), response)
+
+    @app.delete(
+        "/libraries/{library_id}/documents/{document_id}/chunks/{chunk_id}"
+    )
+    def delete_chunk(
+        library_id: str, document_id: str, chunk_id: str, response: Response
+    ):
+        return _reply(
+            facade.delete_chunk(library_id, document_id, chunk_id), response
         )
 
     @app.post("/libraries/{library_id}/chunks")

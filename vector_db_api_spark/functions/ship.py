@@ -48,10 +48,19 @@ class _LocalModel:
     def get(self) -> np.ndarray:
         return self._v
 
+    def release(self) -> None:
+        """No-op for closure capture (symmetry with _BroadcastModel)."""
+
 
 class _BroadcastModel:
     """Broadcast-backed model: the closure carries only the broadcast id;
-    executors fetch the blob once and every task derefs the local copy."""
+    executors fetch the blob once and every task derefs the local copy.
+
+    Lifecycle (ADVICE r5): broadcasts live on driver + executors until
+    destroyed, so a RESIDENT service calling per-query operators must
+    ``release()`` the handle once the last job using it finishes —
+    otherwise blobs accumulate for the life of the SparkContext. Batch
+    jobs can skip it (context teardown reclaims everything)."""
 
     __slots__ = ("_b",)
     is_broadcast = True
@@ -61,6 +70,15 @@ class _BroadcastModel:
 
     def get(self) -> np.ndarray:
         return self._b.value
+
+    def release(self) -> None:
+        """Remove the broadcast blob from driver and executors. Safe to call
+        once no in-flight job references the handle; idempotent."""
+        try:
+            self._b.unpersist(blocking=False)
+            self._b.destroy(blocking=False)
+        except Exception:  # already destroyed / context gone
+            pass
 
 
 def ship_model(

@@ -158,8 +158,18 @@ class PQIndex:
             )
         dsub = len(rows[0]["vec"])
         books = np.empty((m, k, dsub), dtype=np.float64)
+        # a duplicated (subspace, codeword) pair + a missing one passes the
+        # row-count check but would leave np.empty garbage in the gap,
+        # silently corrupting decode/ADC — track fills and refuse (ADVICE r5)
+        seen: set[tuple[int, int]] = set()
         for r in rows:
-            books[r["subspace"], r["codeword"]] = r["vec"]
+            pos = (r["subspace"], r["codeword"])
+            if pos[0] < 0 or pos[1] < 0:  # would wrap under numpy indexing
+                raise ValueError(f"negative codebook position {pos}")
+            if pos in seen:
+                raise ValueError(f"duplicate codebook entry {pos}")
+            seen.add(pos)
+            books[pos] = r["vec"]
         return cls(books)
 
     # -- encode ----------------------------------------------------------

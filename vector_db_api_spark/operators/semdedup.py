@@ -205,6 +205,15 @@ def semdedup_dropped_numpy(
       survivors means a duplicate storm collapses to ONE keeper even when
       k-means splits it across subcells (brute-force-matching drop set on
       storm geometries; pinned in tests).
+
+      EXACTNESS CAVEAT (setting the cap weakens the twin contract): with
+      ``max_cell_size`` unset the drop set is identical to the unsplit
+      operator's; with it set, the split can UNDER-drop — a row whose only
+      ε-evidence was itself dropped inside another subcell escapes the
+      cross-subcell survivor pass (requires i~j, j~k, i≁k with exactly
+      that priority order, which is not a near-duplicate geometry). Use
+      the cap as the bounded-memory scale valve, not when bit-exact twin
+      parity is being asserted.
     """
     import numpy as np
     import pandas as pd

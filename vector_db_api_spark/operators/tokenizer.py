@@ -68,6 +68,7 @@ def learn_bpe_merges(
     text_col: str = "text",
     end_of_word: str = "</w>",
     max_words: int | None = None,
+    allow_unbounded: bool = False,
 ) -> list[tuple[str, str]]:
     """Learn BPE merges (Sennrich et al. 2016) from the corpus: greedy —
     repeatedly merge the most frequent adjacent symbol pair, weighted by
@@ -80,9 +81,20 @@ def learn_bpe_merges(
     table is itself 10^7-10^8 rows — set ``max_words`` to collect only the
     top-N words by (count desc, word asc): the dropped tail is the
     frequency floor, which contributes negligibly to pair counts (this is
-    how production BPE trainers bound the driver-side dict too). Default
-    None keeps the exact full-table behavior for fixture-scale corpora.
+    how production BPE trainers bound the driver-side dict too).
+
+    The cap is REQUIRED (VERDICT r5 #6): an uncapped call on a web corpus
+    collects the whole distinct-word table to the driver. Exact full-table
+    training for fixture-scale corpora must opt in explicitly with
+    ``allow_unbounded=True`` (the same contract as dedup's
+    ``allow_full_cross``).
     """
+    if max_words is None and not allow_unbounded:
+        raise ValueError(
+            "learn_bpe_merges collects the distinct-word frequency table to "
+            "the driver; set max_words=<N> to bound it, or pass "
+            "allow_unbounded=True if the corpus is known to be small"
+        )
     wc_df = (
         docs.select(
             F.explode(F.split(T.normalize_text(text_col), " ")).alias("w")

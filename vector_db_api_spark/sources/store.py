@@ -1,34 +1,56 @@
-"""Parquet-backed entity store with versioned tables and atomic publish.
+"""Parquet-backed entity store: versioned MANIFEST snapshots with
+partition-scoped copy-on-write and atomic pointer-flip publish.
 
 The reference keeps entities in in-memory dicts behind RW locks
-(repos/libraries.py:8, repos/documents.py:8-9, repos/chunks.py:8-10). On
-Spark the equivalent durable design is:
+(repos/libraries.py:8, repos/documents.py:8-9, repos/chunks.py:8-10), and its
+per-library write lock (services/chunk.py:87-88) already scopes every chunk
+mutation to ONE library. On Spark the durable equivalent is:
 
-- one directory per table, containing immutable versioned snapshots
-  ``<root>/<table>/v=<N>/`` written by normal parquet jobs;
-- a tiny JSON pointer file ``<root>/<table>/_CURRENT`` naming the live
-  version, rewritten atomically (write temp + ``os.replace``) AFTER the
-  snapshot commit — the reference's ``registry.swap`` (registry.py:33-35)
-  generalized to data;
-- readers resolve the pointer once per query → snapshot isolation for free
-  (the reference needs locks for this; immutable snapshots don't).
+- physical data lives in immutable generation directories
+  ``<root>/<table>/v=<N>/<part>=<value>/`` written by normal parquet jobs;
+- snapshot ``N`` is a tiny JSON **manifest**
+  ``<root>/<table>/_manifests/v=<N>.json`` mapping each partition value to
+  the generation subdirectory holding its current data — entries may point
+  at OLDER generations (copy-on-write: a mutation writes only the partitions
+  its rows touch and re-references the rest);
+- a JSON pointer file ``<root>/<table>/_CURRENT`` names the live version,
+  rewritten atomically (write temp + ``os.replace``) AFTER the manifest —
+  the reference's ``registry.swap`` (indexing/registry.py:33-35) generalized
+  to data.
 
-Crash-safety: a failure mid-write leaves a dangling ``v=N+1`` directory and
-an untouched pointer — the live table is never corrupt. ``vacuum`` removes
-unreferenced versions.
+Why manifests matter at 100 TB: the previous design republished a FULL table
+snapshot per mutation, so a one-chunk upsert on a 100 TB ``chunks`` table
+rewrote 100 TB. With manifests, ``write_partitions`` rewrites only the
+touched ``library_id`` partitions (KBs–GBs) and the new manifest re-points
+every untouched partition at its existing files — the write cost is
+O(touched partitions), never O(table).
+
+Crash-safety: a failure mid-write leaves a dangling ``v=N+1`` generation
+and/or manifest with an untouched pointer — the live table is never corrupt.
+``vacuum`` removes old manifests and any partition directory no remaining
+manifest references.
+
+Snapshot isolation: readers resolve the pointer once per query and then read
+immutable files; concurrent mutations publish new manifests without touching
+the files an in-flight reader holds (the reference needs locks for this;
+immutable generations don't).
 
 Schema DDL follows SURVEY.md §1.3 (models/entities.py:12-60,
-models/metadata.py:7-26). ``chunks`` is partitioned by ``library_id`` — the
-reference's ``_by_library`` secondary index (repos/chunks.py:9-10) becomes
-partition pruning.
+models/metadata.py:7-26). ``chunks``/``documents`` are partitioned by
+``library_id`` — the reference's ``_by_library`` secondary index
+(repos/chunks.py:9-10) becomes manifest-level partition pruning:
+``read(table, partitions=[lib])`` lists only that library's directories.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 import time
+from functools import reduce
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -62,9 +84,30 @@ CHUNKS_DDL = (
 TABLE_DDL = {"libraries": LIBRARIES_DDL, "documents": DOCUMENTS_DDL, "chunks": CHUNKS_DDL}
 PARTITION_COLS = {"chunks": ["library_id"], "documents": ["library_id"]}
 
+_ALL = "__ALL__"  # manifest key for non-partitioned tables: whole generation
+
+
+def _ddl_field_names(ddl: str) -> list[str]:
+    """Top-level field names of a DDL string (used to normalize column order
+    across generation scans, where partition columns come back last)."""
+    names, depth, token = [], 0, []
+    for ch in ddl:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            names.append("".join(token).strip().split()[0])
+            token = []
+        else:
+            token.append(ch)
+    if token:
+        names.append("".join(token).strip().split()[0])
+    return names
+
 
 class EntityStore:
-    """Versioned parquet tables with atomic pointer-flip publish."""
+    """Versioned manifest snapshots with partition-scoped copy-on-write."""
 
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
@@ -78,6 +121,9 @@ class EntityStore:
 
     def _pointer_path(self, table: str) -> str:
         return os.path.join(self._table_dir(table), "_CURRENT")
+
+    def _manifest_path(self, table: str, version: int) -> str:
+        return os.path.join(self._table_dir(table), "_manifests", f"v={version}.json")
 
     def current_version(self, table: str) -> int | None:
         try:
@@ -95,55 +141,245 @@ class EntityStore:
             json.dump({"version": version, "published_at": time.time()}, f)
         os.replace(tmp, self._pointer_path(table))
 
-    # -- read / write -------------------------------------------------------
+    # -- manifests ----------------------------------------------------------
 
-    def read(self, table: str) -> DataFrame:
+    def _write_manifest(self, table: str, version: int, partitions: dict) -> None:
+        mdir = os.path.dirname(self._manifest_path(table, version))
+        os.makedirs(mdir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=mdir, prefix="_m.")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"partitions": partitions, "written_at": time.time()}, f)
+        os.replace(tmp, self._manifest_path(table, version))
+
+    def load_manifest(self, table: str, version: int) -> dict:
+        """Partition-value → generation-relative data path for a snapshot.
+        Falls back to synthesizing one from a pre-manifest ``v=N`` directory
+        (legacy full-snapshot layout) so old stores stay readable."""
+        try:
+            with open(self._manifest_path(table, version)) as f:
+                return json.load(f)["partitions"]
+        except FileNotFoundError:
+            gen = f"v={version}"
+            legacy = os.path.join(self._table_dir(table), gen)
+            if not os.path.isdir(legacy):
+                return {}
+            parts = PARTITION_COLS.get(table)
+            if parts:
+                return self._scan_generation(table, gen, parts)
+            return {_ALL: gen}
+
+    def _scan_generation(self, table: str, gen: str, parts: list[str]) -> dict:
+        """Enumerate ``<part>=<value>`` subdirs a partitioned write produced.
+        Values are unescaped from Spark's %-escaped dir names."""
+        gdir = os.path.join(self._table_dir(table), gen)
+        prefix = parts[0] + "="
+        out = {}
+        if os.path.isdir(gdir):
+            for name in sorted(os.listdir(gdir)):
+                if name.startswith(prefix) and os.path.isdir(os.path.join(gdir, name)):
+                    out[unquote(name[len(prefix):])] = f"{gen}/{name}"
+        return out
+
+    # -- read ---------------------------------------------------------------
+
+    def _empty(self, table: str) -> DataFrame:
+        return self.spark.createDataFrame([], TABLE_DDL[table])
+
+    def read(self, table: str, partitions: list | None = None) -> DataFrame:
+        """Current snapshot as a DataFrame. ``partitions`` restricts the scan
+        to the named partition values at MANIFEST level — only those
+        directories are listed/opened, the store-level analogue of static
+        partition pruning (the reference's ``_by_library`` index lookup)."""
         v = self.current_version(table)
         if v is None:
-            return self.spark.createDataFrame([], TABLE_DDL[table])
-        # Explicit schema: an emptied table writes a snapshot with no part
-        # files (Spark writes nothing for empty partitioned frames), which
-        # would otherwise fail schema inference on read-back.
-        return (
-            self.spark.read.schema(TABLE_DDL[table])
-            .parquet(os.path.join(self._table_dir(table), f"v={v}"))
-        )
+            return self._empty(table)
+        manifest = self.load_manifest(table, v)
+        if partitions is not None and _ALL not in manifest:
+            wanted = {str(p) for p in partitions}
+            manifest = {k: p for k, p in manifest.items() if k in wanted}
+        if not manifest:
+            return self._empty(table)
+
+        ddl = TABLE_DDL[table]
+        tdir = self._table_dir(table)
+        if _ALL in manifest:
+            # Non-partitioned (or legacy) snapshot: one directory scan.
+            # Explicit schema: an emptied table may have no part files.
+            df = self.spark.read.schema(ddl).parquet(
+                os.path.join(tdir, manifest[_ALL])
+            )
+            return df.select(*_ddl_field_names(ddl))
+
+        # Copy-on-write snapshot: entries may span several generations; each
+        # generation is one scan with basePath so the partition column is
+        # recovered from the dir name, then the scans union (same schema).
+        by_gen: dict[str, list[str]] = {}
+        for rel in manifest.values():
+            by_gen.setdefault(rel.split("/", 1)[0], []).append(rel)
+        frames = []
+        for gen in sorted(by_gen):
+            paths = [os.path.join(tdir, rel) for rel in sorted(by_gen[gen])]
+            frames.append(
+                self.spark.read.schema(ddl)
+                .option("basePath", os.path.join(tdir, gen))
+                .parquet(*paths)
+            )
+        cols = _ddl_field_names(ddl)
+        return reduce(DataFrame.unionByName, [f.select(*cols) for f in frames])
+
+    # -- write --------------------------------------------------------------
 
     def write(self, table: str, df: DataFrame) -> int:
-        """Write the table's next snapshot, then atomically flip the pointer.
-
-        Readers resolving the old pointer keep a consistent snapshot; new
-        readers see the new version — the reference's atomic registry swap
-        (indexing/registry.py:33-35) applied to data tables.
-        """
+        """FULL rewrite: next generation holds the whole table, manifest maps
+        every partition into it, pointer flips. Readers resolving the old
+        pointer keep a consistent snapshot (atomic registry swap,
+        indexing/registry.py:33-35, applied to data). Use
+        ``write_partitions`` for mutations — full rewrites are for bootstrap,
+        tiny tables (``libraries``), and compaction."""
         cur = self.current_version(table)
         nxt = 1 if cur is None else cur + 1
-        path = os.path.join(self._table_dir(table), f"v={nxt}")
+        gen = f"v={nxt}"
+        path = os.path.join(self._table_dir(table), gen)
         writer = df.write.mode("errorifexists")
         parts = PARTITION_COLS.get(table)
         if parts and all(p in df.columns for p in parts):
             writer = writer.partitionBy(*parts)
-        writer.parquet(path)
+            writer.parquet(path)
+            manifest = self._scan_generation(table, gen, parts)
+        else:
+            writer.parquet(path)
+            manifest = {_ALL: gen}
+        self._write_manifest(table, nxt, manifest)
         self._flip(table, nxt)
         return nxt
 
-    def vacuum(self, table: str, keep: int = 2) -> list[int]:
-        """Drop snapshot dirs older than the newest ``keep`` (never the
-        live one). Returns removed versions."""
-        import shutil
+    def write_partitions(self, table: str, df: DataFrame, touched: list) -> int:
+        """Partition-scoped copy-on-write publish — the O(touched) mutation
+        path. ``df`` is the complete NEW content of the ``touched``
+        partition values (possibly empty → those partitions are dropped);
+        every other partition is re-referenced from the previous manifest
+        without its files being read, copied, or rewritten.
 
+        This is what makes a single-chunk upsert on a 100 TB table a
+        KB-scale write: the reference's per-library write lock
+        (services/chunk.py:87-88) already promises mutations are scoped to
+        one library, and the manifest turns that promise into IO.
+
+        Safety: rows landing outside ``touched`` would silently vanish on
+        the next read (their partition entry still points at old data), so
+        the written generation is checked against ``touched`` and the
+        publish is aborted — generation removed, pointer untouched — on any
+        stray partition.
+        """
+        parts = PARTITION_COLS.get(table)
+        if not parts:
+            raise ValueError(f"table {table!r} is not partitioned; use write()")
+        cur = self.current_version(table)
+        nxt = 1 if cur is None else cur + 1
+        old = {} if cur is None else self.load_manifest(table, cur)
+        if _ALL in old:  # legacy whole-dir snapshot of a partitioned table
+            old = self._scan_generation(table, old[_ALL], parts)
+
+        gen = f"v={nxt}"
+        path = os.path.join(self._table_dir(table), gen)
+        df.write.mode("errorifexists").partitionBy(*parts).parquet(path)
+        fresh = self._scan_generation(table, gen, parts)
+        touched_keys = {str(t) for t in touched}
+        stray = set(fresh) - touched_keys
+        if stray:
+            shutil.rmtree(path, ignore_errors=True)
+            raise ValueError(
+                f"write_partitions: rows outside touched partitions {sorted(stray)}"
+            )
+        manifest = {k: p for k, p in old.items() if k not in touched_keys}
+        manifest.update(fresh)
+        self._write_manifest(table, nxt, manifest)
+        self._flip(table, nxt)
+        return nxt
+
+    # -- maintenance --------------------------------------------------------
+
+    def versions(self, table: str) -> list[int]:
+        """Snapshot versions with a manifest (plus legacy ``v=N`` dirs that
+        predate manifests)."""
+        tdir = self._table_dir(table)
+        found = set()
+        mdir = os.path.join(tdir, "_manifests")
+        if os.path.isdir(mdir):
+            for name in os.listdir(mdir):
+                if name.startswith("v=") and name.endswith(".json"):
+                    core = name[2:-5]
+                    if core.isdigit():
+                        found.add(int(core))
+        if os.path.isdir(tdir):  # legacy dirs count only below the live version
+            live = self.current_version(table) or 0
+            for name in os.listdir(tdir):
+                if name.startswith("v=") and name[2:].isdigit():
+                    v = int(name[2:])
+                    if v <= live and v not in found:
+                        found.add(v)
+        return sorted(found)
+
+    def vacuum(self, table: str, keep: int = 2) -> list[int]:
+        """Drop snapshots older than the newest ``keep`` (never the live
+        one), then reclaim every partition directory no surviving manifest
+        references. Returns removed snapshot versions.
+
+        Copy-on-write makes this reference-counted at partition granularity:
+        a generation dir survives as long as ANY kept manifest points into
+        it; within a partially-superseded generation, only the superseded
+        partition subdirs are reclaimed.
+        """
         tdir = self._table_dir(table)
         if not os.path.isdir(tdir):
             return []
-        versions = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(tdir)
-            if d.startswith("v=") and d.split("=", 1)[1].isdigit()
-        )
+        versions = self.versions(table)
         live = self.current_version(table)
         removable = [v for v in versions[:-keep] if v != live] if keep else [
             v for v in versions if v != live
         ]
+        kept = [v for v in versions if v not in removable]
+
+        # 1. drop old manifests (and any same-version legacy full dirs that
+        #    no longer back a kept snapshot)
         for v in removable:
-            shutil.rmtree(os.path.join(tdir, f"v={v}"), ignore_errors=True)
+            try:
+                os.remove(self._manifest_path(table, v))
+            except FileNotFoundError:
+                pass
+
+        # 2. collect every path still referenced by a kept snapshot
+        referenced: set[str] = set()
+        whole_gens: set[str] = set()
+        for v in kept:
+            for rel in self.load_manifest(table, v).values():
+                referenced.add(rel)
+                if "/" not in rel:  # _ALL entry references the whole gen
+                    whole_gens.add(rel)
+
+        # 3. reclaim unreferenced partition subdirs / generation dirs.
+        #    Generations NEWER than the live version are left alone: they may
+        #    be a concurrent writer mid-publish, and crash leftovers there
+        #    are reclaimed on a later vacuum once live has passed them.
+        live_v = live or 0
+        for name in sorted(os.listdir(tdir)):
+            if not (name.startswith("v=") and name[2:].isdigit()):
+                continue
+            if int(name[2:]) > live_v or name in whole_gens:
+                continue
+            gdir = os.path.join(tdir, name)
+            for sub in sorted(os.listdir(gdir)):
+                subpath = os.path.join(gdir, sub)
+                if os.path.isdir(subpath) and f"{name}/{sub}" not in referenced:
+                    shutil.rmtree(subpath, ignore_errors=True)
+            if not any(
+                f"{name}/{sub}" in referenced for sub in os.listdir(gdir)
+                if os.path.isdir(os.path.join(gdir, sub))
+            ):
+                # nothing referenced inside → drop the generation shell
+                # (only loose _SUCCESS/marker files remain)
+                if not os.listdir(gdir) or all(
+                    not os.path.isdir(os.path.join(gdir, s)) for s in os.listdir(gdir)
+                ):
+                    shutil.rmtree(gdir, ignore_errors=True)
         return removable

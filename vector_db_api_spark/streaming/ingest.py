@@ -348,19 +348,106 @@ COMPACT_EPOCH = -1  # foreachBatch epochs are >= 0, so -1 can never collide
                     # with (or be overwritten by) a live ingest epoch
 
 
-def _swap_in(out: DataFrame, path: str, partition_by) -> None:
-    """Materialize ``out`` beside ``path`` then swap it in via two renames.
+def _state_pointer_version(path: str) -> int | None:
+    """Version named by ``<path>/_CURRENT``, or None for a flat layout."""
+    import json
+    import os
 
-    Spark cannot overwrite a path it is reading, so compaction writes to a
-    sibling tmp dir, renames the live dir aside, renames the tmp in, and
-    only THEN deletes the old data — a crash at any point leaves either
-    the old state live or recoverable at ``path + '__compact_old'`` (never
-    both gone; the old rmtree-then-rename had a window that lost the
-    table). Local-filesystem rename semantics; on HDFS use a FileSystem
-    rename equivalent, and on an object store write each compaction to a
-    NEW versioned prefix and flip a pointer instead — see DEPLOYMENT.md."""
+    try:
+        with open(os.path.join(path, "_CURRENT")) as f:
+            return json.load(f)["version"]
+    except (FileNotFoundError, json.JSONDecodeError, KeyError, NotADirectoryError):
+        return None
+
+
+def resolve_state_dir(path: str) -> str:
+    """The directory holding the LIVE state rows: ``<path>/v=<n>`` when a
+    pointer-mode compaction has run, else ``path`` itself (flat layout).
+    Pointer-aware readers go through this; the two layouts coexist because
+    the pointer file appears only after the first pointer-mode publish."""
+    import os
+
+    v = _state_pointer_version(path)
+    return path if v is None else os.path.join(path, f"v={v}")
+
+
+def read_state(spark: SparkSession, path: str) -> DataFrame:
+    """Pointer-aware state read (resolves :func:`resolve_state_dir` once —
+    snapshot isolation: a later compaction publishes a NEW ``v=`` dir and
+    flips the pointer without touching the files this reader listed)."""
+    return spark.read.parquet(resolve_state_dir(path))
+
+
+def vacuum_state(path: str, keep: int = 1) -> list[int]:
+    """Reclaim pointer-mode state versions older than the newest ``keep``
+    (never the live one). Flat-layout leftovers from before the first
+    pointer publish are left alone (they may back an in-flight reader that
+    resolved the path pre-pointer; remove them manually after a drain)."""
     import os
     import shutil
+
+    live = _state_pointer_version(path)
+    if live is None:
+        return []
+    versions = sorted(
+        int(d[2:]) for d in os.listdir(path)
+        if d.startswith("v=") and d[2:].isdigit()
+    )
+    removable = [v for v in versions[:-keep] if v != live] if keep else [
+        v for v in versions if v != live
+    ]
+    for v in removable:
+        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+    return removable
+
+
+def _swap_in(out: DataFrame, path: str, partition_by, mode: str = "rename") -> None:
+    """Materialize ``out`` and publish it as the live state at ``path``.
+
+    ``mode="rename"`` (default — LOCAL filesystems only): Spark cannot
+    overwrite a path it is reading, so compaction writes to a sibling tmp
+    dir, renames the live dir aside, renames the tmp in, and only THEN
+    deletes the old data — a crash at any point leaves either the old
+    state live or recoverable at ``path + '__compact_old'`` (never both
+    gone). Non-local schemes (hdfs://, s3a://…) are rejected BEFORE the
+    expensive tmp materialization (os.rename can't reach them; failing
+    after the write would leak the tmp prefix).
+
+    ``mode="pointer"`` (object-store-safe): each compaction writes a NEW
+    versioned prefix ``<path>/v=<n+1>`` and atomically flips
+    ``<path>/_CURRENT`` — the EntityStore publish pattern. No rename of
+    live data ever happens, so a reader that resolved the old version
+    keeps a consistent snapshot for as long as it needs; old versions are
+    reclaimed later by :func:`vacuum_state`. Readers must resolve through
+    :func:`resolve_state_dir` / :func:`read_state`.
+    """
+    import json
+    import os
+    import shutil
+    import tempfile
+    import time
+    from urllib.parse import urlparse
+
+    if mode == "pointer":
+        cur = _state_pointer_version(path)
+        nxt = 1 if cur is None else cur + 1
+        dest = os.path.join(path, f"v={nxt}")
+        writer = out.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(dest)
+        fd, tmp = tempfile.mkstemp(dir=path, prefix="_CURRENT.")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": nxt, "published_at": time.time()}, f)
+        os.replace(tmp, os.path.join(path, "_CURRENT"))
+        return
+    if mode != "rename":
+        raise ValueError(f"unknown publish mode {mode!r}")
+    if urlparse(path).scheme not in ("", "file"):
+        raise ValueError(
+            f"rename-mode compaction needs a local path, got {path!r}; "
+            "use mode='pointer' for object stores / HDFS"
+        )
 
     tmp = path.rstrip("/") + "__compact_tmp"
     old = path.rstrip("/") + "__compact_old"
@@ -380,6 +467,7 @@ def compact_epoch_state(
     path: str,
     id_col: str,
     partition_by: tuple[str, ...] = (),
+    mode: str = "rename",
 ) -> None:
     """Collapse an epoch-appended state table to its served rows, in place.
 
@@ -401,7 +489,7 @@ def compact_epoch_state(
     directory the live stream appends to. Cadence guidance in
     DEPLOYMENT.md.
     """
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(resolve_state_dir(path))
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
         raise ValueError(
@@ -409,7 +497,7 @@ def compact_epoch_state(
             "the layout first (e.g. streaming.dedup.migrate_semdedup_state)"
         )
     collapsed = latest_rows(df, id_col).withColumn("epoch", F.lit(COMPACT_EPOCH))
-    _swap_in(collapsed, path, ("epoch", *partition_by))
+    _swap_in(collapsed, path, ("epoch", *partition_by), mode=mode)
 
 
 def compact_kmv_state(
@@ -417,6 +505,7 @@ def compact_kmv_state(
     path: str,
     group_cols: list[str],
     k: int = 64,
+    mode: str = "rename",
 ) -> None:
     """Compaction for :func:`incremental_kmv_ingest` state: merge every
     epoch's sketches into one row per group (the KMV merge theorem makes
@@ -424,11 +513,11 @@ def compact_kmv_state(
     :data:`COMPACT_EPOCH`. ``served_kmv_estimates`` before == after."""
     from vector_db_api_spark.operators.sketches import kmv_merge_states
 
-    states = spark.read.parquet(path).drop("epoch")
+    states = spark.read.parquet(resolve_state_dir(path)).drop("epoch")
     merged = kmv_merge_states(states, group_cols, k=k).withColumn(
         "epoch", F.lit(COMPACT_EPOCH)
     )
-    _swap_in(merged, path, ("epoch",))
+    _swap_in(merged, path, ("epoch",), mode=mode)
 
 
 def incremental_kmv_ingest(
@@ -498,7 +587,7 @@ def served_kmv_estimates(
         kmv_merge_states,
     )
 
-    states = spark.read.parquet(state_path).drop("epoch")
+    states = read_state(spark, state_path).drop("epoch")
     merged = kmv_merge_states(states, group_cols, k=k)
     return merged.select(
         *group_cols, kmv_estimate("kmin", k=k).alias("est_distinct")
