@@ -40,15 +40,18 @@ MUST_BE_IN_WINDOW = {
                                 # join==literal equality test_lm.py pins)
     "stream_bm25_state",        # stream-built postings == batch oracle
     "stream_trending_state",    # stream-built rollup == batch oracle
-    # round-5 rotation (VERDICT r4 #3): the round-4 family's first
-    # driver-checked rows
+    # round-5 rotation survivors (one rep per class; quantile/histogram/
+    # canonical/profiler rotated out in r6 after their r5 driver-green rows)
     "events_distinct_kmv",      # KMV distinct sketch
-    "events_quantile_sketch",   # mergeable quantile sketch
-    "events_value_histogram",   # exact equi-width histogram
     "doc_quality_model_join",   # hashed linear quality classifier (join twin)
-    "dedup_canonical",          # canonical-copy selection
-    "events_table_profile",     # deterministic table profiler
     "stream_semdedup_state",    # continuous SemDeDup admission
+    # round-6 rotation (VERDICT r5 #3): the §2.9 ANN search family's first
+    # driver-checked rows
+    "lsh_search_top10",         # sign-LSH bucket probe + re-rank
+    "ivf_search_top10",         # IVF nprobe probe + re-rank
+    "ivf_search_filtered_top10",  # filtered IVF (predicate pushdown)
+    "pq_search_top10",          # PQ ADC scan + exact re-rank
+    "ivfpq_search_top10",       # IVF cell pruning × PQ compression
 }
 
 
