@@ -419,3 +419,66 @@ def test_cas_conflict_collect_is_bounded(spark, tmp_path):
     assert len(err.conflicts) <= Engine.CAS_CONFLICT_SAMPLE
     # conflicted rows left the stored table untouched
     assert eng.store.read("chunks").filter(F.col("text") == "nope").count() == 0
+
+
+def test_store_compact_collapses_generations(spark, tmp_path):
+    """After N single-library mutations the manifest spans several
+    generations (bounded by partition count); compact() collapses it to
+    one generation with identical content, and vacuum reclaims the rest."""
+    root = str(tmp_path / "cmp")
+    eng = Engine(spark, root)
+    for lib in ("A", "B", "C"):
+        eng.create_library(lib, 4, library_id=lib)
+        eng.create_document(lib, document_id=f"d{lib}")
+        eng.upsert_chunks(
+            lib,
+            _chunk_rows(spark, [(f"{lib}0", lib, f"d{lib}", 0, "x", [1.0, 0.0, 0.0, 0.0])]),
+        )
+    store = eng.store
+    man = store.load_manifest("chunks", store.current_version("chunks"))
+    gens_before = {rel.split("/", 1)[0] for rel in man.values()}
+    assert len(gens_before) == 3  # one generation per library's last write
+    def snap():
+        return sorted(str(r) for r in store.read("chunks").collect())
+
+    before = snap()
+    v = store.compact("chunks")
+    man2 = store.load_manifest("chunks", v)
+    gens_after = {rel.split("/", 1)[0] for rel in man2.values()}
+    assert gens_after == {f"v={v}"}  # single fresh generation
+    assert snap() == before
+    store.vacuum("chunks", keep=1)
+    assert snap() == before
+
+
+def test_concurrent_writers_cannot_both_publish(spark, tmp_path):
+    """Two writers racing from the same base version: both compute v=N+1;
+    the second write job fails on the existing generation dir
+    (errorifexists) BEFORE any pointer/manifest change — optimistic
+    concurrency with no torn snapshot (the reference serializes with a
+    per-library write lock; the store serializes at the generation dir)."""
+    root = str(tmp_path / "race")
+    eng = Engine(spark, root)
+    eng.create_library("L", 4, library_id="L")
+    eng.create_document("L", document_id="d")
+    store = eng.store
+    part = spark.createDataFrame(
+        [("x1", "L", "d", 0, "t", None, None, 1, None, None)],
+        "id string, library_id string, document_id string, position int, "
+        "text string, embedding array<float>, "
+        "metadata struct<source_uri:string,author:string,lang:string,"
+        "mime_type:string,tags:array<string>,page_number:int,token_count:int,"
+        "sha256:string>, version int, created_at timestamp, updated_at timestamp",
+    ).select(*[c for c in store.read("chunks").columns])
+    v1 = store.write_partitions("chunks", part, ["L"])
+    # writer B computed its plan against v1 but A publishes v2 first:
+    # simulate by pre-creating A's v2 generation, then B's publish must fail
+    v2 = store.write_partitions("chunks", part, ["L"])
+    assert v2 == v1 + 1
+    # roll the pointer back to v1 → next writer recomputes nxt = v2 (taken)
+    store._flip("chunks", v1)
+    with pytest.raises(Exception):  # Spark PATH_ALREADY_EXISTS
+        store.write_partitions("chunks", part, ["L"])
+    # pointer untouched by the failed publish; data still consistent
+    assert store.current_version("chunks") == v1
+    assert store.read("chunks").count() == 1

@@ -299,6 +299,16 @@ class EntityStore:
 
     # -- maintenance --------------------------------------------------------
 
+    def compact(self, table: str) -> int:
+        """Collapse a many-generation manifest into ONE fresh generation (a
+        full rewrite through :meth:`write`). Distinct referenced
+        generations are bounded by the partition count — each partition
+        points at the generation of its last rewrite — so this is optional
+        hygiene for listing speed / small-file cleanup, not a correctness
+        need. Superseded generations are reclaimed by the next
+        :meth:`vacuum`."""
+        return self.write(table, self.read(table))
+
     def versions(self, table: str) -> list[int]:
         """Snapshot versions with a manifest (plus legacy ``v=N`` dirs that
         predate manifests)."""
