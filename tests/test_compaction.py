@@ -351,3 +351,78 @@ def test_rename_mode_rejects_remote_scheme(spark, tmp_path):
         _swap_in(df, "hdfs://nn/warehouse/state", ("epoch",))
     with pytest.raises(ValueError, match="unknown publish mode"):
         _swap_in(df, str(tmp_path / "s"), ("epoch",), mode="banana")
+
+
+def test_pointer_mode_ingest_continues_after_compaction(spark, tmp_path):
+    """r6 review: sinks resolve the live state dir PER BATCH, so epochs
+    ingested AFTER a pointer-mode compaction land in v=N (not the flat
+    root) and stay visible to pointer-aware serving and later
+    compactions."""
+    from vector_db_api_spark.streaming.ingest import (
+        compact_kmv_state,
+        incremental_kmv_ingest,
+        resolve_state_dir,
+        served_kmv_estimates,
+    )
+
+    src1, src2, sp = (str(tmp_path / p) for p in ("src1", "src2", "state"))
+    d1 = spark.range(1000).select(
+        (F.col("id") % 2).alias("grp"), (F.col("id") % 300).alias("v")
+    )
+    d1.write.parquet(src1)
+    incremental_kmv_ingest(
+        spark, src1, "grp bigint, v bigint", sp, str(tmp_path / "ck1"),
+        ["grp"], "v", k=48,
+    ).awaitTermination(240)
+    compact_kmv_state(spark, sp, ["grp"], k=48, mode="pointer")
+    assert resolve_state_dir(sp).endswith("v=1")
+    # pre-pointer legacy epoch dirs stay in the flat root by design
+    # (vacuum_state leaves them for still-running flat readers)
+    legacy_epochs = {e for e in os.listdir(sp) if e.startswith("epoch=")}
+
+    # SECOND ingest run (fresh checkpoint + epoch_offset, the documented
+    # multi-run pattern) writes THROUGH the pointer into v=1
+    d2 = spark.range(1000).select(
+        (F.col("id") % 2).alias("grp"), (300 + F.col("id") % 300).alias("v")
+    )
+    d2.write.parquet(src2)
+    incremental_kmv_ingest(
+        spark, src2, "grp bigint, v bigint", sp, str(tmp_path / "ck2"),
+        ["grp"], "v", k=48, epoch_offset=1_000_000,
+    ).awaitTermination(240)
+    # no NEW epoch dirs in the flat root — the post-compaction epochs
+    # landed inside the live version dir
+    root_entries = {e for e in os.listdir(sp) if e.startswith("epoch=")}
+    assert root_entries == legacy_epochs, root_entries
+    v1_epochs = {
+        e for e in os.listdir(os.path.join(sp, "v=1")) if e.startswith("epoch=")
+    }
+    assert any(e.startswith("epoch=100000") for e in v1_epochs), v1_epochs
+    # served estimates now reflect BOTH runs: grp = id%2 pins each group
+    # to one parity of id%300, so each run contributes 150 distinct v per
+    # group and the two runs together 300 (disjoint ranges). A single-run
+    # estimate would sit near 150; seeing ~300 proves the post-compaction
+    # epochs (run 2) merged with the compacted state (run 1).
+    est = {r["grp"]: r["est_distinct"]
+           for r in served_kmv_estimates(spark, sp, ["grp"], k=48).collect()}
+    assert all(220 < v < 420 for v in est.values()), est
+    # and a second pointer compaction folds the post-compaction epochs in
+    compact_kmv_state(spark, sp, ["grp"], k=48, mode="pointer")
+    assert resolve_state_dir(sp).endswith("v=2")
+    est2 = {r["grp"]: r["est_distinct"]
+            for r in served_kmv_estimates(spark, sp, ["grp"], k=48).collect()}
+    assert est2 == est
+
+
+def test_state_read_tolerates_empty_or_crashed_dir(spark, tmp_path):
+    """r6 review: a state dir that EXISTS but holds no readable parquet
+    (only _SUCCESS / _temporary from an empty or crashed first write) must
+    read as 'no state yet', not crash-loop the stream."""
+    from vector_db_api_spark.streaming.ingest import state_read_or_none
+
+    assert state_read_or_none(spark, str(tmp_path / "missing")) is None
+    empty = tmp_path / "empty_state"
+    empty.mkdir()
+    (empty / "_SUCCESS").write_text("")
+    (empty / "_temporary").mkdir()
+    assert state_read_or_none(spark, str(empty)) is None

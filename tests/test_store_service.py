@@ -482,3 +482,36 @@ def test_concurrent_writers_cannot_both_publish(spark, tmp_path):
     # pointer untouched by the failed publish; data still consistent
     assert store.current_version("chunks") == v1
     assert store.read("chunks").count() == 1
+
+
+def test_heal_unwedges_crashed_publish(spark, tmp_path):
+    """r6 review: a writer crashing between the generation write and the
+    pointer flip leaves v=N+1 debris that errorifexists-wedges every later
+    mutation. heal() (run by Engine at startup) clears unpublished
+    leftovers; the table accepts writes again."""
+    import shutil
+
+    root = str(tmp_path / "heal")
+    eng = Engine(spark, root)
+    eng.create_library("L", 4, library_id="L")
+    eng.create_document("L", document_id="d")
+    eng.upsert_chunks(
+        "L", _chunk_rows(spark, [("c0", "L", "d", 0, "x", [1.0, 0.0, 0.0, 0.0])])
+    )
+    store = eng.store
+    live = store.current_version("chunks")
+    # simulate the crash: next generation dir written, pointer never flipped
+    crash_gen = os.path.join(root, "chunks", f"v={live + 1}")
+    os.makedirs(os.path.join(crash_gen, "library_id=L"))
+    with pytest.raises(Exception):  # wedged: PATH_ALREADY_EXISTS
+        eng.upsert_chunks(
+            "L", _chunk_rows(spark, [("c1", "L", "d", 1, "y", [1.0, 0.0, 0.0, 0.0])])
+        )
+    # a fresh engine (startup) heals and the same mutation succeeds
+    eng2 = Engine(spark, root)
+    assert not os.path.exists(crash_gen)
+    eng2.upsert_chunks(
+        "L", _chunk_rows(spark, [("c1", "L", "d", 1, "y", [1.0, 0.0, 0.0, 0.0])])
+    )
+    assert eng2.store.read("chunks").count() == 2
+    shutil.rmtree(root, ignore_errors=True)

@@ -44,6 +44,13 @@ class Engine:
         self.spark = spark
         self.store = EntityStore(spark, root)
         self.indexes = IndexLifecycle(spark, f"{root}/_indexes")
+        # startup heal (reference main.py bootstrap parity): a writer that
+        # crashed between the generation write and the pointer flip leaves
+        # debris that would errorifexists-wedge the next mutation. The
+        # engine is the table's single writer, so construction is the safe
+        # moment to clear unpublished leftovers.
+        for table in ("libraries", "documents", "chunks"):
+            self.store.heal(table)
 
     # -- helpers -------------------------------------------------------------
 
@@ -479,7 +486,12 @@ class Engine:
 
     # -- ChunkService --------------------------------------------------------
 
-    def upsert_chunks(self, library_id: str, incoming: DataFrame) -> None:
+    def upsert_chunks(
+        self,
+        library_id: str,
+        incoming: DataFrame,
+        orphan_error: type = NotFoundError,
+    ) -> None:
         """Bulk upsert with full validation (services/chunk.py:76-116):
         library exists (404), chunks belong to existing documents of that
         library (404/422), embedding dims match (422). ``library_id`` is
@@ -504,9 +516,12 @@ class Engine:
             docs.select(F.col("id").alias("document_id")), "document_id", "left_anti"
         ).count()
         if orphan:
-            raise NotFoundError(
+            # bulk surfaces orphans as 404 (services/chunk.py:77-83); the
+            # single-chunk route passes ValidationError for the reference's
+            # 422 'not found or not in library' (services/chunk.py:28-30)
+            raise orphan_error(
                 f"{orphan} chunk(s) reference documents not in library {library_id!r}"
-            )  # services/chunk.py:77-83
+            )
         # copy-on-write merge: library_id is forced on every row above, so
         # the MERGE's scope is exactly one partition — only that partition
         # is read for the anti-join and only it is rewritten; a one-chunk
@@ -529,18 +544,11 @@ class Engine:
         ValidationError here, not NotFound — services/chunk.py:28-30); dim
         checked against the library. Rides the same validated bulk path with
         a 1-row frame, so the written partition delta is one row and the
-        live index delta is applied. Returns the chunk id."""
-        self._get_library_row(library_id)  # 404 first — services/chunk.py:24-26
-        in_lib = (
-            self._library_documents(library_id)
-            .filter(F.col("id") == document_id)
-            .limit(1)
-            .count()
-        )
-        if not in_lib:
-            raise ValidationError(
-                f"document {document_id!r} not found or not in library"
-            )  # 422 — services/chunk.py:28-30
+        live index delta is applied. Returns the chunk id.
+
+        Validation rides the bulk path once (no duplicated lib/doc reads —
+        r6 review finding): 404 missing library first, then the orphan
+        check surfaces as the reference's 422."""
         chunk_id = chunk.get("id") or str(uuid.uuid4())
         emb = chunk.get("embedding")
         row = self.spark.createDataFrame(
@@ -556,7 +564,7 @@ class Engine:
             "mime_type:string,tags:array<string>,page_number:int,"
             "token_count:int,sha256:string>",
         )
-        self.upsert_chunks(library_id, row)
+        self.upsert_chunks(library_id, row, orphan_error=ValidationError)
         return chunk_id
 
     def delete_chunk(self, library_id: str, chunk_id: str) -> None:
@@ -603,15 +611,19 @@ class Engine:
         ]
         existing = self.store.read("chunks", partitions=touched)
         new_part, conflicts = M.cas_apply(existing, updates)
-        total = conflicts.count()
-        if total:
-            sample = conflicts.limit(self.CAS_CONFLICT_SAMPLE).collect()
-            err = ConflictError(
-                f"{total} CAS conflict(s); first: {sample[0].asDict()}"
-            )
-            err.conflicts = sample
-            err.conflict_count = total
-            raise err  # 409
+        conflicts = conflicts.persist()  # count + sample share one execution
+        try:
+            total = conflicts.count()
+            if total:
+                sample = conflicts.limit(self.CAS_CONFLICT_SAMPLE).collect()
+                err = ConflictError(
+                    f"{total} CAS conflict(s); first: {sample[0].asDict()}"
+                )
+                err.conflicts = sample
+                err.conflict_count = total
+                raise err  # 409
+        finally:
+            conflicts.unpersist()
         if touched:
             self.store.write_partitions("chunks", new_part, touched)
         return self.store.read("chunks")

@@ -299,6 +299,39 @@ class EntityStore:
 
     # -- maintenance --------------------------------------------------------
 
+    def heal(self, table: str) -> list[int]:
+        """Remove UNPUBLISHED snapshot leftovers — generation dirs and
+        manifests with a version above the live pointer, abandoned by a
+        writer that crashed between the parquet write and the pointer
+        flip. Without this, every later write recomputes ``nxt = live+1``
+        and fails ``errorifexists`` on the debris, wedging the table
+        read-only (r6 review finding). Returns the versions removed.
+
+        ONLY call this when no writer is in flight (startup/bootstrap is
+        the natural spot — the same single-writer assumption the
+        errorifexists collision check serializes on): a concurrent
+        writer's half-written generation is indistinguishable from crash
+        debris."""
+        tdir = self._table_dir(table)
+        if not os.path.isdir(tdir):
+            return []
+        live = self.current_version(table) or 0
+        removed = []
+        for name in sorted(os.listdir(tdir)):
+            if name.startswith("v=") and name[2:].isdigit() and int(name[2:]) > live:
+                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+                removed.append(int(name[2:]))
+        mdir = os.path.join(tdir, "_manifests")
+        if os.path.isdir(mdir):
+            for name in os.listdir(mdir):
+                if name.startswith("v=") and name.endswith(".json"):
+                    core = name[2:-5]
+                    if core.isdigit() and int(core) > live:
+                        os.remove(os.path.join(mdir, name))
+                        if int(core) not in removed:
+                            removed.append(int(core))
+        return sorted(removed)
+
     def compact(self, table: str) -> int:
         """Collapse a many-generation manifest into ONE fresh generation (a
         full rewrite through :meth:`write`). Distinct referenced

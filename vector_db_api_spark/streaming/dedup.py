@@ -39,20 +39,15 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from vector_db_api_spark.operators.topk import topk_per_group
 
 
-def _state_exists(spark, path: str) -> bool:
-    """Quiet existence probe via the Hadoop FileSystem API (any scheme).
+def _read_state_or_none(spark, path: str):
+    """Pointer-aware, first-batch-quiet, crash-tolerant state read — see
+    :func:`vector_db_api_spark.streaming.ingest.state_read_or_none` (the
+    FS existence probe replaces the old noisy try/except parquet-read
+    pattern; the AnalysisException guard stays for a dir that exists but
+    holds no readable footers, e.g. a crashed first write)."""
+    from vector_db_api_spark.streaming.ingest import state_read_or_none
 
-    The previous ``try: spark.read.parquet(path) except AnalysisException``
-    pattern worked, but Hadoop's RawLocalFileSystem logs a full
-    ``FileNotFoundException`` stack trace at WARN while the sink probes the
-    not-yet-created state dir on the FIRST micro-batch — harmless, yet it
-    reads like a failure in every correctness-sweep log (VERDICT r5
-    "what's wrong" #4). Asking the FileSystem directly makes the first
-    batch silent."""
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    return bool(fs.exists(hpath))
+    return state_read_or_none(spark, path)
 
 
 def content_fingerprint(*cols: str, sep: str = "|") -> Column:
@@ -174,11 +169,7 @@ def incremental_neardup_ingest(
             id_col=id_col, text_col=text_col, k=k,
         ).persist()
         try:
-            existing = (
-                spark.read.parquet(bucket_path)
-                if _state_exists(spark, bucket_path)
-                else None
-            )
+            existing = _read_state_or_none(spark, bucket_path)
             # cross-batch flags: exclude this epoch's own bucket rows so a
             # RETRY (whose first attempt already appended buckets) doesn't
             # see the batch's docs as "already ingested"
@@ -213,12 +204,16 @@ def incremental_neardup_ingest(
                 .partitionBy("epoch")
                 .parquet(flags_path)
             )
+            from vector_db_api_spark.streaming.ingest import resolve_state_dir
+
             (
                 new_buckets.withColumn("epoch", F.lit(epoch_id))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("band_no", "epoch")
-                .parquet(bucket_path)
+                # resolved per batch: pointer-mode compaction moves the
+                # live state under <path>/v=N
+                .parquet(resolve_state_dir(bucket_path))
             )
         finally:
             new_buckets.unpersist()
@@ -321,16 +316,17 @@ def migrate_semdedup_state(
     (``CONFLICTING_PARTITION_COLUMN_NAMES``), so appending the new layout
     beside old epoch-only partitions would poison the whole table. The
     ingest calls this automatically on first contact with legacy state."""
-    from vector_db_api_spark.streaming.ingest import _swap_in
+    from vector_db_api_spark.streaming.ingest import _swap_in, resolve_state_dir
 
-    df = spark.read.parquet(state_path)
+    live = resolve_state_dir(state_path)  # migrate the LIVE dir under pointer mode
+    df = spark.read.parquet(live)
     if "cell_bucket" in df.columns:
         return
     _swap_in(
         df.withColumn(
             "cell_bucket", semdedup_cell_bucket("cell", num_cell_buckets)
         ),
-        state_path,
+        live,
         ("epoch", "cell_bucket"),
     )
 
@@ -398,6 +394,8 @@ def incremental_semdedup_ingest(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        from vector_db_api_spark.streaming.ingest import resolve_state_dir
+
         spark = batch_df.sparkSession
         this_epoch = epoch_id + epoch_offset
         # one row per id within the batch: duplicate ids tie on (csim, id)
@@ -429,20 +427,16 @@ def incremental_semdedup_ingest(
         annotated = kept.join(ann, id_col, "left").persist()
         kept = annotated
         try:
-            state = (
-                spark.read.parquet(state_path).filter(
-                    F.col("epoch") != this_epoch
-                )
-                if _state_exists(spark, state_path)
-                else None
-            )
+            state = _read_state_or_none(spark, state_path)
+            if state is not None:
+                state = state.filter(F.col("epoch") != this_epoch)
             if state is not None and "cell_bucket" not in state.columns:
                 # legacy (epoch-only) layout: MIGRATE the directory before
                 # this epoch's bucketed write lands beside it — mixed
                 # partition trees make the dir unreadable
                 # (CONFLICTING_PARTITION_COLUMN_NAMES on the next read)
                 migrate_semdedup_state(spark, state_path, num_cell_buckets)
-                state = spark.read.parquet(state_path).filter(
+                state = _read_state_or_none(spark, state_path).filter(
                     F.col("epoch") != this_epoch
                 )
             if state is not None:
@@ -482,7 +476,8 @@ def incremental_semdedup_ingest(
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("epoch", "cell_bucket")
-                .parquet(state_path)
+                # resolved per batch — pointer-mode-safe (see ingest.py)
+                .parquet(resolve_state_dir(state_path))
             )
         finally:
             annotated.unpersist()

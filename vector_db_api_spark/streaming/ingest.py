@@ -333,7 +333,11 @@ def incremental_postings_ingest(
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("epoch")
-                .parquet(path)
+                # resolved per batch: after a pointer-mode compaction the
+                # live state is <path>/v=N, and an epoch appended to the
+                # flat root would be invisible to pointer-aware readers
+                # (and would poison the root with mixed partition trees)
+                .parquet(resolve_state_dir(path))
             )
 
     writer = stream.writeStream.foreachBatch(process).option(
@@ -346,6 +350,36 @@ def incremental_postings_ingest(
 
 COMPACT_EPOCH = -1  # foreachBatch epochs are >= 0, so -1 can never collide
                     # with (or be overwritten by) a live ingest epoch
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Quiet existence probe via the Hadoop FileSystem API (any scheme) —
+    avoids the FileNotFoundException stack trace RawLocalFileSystem logs at
+    WARN when a parquet read probes a not-yet-created state dir."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def state_read_or_none(spark: SparkSession, path: str):
+    """The live state rows as a DataFrame, or None when no state exists yet.
+
+    Pointer-aware (resolves :func:`resolve_state_dir`), quiet on the
+    common first-batch miss (FS existence probe), and tolerant of a dir
+    that exists but holds no readable parquet — an empty first write or a
+    crashed attempt leaves ``_SUCCESS``/``_temporary`` only, which must
+    read as "no state yet", not crash-loop the stream (the pre-r6
+    ``except AnalysisException`` behavior, kept on top of the probe)."""
+    from pyspark.errors.exceptions.base import AnalysisException
+
+    live = resolve_state_dir(path)
+    if not _fs_exists(spark, live):
+        return None
+    try:
+        return spark.read.parquet(live)
+    except AnalysisException:
+        return None
 
 
 def _state_pointer_version(path: str) -> int | None:
@@ -415,11 +449,18 @@ def _swap_in(out: DataFrame, path: str, partition_by, mode: str = "rename") -> N
 
     ``mode="pointer"`` (object-store-safe): each compaction writes a NEW
     versioned prefix ``<path>/v=<n+1>`` and atomically flips
-    ``<path>/_CURRENT`` — the EntityStore publish pattern. No rename of
-    live data ever happens, so a reader that resolved the old version
-    keeps a consistent snapshot for as long as it needs; old versions are
-    reclaimed later by :func:`vacuum_state`. Readers must resolve through
-    :func:`resolve_state_dir` / :func:`read_state`.
+    ``<path>/_CURRENT`` — the EntityStore publish pattern. Compaction
+    never renames or deletes the data a reader resolved, so a reader
+    holding the old version keeps a consistent snapshot for as long as it
+    needs; superseded versions are reclaimed later by
+    :func:`vacuum_state`. The LIVE version dir is append-friendly: the
+    foreachBatch sinks resolve :func:`resolve_state_dir` per micro-batch,
+    so post-compaction epochs land inside ``v=<n>`` and the next
+    compaction folds them in (like a memtable under immutable sstables).
+    Readers must resolve through :func:`resolve_state_dir` /
+    :func:`read_state`; compaction still belongs in the ingest job's
+    off-window (an epoch written between the compaction's read and its
+    flip would be dropped from the new version).
     """
     import json
     import os
@@ -564,7 +605,8 @@ def incremental_kmv_ingest(
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch")
-            .parquet(state_path)
+            # resolved per batch — see incremental_postings_ingest
+            .parquet(resolve_state_dir(state_path))
         )
 
     writer = stream.writeStream.foreachBatch(process).option(
