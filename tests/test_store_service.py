@@ -515,3 +515,135 @@ def test_heal_unwedges_crashed_publish(spark, tmp_path):
     )
     assert eng2.store.read("chunks").count() == 2
     shutil.rmtree(root, ignore_errors=True)
+
+
+# -- cross-table transactions (r6: catalog commit point) ---------------------
+
+def test_transaction_commits_all_tables_in_one_flip(spark, tmp_path):
+    """A multi-table mutation publishes through ONE catalog replace: until
+    the transaction exits, an independent reader sees every table at its
+    old version; after, all at the new — never a mix."""
+    root = str(tmp_path / "txn")
+    eng = Engine(spark, root)
+    eng.create_library("L", 4, library_id="L")
+    eng.create_document("L", document_id="d")
+    eng.upsert_chunks(
+        "L", _chunk_rows(spark, [("c0", "L", "d", 0, "x", [1.0, 0.0, 0.0, 0.0])])
+    )
+    store = eng.store
+    reader = EntityStore(spark, root)  # independent handle = outside observer
+    v_docs, v_chunks = (
+        reader.current_version("documents"), reader.current_version("chunks")
+    )
+    with store.transaction():
+        docs = store.read("documents", partitions=["L"]).filter(F.col("id") != "d")
+        chunks = store.read("chunks", partitions=["L"]).filter(
+            F.col("document_id") != "d"
+        )
+        store.write_partitions("documents", docs, ["L"])
+        # mid-transaction: writer sees its own staged version, reader the old
+        assert store.current_version("documents") == v_docs + 1
+        assert reader.current_version("documents") == v_docs
+        assert reader.read("documents").count() == 1
+        store.write_partitions("chunks", chunks, ["L"])
+        assert reader.current_version("chunks") == v_chunks
+    assert reader.current_version("documents") == v_docs + 1
+    assert reader.current_version("chunks") == v_chunks + 1
+    assert reader.read("documents").count() == 0
+    assert reader.read("chunks").count() == 0
+
+
+def test_transaction_rolls_back_staged_writes_on_error(spark, tmp_path):
+    """An exception inside the block publishes NOTHING — the staged
+    generation + manifest are reclaimed and the table stays writable."""
+    root = str(tmp_path / "rb")
+    eng = Engine(spark, root)
+    eng.create_library("L", 4, library_id="L")
+    eng.create_document("L", document_id="d")
+    eng.upsert_chunks(
+        "L", _chunk_rows(spark, [("c0", "L", "d", 0, "x", [1.0, 0.0, 0.0, 0.0])])
+    )
+    store = eng.store
+    v = store.current_version("chunks")
+    with pytest.raises(RuntimeError, match="boom"):
+        with store.transaction():
+            store.write_partitions(
+                "chunks",
+                _chunk_rows(
+                    spark, [("c1", "L", "d", 1, "y", [0.0, 1.0, 0.0, 0.0])]
+                ).withColumn("created_at", F.current_timestamp())
+                .withColumn("updated_at", F.current_timestamp())
+                .withColumn("version", F.lit(1)),
+                ["L"],
+            )
+            raise RuntimeError("boom")
+    assert store.current_version("chunks") == v
+    assert store.read("chunks").count() == 1
+    # staged debris is gone: the same next version is writable again
+    eng.upsert_chunks(
+        "L", _chunk_rows(spark, [("c2", "L", "d", 2, "z", [1.0, 0.0, 0.0, 0.0])])
+    )
+    assert store.read("chunks").count() == 2
+
+
+def test_move_document_crash_between_tables_publishes_neither(spark, tmp_path, monkeypatch):
+    """The r6 cross-table atomicity contract at engine level: kill the
+    process between the documents write and the chunks write of a move —
+    the reader must see the OLD homes for both tables (pre-txn this
+    published a moved document whose chunks were still in the source)."""
+    root = str(tmp_path / "mv")
+    eng = Engine(spark, root)
+    for lib in ("A", "B"):
+        eng.create_library(lib, 4, library_id=lib)
+    eng.create_document("A", document_id="d")
+    eng.upsert_chunks(
+        "A", _chunk_rows(spark, [("c0", "A", "d", 0, "x", [1.0, 0.0, 0.0, 0.0])])
+    )
+    store = eng.store
+    real = EntityStore.write_partitions
+    calls = {"n": 0}
+
+    def crashing(self, table, df, touched):
+        out = real(self, table, df, touched)
+        calls["n"] += 1
+        if calls["n"] == 2:  # after the SECOND staged write, before commit
+            raise RuntimeError("simulated crash before catalog flip")
+        return out
+
+    monkeypatch.setattr(EntityStore, "write_partitions", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.move_document("d", "A", "B")
+    monkeypatch.undo()
+    docs = {r["id"]: r["library_id"] for r in store.read("documents").collect()}
+    chunks = {r["id"]: r["library_id"] for r in store.read("chunks").collect()}
+    assert docs == {"d": "A"} and chunks == {"c0": "A"}  # both still old
+    # and the store is not wedged: the move succeeds afterwards
+    eng.move_document("d", "A", "B")
+    docs = {r["id"]: r["library_id"] for r in store.read("documents").collect()}
+    chunks = {r["id"]: r["library_id"] for r in store.read("chunks").collect()}
+    assert docs == {"d": "B"} and chunks == {"c0": "B"}
+
+
+def test_legacy_per_table_pointers_migrate_into_catalog(spark, tmp_path):
+    """A store written before the catalog (per-table _CURRENT files only)
+    stays readable, and the first publish folds EVERY table's version into
+    the new catalog — no table snaps back to empty."""
+    import json as _json
+
+    root = str(tmp_path / "legacy")
+    eng = Engine(spark, root)
+    eng.create_library("L", 4, library_id="L")
+    eng.create_document("L", document_id="d")
+    store = eng.store
+    # devolve to the legacy layout: per-table pointers, no catalog
+    for t in ("libraries", "documents"):
+        v = store.current_version(t)
+        with open(os.path.join(root, t, "_CURRENT"), "w") as f:
+            _json.dump({"version": v}, f)
+    os.remove(os.path.join(root, "_CATALOG"))
+    legacy = EntityStore(spark, root)
+    assert legacy.read("documents").count() == 1  # readable pre-migration
+    legacy.write("libraries", legacy.read("libraries"))  # first catalog publish
+    cat = legacy._load_catalog()
+    assert cat is not None and "documents" in cat  # migrated, not dropped
+    assert legacy.read("documents").count() == 1

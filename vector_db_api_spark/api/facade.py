@@ -205,9 +205,16 @@ class Facade:
         the document and bulk-upserts its chunks. Reference DTO parity
         (api/dto.py DocumentCreateWithChunks:96-97): inherits optional
         ``metadata`` from DocumentCreate, and ``chunks`` has min_items=1.
-        Chunk dicts are validated BEFORE the document row is written, and an
-        engine-level upsert failure deletes the just-created document — a
-        non-201 response never leaves an orphan doc behind."""
+        Chunk dicts are validated BEFORE the document row is written, and
+        document + chunks commit in ONE store transaction (single atomic
+        catalog flip) — a failure anywhere rolls back the staged document
+        write, so a non-201 response never leaves an orphan doc behind and
+        a crash mid-call never publishes the doc without its chunks."""
+
+        class _Abort(Exception):
+            def __init__(self, resp: dict) -> None:
+                self.resp = resp
+
         try:
             unknown = set(body) - {"id", "metadata", "chunks"}
             if unknown:
@@ -216,19 +223,21 @@ class Facade:
             if not chunks_in:
                 raise ValidationError("at least one chunk is required")
             self._validate_chunks(chunks_in)  # validate before creating anything
-            doc = self.create_document(
-                library_id,
-                {k: body[k] for k in ("id", "metadata") if body.get(k) is not None},
-            )
-            if doc["status"] != 201:
-                return doc
-            doc_id = doc["data"]["id"]
-            chunks = [dict(c, document_id=doc_id) for c in chunks_in]
-            up = self.bulk_upsert_chunks(library_id, chunks)
-            if up["status"] != 200:
-                self.engine.delete_document(library_id, doc_id)
-                return up
+            with self.engine.store.transaction():
+                doc = self.create_document(
+                    library_id,
+                    {k: body[k] for k in ("id", "metadata") if body.get(k) is not None},
+                )
+                if doc["status"] != 201:
+                    raise _Abort(doc)  # nothing staged yet — clean unwind
+                doc_id = doc["data"]["id"]
+                chunks = [dict(c, document_id=doc_id) for c in chunks_in]
+                up = self.bulk_upsert_chunks(library_id, chunks)
+                if up["status"] != 200:
+                    raise _Abort(up)  # rolls back the staged document row
             return _ok({"id": doc_id, "chunks": len(chunks)}, 201)
+        except _Abort as a:
+            return a.resp
         except EngineError as e:
             return _err(e)
 

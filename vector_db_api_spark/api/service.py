@@ -188,13 +188,17 @@ class Engine:
         data is read or rewritten."""
         self._get_library_row(library_id)
         libs = self.store.read("libraries").filter(F.col("id") != library_id)
-        self.store.write("libraries", libs)
         from vector_db_api_spark.sources.store import DOCUMENTS_DDL
 
         empty_docs = self.spark.createDataFrame([], DOCUMENTS_DDL)
         empty_chunks = self.spark.createDataFrame([], CHUNKS_DDL)
-        self.store.write_partitions("documents", empty_docs, [library_id])
-        self.store.write_partitions("chunks", empty_chunks, [library_id])
+        # one atomic commit for all three tables — a crash can never leave
+        # the library gone but its documents/chunks still visible (the
+        # reference's single-lock cascade, services/library.py:95-119)
+        with self.store.transaction():
+            self.store.write("libraries", libs)
+            self.store.write_partitions("documents", empty_docs, [library_id])
+            self.store.write_partitions("chunks", empty_chunks, [library_id])
 
     # -- DocumentService -----------------------------------------------------
 
@@ -360,8 +364,11 @@ class Engine:
             self._library_chunks(library_id),
             [doc_id],
         )
-        self.store.write_partitions("documents", docs, [library_id])
-        self.store.write_partitions("chunks", chunks, [library_id])
+        # both tables commit in one catalog flip — never a deleted document
+        # with its chunks still visible (or vice versa)
+        with self.store.transaction():
+            self.store.write_partitions("documents", docs, [library_id])
+            self.store.write_partitions("chunks", chunks, [library_id])
 
     def move_document(
         self, doc_id: str, src_library_id: str, dst_library_id: str
@@ -401,8 +408,11 @@ class Engine:
                 f"library dim {dst['embedding_dim']}"
             )  # 422 — services/document.py:193-195
         docs, chunks = M.move_document(docs, chunks, doc_id, dst_library_id)
-        self.store.write_partitions("documents", docs, touched)
-        self.store.write_partitions("chunks", chunks, touched)
+        # atomic re-home: a crash mid-move must never publish the document
+        # in the destination while its chunks still sit in the source
+        with self.store.transaction():
+            self.store.write_partitions("documents", docs, touched)
+            self.store.write_partitions("chunks", chunks, touched)
 
     DOC_META_FIELDS = (
         "source_uri", "author", "lang", "mime_type", "tags",

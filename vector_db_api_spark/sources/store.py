@@ -13,10 +13,15 @@ mutation to ONE library. On Spark the durable equivalent is:
   the generation subdirectory holding its current data — entries may point
   at OLDER generations (copy-on-write: a mutation writes only the partitions
   its rows touch and re-references the rest);
-- a JSON pointer file ``<root>/<table>/_CURRENT`` names the live version,
-  rewritten atomically (write temp + ``os.replace``) AFTER the manifest —
-  the reference's ``registry.swap`` (indexing/registry.py:33-35) generalized
-  to data.
+- a single JSON **catalog** ``<root>/_CATALOG`` maps every table to its live
+  version, rewritten atomically (write temp + ``os.replace``) AFTER the
+  manifests — the reference's ``registry.swap`` (indexing/registry.py:33-35)
+  generalized to data. One file for ALL tables makes multi-table mutations
+  (cascade delete, move) a single commit point: :meth:`transaction` stages
+  each table's generation + manifest and flips the catalog once, so a crash
+  can never publish ``documents`` without its matching ``chunks``. Legacy
+  stores with per-table ``<table>/_CURRENT`` pointers remain readable; the
+  first publish migrates them into the catalog.
 
 Why manifests matter at 100 TB: the previous design republished a FULL table
 snapshot per mutation, so a one-chunk upsert on a 100 TB ``chunks`` table
@@ -49,6 +54,7 @@ import os
 import shutil
 import tempfile
 import time
+from contextlib import contextmanager
 from functools import reduce
 from urllib.parse import unquote
 
@@ -112,6 +118,8 @@ class EntityStore:
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
         self.root = root
+        # staged {table: version} while a transaction() is open, else None
+        self._txn: dict[str, int] | None = None
         os.makedirs(root, exist_ok=True)
 
     # -- pointer management -------------------------------------------------
@@ -120,26 +128,65 @@ class EntityStore:
         return os.path.join(self.root, table)
 
     def _pointer_path(self, table: str) -> str:
+        """Legacy per-table pointer (pre-catalog layout) — read-only now."""
         return os.path.join(self._table_dir(table), "_CURRENT")
+
+    def _catalog_path(self) -> str:
+        return os.path.join(self.root, "_CATALOG")
 
     def _manifest_path(self, table: str, version: int) -> str:
         return os.path.join(self._table_dir(table), "_manifests", f"v={version}.json")
 
-    def current_version(self, table: str) -> int | None:
+    def _load_catalog(self) -> dict | None:
+        """``{table: live version}`` from the store catalog, or None when the
+        store predates catalogs (or is empty)."""
+        try:
+            with open(self._catalog_path()) as f:
+                return json.load(f)["versions"]
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
+            return None
+
+    def _legacy_pointer_version(self, table: str) -> int | None:
         try:
             with open(self._pointer_path(table)) as f:
                 return json.load(f)["version"]
         except (FileNotFoundError, json.JSONDecodeError, KeyError):
             return None
 
+    def current_version(self, table: str) -> int | None:
+        """Live version of ``table``. Inside an open :meth:`transaction`,
+        the writer sees its own staged (not yet committed) version —
+        read-your-writes, so a later statement in the same transaction
+        reads the earlier statement's output. Other readers keep seeing
+        the committed catalog until the single commit flip."""
+        if self._txn is not None and table in self._txn:
+            return self._txn[table]
+        cat = self._load_catalog()
+        if cat is not None and table in cat:
+            return cat[table]
+        return self._legacy_pointer_version(table)
+
     def _flip(self, table: str, version: int) -> None:
-        """Atomic publish: temp file + os.replace (POSIX-atomic)."""
-        tdir = self._table_dir(table)
-        os.makedirs(tdir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=tdir, prefix="_CURRENT.")
+        self._flip_many({table: version})
+
+    def _flip_many(self, updates: dict[str, int]) -> None:
+        """Atomic publish of one or more tables: rewrite the catalog via
+        temp file + os.replace (POSIX-atomic). The first flip over a legacy
+        store folds every per-table ``_CURRENT`` into the catalog so no
+        table loses its version. Read-modify-replace is serialized by the
+        engine's single-writer contract (the generation-directory
+        ``errorifexists`` collision check is what enforces it per table)."""
+        cat = self._load_catalog()
+        versions = dict(cat) if cat is not None else {
+            t: v
+            for t in TABLE_DDL
+            if (v := self._legacy_pointer_version(t)) is not None
+        }
+        versions.update(updates)
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_CATALOG.")
         with os.fdopen(fd, "w") as f:
-            json.dump({"version": version, "published_at": time.time()}, f)
-        os.replace(tmp, self._pointer_path(table))
+            json.dump({"versions": versions, "published_at": time.time()}, f)
+        os.replace(tmp, self._catalog_path())
 
     # -- manifests ----------------------------------------------------------
 
@@ -250,7 +297,7 @@ class EntityStore:
             writer.parquet(path)
             manifest = {_ALL: gen}
         self._write_manifest(table, nxt, manifest)
-        self._flip(table, nxt)
+        self._publish(table, nxt)
         return nxt
 
     def write_partitions(self, table: str, df: DataFrame, touched: list) -> int:
@@ -294,8 +341,51 @@ class EntityStore:
         manifest = {k: p for k, p in old.items() if k not in touched_keys}
         manifest.update(fresh)
         self._write_manifest(table, nxt, manifest)
-        self._flip(table, nxt)
+        self._publish(table, nxt)
         return nxt
+
+    def _publish(self, table: str, version: int) -> None:
+        """Commit a staged generation+manifest: immediately when no
+        transaction is open, else deferred to the transaction's single
+        catalog flip."""
+        if self._txn is not None:
+            self._txn[table] = version
+        else:
+            self._flip(table, version)
+
+    @contextmanager
+    def transaction(self):
+        """All-or-nothing multi-table publish.
+
+        Every ``write``/``write_partitions`` inside the block stages its
+        generation + manifest (durable but invisible — the catalog still
+        names the old versions) and the block exit commits ALL tables with
+        ONE atomic catalog replace. This is what makes cascade deletes and
+        document moves crash-consistent: the reference mutates its three
+        in-memory repos under one lock (services/library.py,
+        services/document.py), so a reader never sees ``documents`` without
+        the matching ``chunks`` — a crash between two independent pointer
+        flips would break exactly that. Within the block the writer reads
+        its own staged versions (read-your-writes); other readers see the
+        old snapshot until commit.
+
+        On exception the staged debris is reclaimed via :meth:`heal` and
+        nothing is published. A crash inside the block behaves identically
+        at next startup (Engine runs heal()). Not re-entrant."""
+        if self._txn is not None:
+            raise RuntimeError("nested transactions are not supported")
+        self._txn = {}
+        try:
+            staged = self._txn
+            yield self
+            self._txn = None
+            if staged:
+                self._flip_many(staged)
+        except BaseException:
+            staged, self._txn = (self._txn or {}), None
+            for table in staged:
+                self.heal(table)
+            raise
 
     # -- maintenance --------------------------------------------------------
 
