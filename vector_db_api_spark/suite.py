@@ -2621,6 +2621,61 @@ SELECT 'chunk', id, 'src0', version FROM chunks0 WHERE document_id = 'd7'
 """
 
 
+def q_crud_engine_with_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Engine drive of the TRANSACTIONAL with-chunks route
+    (routers/documents.py:82-101 + the r6 single-catalog commit): build a
+    real store in a tempdir, create a library, POST one with-chunks
+    document whose 3 chunk texts are slices of ``documents.doc_id=0``'s
+    text, then POST a second with-chunks document whose chunk has the
+    WRONG embedding dim — the 422 must roll back the staged document row
+    (no orphan doc), which the oracle checks via the ``n_docs`` column.
+    Output = the chunks table as published by the store (atomic catalog
+    flip), one row per chunk."""
+    import tempfile
+
+    from vector_db_api_spark.api.facade import Facade
+    from vector_db_api_spark.api.service import Engine
+
+    root = tempfile.mkdtemp(prefix="crud_engine_wc_")
+    eng = Engine(spark, root)
+    api = Facade(eng)
+    eng.create_library("L", 4, library_id="L")
+    text = (
+        _docs(spark, sf_dir).filter(F.col("doc_id") == 0).collect()[0]["text"]
+    )
+    chunks = [
+        {
+            "id": f"c{p}",
+            "position": p,
+            "text": text[16 * p:16 * (p + 1)],
+            "embedding": [float(p), 1.0, 0.0, 0.0],
+        }
+        for p in range(3)
+    ]
+    ok = api.create_document_with_chunks("L", {"id": "d0", "chunks": chunks})
+    assert ok["status"] == 201, ok
+    bad = [{"id": "cx", "position": 0, "text": "x", "embedding": [1.0, 0.0]}]
+    fail = api.create_document_with_chunks("L", {"id": "dx", "chunks": bad})
+    assert fail["status"] == 422, fail
+    n_docs = eng.store.read("documents").count()  # 1 — dx rolled back
+    return eng.store.read("chunks").select(
+        "position",
+        F.sha2("text", 256).alias("text_sha"),
+        "version",
+        F.lit(n_docs).cast("int").alias("n_docs"),
+    )
+
+
+_SQL_CRUD_ENGINE_WITH_CHUNKS = """
+WITH d AS (SELECT text FROM documents WHERE doc_id = 0),
+p AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(position))
+SELECT p.position,
+       sha256(substr(d.text, 1 + 16 * p.position, 16)) AS text_sha,
+       1 AS version, 1 AS n_docs
+FROM d, p
+"""
+
+
 def q_chunks_by_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     """By-document chunk listing, position order (repos/chunks.py:28-31)."""
     chunks = _base_chunks(spark, sf_dir)
@@ -4212,6 +4267,13 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "doc_quality_model": (q_doc_quality_model, _sql_doc_quality_model()),
     # the modern pipeline end-to-end (gates + classifier + dedup + canonical)
     "corpus_clean_modern": (q_corpus_clean_modern, _sql_corpus_clean_modern()),
+    # r6: full Engine drive of the transactional with-chunks route — the
+    # store's single-catalog commit + rollback proven against a value oracle
+    # (the operator-level mutation twins are in-window as crud_*)
+    "crud_engine_with_chunks": (
+        q_crud_engine_with_chunks,
+        _SQL_CRUD_ENGINE_WITH_CHUNKS,
+    ),
 }
 
 
