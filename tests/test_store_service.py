@@ -647,3 +647,112 @@ def test_legacy_per_table_pointers_migrate_into_catalog(spark, tmp_path):
     cat = legacy._load_catalog()
     assert cat is not None and "documents" in cat  # migrated, not dropped
     assert legacy.read("documents").count() == 1
+
+
+# -- r6 review-pass regressions ---------------------------------------------
+
+def test_heal_refuses_when_catalog_lost(spark, tmp_path):
+    """A missing/corrupt _CATALOG on a store that HAS data must read as
+    'pointer lost, data recoverable' — startup heal must not interpret it
+    as version 0 and delete every generation."""
+    root = str(tmp_path / "lostcat")
+    eng = Engine(spark, root)
+    eng.create_library("L", 4, library_id="L")
+    eng.create_document("L", document_id="d")
+    store = eng.store
+    os.remove(os.path.join(root, "_CATALOG"))
+    assert store.heal("documents") == []  # refused, nothing deleted
+    gens = [n for n in os.listdir(os.path.join(root, "documents"))
+            if n.startswith("v=")]
+    assert gens, "generations must survive a lost catalog"
+    # corrupt catalog: same refusal
+    with open(os.path.join(root, "_CATALOG"), "w") as f:
+        f.write("{not json")
+    assert store.heal("documents") == []
+    assert [n for n in os.listdir(os.path.join(root, "documents"))
+            if n.startswith("v=")] == gens
+
+
+def test_transaction_commit_flip_failure_still_rolls_back(spark, tmp_path, monkeypatch):
+    """A failure in the COMMIT-TIME catalog replace (e.g. ENOSPC) must roll
+    back the staged generations — pre-fix the staged dict was nulled before
+    the flip, so the except branch healed nothing and the table wedged."""
+    root = str(tmp_path / "flipfail")
+    eng = Engine(spark, root)
+    eng.create_library("L", 4, library_id="L")
+    eng.create_document("L", document_id="d")
+    eng.upsert_chunks(
+        "L", _chunk_rows(spark, [("c0", "L", "d", 0, "x", [1.0, 0.0, 0.0, 0.0])])
+    )
+    store = eng.store
+    v = store.current_version("chunks")
+
+    def failing_flip_many(self, updates):
+        raise OSError("simulated ENOSPC during catalog replace")
+
+    monkeypatch.setattr(EntityStore, "_flip_many", failing_flip_many)
+    with pytest.raises(OSError, match="ENOSPC"):
+        with store.transaction():
+            docs = store.read("chunks", partitions=["L"])
+            store.write_partitions("chunks", docs, ["L"])
+    monkeypatch.undo()
+    assert store.current_version("chunks") == v
+    # not wedged: the staged v+1 debris is gone, the next write succeeds
+    eng.upsert_chunks(
+        "L", _chunk_rows(spark, [("c1", "L", "d", 1, "y", [0.0, 1.0, 0.0, 0.0])])
+    )
+    assert store.read("chunks").count() == 2
+
+
+def test_upsert_rejects_chunk_id_from_another_library(spark, tmp_path):
+    """Global chunk-id invariant (reference repos/chunks.py:8 — ONE dict
+    keyed by id): re-using an id that lives in a different library is a
+    409, not a silent second row."""
+    root = str(tmp_path / "dupid")
+    eng = Engine(spark, root)
+    for lib in ("A", "B"):
+        eng.create_library(lib, 4, library_id=lib)
+        eng.create_document(lib, document_id=f"d{lib}")
+    eng.upsert_chunks(
+        "A", _chunk_rows(spark, [("cX", "A", "dA", 0, "x", [1.0, 0.0, 0.0, 0.0])])
+    )
+    with pytest.raises(ConflictError, match="another library"):
+        eng.upsert_chunks(
+            "B", _chunk_rows(spark, [("cX", "B", "dB", 0, "y", [1.0, 0.0, 0.0, 0.0])])
+        )
+    # same-library re-upsert of the id stays a normal update
+    eng.upsert_chunks(
+        "A", _chunk_rows(spark, [("cX", "A", "dA", 0, "x2", [1.0, 0.0, 0.0, 0.0])])
+    )
+    rows = eng.store.read("chunks").collect()
+    assert len(rows) == 1 and rows[0]["version"] == 2
+
+
+def test_update_index_config_persists_intent_before_rebuild(spark, tmp_path, monkeypatch):
+    """Config-first ordering (r6 review): a crash in the rebuild leaves the
+    STORED config new (stale live index, repaired by the next
+    rebuild_index) — never a live index whose config change was lost."""
+    from vector_db_api_spark.lifecycle import IndexLifecycle
+
+    root = str(tmp_path / "cfgfirst")
+    eng = Engine(spark, root)
+    eng.create_library("L", 4, library_id="L")
+    eng.create_document("L", document_id="d")
+    eng.upsert_chunks(
+        "L", _chunk_rows(spark, [("c0", "L", "d", 0, "x", [1.0, 0.0, 0.0, 0.0])])
+    )
+
+    def failing_rebuild(self, *a, **k):
+        raise RuntimeError("simulated crash during index rebuild")
+
+    monkeypatch.setattr(IndexLifecycle, "rebuild", failing_rebuild)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.update_index_config(
+            "L", IndexConfig("lsh", {"num_tables": 2, "hyperplanes_per_table": 4})
+        )
+    monkeypatch.undo()
+    stored = eng._get_library_row("L")["index_config"]
+    assert stored["type"] == "lsh"  # intent persisted
+    # and the parameterless rebuild repairs the live index from it
+    desc = eng.rebuild_index("L")
+    assert desc["type"] == "lsh"

@@ -100,7 +100,9 @@ class Facade:
         try:
             self._validate_chunks([body])
             chunk_id = self.engine.upsert_chunk(library_id, document_id, body)
-            got = self.get_chunk(chunk_id)
+            # partition-pruned echo: the route knows the library, so the
+            # point get lists only that partition (O(touched), like the write)
+            got = self._point_get("chunks", chunk_id, library_id=library_id)
             return _ok(got.get("data", {"id": chunk_id}), 200)
         except EngineError as e:
             return _err(e)
@@ -276,9 +278,17 @@ class Facade:
 
     # -- point gets (repos point lookups, repos/chunks.py:24-26 etc.) -------
 
-    def _point_get(self, table: str, entity_id: str) -> dict:
+    def _point_get(
+        self, table: str, entity_id: str, library_id: str | None = None
+    ) -> dict:
+        """Single-entity fetch. When the caller knows the ``library_id``
+        (e.g. it is part of the route), pass it: the read then lists only
+        that library's partition directories at manifest level instead of
+        scanning the whole table (r6 review — the single-chunk upsert echo
+        was paying a full-table scan per request)."""
+        parts = [library_id] if library_id is not None else None
         rows = (
-            self.engine.store.read(table)
+            self.engine.store.read(table, partitions=parts)
             .filter(F.col("id") == entity_id)
             .drop("embedding")
             .collect()

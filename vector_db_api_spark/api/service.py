@@ -40,7 +40,9 @@ METRICS = V.METRICS
 class Engine:
     """One store + one index catalog + the four services' operations."""
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(
+        self, spark: SparkSession, root: str, heal_on_start: bool = True
+    ) -> None:
         self.spark = spark
         self.store = EntityStore(spark, root)
         self.indexes = IndexLifecycle(spark, f"{root}/_indexes")
@@ -48,9 +50,14 @@ class Engine:
         # crashed between the generation write and the pointer flip leaves
         # debris that would errorifexists-wedge the next mutation. The
         # engine is the table's single writer, so construction is the safe
-        # moment to clear unpublished leftovers.
-        for table in ("libraries", "documents", "chunks"):
-            self.store.heal(table)
+        # moment to clear unpublished leftovers. Pass heal_on_start=False
+        # when several engines share one store root (DEPLOYMENT.md's
+        # shard-by-library layout): a sibling engine's in-flight generation
+        # is indistinguishable from crash debris, so only the deployment's
+        # designated bootstrap process should heal.
+        if heal_on_start:
+            for table in ("libraries", "documents", "chunks"):
+                self.store.heal(table)
 
     # -- helpers -------------------------------------------------------------
 
@@ -108,11 +115,17 @@ class Engine:
         """Config swap → full rebuild → atomic publish
         (services/library.py:58-93). The reference's ``update_config`` also
         PERSISTS the new config on the library row (version bump) — so a
-        later parameterless rebuild-index re-applies it; mirrored here."""
+        later parameterless rebuild-index re-applies it; mirrored here.
+
+        Ordering (r6 review): the config is persisted BEFORE the index
+        rebuild. The store and the index registry publish independently, so
+        one of the two can always land without the other on a crash; with
+        config-first, the failure mode is "stored intent new, live index
+        stale", which the next parameterless ``rebuild_index`` repairs by
+        re-applying the stored config. The old rebuild-first order failed
+        the other way — a live index whose config change was LOST, which
+        rebuild-index would then silently revert."""
         lib = self._get_library_row(library_id)
-        desc = self.indexes.rebuild(
-            library_id, self._library_chunks(library_id), config, lib["embedding_dim"]
-        )
         p = config.params
         new_cfg = F.named_struct(
             F.lit("type"), F.lit(config.type),
@@ -143,7 +156,12 @@ class Engine:
             )
         )
         self.store.write("libraries", libs)
-        return desc
+        return self.indexes.rebuild(
+            library_id,
+            self._library_chunks(library_id),
+            config,
+            lib["embedding_dim"],
+        )
 
     def list_libraries(self, offset: int = 0, limit: int = 50):
         """GET /libraries page (routers/libraries.py:62-82): name-ordered
@@ -532,6 +550,32 @@ class Engine:
             raise orphan_error(
                 f"{orphan} chunk(s) reference documents not in library {library_id!r}"
             )
+        # global id integrity (r6 review): the reference keys chunks in ONE
+        # dict (repos/chunks.py:8), so an id is globally unique. The
+        # partition-scoped merge below only replaces ids within THIS
+        # library — an id already living in another library would silently
+        # become two rows. Reusing an id across libraries is rejected as a
+        # 409 (deliberate, documented deviation from the reference's
+        # implicit cross-library move, which would need an O(2-partition)
+        # rewrite nobody asks for through this API). Cost: a read-only
+        # point lookup over the other partitions with the id predicate
+        # pushed to parquet row-group stats — no write amplification.
+        ids = [r["id"] for r in incoming.select("id").distinct().collect()]
+        others = self.store.read("chunks").filter(
+            F.col("library_id") != library_id
+        )
+        if len(ids) <= 1000:
+            foreign = others.filter(F.col("id").isin(ids)).limit(1).count()
+        else:
+            foreign = (
+                others.join(incoming.select("id").distinct(), "id", "left_semi")
+                .limit(1)
+                .count()
+            )
+        if foreign:
+            raise ConflictError(
+                "chunk id(s) already exist in another library"
+            )  # 409 — global-id invariant (repos/chunks.py:8)
         # copy-on-write merge: library_id is forced on every row above, so
         # the MERGE's scope is exactly one partition — only that partition
         # is read for the anti-join and only it is rewritten; a one-chunk

@@ -173,20 +173,52 @@ class EntityStore:
         """Atomic publish of one or more tables: rewrite the catalog via
         temp file + os.replace (POSIX-atomic). The first flip over a legacy
         store folds every per-table ``_CURRENT`` into the catalog so no
-        table loses its version. Read-modify-replace is serialized by the
-        engine's single-writer contract (the generation-directory
-        ``errorifexists`` collision check is what enforces it per table)."""
-        cat = self._load_catalog()
-        versions = dict(cat) if cat is not None else {
-            t: v
-            for t in TABLE_DDL
-            if (v := self._legacy_pointer_version(t)) is not None
-        }
-        versions.update(updates)
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_CATALOG.")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"versions": versions, "published_at": time.time()}, f)
-        os.replace(tmp, self._catalog_path())
+        table loses its version. Read-modify-replace is serialized by
+        :meth:`_catalog_lock` — the generation-directory ``errorifexists``
+        collision check only serializes writers of the SAME table, so two
+        engines publishing DIFFERENT tables could otherwise each replace
+        the catalog from the same stale read and silently drop the other's
+        committed version."""
+        with self._catalog_lock():
+            cat = self._load_catalog()
+            versions = dict(cat) if cat is not None else {
+                t: v
+                for t in TABLE_DDL
+                if (v := self._legacy_pointer_version(t)) is not None
+            }
+            versions.update(updates)
+            fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_CATALOG.")
+            with os.fdopen(fd, "w") as f:
+                json.dump({"versions": versions, "published_at": time.time()}, f)
+            os.replace(tmp, self._catalog_path())
+
+    @contextmanager
+    def _catalog_lock(self):
+        """Serialize catalog read-modify-replace across engines sharing one
+        local root (flock on a sidecar; the per-table ``errorifexists``
+        collision check only serializes writers of the SAME table, so two
+        engines publishing DIFFERENT tables could otherwise lose one
+        update). On filesystems without flock the lock degrades to a no-op
+        and the single-writer-per-store contract is the guarantee."""
+        lock_path = os.path.join(self.root, "_CATALOG.lock")
+        lf = None
+        try:
+            import fcntl
+
+            lf = open(lock_path, "w")
+            fcntl.flock(lf, fcntl.LOCK_EX)
+        except (ImportError, OSError):
+            if lf is not None:
+                lf.close()
+            lf = None
+        try:
+            yield
+        finally:
+            if lf is not None:
+                import fcntl
+
+                fcntl.flock(lf, fcntl.LOCK_UN)
+                lf.close()
 
     # -- manifests ----------------------------------------------------------
 
@@ -375,16 +407,21 @@ class EntityStore:
         if self._txn is not None:
             raise RuntimeError("nested transactions are not supported")
         self._txn = {}
-        try:
-            staged = self._txn
+        staged = self._txn  # captured: survives self._txn = None, so a
+        try:                # commit-time flip failure still rolls back
             yield self
             self._txn = None
             if staged:
                 self._flip_many(staged)
         except BaseException:
-            staged, self._txn = (self._txn or {}), None
+            self._txn = None
             for table in staged:
-                self.heal(table)
+                # remove exactly the staged versions (all above the still-
+                # committed catalog version; works for a fresh table too,
+                # where heal()'s no-live-version guard would refuse)
+                self._remove_versions_above(
+                    table, self.current_version(table) or 0
+                )
             raise
 
     # -- maintenance --------------------------------------------------------
@@ -397,6 +434,15 @@ class EntityStore:
         and fails ``errorifexists`` on the debris, wedging the table
         read-only (r6 review finding). Returns the versions removed.
 
+        SAFETY: when the table has no resolvable live version but data
+        exists on disk, heal REFUSES to act. A missing/corrupt ``_CATALOG``
+        on a migrated store must read as "pointer lost, data recoverable",
+        not "version 0, delete everything" — without this guard a startup
+        heal over a damaged catalog would destroy every generation. The
+        only no-live-version case heal still cleans is a table the
+        (readable) catalog genuinely doesn't know: its dirs can only be a
+        crashed FIRST write.
+
         ONLY call this when no writer is in flight (startup/bootstrap is
         the natural spot — the same single-writer assumption the
         errorifexists collision check serializes on): a concurrent
@@ -405,10 +451,31 @@ class EntityStore:
         tdir = self._table_dir(table)
         if not os.path.isdir(tdir):
             return []
-        live = self.current_version(table) or 0
+        live = self.current_version(table)
+        if live is None:
+            has_data = any(
+                name.startswith("v=") for name in os.listdir(tdir)
+            ) or os.path.isdir(os.path.join(tdir, "_manifests"))
+            if not has_data:
+                return []
+            if self._load_catalog() is None:
+                # catalog unreadable/missing yet table data exists on disk:
+                # damage, not debris — never delete
+                return []
+            live = 0  # readable catalog, table unknown → crashed first write
+        return self._remove_versions_above(table, live)
+
+    def _remove_versions_above(self, table: str, floor: int) -> list[int]:
+        """Unconditionally remove generation dirs + manifests with version
+        > ``floor``. Shared by :meth:`heal` (floor = live version, with its
+        safety guards) and transaction rollback (floor = committed version;
+        staged versions are by construction above it)."""
+        tdir = self._table_dir(table)
+        if not os.path.isdir(tdir):
+            return []
         removed = []
         for name in sorted(os.listdir(tdir)):
-            if name.startswith("v=") and name[2:].isdigit() and int(name[2:]) > live:
+            if name.startswith("v=") and name[2:].isdigit() and int(name[2:]) > floor:
                 shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
                 removed.append(int(name[2:]))
         mdir = os.path.join(tdir, "_manifests")
@@ -416,7 +483,7 @@ class EntityStore:
             for name in os.listdir(mdir):
                 if name.startswith("v=") and name.endswith(".json"):
                     core = name[2:-5]
-                    if core.isdigit() and int(core) > live:
+                    if core.isdigit() and int(core) > floor:
                         os.remove(os.path.join(mdir, name))
                         if int(core) not in removed:
                             removed.append(int(core))

@@ -183,7 +183,8 @@ def incremental_index_ingest(
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_by, "epoch")
         )
-        writer.parquet(index_path)
+        # resolved per batch — pointer-mode-safe, like every other sink here
+        writer.parquet(resolve_state_dir(index_path))
 
     writer = chunk_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint
@@ -262,7 +263,8 @@ def streaming_text_ingest(
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch")
-            .parquet(output_path)
+            # resolved per batch — pointer-mode-safe
+            .parquet(resolve_state_dir(output_path))
         )
 
     writer = docs.writeStream.foreachBatch(process).option(
@@ -470,6 +472,21 @@ def _swap_in(out: DataFrame, path: str, partition_by, mode: str = "rename") -> N
     from urllib.parse import urlparse
 
     if mode == "pointer":
+        if urlparse(path).scheme not in ("", "file"):
+            # fail BEFORE the expensive materialization (r6 review): the
+            # pointer PROTOCOL (versioned prefix + atomic pointer swap) is
+            # the object-store-correct design, but this implementation
+            # reads/writes the pointer with local-filesystem APIs
+            # (open/mkstemp/os.replace) — on hdfs:// or s3a:// it would
+            # complete the possibly-TB tmp write and then die at the
+            # pointer swap, and resolve_state_dir would never see the
+            # version anyway. Porting = swapping these three calls to the
+            # Hadoop FileSystem API (create + rename), kept out of scope.
+            raise ValueError(
+                f"pointer-mode compaction's pointer IO is local-filesystem "
+                f"only, got {path!r}; port _state_pointer_version/_swap_in "
+                "to the Hadoop FileSystem API for remote schemes"
+            )
         cur = _state_pointer_version(path)
         nxt = 1 if cur is None else cur + 1
         dest = os.path.join(path, f"v={nxt}")
@@ -487,7 +504,8 @@ def _swap_in(out: DataFrame, path: str, partition_by, mode: str = "rename") -> N
     if urlparse(path).scheme not in ("", "file"):
         raise ValueError(
             f"rename-mode compaction needs a local path, got {path!r}; "
-            "use mode='pointer' for object stores / HDFS"
+            "the pointer-mode PROTOCOL is the object-store design, but its "
+            "pointer IO is also local-only today (see mode='pointer' guard)"
         )
 
     tmp = path.rstrip("/") + "__compact_tmp"
