@@ -144,34 +144,49 @@ def _cpu_baseline() -> dict[str, float]:
     }
 
 
+def _norm_probe(cb) -> float | None:
+    """The cross-round normalizer from a ``cpu_baseline`` dict.
+
+    ``python_loop_sec`` (single-thread interpreter speed) is preferred:
+    r6 showed ``blas_matmul_sec`` can swing 4× between containers purely
+    from BLAS threading configuration while the python probe AND the raw
+    JVM suite wall stay ~flat — normalizing by blas then manufactures
+    uniform fake "regressions". Falls back to blas for records that
+    predate the python probe."""
+    if not isinstance(cb, dict):
+        return None
+    if cb.get("python_loop_sec"):
+        return float(cb["python_loop_sec"])
+    if cb.get("blas_matmul_sec"):
+        return float(cb["blas_matmul_sec"])
+    return None
+
+
 def _round_over_round_delta(
-    here: str, timings: dict[str, float], blas_now: float | None = None
+    here: str, timings: dict[str, float], probe_now: float | None = None
 ) -> str:
     """Markdown delta table of this run vs prior rounds, in BOTH raw seconds
-    and machine-NORMALIZED units (time / that round's ``blas_matmul_sec``,
-    VERDICT r5 #4). Raw ratios detect within-machine drift; normalized
-    ratios are the cross-round signal — a normalized regression >1.2× is a
-    plan/code problem, a uniform RAW shift with flat normalized ratios is
-    just machine speed."""
+    and machine-NORMALIZED units (time / that round's :func:`_norm_probe`
+    value, VERDICT r5 #4). Raw ratios detect within-machine drift;
+    normalized ratios are the cross-round signal — a normalized regression
+    >1.2× is a plan/code problem, a uniform RAW shift with flat normalized
+    ratios is just machine speed."""
     import glob
     import re
 
     def _mine(data) -> tuple[dict[str, float], float | None]:
-        """(per-query warm seconds, blas_matmul_sec) from a driver bench
+        """(per-query warm seconds, normalizer probe) from a driver bench
         record: a top-level ``queries`` dict, else the record's
         truncated-stdout ``tail`` — the tail's LAST line is bench.py's
         compact headline (parseable JSON), and the tail's leading fragment
         is the middle of the detail line's queries dict."""
         out: dict[str, float] = {}
-        blas: float | None = None
+        probe: float | None = _norm_probe(data.get("cpu_baseline"))
         qs = data.get("queries")
         if isinstance(qs, dict):
             out.update(
                 {k: float(v) for k, v in qs.items() if isinstance(v, (int, float))}
             )
-        cb = data.get("cpu_baseline")
-        if isinstance(cb, dict) and cb.get("blas_matmul_sec"):
-            blas = float(cb["blas_matmul_sec"])
         tail = data.get("tail")
         if isinstance(tail, str) and tail:
             frag = tail.split("}", 1)[0]
@@ -187,12 +202,12 @@ def _round_over_round_delta(
                     {k: float(v) for k, v in hq.items()
                      if isinstance(v, (int, float))}
                 )
-                hb = (head.get("cpu_baseline") or {}).get("blas_matmul_sec")
+                hb = _norm_probe(head.get("cpu_baseline"))
                 if hb:
-                    blas = float(hb)
+                    probe = hb
             except (ValueError, AttributeError):
                 pass
-        return out, blas
+        return out, probe
 
     prior: dict[str, dict[str, float]] = {}
     baselines: dict[str, float] = {}
@@ -205,12 +220,12 @@ def _round_over_round_delta(
             continue
         if not isinstance(data, dict):
             continue  # valid JSON but not a record object
-        mined, blas = _mine(data)
+        mined, probe = _mine(data)
         if mined:
             rnd = f"r{int(m.group(1)) if m else '?'}"
             prior[rnd] = mined
-            if blas:
-                baselines[rnd] = blas
+            if probe:
+                baselines[rnd] = probe
     # the PREVIOUS round's committed BENCH_DETAIL.md carries its full
     # per-query dict + cpu_baseline (the driver tail holds only ~17) —
     # mine it before this run overwrites the file
@@ -219,11 +234,11 @@ def _round_over_round_delta(
             body = f.read()
         blob = body.split("```json", 1)[1].split("```", 1)[0]
         det = json.loads(blob)
-        mined, blas = _mine(det)
+        mined, probe = _mine(det)
         if mined:
             prior["prev-detail"] = mined
-            if blas:
-                baselines["prev-detail"] = blas
+            if probe:
+                baselines["prev-detail"] = probe
     except (OSError, IndexError, ValueError, json.JSONDecodeError):
         pass
     if not prior:
@@ -231,9 +246,12 @@ def _round_over_round_delta(
 
     lines = [
         "\n## Round-over-round delta (this run vs prior rounds)\n",
-        "Normalized unit = seconds / that round's `blas_matmul_sec` probe "
-        "(cross-machine comparable; available r5+). Raw 'best prior' spans "
-        "all rounds.\n",
+        "Normalized unit = seconds / that round's `python_loop_sec` probe "
+        "(single-thread interpreter speed; cross-machine comparable, "
+        "available r5+; `blas_matmul_sec` fallback for older records — "
+        "demoted in r6 after the blas probe swung 4.4x on BLAS threading "
+        "while python and the raw JVM wall stayed flat). Raw 'best prior' "
+        "spans all rounds.\n",
         "| query | now (s) | now (norm) | best prior (s) | round | raw ratio"
         " | best prior (norm) | round | norm ratio |",
         "|---|---|---|---|---|---|---|---|---|",
@@ -248,13 +266,13 @@ def _round_over_round_delta(
         if best_val is None:
             continue
         bn_val, bn_round = None, None
-        for rnd, blas in baselines.items():
+        for rnd, probe in baselines.items():
             v = prior[rnd].get(name)
             if v is not None and v > 0:
-                nv = v / blas
+                nv = v / probe
                 if bn_val is None or nv < bn_val:
                     bn_val, bn_round = nv, rnd
-        now_norm = now / blas_now if blas_now else None
+        now_norm = now / probe_now if probe_now else None
         rows.append(
             (now / best_val, name, now, now_norm, best_val, best_round,
              bn_val, bn_round)
@@ -636,7 +654,7 @@ def main() -> None:
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         delta_md = _round_over_round_delta(
-            here, timings, detail["cpu_baseline"].get("blas_matmul_sec")
+            here, timings, _norm_probe(detail["cpu_baseline"])
         )
         with open(os.path.join(here, "BENCH_DETAIL.md"), "w") as f:
             f.write("# Bench detail (written by bench.py)\n\n```json\n"

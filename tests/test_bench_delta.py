@@ -62,8 +62,10 @@ def test_mines_tail_headline_and_detail_fragment(tmp_path):
 
 def test_normalized_ratio_uses_per_round_baseline(tmp_path):
     """VERDICT r5 #4: rounds WITH a cpu_baseline compare in normalized
-    units (sec / blas_matmul_sec); a 2x-slower machine running identical
-    plans shows raw ratio 2.0 but norm ratio 1.0."""
+    units (sec / python_loop_sec — the single-thread probe; r6 demoted
+    blas_matmul after it swung 4.4x on BLAS threading alone); a 2x-slower
+    machine running identical plans shows raw ratio 2.0 but norm ratio
+    1.0."""
     fn = _load_delta_fn()
     headline = json.dumps({
         "metric": "suite_wall_sec", "value": 9.9,
@@ -73,7 +75,22 @@ def test_normalized_ratio_uses_per_round_baseline(tmp_path):
     (tmp_path / "BENCH_r05.json").write_text(
         json.dumps({"n": 5, "rc": 0, "tail": headline})
     )
-    # now: machine is 2x slower (blas 1.0 vs 0.5), query took 2x raw
-    out = fn(str(tmp_path), {"q_a": 2.0}, 1.0)
-    assert "| q_a | 2.00 | 2.00 | 1.00 | r5 | 2.00x | 2.00 | r5 | 1.00x |" in out
+    # now: machine is 2x slower (python probe 0.2 vs 0.1), query took 2x raw
+    out = fn(str(tmp_path), {"q_a": 2.0}, 0.2)
+    assert "| q_a | 2.00 | 10.00 | 1.00 | r5 | 2.00x | 10.00 | r5 | 1.00x |" in out
     assert "median NORMALIZED ratio: **1.00x**" in out
+
+
+def test_norm_probe_prefers_python_loop():
+    """blas-only records keep working (fallback); records with both use
+    the python probe."""
+    import importlib.util, os
+    spec = importlib.util.spec_from_file_location(
+        "bench_probe", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod._norm_probe({"blas_matmul_sec": 0.5, "python_loop_sec": 0.1}) == 0.1
+    assert mod._norm_probe({"blas_matmul_sec": 0.5}) == 0.5
+    assert mod._norm_probe({}) is None
+    assert mod._norm_probe(None) is None
