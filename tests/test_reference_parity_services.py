@@ -217,3 +217,22 @@ def test_delete_document_cascades_on_both_sides(workload, ref_stack, our_engine)
     got = our_engine.search("L", q, k=N).collect()
     assert [r["id"] for r in got] == [str(h["chunk_id"]) for h in want]
     assert all(r["document_id"] == "A" for r in got)
+
+
+def test_scoped_document_get_is_pruned_and_404s_wrong_library(spark, tmp_path):
+    """Reference GET /libraries/{lib}/documents/{doc}
+    (routers/documents.py:128-136): found in its own library, 404 from a
+    different library's route — and the scoped read lists only the named
+    partition (manifest-level pruning)."""
+    from vector_db_api_spark.api.facade import Facade
+    from vector_db_api_spark.api.service import Engine
+
+    eng = Engine(spark, str(tmp_path / "scoped_get"))
+    api = Facade(eng)
+    for lib in ("A", "B"):
+        eng.create_library(lib, 4, library_id=lib)
+    eng.create_document("A", document_id="d")
+    assert api.get_document("d", library_id="A")["status"] == 200
+    assert api.get_document("d", library_id="B")["status"] == 404
+    assert api.get_document("d")["status"] == 200  # flat variant still works
+    assert api.get_document("missing", library_id="A")["status"] == 404

@@ -323,11 +323,20 @@ class Facade:
         }
         return out
 
-    def get_document(self, document_id: str) -> dict:
-        return self._point_get("documents", document_id)
+    def get_document(
+        self, document_id: str, library_id: str | None = None
+    ) -> dict:
+        """Point get. With ``library_id`` this is the reference's nested
+        route GET /libraries/{lib}/documents/{doc}
+        (routers/documents.py:128-136): the read lists ONLY that library's
+        partition, and a document homed elsewhere is simply absent from it
+        — the same 404 the reference's ``doc.library_id != lib_id`` check
+        produces (services/document.py get), for O(partition) IO. The flat
+        variant (library unknown) remains an engine extension."""
+        return self._point_get("documents", document_id, library_id=library_id)
 
-    def get_chunk(self, chunk_id: str) -> dict:
-        return self._point_get("chunks", chunk_id)
+    def get_chunk(self, chunk_id: str, library_id: str | None = None) -> dict:
+        return self._point_get("chunks", chunk_id, library_id=library_id)
 
     # -- listing + search (response shaping) --------------------------------
 

@@ -125,6 +125,14 @@ def create_app(facade: Facade):
     def bulk_upsert_chunks(library_id: str, body: list[dict], response: Response):
         return _reply(facade.bulk_upsert_chunks(library_id, body), response)
 
+    @app.get("/libraries/{library_id}/documents/{document_id}")
+    def get_document_in_library(
+        library_id: str, document_id: str, response: Response
+    ):
+        # the reference's nested route shape (routers/documents.py:128) —
+        # partition-pruned; wrong-library doc 404s
+        return _reply(facade.get_document(document_id, library_id), response)
+
     @app.get("/documents/{document_id}")
     def get_document(document_id: str, response: Response):
         return _reply(facade.get_document(document_id), response)

@@ -366,8 +366,11 @@ class Engine:
         """Scoped cascade delete (services/document.py:139-158): silently
         no-ops unless the document exists AND belongs to ``library_id`` — a
         wrong-library call must never cascade into another library's data."""
+        # partition-pruned existence probe: only this library's partition is
+        # listed — a doc homed elsewhere is absent from it, which IS the
+        # wrong-library no-op semantics (services/document.py:141-142)
         in_lib = (
-            self.store.read("documents")
+            self.store.read("documents", partitions=[library_id])
             .filter((F.col("id") == doc_id) & (F.col("library_id") == library_id))
             .limit(1)
             .count()
