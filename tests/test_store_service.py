@@ -756,3 +756,39 @@ def test_update_index_config_persists_intent_before_rebuild(spark, tmp_path, mon
     # and the parameterless rebuild repairs the live index from it
     desc = eng.rebuild_index("L")
     assert desc["type"] == "lsh"
+
+
+def test_engine_maintenance_compacts_fragmented_manifest(spark, tmp_path):
+    """Copy-on-write fragments the chunks manifest across one generation per
+    mutated library; maintenance() collapses it once the threshold is
+    crossed and vacuums superseded snapshots — served rows identical."""
+    root = str(tmp_path / "maint")
+    eng = Engine(spark, root)
+    for i in range(5):
+        lib = f"L{i}"
+        eng.create_library(lib, 4, library_id=lib)
+        eng.create_document(lib, document_id=f"d{i}")
+        eng.upsert_chunks(
+            lib,
+            _chunk_rows(
+                spark, [(f"c{i}", lib, f"d{i}", 0, f"t{i}", [1.0, 0.0, 0.0, 0.0])]
+            ),
+        )
+    store = eng.store
+    v = store.current_version("chunks")
+    gens = {rel.split("/", 1)[0] for rel in store.load_manifest("chunks", v).values()}
+    assert len(gens) == 5  # one generation per library's upsert
+    before = {r["id"]: r["text"] for r in store.read("chunks").collect()}
+    report = eng.maintenance(keep=1, compact_generation_threshold=3)
+    assert report["chunks"]["compacted"] is True
+    assert report["chunks"]["generations"] == 5
+    v2 = store.current_version("chunks")
+    gens2 = {
+        rel.split("/", 1)[0] for rel in store.load_manifest("chunks", v2).values()
+    }
+    assert len(gens2) == 1  # collapsed
+    after = {r["id"]: r["text"] for r in store.read("chunks").collect()}
+    assert after == before
+    # below threshold: second pass is a no-op compact
+    report2 = eng.maintenance(keep=1, compact_generation_threshold=3)
+    assert report2["chunks"]["compacted"] is False

@@ -740,3 +740,40 @@ class Engine:
             doc_id_col="document_id", tags_col="tags",
             author_col="author", created_at_col="created_at",
         ).orderBy(F.desc("score"), F.asc("id"))
+
+    # -- maintenance ---------------------------------------------------------
+
+    def maintenance(
+        self, keep: int = 2, compact_generation_threshold: int | None = 8
+    ) -> dict:
+        """Operational hygiene for a long-lived engine (no reference
+        equivalent — its store is in-memory and needs none): per table,
+        COMPACT when the live manifest references more than
+        ``compact_generation_threshold`` distinct generation directories
+        (copy-on-write leaves each partition in the generation of its last
+        rewrite, so a many-library store fragments across generations —
+        correct at any count, but listing cost and small files grow), then
+        VACUUM snapshots older than the newest ``keep``. Same single-writer
+        contract as any mutation: run it in the deployment's off-window.
+        Returns a per-table report ``{generations, compacted, vacuumed}``."""
+        report: dict[str, dict] = {}
+        for table in ("libraries", "documents", "chunks"):
+            v = self.store.current_version(table)
+            gens = 0
+            if v is not None:
+                manifest = self.store.load_manifest(table, v)
+                gens = len({rel.split("/", 1)[0] for rel in manifest.values()})
+            compacted = False
+            if (
+                compact_generation_threshold is not None
+                and gens > compact_generation_threshold
+            ):
+                self.store.compact(table)
+                compacted = True
+            removed = self.store.vacuum(table, keep=keep)
+            report[table] = {
+                "generations": gens,
+                "compacted": compacted,
+                "vacuumed": removed,
+            }
+        return report
