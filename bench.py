@@ -145,20 +145,21 @@ def _cpu_baseline() -> dict[str, float]:
 
 
 def _norm_probe(cb) -> float | None:
-    """The cross-round normalizer from a ``cpu_baseline`` dict.
+    """The cross-round normalizer from a ``cpu_baseline`` dict:
+    ``python_loop_sec`` (single-thread interpreter speed), ONLY.
 
-    ``python_loop_sec`` (single-thread interpreter speed) is preferred:
     r6 showed ``blas_matmul_sec`` can swing 4× between containers purely
     from BLAS threading configuration while the python probe AND the raw
-    JVM suite wall stay ~flat — normalizing by blas then manufactures
-    uniform fake "regressions". Falls back to blas for records that
-    predate the python probe."""
+    JVM suite wall stay ~flat — normalizing by blas manufactures uniform
+    fake "regressions". There is deliberately NO blas fallback: mixing
+    sec/python and sec/blas units in one best-prior comparison would
+    re-create the same artifact (both probes shipped together in r5, so a
+    blas-only record does not exist; a record without the python probe
+    simply contributes raw-only rows)."""
     if not isinstance(cb, dict):
         return None
     if cb.get("python_loop_sec"):
         return float(cb["python_loop_sec"])
-    if cb.get("blas_matmul_sec"):
-        return float(cb["blas_matmul_sec"])
     return None
 
 
@@ -234,6 +235,8 @@ def _round_over_round_delta(
             body = f.read()
         blob = body.split("```json", 1)[1].split("```", 1)[0]
         det = json.loads(blob)
+        if not isinstance(det, dict):
+            raise ValueError("BENCH_DETAIL json block is not an object")
         mined, probe = _mine(det)
         if mined:
             prior["prev-detail"] = mined
@@ -248,10 +251,10 @@ def _round_over_round_delta(
         "\n## Round-over-round delta (this run vs prior rounds)\n",
         "Normalized unit = seconds / that round's `python_loop_sec` probe "
         "(single-thread interpreter speed; cross-machine comparable, "
-        "available r5+; `blas_matmul_sec` fallback for older records — "
-        "demoted in r6 after the blas probe swung 4.4x on BLAS threading "
-        "while python and the raw JVM wall stayed flat). Raw 'best prior' "
-        "spans all rounds.\n",
+        "available r5+; `blas_matmul_sec` was demoted in r6 after swinging "
+        "4.4x on BLAS threading while python and the raw JVM wall stayed "
+        "flat — records without the python probe contribute raw-only "
+        "rows). Raw 'best prior' spans all rounds.\n",
         "| query | now (s) | now (norm) | best prior (s) | round | raw ratio"
         " | best prior (norm) | round | norm ratio |",
         "|---|---|---|---|---|---|---|---|---|",

@@ -15,11 +15,16 @@ import os
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _load_delta_fn():
+def _load_bench_ns():
+    """bench.py's pre-main namespace (helpers only, no Spark session)."""
     src = open(os.path.join(HERE, "bench.py")).read()
     ns = {"__name__": "bench_under_test", "__file__": os.path.join(HERE, "bench.py")}
     exec(src.split("def main")[0], ns)
-    return ns["_round_over_round_delta"]
+    return ns
+
+
+def _load_delta_fn():
+    return _load_bench_ns()["_round_over_round_delta"]
 
 
 def test_mines_real_driver_records():
@@ -81,16 +86,13 @@ def test_normalized_ratio_uses_per_round_baseline(tmp_path):
     assert "median NORMALIZED ratio: **1.00x**" in out
 
 
-def test_norm_probe_prefers_python_loop():
-    """blas-only records keep working (fallback); records with both use
-    the python probe."""
-    import importlib.util, os
-    spec = importlib.util.spec_from_file_location(
-        "bench_probe", os.path.join(os.path.dirname(__file__), "..", "bench.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    assert mod._norm_probe({"blas_matmul_sec": 0.5, "python_loop_sec": 0.1}) == 0.1
-    assert mod._norm_probe({"blas_matmul_sec": 0.5}) == 0.5
-    assert mod._norm_probe({}) is None
-    assert mod._norm_probe(None) is None
+def test_norm_probe_is_python_loop_only():
+    """The normalizer is python_loop_sec ONLY — a blas-only record must
+    contribute raw-only rows (no fallback: mixing sec/python and sec/blas
+    units in one best-prior comparison would re-create the fake-regression
+    artifact the r6 probe change eliminated)."""
+    probe = _load_bench_ns()["_norm_probe"]
+    assert probe({"blas_matmul_sec": 0.5, "python_loop_sec": 0.1}) == 0.1
+    assert probe({"blas_matmul_sec": 0.5}) is None
+    assert probe({}) is None
+    assert probe(None) is None

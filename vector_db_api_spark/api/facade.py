@@ -287,12 +287,15 @@ class Facade:
         scanning the whole table (r6 review — the single-chunk upsert echo
         was paying a full-table scan per request)."""
         parts = [library_id] if library_id is not None else None
-        rows = (
-            self.engine.store.read(table, partitions=parts)
-            .filter(F.col("id") == entity_id)
-            .drop("embedding")
-            .collect()
+        df = self.engine.store.read(table, partitions=parts).filter(
+            F.col("id") == entity_id
         )
+        if library_id is not None:
+            # residual predicate, not just pruning: on an _ALL/legacy
+            # manifest store.read() cannot prune, and the wrong-library 404
+            # semantics must hold there too (r6 review)
+            df = df.filter(F.col("library_id") == library_id)
+        rows = df.drop("embedding").collect()
         if not rows:
             return {"status": 404, "error": f"{table[:-1]} {entity_id!r} not found"}
         return _ok(rows[0].asDict(recursive=True))

@@ -24,6 +24,7 @@ Reference route parity:
 - POST   /libraries/{id}/documents/{doc}/chunks → Facade.upsert_chunk
 - DELETE /libraries/{id}/documents/{doc}/chunks/{chunk} → Facade.delete_chunk
 - POST   /libraries/{id}/chunks             → Facade.bulk_upsert_chunks
+- GET    /libraries/{id}/documents/{doc}    → Facade.get_document (scoped: partition-pruned, wrong-library 404 — routers/documents.py:128)
 - GET    /documents/{id}                    → Facade.get_document
 - GET    /chunks/{id}                       → Facade.get_chunk
 - POST   /libraries/{id}/search             → Facade.search
