@@ -823,3 +823,73 @@ def test_concurrent_flips_on_different_tables_lose_neither(spark, tmp_path):
     # (overwritten by the other writer's stale snapshot of the catalog)
     assert fresh.current_version("documents") == N
     assert fresh.current_version("chunks") == N
+
+
+# -- r7 advice regressions ----------------------------------------------------
+
+def test_heal_refuses_on_lost_legacy_pointer(spark, tmp_path):
+    """r6 advice (store.py heal): a HALF-migrated store — the root _CATALOG
+    exists (created by another table's publish) but this table is still
+    tracked only by a legacy _CURRENT that is now corrupt/missing — must
+    read as 'pointer lost', not 'crashed first write'. Pre-fix, heal saw
+    a readable catalog + unknown table, set live=0, and deleted every
+    generation of the table at the next Engine start."""
+    import json as _json
+
+    root = str(tmp_path / "halfmig")
+    eng = Engine(spark, root)
+    eng.create_library("L", 4, library_id="L")
+    eng.create_document("L", document_id="d")
+    store = eng.store
+    # devolve "documents" to legacy tracking: per-table pointer, then drop
+    # it from the catalog (as if only "libraries" had published post-migration)
+    v = store.current_version("documents")
+    with open(os.path.join(root, "documents", "_CURRENT"), "w") as f:
+        _json.dump({"version": v}, f)
+    cat = store._load_catalog()
+    del cat["documents"]
+    with open(os.path.join(root, "_CATALOG"), "w") as f:
+        _json.dump({"versions": cat}, f)
+
+    # corrupt legacy pointer: current_version is None, but heal must refuse
+    with open(os.path.join(root, "documents", "_CURRENT"), "w") as f:
+        f.write("{not json")
+    assert store.current_version("documents") is None
+    assert store.heal("documents") == []
+    gens = [n for n in os.listdir(os.path.join(root, "documents"))
+            if n.startswith("v=")]
+    assert gens, "generations must survive a corrupt legacy pointer"
+
+    # Engine.__init__ runs heal on every start — the boot path must be
+    # equally safe, and the data must remain recoverable by repairing
+    # the pointer
+    Engine(spark, root)
+    assert [n for n in os.listdir(os.path.join(root, "documents"))
+            if n.startswith("v=")] == gens
+    with open(os.path.join(root, "documents", "_CURRENT"), "w") as f:
+        _json.dump({"version": v}, f)
+    assert EntityStore(spark, root).read("documents").count() == 1
+
+
+def test_heal_refuses_beyond_v1_without_pointer(spark, tmp_path):
+    """A table unknown to a readable catalog with generations BEYOND v=1
+    must not be healed — a crashed FIRST write can only stage v=1, so
+    v>=2 proves a past publish whose tracking was lost. The genuine
+    crashed-first-write shape (only v=1, no pointer file) still heals."""
+    root = str(tmp_path / "v2guard")
+    eng = Engine(spark, root)
+    eng.create_library("L", 4, library_id="L")  # catalog now exists
+    store = eng.store
+
+    # lost-tracking shape: v=1 and v=2 exist, no pointer, not in catalog
+    for v in (1, 2):
+        os.makedirs(os.path.join(root, "documents", f"v={v}"))
+    assert store.heal("documents") == []
+    assert os.path.isdir(os.path.join(root, "documents", "v=2"))
+    import shutil as _shutil
+    _shutil.rmtree(os.path.join(root, "documents"))
+
+    # genuine crashed first write: only v=1 staged, no pointer → cleaned
+    os.makedirs(os.path.join(root, "chunks", "v=1", "library_id=L"))
+    assert store.heal("chunks") == [1]
+    assert not os.path.isdir(os.path.join(root, "chunks", "v=1"))

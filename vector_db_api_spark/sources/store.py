@@ -440,8 +440,16 @@ class EntityStore:
         not "version 0, delete everything" — without this guard a startup
         heal over a damaged catalog would destroy every generation. The
         only no-live-version case heal still cleans is a table the
-        (readable) catalog genuinely doesn't know: its dirs can only be a
-        crashed FIRST write.
+        (readable) catalog genuinely doesn't know AND whose on-disk shape
+        is exactly what a crashed FIRST write leaves: no legacy
+        ``_CURRENT`` pointer file (even an unreadable one means the table
+        once published and its pointer was LOST — the catalog may have
+        been created by another table's publish without migrating this
+        one), and no generation or manifest beyond ``v=1`` (a first write
+        that never committed can only have staged version 1; anything
+        higher proves a past publish whose tracking is damaged). Refusing
+        costs nothing — the debris only wedges the next WRITE, and a
+        half-migrated table needs operator attention before writes anyway.
 
         ONLY call this when no writer is in flight (startup/bootstrap is
         the natural spot — the same single-writer assumption the
@@ -461,6 +469,27 @@ class EntityStore:
             if self._load_catalog() is None:
                 # catalog unreadable/missing yet table data exists on disk:
                 # damage, not debris — never delete
+                return []
+            if os.path.exists(self._pointer_path(table)):
+                # a legacy _CURRENT exists (readable or not): this table
+                # published before the catalog era and its pointer is now
+                # unreadable — lost tracking, not a crashed first write
+                return []
+            staged = {
+                int(n[2:])
+                for n in os.listdir(tdir)
+                if n.startswith("v=") and n[2:].isdigit()
+            }
+            mdir = os.path.join(tdir, "_manifests")
+            if os.path.isdir(mdir):
+                staged.update(
+                    int(n[2:-5])
+                    for n in os.listdir(mdir)
+                    if n.startswith("v=") and n.endswith(".json") and n[2:-5].isdigit()
+                )
+            if staged - {1}:
+                # generations/manifests beyond v=1 can only exist after a
+                # publish — the table's version record is damaged
                 return []
             live = 0  # readable catalog, table unknown → crashed first write
         return self._remove_versions_above(table, live)
