@@ -779,7 +779,7 @@ def test_engine_maintenance_compacts_fragmented_manifest(spark, tmp_path):
     gens = {rel.split("/", 1)[0] for rel in store.load_manifest("chunks", v).values()}
     assert len(gens) == 5  # one generation per library's upsert
     before = {r["id"]: r["text"] for r in store.read("chunks").collect()}
-    report = eng.maintenance(keep=1, compact_generation_threshold=3)
+    report = eng.maintenance(keep=1, compact_generation_threshold=3)["tables"]
     assert report["chunks"]["compacted"] is True
     assert report["chunks"]["generations"] == 5
     v2 = store.current_version("chunks")
@@ -790,7 +790,7 @@ def test_engine_maintenance_compacts_fragmented_manifest(spark, tmp_path):
     after = {r["id"]: r["text"] for r in store.read("chunks").collect()}
     assert after == before
     # below threshold: second pass is a no-op compact
-    report2 = eng.maintenance(keep=1, compact_generation_threshold=3)
+    report2 = eng.maintenance(keep=1, compact_generation_threshold=3)["tables"]
     assert report2["chunks"]["compacted"] is False
 
 
@@ -893,3 +893,122 @@ def test_heal_refuses_beyond_v1_without_pointer(spark, tmp_path):
     os.makedirs(os.path.join(root, "chunks", "v=1", "library_id=L"))
     assert store.heal("chunks") == [1]
     assert not os.path.isdir(os.path.join(root, "chunks", "v=1"))
+
+
+def test_index_delta_deferred_until_transaction_commit(spark, tmp_path):
+    """r6 advice (service.py apply_delta-in-txn): an upsert inside a store
+    transaction must NOT touch the live ANN index until the catalog flip
+    commits the chunk rows. Pre-fix, a rolled-back with-chunks create (or a
+    commit-time flip failure) left the index holding phantom rows the store
+    never published."""
+    import glob
+
+    root = str(tmp_path / "defer")
+    eng = Engine(spark, root)
+    eng.create_library("L", 4, library_id="L")
+    eng.create_document("L", document_id="d")
+    eng.upsert_chunks(
+        "L", _chunk_rows(spark, [("c0", "L", "d", 0, "seed", [1.0, 0.0, 0.0, 0.0])])
+    )
+    eng.update_index_config("L", IndexConfig("lsh", {"hyperplanes_per_table": 4}))
+    vdir = glob.glob(os.path.join(root, "_indexes", "L", "v=*"))[-1]
+    n_before = spark.read.parquet(os.path.join(vdir, "lsh_buckets")).count()
+
+    # rollback: the index must be untouched
+    with pytest.raises(RuntimeError, match="boom"):
+        with eng.store.transaction():
+            eng.upsert_chunks(
+                "L",
+                _chunk_rows(
+                    spark, [("c1", "L", "d", 1, "x", [0.0, 1.0, 0.0, 0.0])]
+                ),
+            )
+            raise RuntimeError("boom")
+    assert (
+        spark.read.parquet(os.path.join(vdir, "lsh_buckets")).count() == n_before
+    ), "rolled-back upsert leaked a live-index delta"
+
+    # commit-time flip failure: equally no delta
+    def failing_flip_many(self, updates):
+        raise OSError("simulated ENOSPC")
+
+    orig = EntityStore._flip_many
+    EntityStore._flip_many = failing_flip_many
+    try:
+        with pytest.raises(OSError):
+            with eng.store.transaction():
+                eng.upsert_chunks(
+                    "L",
+                    _chunk_rows(
+                        spark, [("c1", "L", "d", 1, "x", [0.0, 1.0, 0.0, 0.0])]
+                    ),
+                )
+    finally:
+        EntityStore._flip_many = orig
+    assert spark.read.parquet(os.path.join(vdir, "lsh_buckets")).count() == n_before
+
+    # committed transaction: delta applied exactly once, chunk searchable
+    with eng.store.transaction():
+        eng.upsert_chunks(
+            "L", _chunk_rows(spark, [("c2", "L", "d", 2, "y", [0.0, 0.0, 1.0, 0.0])])
+        )
+    assert spark.read.parquet(os.path.join(vdir, "lsh_buckets")).count() > n_before
+    got = [r["id"] for r in eng.search("L", [0.0, 0.0, 1.0, 0.0], k=1).collect()]
+    assert got == ["c2"]
+
+
+def test_index_follows_deletes_and_moves(spark, tmp_path):
+    """r6 advice (index.remove parity): chunk/document deletes tombstone the
+    live index (search stays delete-consistent via the live re-rank — full
+    k live rows, never a phantom), maintenance rebuilds the index once dead
+    weight crosses the threshold, moves re-home the index delta without a
+    rebuild, and deleting a library drops its index catalog entry."""
+    import glob
+
+    root = str(tmp_path / "idxdel")
+    eng = Engine(spark, root)
+    vecs = {
+        "c0": [1.0, 0.0, 0.0, 0.0], "c1": [0.9, 0.1, 0.0, 0.0],
+        "c2": [0.0, 1.0, 0.0, 0.0], "c3": [0.0, 0.9, 0.1, 0.0],
+        "c4": [0.0, 0.0, 1.0, 0.0],
+    }
+    for lib in ("A", "B"):
+        eng.create_library(lib, 4, library_id=lib)
+        eng.create_document(lib, document_id=f"d{lib}")
+    eng.upsert_chunks(
+        "A",
+        _chunk_rows(spark, [(c, "A", "dA", i, c, v)
+                            for i, (c, v) in enumerate(vecs.items())]),
+    )
+    for lib in ("A", "B"):
+        eng.update_index_config(lib, IndexConfig("lsh", {"hyperplanes_per_table": 2}))
+
+    # delete two chunks: tombstones recorded, search returns k LIVE rows
+    eng.delete_chunk("A", "c0")
+    eng.delete_chunk("A", "c1")
+    assert eng.indexes.tombstone_count("A") == 2
+    hits = [r["id"] for r in eng.search("A", [1.0, 0.0, 0.0, 0.0], k=3).collect()]
+    assert len(hits) == 3 and not {"c0", "c1"} & set(hits)
+
+    # 2 dead / 5 indexed → over a 0.2 threshold: maintenance rebuilds,
+    # clearing tombstones and dropping dead ids from the bucket table
+    rep = eng.maintenance(keep=1, index_max_dead_fraction=0.2)
+    assert rep["indexes"]["A"]["rebuilt"] is True
+    assert eng.indexes.tombstone_count("A") == 0
+    vdir = max(glob.glob(os.path.join(root, "_indexes", "A", "v=*")))
+    bucket_ids = {
+        r["id"]
+        for r in spark.read.parquet(os.path.join(vdir, "lsh_buckets")).collect()
+    }
+    assert not {"c0", "c1"} & bucket_ids
+
+    # move: dst index absorbs the rows without a rebuild, src tombstones
+    eng.move_document("dA", "A", "B")
+    got = [r["id"] for r in eng.search("B", [0.0, 0.0, 1.0, 0.0], k=1).collect()]
+    assert got == ["c4"]
+    assert eng.indexes.tombstone_count("A") == 3  # c2, c3, c4 departed
+
+    # library delete drops the index catalog entry entirely
+    assert os.path.isdir(os.path.join(root, "_indexes", "B"))
+    eng.delete_library("B")
+    assert not os.path.isdir(os.path.join(root, "_indexes", "B"))

@@ -80,6 +80,33 @@ class Engine:
             F.col("library_id") == library_id
         )
 
+    def _candidate_partitions(self, table: str, ids) -> list | None:
+        """Partitions that MIGHT hold any of ``ids``, from the per-partition
+        bloom sidecars — driver-side, no Spark jobs. None means "can't
+        prune" (no per-partition manifest yet); [] means provably nowhere."""
+        from vector_db_api_spark.sources import bloom as B
+
+        blooms = self.store.partition_blooms(table)
+        if not blooms:
+            return None if self.store.current_version(table) is not None else []
+        hashed = [B.hash_pair(str(i)) for i in ids]
+        return [
+            part
+            for part, bloom in blooms.items()
+            if bloom is None
+            or any(B.might_contain_hashed(bloom, h1, h2) for h1, h2 in hashed)
+        ]
+
+    def _id_exists(self, table: str, id_: str) -> bool:
+        """Point existence probe by globally-unique id: bloom-pruned to the
+        candidate partitions (usually zero or one) instead of a full-table
+        listing."""
+        parts = self._candidate_partitions(table, [id_])
+        if parts == []:
+            return False
+        df = self.store.read(table, partitions=parts)
+        return bool(df.filter(F.col("id") == id_).limit(1).count())
+
     # -- LibraryService ------------------------------------------------------
 
     def create_library(
@@ -217,6 +244,10 @@ class Engine:
             self.store.write("libraries", libs)
             self.store.write_partitions("documents", empty_docs, [library_id])
             self.store.write_partitions("chunks", empty_chunks, [library_id])
+            # registry.remove parity (indexing/registry.py:41-44): the
+            # index catalog entry dies with the library — post-commit so a
+            # rollback keeps the index serving the still-live library
+            self.store.after_commit(lambda: self.indexes.drop(library_id))
 
     # -- DocumentService -----------------------------------------------------
 
@@ -241,13 +272,7 @@ class Engine:
         self._get_library_row(library_id)
         doc_id = document_id or str(uuid.uuid4())
         if document_id is not None:
-            exists = (
-                self.store.read("documents")
-                .filter(F.col("id") == doc_id)
-                .limit(1)
-                .count()
-            )
-            if exists:
+            if self._id_exists("documents", doc_id):  # bloom-pruned probe
                 raise ConflictError(f"document {doc_id!r} already exists")
         row = self.spark.sql(
             "SELECT {id} AS id, {lib} AS library_id, "
@@ -385,11 +410,20 @@ class Engine:
             self._library_chunks(library_id),
             [doc_id],
         )
+        # doomed chunk ids for the index tombstones, captured over the OLD
+        # snapshot's immutable files BEFORE the write publishes the new one
+        # (the post-commit hook evaluates lazily, after the flip)
+        doomed = self._library_chunks(library_id).filter(
+            F.col("document_id") == doc_id
+        ).select("id")
         # both tables commit in one catalog flip — never a deleted document
         # with its chunks still visible (or vice versa)
         with self.store.transaction():
             self.store.write_partitions("documents", docs, [library_id])
             self.store.write_partitions("chunks", chunks, [library_id])
+            self.store.after_commit(
+                lambda: self.indexes.remove(library_id, doomed)
+            )
 
     def move_document(
         self, doc_id: str, src_library_id: str, dst_library_id: str
@@ -397,8 +431,9 @@ class Engine:
         """services/document.py:160-212 — re-home doc + chunks with the
         reference's full validation ladder: src != dst (422), both libraries
         exist (404), doc lives in src (404), every embedded chunk matches the
-        destination's embedding_dim (422). Index refresh is the caller's
-        call (rebuild), matching the snapshot model."""
+        destination's embedding_dim (422). Both live indexes follow the move
+        post-commit: src tombstones the departed ids, dst absorbs them as a
+        delta — no rebuild needed for the moved rows to be searchable."""
         if src_library_id == dst_library_id:
             raise ValidationError("source and destination libraries are the same")
         self._get_library_row(src_library_id)
@@ -429,11 +464,28 @@ class Engine:
                 f"library dim {dst['embedding_dim']}"
             )  # 422 — services/document.py:193-195
         docs, chunks = M.move_document(docs, chunks, doc_id, dst_library_id)
+        # the moved rows, as the destination partition will hold them —
+        # built over the pre-move snapshot's immutable files, so the
+        # post-commit hooks below read them safely after the flip
+        moved = chunks.filter(
+            (F.col("document_id") == doc_id)
+            & (F.col("library_id") == dst_library_id)
+        )
         # atomic re-home: a crash mid-move must never publish the document
         # in the destination while its chunks still sit in the source
         with self.store.transaction():
             self.store.write_partitions("documents", docs, touched)
             self.store.write_partitions("chunks", chunks, touched)
+            # the index follows the move without a rebuild (improves on the
+            # docstring's old "caller rebuilds" contract): the source index
+            # tombstones the departed ids, the destination absorbs the
+            # rows as a normal delta — both only after the commit flip
+            self.store.after_commit(
+                lambda: self.indexes.remove(src_library_id, moved.select("id"))
+            )
+            self.store.after_commit(
+                lambda: self.indexes.apply_delta(dst_library_id, moved)
+            )
 
     DOC_META_FIELDS = (
         "source_uri", "author", "lang", "mime_type", "tags",
@@ -560,25 +612,8 @@ class Engine:
         # become two rows. Reusing an id across libraries is rejected as a
         # 409 (deliberate, documented deviation from the reference's
         # implicit cross-library move, which would need an O(2-partition)
-        # rewrite nobody asks for through this API). Cost: a read-only
-        # point lookup over the other partitions with the id predicate
-        # pushed to parquet row-group stats — no write amplification.
-        ids = [r["id"] for r in incoming.select("id").distinct().collect()]
-        others = self.store.read("chunks").filter(
-            F.col("library_id") != library_id
-        )
-        if len(ids) <= 1000:
-            foreign = others.filter(F.col("id").isin(ids)).limit(1).count()
-        else:
-            foreign = (
-                others.join(incoming.select("id").distinct(), "id", "left_semi")
-                .limit(1)
-                .count()
-            )
-        if foreign:
-            raise ConflictError(
-                "chunk id(s) already exist in another library"
-            )  # 409 — global-id invariant (repos/chunks.py:8)
+        # rewrite nobody asks for through this API).
+        self._check_global_chunk_ids(library_id, incoming)
         # copy-on-write merge: library_id is forced on every row above, so
         # the MERGE's scope is exactly one partition — only that partition
         # is read for the anti-join and only it is rewritten; a one-chunk
@@ -586,8 +621,66 @@ class Engine:
         # per-library write lock, services/chunk.py:87-88, as IO scope).
         merged = M.upsert(self._library_chunks(library_id), incoming)
         self.store.write_partitions("chunks", merged, [library_id])
-        # keep the live ANN index fresh: hash/assign ONLY the written batch
-        self.indexes.apply_delta(library_id, incoming)
+        # keep the live ANN index fresh: hash/assign ONLY the written batch.
+        # Deferred through after_commit (r6 advice): inside a transaction
+        # (create_document_with_chunks), the live index must not absorb a
+        # delta whose chunk rows may yet roll back — the hook runs only
+        # after the catalog flip publishes them (immediately when no
+        # transaction is open).
+        self.store.after_commit(
+            lambda: self.indexes.apply_delta(library_id, incoming)
+        )
+
+    #: batches with more distinct ids than this skip the driver-side bloom
+    #: walk and go straight to the distributed semi-join check
+    GLOBAL_ID_CHECK_MAX_DRIVER_IDS = 100_000
+
+    def _check_global_chunk_ids(self, library_id: str, incoming: DataFrame) -> None:
+        """409 when any incoming id already lives in ANOTHER library.
+
+        Scale path (r6 advice: the old check listed every partition and
+        opened parquet footers on each one-row upsert): each partition dir
+        carries an exact ``_ID_BLOOM.json`` sidecar (sources/bloom.py),
+        so the steady-state check is a DRIVER-SIDE walk of the live
+        manifest's cached blooms — zero Spark jobs, zero listing. Only a
+        bloom hit (a true duplicate, or a ~0.3% false positive) pays a
+        partition-pruned verify scan of that one partition; partitions
+        without a sidecar (legacy generations) join the verify scan too.
+        Batches over GLOBAL_ID_CHECK_MAX_DRIVER_IDS distinct ids use the
+        distributed semi-join instead (collecting millions of ids to walk
+        blooms would itself be the bottleneck)."""
+        ids = [
+            r["id"]
+            for r in incoming.select("id").distinct()
+            .limit(self.GLOBAL_ID_CHECK_MAX_DRIVER_IDS + 1).collect()
+        ]
+        if len(ids) > self.GLOBAL_ID_CHECK_MAX_DRIVER_IDS:
+            others = self.store.read("chunks").filter(
+                F.col("library_id") != library_id
+            )
+            foreign = (
+                others.join(incoming.select("id").distinct(), "id", "left_semi")
+                .limit(1)
+                .count()
+            )
+            if foreign:
+                raise ConflictError("chunk id(s) already exist in another library")
+            return
+        cand = self._candidate_partitions("chunks", ids)
+        suspects = (
+            None if cand is None  # legacy _ALL snapshot: unpruned scan
+            else [p for p in cand if p != str(library_id)]
+        )
+        if suspects == []:
+            return  # every other partition's bloom excludes every id
+        others = self.store.read("chunks", partitions=suspects).filter(
+            F.col("library_id") != library_id
+        )
+        foreign = others.filter(F.col("id").isin(ids)).limit(1).count()
+        if foreign:
+            raise ConflictError(
+                "chunk id(s) already exist in another library"
+            )  # 409 — global-id invariant (repos/chunks.py:8)
 
     def upsert_chunk(
         self,
@@ -639,6 +732,12 @@ class Engine:
             return  # reference returns silently — services/chunk.py:120-122
         new_part = M.delete_chunks(self._library_chunks(library_id), [chunk_id])
         self.store.write_partitions("chunks", new_part, [library_id])
+        # the reference's index.remove (services/chunk.py:119-139): record
+        # the dead id so maintenance can compact the index once deletes
+        # pile up (search is already delete-consistent — live re-rank)
+        self.store.after_commit(
+            lambda: self.indexes.remove(library_id, [chunk_id])
+        )
 
     #: max conflict rows hauled to the driver for the 409 payload — a large
     #: mis-versioned batch must not collect itself just to raise (VERDICT r5
@@ -653,14 +752,21 @@ class Engine:
 
         Partition scope: updates address chunks by globally-unique id, so
         the touched ``library_id`` set is resolved with one read-only
-        semi-join against the table, then the CAS itself runs against — and
-        rewrites — only those partitions. IDs matching no stored row
-        surface as 'not_found' conflicts exactly as before (an id outside
-        the touched partitions exists in none of them)."""
+        semi-join against the table — bloom-pruned to the candidate
+        partitions first, so a small CAS batch never lists the whole table
+        — then the CAS itself runs against, and rewrites, only those
+        partitions. IDs matching no stored row surface as 'not_found'
+        conflicts exactly as before (an id outside the touched partitions
+        exists in none of them)."""
         ids = updates.select("id").distinct()
+        id_rows = ids.limit(self.GLOBAL_ID_CHECK_MAX_DRIVER_IDS + 1).collect()
+        if len(id_rows) <= self.GLOBAL_ID_CHECK_MAX_DRIVER_IDS:
+            cand = self._candidate_partitions("chunks", [r["id"] for r in id_rows])
+        else:
+            cand = None  # huge batch: the semi-join does the work
         touched = [
             r["library_id"]
-            for r in self.store.read("chunks")
+            for r in self.store.read("chunks", partitions=cand)
             .join(ids, "id")
             .select("library_id")
             .distinct()
@@ -744,7 +850,10 @@ class Engine:
     # -- maintenance ---------------------------------------------------------
 
     def maintenance(
-        self, keep: int = 2, compact_generation_threshold: int | None = 8
+        self,
+        keep: int = 2,
+        compact_generation_threshold: int | None = 8,
+        index_max_dead_fraction: float | None = 0.2,
     ) -> dict:
         """Operational hygiene for a long-lived engine (no reference
         equivalent — its store is in-memory and needs none): per table,
@@ -753,9 +862,14 @@ class Engine:
         (copy-on-write leaves each partition in the generation of its last
         rewrite, so a many-library store fragments across generations —
         correct at any count, but listing cost and small files grow), then
-        VACUUM snapshots older than the newest ``keep``. Same single-writer
-        contract as any mutation: run it in the deployment's off-window.
-        Returns a per-table report ``{generations, compacted, vacuumed}``."""
+        VACUUM snapshots older than the newest ``keep``. Per library, the
+        live ANN index is REBUILT when its delete tombstones exceed
+        ``index_max_dead_fraction`` of its posting rows (deletes never
+        rewrite index tables on the hot path — they append tombstones; the
+        rebuild here is where dead postings are actually dropped), then old
+        index versions are vacuumed. Same single-writer contract as any
+        mutation: run it in the deployment's off-window. Returns
+        ``{tables: {...}, indexes: {...}}``."""
         report: dict[str, dict] = {}
         for table in ("libraries", "documents", "chunks"):
             v = self.store.current_version(table)
@@ -776,4 +890,22 @@ class Engine:
                 "compacted": compacted,
                 "vacuumed": removed,
             }
-        return report
+        indexes: dict[str, dict] = {}
+        if index_max_dead_fraction is not None:
+            for row in self.store.read("libraries").select("id").collect():
+                lib_id = row["id"]
+                dead = self.indexes.tombstone_count(lib_id)
+                rebuilt = False
+                if dead and self.indexes.needs_compaction(
+                    lib_id, max_dead_fraction=index_max_dead_fraction
+                ):
+                    self.rebuild_index(lib_id)
+                    rebuilt = True
+                vacuumed = self.indexes.vacuum(lib_id, keep=keep)
+                if dead or rebuilt or vacuumed:
+                    indexes[lib_id] = {
+                        "tombstones": dead,
+                        "rebuilt": rebuilt,
+                        "vacuumed": vacuumed,
+                    }
+        return {"tables": report, "indexes": indexes}

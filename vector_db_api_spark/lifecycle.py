@@ -200,6 +200,84 @@ class IndexLifecycle:
         )
         return delta.count()
 
+    def remove(self, library_id: str, ids: list | DataFrame) -> int:
+        """Record deleted chunk ids against the LIVE index version — the
+        reference's per-delete ``index.remove`` (services/chunk.py:119-139
+        calls it synchronously) as an O(batch) tombstone append, never a
+        bucket/posting rewrite.
+
+        Search OUTPUT needs no tombstone filtering: every probe re-ranks by
+        semi-joining candidates against the live chunks table
+        (lsh.py ``corpus.join(broadcast(cand), left_semi)``, ivf.py same),
+        so a deleted id can never surface — the tombstone's job is
+        BOOKKEEPING: it measures dead weight in the bucket/posting tables
+        (stale rows cost probe IO and candidate-set accuracy, not
+        correctness) so :meth:`needs_compaction` can trigger a rebuild once
+        deletes pile up. Returns the number of tombstone rows appended."""
+        desc = self.current(library_id)
+        if desc is None or desc["type"] == "flat":
+            return 0  # flat scans the live table — nothing stale to track
+        spark = self.spark
+        if isinstance(ids, DataFrame):
+            tomb = ids.select(F.col(ids.columns[0]).cast("string").alias("id"))
+        else:
+            if not ids:
+                return 0
+            tomb = spark.createDataFrame([(str(i),) for i in ids], "id string")
+        vdir = os.path.join(
+            self._lib_dir(library_id), f"v={desc['version']}", "_tombstones"
+        )
+        tomb.write.mode("append").parquet(vdir)
+        return tomb.count()
+
+    def tombstone_count(self, library_id: str) -> int:
+        """Dead-id rows recorded against the live version (0 when none)."""
+        desc = self.current(library_id)
+        if desc is None:
+            return 0
+        vdir = os.path.join(
+            self._lib_dir(library_id), f"v={desc['version']}", "_tombstones"
+        )
+        if not os.path.isdir(vdir):
+            return 0
+        return self.spark.read.parquet(vdir).count()
+
+    def needs_compaction(self, library_id: str, max_dead_fraction: float = 0.2) -> bool:
+        """True when tombstoned ids exceed ``max_dead_fraction`` of the live
+        index's posting rows — the rebuild-now signal Engine.maintenance
+        acts on (a rebuild drops dead postings AND superseded duplicate
+        rows from apply_delta, and clears the tombstones with the old
+        version)."""
+        desc = self.current(library_id)
+        if desc is None or desc["type"] == "flat":
+            return False
+        dead = self.tombstone_count(library_id)
+        if not dead:
+            return False
+        vdir = os.path.join(self._lib_dir(library_id), f"v={desc['version']}")
+        table = "lsh_buckets" if desc["type"] == "lsh" else "ivf_assignments"
+        # distinct ids, same unit as the tombstones (LSH holds one posting
+        # per (table_id, id); apply_delta appends supersede-duplicates)
+        total = (
+            self.spark.read.parquet(os.path.join(vdir, table))
+            .select("id").distinct().count()
+        )
+        return dead > max_dead_fraction * max(total, 1)
+
+    def drop(self, library_id: str) -> bool:
+        """Remove the library's entire index catalog entry — every version
+        directory and the pointer (the reference's ``registry.remove``,
+        indexing/registry.py:41-44, called on library delete). Without
+        this, a deleted library's index versions leak forever. Returns
+        whether anything existed."""
+        import shutil
+
+        d = self._lib_dir(library_id)
+        if not os.path.isdir(d):
+            return False
+        shutil.rmtree(d, ignore_errors=True)
+        return True
+
     def bootstrap(
         self,
         libraries: list[tuple[str, IndexConfig, int]],

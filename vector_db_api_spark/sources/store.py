@@ -120,6 +120,8 @@ class EntityStore:
         self.root = root
         # staged {table: version} while a transaction() is open, else None
         self._txn: dict[str, int] | None = None
+        # side-effects queued by after_commit() while a transaction is open
+        self._post_commit: list = []
         os.makedirs(root, exist_ok=True)
 
     # -- pointer management -------------------------------------------------
@@ -306,6 +308,47 @@ class EntityStore:
         cols = _ddl_field_names(ddl)
         return reduce(DataFrame.unionByName, [f.select(*cols) for f in frames])
 
+    # -- partition id blooms ------------------------------------------------
+
+    def _write_partition_blooms(self, table: str, fresh: dict) -> None:
+        """Exact ``_ID_BLOOM.json`` sidecar for every just-written partition
+        dir (see sources/bloom.py). Rebuilt per touched partition — the
+        write was already O(partition), one extra column-pruned id pass is
+        a constant factor; untouched partitions keep their sidecar because
+        the manifest re-references their immutable dirs."""
+        from vector_db_api_spark.sources import bloom as B
+
+        for rel in fresh.values():
+            pdir = os.path.join(self._table_dir(table), rel)
+            ids = self.spark.read.parquet(pdir).select("id")
+            n = ids.count()  # parquet metadata count — cheap
+            B.write_bloom(pdir, B.build_bloom(ids, "id", n))
+
+    def partition_blooms(self, table: str) -> dict:
+        """{partition value: decoded bloom or None} over the LIVE manifest.
+        Decoded sidecars are cached by their generation-relative path —
+        immutable once written, so the cache never goes stale."""
+        from vector_db_api_spark.sources import bloom as B
+
+        v = self.current_version(table)
+        if v is None:
+            return {}
+        manifest = self.load_manifest(table, v)
+        if _ALL in manifest:
+            return {}
+        cache = getattr(self, "_bloom_cache", None)
+        if cache is None:
+            cache = self._bloom_cache = {}
+        out = {}
+        for part, rel in manifest.items():
+            key = (table, rel)
+            if key not in cache:
+                cache[key] = B.load_bloom(
+                    os.path.join(self._table_dir(table), rel)
+                )
+            out[part] = cache[key]
+        return out
+
     # -- write --------------------------------------------------------------
 
     def write(self, table: str, df: DataFrame) -> int:
@@ -325,6 +368,7 @@ class EntityStore:
             writer = writer.partitionBy(*parts)
             writer.parquet(path)
             manifest = self._scan_generation(table, gen, parts)
+            self._write_partition_blooms(table, manifest)
         else:
             writer.parquet(path)
             manifest = {_ALL: gen}
@@ -370,11 +414,32 @@ class EntityStore:
             raise ValueError(
                 f"write_partitions: rows outside touched partitions {sorted(stray)}"
             )
+        self._write_partition_blooms(table, fresh)
         manifest = {k: p for k, p in old.items() if k not in touched_keys}
         manifest.update(fresh)
         self._write_manifest(table, nxt, manifest)
         self._publish(table, nxt)
         return nxt
+
+    def after_commit(self, fn) -> None:
+        """Run ``fn()`` once the surrounding :meth:`transaction` has
+        COMMITTED — or immediately when no transaction is open.
+
+        This is how non-transactional side-effects (the live ANN index
+        delta/removal, which publishes through its own per-library pointer,
+        not the store catalog) stay consistent with the store: queued inside
+        a transaction, they never run for a rollback, and a commit-time flip
+        failure drops them with the staged writes (r6 advice: pre-fix,
+        ``upsert_chunks`` applied the index delta mid-transaction, so an
+        aborted with-chunks create left the live index holding rows the
+        store never published). A hook that raises AFTER the flip surfaces
+        the error but cannot un-commit — the failure mode is "store new,
+        index stale", which ``rebuild_index`` repairs (same crash story as
+        the config-first ordering in ``update_index_config``)."""
+        if self._txn is None:
+            fn()
+        else:
+            self._post_commit.append(fn)
 
     def _publish(self, table: str, version: int) -> None:
         """Commit a staged generation+manifest: immediately when no
@@ -407,14 +472,19 @@ class EntityStore:
         if self._txn is not None:
             raise RuntimeError("nested transactions are not supported")
         self._txn = {}
+        self._post_commit = []
         staged = self._txn  # captured: survives self._txn = None, so a
         try:                # commit-time flip failure still rolls back
             yield self
             self._txn = None
             if staged:
                 self._flip_many(staged)
+            hooks, self._post_commit = self._post_commit, []
+            for fn in hooks:  # only after a successful flip (see after_commit)
+                fn()
         except BaseException:
             self._txn = None
+            self._post_commit = []
             for table in staged:
                 # remove exactly the staged versions (all above the still-
                 # committed catalog version; works for a fresh table too,
