@@ -52,6 +52,9 @@ MUST_BE_IN_WINDOW = {
     "ivf_search_filtered_top10",  # filtered IVF (predicate pushdown)
     "pq_search_top10",          # PQ ADC scan + exact re-rank
     "ivfpq_search_top10",       # IVF cell pruning × PQ compression
+    # round-7 rotation: the Engine delete→tombstone→maintenance→move
+    # lifecycle (displaced crud_move_document, its pure-operator subset)
+    "crud_engine_index_delete",
 }
 
 

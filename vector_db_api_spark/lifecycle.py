@@ -225,7 +225,7 @@ class IndexLifecycle:
                 return 0
             tomb = spark.createDataFrame([(str(i),) for i in ids], "id string")
         vdir = os.path.join(
-            self._lib_dir(library_id), f"v={desc['version']}", "_tombstones"
+            self._lib_dir(library_id), f"v={desc['version']}", "tombstones"
         )
         tomb.write.mode("append").parquet(vdir)
         return tomb.count()
@@ -236,7 +236,7 @@ class IndexLifecycle:
         if desc is None:
             return 0
         vdir = os.path.join(
-            self._lib_dir(library_id), f"v={desc['version']}", "_tombstones"
+            self._lib_dir(library_id), f"v={desc['version']}", "tombstones"
         )
         if not os.path.isdir(vdir):
             return 0

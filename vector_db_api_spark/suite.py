@@ -2676,6 +2676,94 @@ FROM d, p
 """
 
 
+_ENGINE_CHUNK_SCHEMA = (
+    "id string, library_id string, document_id string, position int, "
+    "text string, embedding array<float>, "
+    "metadata struct<source_uri:string,author:string,lang:string,"
+    "mime_type:string,tags:array<string>,page_number:int,token_count:int,"
+    "sha256:string>"
+)
+
+
+def q_crud_engine_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Engine drive of the DELETE → index-tombstone → maintenance →
+    move lifecycle (r7; reference index.remove + registry.remove,
+    services/chunk.py:119-139 / indexing/registry.py:41-44):
+
+    1. two LSH libraries; doc dA0 (4 chunks, texts sliced from
+       ``documents.doc_id=1``) and dA1 (2 chunks) in A;
+    2. ``delete_chunk`` dA0's position-0 chunk, cascade ``delete_document``
+       dA1 → 3 tombstones against A's live index, while ``search`` still
+       returns k LIVE rows (delete-consistency via the live re-rank);
+    3. ``maintenance`` crosses the dead-fraction threshold → rebuild drops
+       the dead postings and clears the tombstones;
+    4. ``move_document`` dA0 → B: the destination index absorbs the delta
+       post-commit, so B serves the moved chunks WITHOUT a rebuild.
+
+    Output = the final chunks table (B holds dA0's surviving 3 chunks at
+    their stored versions) plus literal probe columns the oracle pins:
+    tombstones before/after maintenance and the two search hit-counts."""
+    import tempfile
+
+    from vector_db_api_spark.api.service import Engine
+    from vector_db_api_spark.lifecycle import IndexConfig
+
+    root = tempfile.mkdtemp(prefix="crud_engine_idxdel_")
+    eng = Engine(spark, root)
+    text = _docs(spark, sf_dir).filter(F.col("doc_id") == 1).collect()[0]["text"]
+    for lib in ("A", "B"):
+        eng.create_library(lib, 4, library_id=lib)
+    eng.create_document("A", document_id="dA0")
+    eng.create_document("A", document_id="dA1")
+    rows = [
+        (f"a{p}", "A", "dA0", p, text[16 * p:16 * (p + 1)],
+         [float(p), 1.0, 0.0, 0.0], None)
+        for p in range(4)
+    ] + [
+        (f"b{p}", "A", "dA1", p, text[16 * (4 + p):16 * (5 + p)],
+         [1.0, float(p), 0.0, 0.0], None)
+        for p in range(2)
+    ]
+    eng.upsert_chunks("A", spark.createDataFrame(rows, _ENGINE_CHUNK_SCHEMA))
+    for lib in ("A", "B"):
+        eng.update_index_config(
+            lib, IndexConfig("lsh", {"num_tables": 2, "hyperplanes_per_table": 4})
+        )
+    eng.delete_chunk("A", "a0")
+    eng.delete_document("A", "dA1")
+    n_tomb_before = eng.indexes.tombstone_count("A")
+    assert n_tomb_before == 3, n_tomb_before
+    live = [r["id"] for r in eng.search("A", [0.5, 1.0, 0.0, 0.0], k=3).collect()]
+    assert len(live) == 3 and "a0" not in live and not any(
+        i.startswith("b") for i in live
+    ), live  # full k from live rows — no phantom, no shortfall
+    rep = eng.maintenance(keep=1, index_max_dead_fraction=0.2)
+    assert rep["indexes"]["A"]["rebuilt"] is True, rep
+    n_tomb_after = eng.indexes.tombstone_count("A")
+    eng.move_document("dA0", "A", "B")
+    dst = [r["id"] for r in eng.search("B", [1.0, 1.0, 0.0, 0.0], k=3).collect()]
+    assert sorted(dst) == ["a1", "a2", "a3"], dst  # served WITHOUT a rebuild
+    return eng.store.read("chunks").select(
+        "library_id", "position",
+        F.sha2("text", 256).alias("text_sha"), "version",
+        F.lit(n_tomb_before).cast("int").alias("n_tomb_before"),
+        F.lit(n_tomb_after).cast("int").alias("n_tomb_after"),
+        F.lit(len(live)).cast("int").alias("n_live_hits"),
+        F.lit(len(dst)).cast("int").alias("n_dst_hits"),
+    )
+
+
+_SQL_CRUD_ENGINE_INDEX_DELETE = """
+WITH d AS (SELECT text FROM documents WHERE doc_id = 1),
+p AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(position))
+SELECT 'B' AS library_id, p.position,
+       sha256(substr(d.text, 1 + 16 * p.position, 16)) AS text_sha,
+       1 AS version, 3 AS n_tomb_before, 0 AS n_tomb_after,
+       3 AS n_live_hits, 3 AS n_dst_hits
+FROM d, p
+"""
+
+
 def q_chunks_by_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     """By-document chunk listing, position order (repos/chunks.py:28-31)."""
     chunks = _base_chunks(spark, sf_dir)
@@ -4109,7 +4197,13 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "crud_upsert": (q_crud_upsert, _SQL_CRUD_UPSERT),
     "crud_cas": (q_crud_cas, _SQL_CRUD_CAS),
     "crud_delete_cascade": (q_crud_delete_cascade, _SQL_CRUD_DELETE_CASCADE),
-    "crud_move_document": (q_crud_move_document, _SQL_CRUD_MOVE_DOCUMENT),
+    # r7 rotation: the Engine-level delete→tombstone→maintenance→move
+    # lifecycle (subsumes the pure-operator crud_move_document, now past
+    # the window — the engine drive moves a document through store AND index)
+    "crud_engine_index_delete": (
+        q_crud_engine_index_delete,
+        _SQL_CRUD_ENGINE_INDEX_DELETE,
+    ),
     "chunks_by_document": (q_chunks_by_document, _sql_chunks_by_document()),
     "search_e2e": (q_search_e2e, _sql_search_e2e()),
     # --- in-window: similarity join + end-to-end corpus clean ---
@@ -4196,6 +4290,9 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "minhash_band_buckets": (q_minhash_band_buckets, _sql_minhash_band_buckets()),
     "simhash": (q_simhash, f"{O.simhash_sql('documents', 'doc_id', 'text')}"),
     "crud_cas_conflicts": (q_crud_cas_conflicts, _SQL_CRUD_CAS_CONFLICTS),
+    # rotated out of the window in r7 (driver-green r3-r6; subsumed by the
+    # Engine-level crud_engine_index_delete, which moves through store+index)
+    "crud_move_document": (q_crud_move_document, _SQL_CRUD_MOVE_DOCUMENT),
     "doc_token_count": (
         q_doc_token_count,
         f"SELECT doc_id, {O.token_count('text')} AS n_tokens FROM documents",
