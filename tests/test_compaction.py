@@ -351,10 +351,9 @@ def test_rename_mode_rejects_remote_scheme(spark, tmp_path):
         _swap_in(df, "hdfs://nn/warehouse/state", ("epoch",))
     with pytest.raises(ValueError, match="unknown publish mode"):
         _swap_in(df, str(tmp_path / "s"), ("epoch",), mode="banana")
-    # r6 review: pointer mode's pointer IO is also local-only today — must
-    # fail fast too, not after materializing the versioned prefix
-    with pytest.raises(ValueError, match="local-filesystem"):
-        _swap_in(df, "s3a://bucket/state", ("epoch",), mode="pointer")
+    # pointer mode is scheme-agnostic since r7 (fsio routes the pointer
+    # through the Hadoop FileSystem) — its remote-path coverage lives in
+    # tests/test_fsio.py::test_pointer_mode_compaction_on_file_scheme
 
 
 def test_pointer_mode_ingest_continues_after_compaction(spark, tmp_path):

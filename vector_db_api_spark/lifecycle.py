@@ -18,9 +18,7 @@ centroid matrix.
 
 from __future__ import annotations
 
-import json
 import os
-import tempfile
 import time
 from dataclasses import dataclass, field
 
@@ -29,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_db_api_spark.api.errors import NotFoundError, ValidationError
+from vector_db_api_spark.sources import fsio
 from vector_db_api_spark.operators.ivf import IVFIndex
 from vector_db_api_spark.operators.knn import knn
 from vector_db_api_spark.operators.lsh import SignLSH, build_bucket_table
@@ -65,7 +64,10 @@ class IndexLifecycle:
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        # pointer IO is scheme-dispatched (local os / Hadoop FileSystem),
+        # same as the EntityStore catalog — hdfs:// and s3a:// roots work
+        self._fs = fsio.fs_for(root, spark)
+        self._fs.makedirs(root)
 
     # -- catalog -------------------------------------------------------------
 
@@ -77,19 +79,12 @@ class IndexLifecycle:
 
     def current(self, library_id: str) -> dict | None:
         """The live index descriptor {version, type, params, dim} or None."""
-        try:
-            with open(self._pointer(library_id)) as f:
-                return json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
-            return None
+        return fsio.read_json(self._fs, self._pointer(library_id))
 
     def _flip(self, library_id: str, desc: dict) -> None:
         d = self._lib_dir(library_id)
-        os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d, prefix="_CURRENT.")
-        with os.fdopen(fd, "w") as f:
-            json.dump(desc, f)
-        os.replace(tmp, self._pointer(library_id))
+        self._fs.makedirs(d)
+        fsio.write_json_atomic(self._fs, self._pointer(library_id), desc)
 
     # -- build / publish ------------------------------------------------------
 
@@ -238,7 +233,7 @@ class IndexLifecycle:
         vdir = os.path.join(
             self._lib_dir(library_id), f"v={desc['version']}", "tombstones"
         )
-        if not os.path.isdir(vdir):
+        if not self._fs.isdir(vdir):
             return 0
         return self.spark.read.parquet(vdir).count()
 
@@ -270,12 +265,10 @@ class IndexLifecycle:
         indexing/registry.py:41-44, called on library delete). Without
         this, a deleted library's index versions leak forever. Returns
         whether anything existed."""
-        import shutil
-
         d = self._lib_dir(library_id)
-        if not os.path.isdir(d):
+        if not self._fs.isdir(d):
             return False
-        shutil.rmtree(d, ignore_errors=True)
+        self._fs.rmtree(d)
         return True
 
     def bootstrap(
@@ -301,14 +294,12 @@ class IndexLifecycle:
         """Drop index snapshot dirs older than the newest ``keep`` (never
         the live one) — readers of an old version finish before their
         pointer resolution goes stale, so keep ≥ 2 during live traffic."""
-        import shutil
-
         d = self._lib_dir(library_id)
-        if not os.path.isdir(d):
+        if not self._fs.isdir(d):
             return []
         versions = sorted(
             int(x.split("=", 1)[1])
-            for x in os.listdir(d)
+            for x in self._fs.listdir(d)
             if x.startswith("v=") and x.split("=", 1)[1].isdigit()
         )
         cur = self.current(library_id)
@@ -317,7 +308,7 @@ class IndexLifecycle:
             v for v in versions if v != live
         ]
         for v in removable:
-            shutil.rmtree(os.path.join(d, f"v={v}"), ignore_errors=True)
+            self._fs.rmtree(os.path.join(d, f"v={v}"))
         return removable
 
     # -- search dispatch ------------------------------------------------------

@@ -42,7 +42,6 @@ from __future__ import annotations
 
 import base64
 import hashlib
-import json
 import os
 
 from pyspark.sql import DataFrame
@@ -115,24 +114,28 @@ def build_bloom(ids: DataFrame, id_col: str, n_rows: int) -> dict:
     }
 
 
-def write_bloom(partition_dir: str, bloom: dict) -> None:
-    path = os.path.join(partition_dir, BLOOM_FILE)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(bloom, f)
-    os.replace(tmp, path)
+def write_bloom(partition_dir: str, bloom: dict, fs=None) -> None:
+    """Publish the sidecar atomically. ``fs`` is an :mod:`.fsio` filesystem
+    (the store passes its own, so blooms follow the root's scheme —
+    local, file://, hdfs://, s3a://); defaults to local-path IO."""
+    from vector_db_api_spark.sources import fsio
+
+    fsio.write_json_atomic(
+        fs or fsio.LOCAL, os.path.join(partition_dir, BLOOM_FILE), bloom
+    )
 
 
-def load_bloom(partition_dir: str) -> dict | None:
+def load_bloom(partition_dir: str, fs=None) -> dict | None:
     """Decoded bloom (bitmap as bytes) or None when absent/unreadable."""
+    from vector_db_api_spark.sources import fsio
+
+    raw = fsio.read_json(fs or fsio.LOCAL, os.path.join(partition_dir, BLOOM_FILE))
     try:
-        with open(os.path.join(partition_dir, BLOOM_FILE)) as f:
-            raw = json.load(f)
-        if raw.get("format") != 1:
+        if raw is None or raw.get("format") != 1:
             return None
         raw["bitmap"] = base64.b64decode(raw["bitmap"])
         return raw
-    except (FileNotFoundError, json.JSONDecodeError, KeyError, ValueError):
+    except (KeyError, ValueError):
         return None
 
 

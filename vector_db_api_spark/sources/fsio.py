@@ -1,0 +1,248 @@
+"""Scheme-dispatched metadata-file IO: local ``os`` APIs for plain paths,
+the Hadoop ``FileSystem`` API (via Spark's JVM gateway) for every URI Spark
+itself can reach (``file://``, ``hdfs://``, ``s3a://``, ``gs://``, ...).
+
+Why this exists: the store catalog, CoW manifests, index pointers, bloom
+sidecars, and streaming-state ``_CURRENT`` pointers are all tiny JSON files
+published with an atomic write-new-then-swap. Parquet data already goes
+through Spark (scheme-agnostic), but until round 7 the pointer files used
+``open``/``os.replace``/``flock`` directly, so a store rooted at ``hdfs://``
+or ``s3a://`` failed at its first publish (the guards in
+``streaming/ingest.py`` and DEPLOYMENT.md documented exactly this gap).
+Routing the same handful of operations through ``org.apache.hadoop.fs``
+closes it without changing any on-disk format: a ``file://``-scheme root
+exercises the identical Hadoop code path on local disk, which is how the
+tests prove it.
+
+Atomicity by scheme:
+
+- **local / file://** — ``write_text_atomic`` is temp-in-same-dir +
+  rename-overwrite (POSIX ``rename(2)`` semantics; on the Hadoop path,
+  ``FileContext.rename(OVERWRITE)`` over ``RawLocalFs`` is the same call).
+- **hdfs://** — ``FileContext.rename(..., Options.Rename.OVERWRITE)`` is
+  atomic in the NameNode; readers see the old or the new pointer, never a
+  partial file.
+- **s3a:// and friends** — object stores have no rename; the Hadoop client
+  implements it as copy-then-delete of a FULLY-WRITTEN object, and a
+  single-key PUT is atomic-replace on S3, so readers still only ever
+  observe a complete old or new pointer. What object stores canNOT give is
+  multi-writer mutual exclusion: :meth:`FS.lock` is a real ``flock`` on
+  local roots and a documented no-op elsewhere — remote roots keep the
+  single-writer-per-store contract the EntityStore already states.
+
+Only METADATA goes through here (KB-scale JSON, driver-side): bulk data
+stays on Spark readers/writers. Directory ops (``listdir``/``rmtree``) are
+used on manifest/generation directories whose entry counts are bounded by
+partition and version counts, not row counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from contextlib import contextmanager
+from urllib.parse import urlparse
+
+__all__ = ["LocalFS", "HadoopFS", "fs_for", "LOCAL"]
+
+
+class LocalFS:
+    """``os``-backed implementation for plain (scheme-less) paths —
+    byte-for-byte the behavior the store had before fsio existed."""
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        d = os.path.dirname(path) or "."
+        fd, tmp = tempfile.mkstemp(dir=d, prefix="." + os.path.basename(path) + ".")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(text)
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return sorted(os.listdir(path))
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def remove(self, path: str) -> None:
+        """Delete one file; missing is not an error (callers treat the
+        pointer/manifest as already gone)."""
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    @contextmanager
+    def lock(self, path: str):
+        """Exclusive advisory lock (``flock``) on a sidecar file. Degrades
+        to a no-op where flock is unavailable — then the single-writer
+        contract is the guarantee (same trade the store always made)."""
+        lf = None
+        try:
+            import fcntl
+
+            lf = open(path, "w")
+            fcntl.flock(lf, fcntl.LOCK_EX)
+        except (ImportError, OSError):
+            if lf is not None:
+                lf.close()
+            lf = None
+        try:
+            yield
+        finally:
+            if lf is not None:
+                import fcntl
+
+                fcntl.flock(lf, fcntl.LOCK_UN)
+                lf.close()
+
+
+LOCAL = LocalFS()
+
+
+class HadoopFS:
+    """Metadata IO through ``org.apache.hadoop.fs`` — the same client Spark
+    uses for its own reads, so any root Spark can scan, the pointers can
+    live on. Driver-side only (py4j), tiny files only by design."""
+
+    def __init__(self, spark, path: str) -> None:
+        sc = spark.sparkContext
+        self._jvm = sc._jvm
+        self._gw = sc._gateway
+        self._conf = sc._jsc.hadoopConfiguration()
+        self._jPath = self._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jPath(path).getFileSystem(self._conf)
+        # FileContext supplies the public atomic rename-with-OVERWRITE
+        # (FileSystem.rename(Path,Path) refuses an existing destination)
+        self._fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            self._jPath(path).toUri(), self._conf
+        )
+        Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+        self._overwrite = self._gw.new_array(Rename, 1)
+        self._overwrite[0] = Rename.OVERWRITE
+
+    # -- helpers --------------------------------------------------------------
+
+    def _p(self, path: str):
+        return self._jPath(path)
+
+    # -- API (matches LocalFS) -------------------------------------------------
+
+    def read_text(self, path: str) -> str:
+        p = self._p(path)
+        if not self._fs.exists(p):
+            raise FileNotFoundError(path)
+        stream = self._fs.open(p)
+        try:
+            reader = self._jvm.java.io.BufferedReader(
+                self._jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            lines = []
+            while True:
+                line = reader.readLine()
+                if line is None:
+                    break
+                lines.append(line)
+            return "\n".join(lines)
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        parent, name = path.rsplit("/", 1)
+        tmp = f"{parent}/.{name}.{uuid.uuid4().hex[:12]}"
+        out = self._fs.create(self._p(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        # atomic on HDFS (NameNode op); on object stores the Hadoop client
+        # copies the fully-written temp object then deletes it — readers
+        # see old-or-new because a single-key PUT is atomic-replace
+        self._fc.rename(self._p(tmp), self._p(path), self._overwrite)
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def isdir(self, path: str) -> bool:
+        p = self._p(path)
+        return bool(self._fs.exists(p) and self._fs.getFileStatus(p).isDirectory())
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._p(path)
+        if not self._fs.exists(p):
+            raise FileNotFoundError(path)
+        return sorted(
+            s.getPath().getName() for s in self._fs.listStatus(p)
+        )
+
+    def makedirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def remove(self, path: str) -> None:
+        self._fs.delete(self._p(path), False)
+
+    def rmtree(self, path: str) -> None:
+        self._fs.delete(self._p(path), True)
+
+    @contextmanager
+    def lock(self, path: str):
+        """No cross-process lock exists on HDFS/object stores (no flock, no
+        O_EXCL-with-lease) — remote roots run under the store's documented
+        single-writer contract; the catalog's read-modify-replace races
+        only against other WRITERS, never readers."""
+        yield
+
+
+def fs_for(path: str, spark=None):
+    """The right FS for ``path``: plain paths → :data:`LOCAL`; any
+    URI scheme → :class:`HadoopFS` (``file://`` included, so tests drive
+    the remote code path on local disk). ``spark`` falls back to the
+    active session — pointer helpers that predate fsio don't carry one."""
+    if urlparse(path).scheme == "":
+        return LOCAL
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"no active SparkSession to reach {path!r} via the Hadoop "
+                "FileSystem API (remote-scheme metadata IO is JVM-backed)"
+            )
+    return HadoopFS(spark, path)
+
+
+def read_json(fs, path: str) -> dict | None:
+    """Parsed JSON at ``path`` or None when missing/corrupt — the shared
+    pointer-read idiom (a damaged pointer must read as 'absent', the
+    caller's guards decide what that means)."""
+    try:
+        return json.loads(fs.read_text(path))
+    except (FileNotFoundError, json.JSONDecodeError, NotADirectoryError):
+        return None
+
+
+def write_json_atomic(fs, path: str, obj: dict) -> None:
+    fs.write_text_atomic(path, json.dumps(obj))

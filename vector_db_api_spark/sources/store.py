@@ -14,8 +14,9 @@ mutation to ONE library. On Spark the durable equivalent is:
   at OLDER generations (copy-on-write: a mutation writes only the partitions
   its rows touch and re-references the rest);
 - a single JSON **catalog** ``<root>/_CATALOG`` maps every table to its live
-  version, rewritten atomically (write temp + ``os.replace``) AFTER the
-  manifests — the reference's ``registry.swap`` (indexing/registry.py:33-35)
+  version, rewritten atomically (write temp + rename-overwrite, scheme-
+  dispatched through :mod:`.fsio` so ``hdfs://``/``s3a://`` roots work) AFTER
+  the manifests — the reference's ``registry.swap`` (indexing/registry.py:33-35)
   generalized to data. One file for ALL tables makes multi-table mutations
   (cascade delete, move) a single commit point: :meth:`transaction` stages
   each table's generation + manifest and flips the catalog once, so a crash
@@ -51,14 +52,14 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
-import tempfile
 import time
 from contextlib import contextmanager
 from functools import reduce
 from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
+
+from vector_db_api_spark.sources import fsio
 
 BASE_METADATA = (
     "source_uri string, author string, lang string, mime_type string, "
@@ -118,11 +119,15 @@ class EntityStore:
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
         self.root = root
+        # metadata IO (catalog/manifests/blooms) is scheme-dispatched: plain
+        # paths use os APIs, URI roots (file://, hdfs://, s3a://) go through
+        # the Hadoop FileSystem — the data files already do, via Spark
+        self._fs = fsio.fs_for(root, spark)
         # staged {table: version} while a transaction() is open, else None
         self._txn: dict[str, int] | None = None
         # side-effects queued by after_commit() while a transaction is open
         self._post_commit: list = []
-        os.makedirs(root, exist_ok=True)
+        self._fs.makedirs(root)
 
     # -- pointer management -------------------------------------------------
 
@@ -142,18 +147,12 @@ class EntityStore:
     def _load_catalog(self) -> dict | None:
         """``{table: live version}`` from the store catalog, or None when the
         store predates catalogs (or is empty)."""
-        try:
-            with open(self._catalog_path()) as f:
-                return json.load(f)["versions"]
-        except (FileNotFoundError, json.JSONDecodeError, KeyError):
-            return None
+        raw = fsio.read_json(self._fs, self._catalog_path())
+        return raw.get("versions") if raw is not None else None
 
     def _legacy_pointer_version(self, table: str) -> int | None:
-        try:
-            with open(self._pointer_path(table)) as f:
-                return json.load(f)["version"]
-        except (FileNotFoundError, json.JSONDecodeError, KeyError):
-            return None
+        raw = fsio.read_json(self._fs, self._pointer_path(table))
+        return raw.get("version") if raw is not None else None
 
     def current_version(self, table: str) -> int | None:
         """Live version of ``table``. Inside an open :meth:`transaction`,
@@ -173,15 +172,17 @@ class EntityStore:
 
     def _flip_many(self, updates: dict[str, int]) -> None:
         """Atomic publish of one or more tables: rewrite the catalog via
-        temp file + os.replace (POSIX-atomic). The first flip over a legacy
-        store folds every per-table ``_CURRENT`` into the catalog so no
-        table loses its version. Read-modify-replace is serialized by
-        :meth:`_catalog_lock` — the generation-directory ``errorifexists``
-        collision check only serializes writers of the SAME table, so two
-        engines publishing DIFFERENT tables could otherwise each replace
-        the catalog from the same stale read and silently drop the other's
-        committed version."""
-        with self._catalog_lock():
+        temp file + rename-overwrite (POSIX-atomic locally; NameNode-atomic
+        on HDFS; atomic single-key PUT visibility on object stores — see
+        fsio). The first flip over a legacy store folds every per-table
+        ``_CURRENT`` into the catalog so no table loses its version.
+        Read-modify-replace is serialized by ``fs.lock`` (flock on local
+        roots; remote roots run the documented single-writer contract) —
+        the generation-directory ``errorifexists`` collision check only
+        serializes writers of the SAME table, so two engines publishing
+        DIFFERENT tables could otherwise each replace the catalog from the
+        same stale read and silently drop the other's committed version."""
+        with self._fs.lock(os.path.join(self.root, "_CATALOG.lock")):
             cat = self._load_catalog()
             versions = dict(cat) if cat is not None else {
                 t: v
@@ -189,60 +190,35 @@ class EntityStore:
                 if (v := self._legacy_pointer_version(t)) is not None
             }
             versions.update(updates)
-            fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_CATALOG.")
-            with os.fdopen(fd, "w") as f:
-                json.dump({"versions": versions, "published_at": time.time()}, f)
-            os.replace(tmp, self._catalog_path())
-
-    @contextmanager
-    def _catalog_lock(self):
-        """Serialize catalog read-modify-replace across engines sharing one
-        local root (flock on a sidecar; the per-table ``errorifexists``
-        collision check only serializes writers of the SAME table, so two
-        engines publishing DIFFERENT tables could otherwise lose one
-        update). On filesystems without flock the lock degrades to a no-op
-        and the single-writer-per-store contract is the guarantee."""
-        lock_path = os.path.join(self.root, "_CATALOG.lock")
-        lf = None
-        try:
-            import fcntl
-
-            lf = open(lock_path, "w")
-            fcntl.flock(lf, fcntl.LOCK_EX)
-        except (ImportError, OSError):
-            if lf is not None:
-                lf.close()
-            lf = None
-        try:
-            yield
-        finally:
-            if lf is not None:
-                import fcntl
-
-                fcntl.flock(lf, fcntl.LOCK_UN)
-                lf.close()
+            fsio.write_json_atomic(
+                self._fs,
+                self._catalog_path(),
+                {"versions": versions, "published_at": time.time()},
+            )
 
     # -- manifests ----------------------------------------------------------
 
     def _write_manifest(self, table: str, version: int, partitions: dict) -> None:
         mdir = os.path.dirname(self._manifest_path(table, version))
-        os.makedirs(mdir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=mdir, prefix="_m.")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"partitions": partitions, "written_at": time.time()}, f)
-        os.replace(tmp, self._manifest_path(table, version))
+        self._fs.makedirs(mdir)
+        fsio.write_json_atomic(
+            self._fs,
+            self._manifest_path(table, version),
+            {"partitions": partitions, "written_at": time.time()},
+        )
 
     def load_manifest(self, table: str, version: int) -> dict:
         """Partition-value → generation-relative data path for a snapshot.
         Falls back to synthesizing one from a pre-manifest ``v=N`` directory
         (legacy full-snapshot layout) so old stores stay readable."""
         try:
-            with open(self._manifest_path(table, version)) as f:
-                return json.load(f)["partitions"]
+            return json.loads(
+                self._fs.read_text(self._manifest_path(table, version))
+            )["partitions"]
         except FileNotFoundError:
             gen = f"v={version}"
             legacy = os.path.join(self._table_dir(table), gen)
-            if not os.path.isdir(legacy):
+            if not self._fs.isdir(legacy):
                 return {}
             parts = PARTITION_COLS.get(table)
             if parts:
@@ -255,9 +231,11 @@ class EntityStore:
         gdir = os.path.join(self._table_dir(table), gen)
         prefix = parts[0] + "="
         out = {}
-        if os.path.isdir(gdir):
-            for name in sorted(os.listdir(gdir)):
-                if name.startswith(prefix) and os.path.isdir(os.path.join(gdir, name)):
+        if self._fs.isdir(gdir):
+            for name in self._fs.listdir(gdir):
+                if name.startswith(prefix) and self._fs.isdir(
+                    os.path.join(gdir, name)
+                ):
                     out[unquote(name[len(prefix):])] = f"{gen}/{name}"
         return out
 
@@ -322,7 +300,7 @@ class EntityStore:
             pdir = os.path.join(self._table_dir(table), rel)
             ids = self.spark.read.parquet(pdir).select("id")
             n = ids.count()  # parquet metadata count — cheap
-            B.write_bloom(pdir, B.build_bloom(ids, "id", n))
+            B.write_bloom(pdir, B.build_bloom(ids, "id", n), fs=self._fs)
 
     def partition_blooms(self, table: str) -> dict:
         """{partition value: decoded bloom or None} over the LIVE manifest.
@@ -344,7 +322,7 @@ class EntityStore:
             key = (table, rel)
             if key not in cache:
                 cache[key] = B.load_bloom(
-                    os.path.join(self._table_dir(table), rel)
+                    os.path.join(self._table_dir(table), rel), fs=self._fs
                 )
             out[part] = cache[key]
         return out
@@ -410,7 +388,7 @@ class EntityStore:
         touched_keys = {str(t) for t in touched}
         stray = set(fresh) - touched_keys
         if stray:
-            shutil.rmtree(path, ignore_errors=True)
+            self._fs.rmtree(path)
             raise ValueError(
                 f"write_partitions: rows outside touched partitions {sorted(stray)}"
             )
@@ -527,34 +505,34 @@ class EntityStore:
         writer's half-written generation is indistinguishable from crash
         debris."""
         tdir = self._table_dir(table)
-        if not os.path.isdir(tdir):
+        if not self._fs.isdir(tdir):
             return []
         live = self.current_version(table)
         if live is None:
             has_data = any(
-                name.startswith("v=") for name in os.listdir(tdir)
-            ) or os.path.isdir(os.path.join(tdir, "_manifests"))
+                name.startswith("v=") for name in self._fs.listdir(tdir)
+            ) or self._fs.isdir(os.path.join(tdir, "_manifests"))
             if not has_data:
                 return []
             if self._load_catalog() is None:
                 # catalog unreadable/missing yet table data exists on disk:
                 # damage, not debris — never delete
                 return []
-            if os.path.exists(self._pointer_path(table)):
+            if self._fs.exists(self._pointer_path(table)):
                 # a legacy _CURRENT exists (readable or not): this table
                 # published before the catalog era and its pointer is now
                 # unreadable — lost tracking, not a crashed first write
                 return []
             staged = {
                 int(n[2:])
-                for n in os.listdir(tdir)
+                for n in self._fs.listdir(tdir)
                 if n.startswith("v=") and n[2:].isdigit()
             }
             mdir = os.path.join(tdir, "_manifests")
-            if os.path.isdir(mdir):
+            if self._fs.isdir(mdir):
                 staged.update(
                     int(n[2:-5])
-                    for n in os.listdir(mdir)
+                    for n in self._fs.listdir(mdir)
                     if n.startswith("v=") and n.endswith(".json") and n[2:-5].isdigit()
                 )
             if staged - {1}:
@@ -570,20 +548,20 @@ class EntityStore:
         safety guards) and transaction rollback (floor = committed version;
         staged versions are by construction above it)."""
         tdir = self._table_dir(table)
-        if not os.path.isdir(tdir):
+        if not self._fs.isdir(tdir):
             return []
         removed = []
-        for name in sorted(os.listdir(tdir)):
+        for name in self._fs.listdir(tdir):
             if name.startswith("v=") and name[2:].isdigit() and int(name[2:]) > floor:
-                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+                self._fs.rmtree(os.path.join(tdir, name))
                 removed.append(int(name[2:]))
         mdir = os.path.join(tdir, "_manifests")
-        if os.path.isdir(mdir):
-            for name in os.listdir(mdir):
+        if self._fs.isdir(mdir):
+            for name in self._fs.listdir(mdir):
                 if name.startswith("v=") and name.endswith(".json"):
                     core = name[2:-5]
                     if core.isdigit() and int(core) > floor:
-                        os.remove(os.path.join(mdir, name))
+                        self._fs.remove(os.path.join(mdir, name))
                         if int(core) not in removed:
                             removed.append(int(core))
         return sorted(removed)
@@ -604,15 +582,15 @@ class EntityStore:
         tdir = self._table_dir(table)
         found = set()
         mdir = os.path.join(tdir, "_manifests")
-        if os.path.isdir(mdir):
-            for name in os.listdir(mdir):
+        if self._fs.isdir(mdir):
+            for name in self._fs.listdir(mdir):
                 if name.startswith("v=") and name.endswith(".json"):
                     core = name[2:-5]
                     if core.isdigit():
                         found.add(int(core))
-        if os.path.isdir(tdir):  # legacy dirs count only below the live version
+        if self._fs.isdir(tdir):  # legacy dirs count only below the live version
             live = self.current_version(table) or 0
-            for name in os.listdir(tdir):
+            for name in self._fs.listdir(tdir):
                 if name.startswith("v=") and name[2:].isdigit():
                     v = int(name[2:])
                     if v <= live and v not in found:
@@ -630,7 +608,7 @@ class EntityStore:
         partition subdirs are reclaimed.
         """
         tdir = self._table_dir(table)
-        if not os.path.isdir(tdir):
+        if not self._fs.isdir(tdir):
             return []
         versions = self.versions(table)
         live = self.current_version(table)
@@ -642,10 +620,7 @@ class EntityStore:
         # 1. drop old manifests (and any same-version legacy full dirs that
         #    no longer back a kept snapshot)
         for v in removable:
-            try:
-                os.remove(self._manifest_path(table, v))
-            except FileNotFoundError:
-                pass
+            self._fs.remove(self._manifest_path(table, v))
 
         # 2. collect every path still referenced by a kept snapshot
         referenced: set[str] = set()
@@ -661,24 +636,25 @@ class EntityStore:
         #    be a concurrent writer mid-publish, and crash leftovers there
         #    are reclaimed on a later vacuum once live has passed them.
         live_v = live or 0
-        for name in sorted(os.listdir(tdir)):
+        for name in self._fs.listdir(tdir):
             if not (name.startswith("v=") and name[2:].isdigit()):
                 continue
             if int(name[2:]) > live_v or name in whole_gens:
                 continue
             gdir = os.path.join(tdir, name)
-            for sub in sorted(os.listdir(gdir)):
+            for sub in self._fs.listdir(gdir):
                 subpath = os.path.join(gdir, sub)
-                if os.path.isdir(subpath) and f"{name}/{sub}" not in referenced:
-                    shutil.rmtree(subpath, ignore_errors=True)
+                if self._fs.isdir(subpath) and f"{name}/{sub}" not in referenced:
+                    self._fs.rmtree(subpath)
+            remaining = self._fs.listdir(gdir)
             if not any(
-                f"{name}/{sub}" in referenced for sub in os.listdir(gdir)
-                if os.path.isdir(os.path.join(gdir, sub))
+                f"{name}/{sub}" in referenced for sub in remaining
+                if self._fs.isdir(os.path.join(gdir, sub))
             ):
                 # nothing referenced inside → drop the generation shell
                 # (only loose _SUCCESS/marker files remain)
-                if not os.listdir(gdir) or all(
-                    not os.path.isdir(os.path.join(gdir, s)) for s in os.listdir(gdir)
+                if not remaining or all(
+                    not self._fs.isdir(os.path.join(gdir, s)) for s in remaining
                 ):
-                    shutil.rmtree(gdir, ignore_errors=True)
+                    self._fs.rmtree(gdir)
         return removable

@@ -385,15 +385,16 @@ def state_read_or_none(spark: SparkSession, path: str):
 
 
 def _state_pointer_version(path: str) -> int | None:
-    """Version named by ``<path>/_CURRENT``, or None for a flat layout."""
-    import json
+    """Version named by ``<path>/_CURRENT``, or None for a flat layout.
+    Scheme-dispatched (fsio): works on local roots AND hdfs://=/s3a://
+    state paths — remote reads resolve through the active SparkSession's
+    Hadoop client, the same one the parquet scan itself uses."""
     import os
 
-    try:
-        with open(os.path.join(path, "_CURRENT")) as f:
-            return json.load(f)["version"]
-    except (FileNotFoundError, json.JSONDecodeError, KeyError, NotADirectoryError):
-        return None
+    from vector_db_api_spark.sources import fsio
+
+    raw = fsio.read_json(fsio.fs_for(path), os.path.join(path, "_CURRENT"))
+    return raw.get("version") if raw is not None else None
 
 
 def resolve_state_dir(path: str) -> str:
@@ -420,20 +421,22 @@ def vacuum_state(path: str, keep: int = 1) -> list[int]:
     pointer publish are left alone (they may back an in-flight reader that
     resolved the path pre-pointer; remove them manually after a drain)."""
     import os
-    import shutil
+
+    from vector_db_api_spark.sources import fsio
 
     live = _state_pointer_version(path)
     if live is None:
         return []
+    fs = fsio.fs_for(path)
     versions = sorted(
-        int(d[2:]) for d in os.listdir(path)
+        int(d[2:]) for d in fs.listdir(path)
         if d.startswith("v=") and d[2:].isdigit()
     )
     removable = [v for v in versions[:-keep] if v != live] if keep else [
         v for v in versions if v != live
     ]
     for v in removable:
-        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+        fs.rmtree(os.path.join(path, f"v={v}"))
     return removable
 
 
@@ -446,12 +449,15 @@ def _swap_in(out: DataFrame, path: str, partition_by, mode: str = "rename") -> N
     deletes the old data — a crash at any point leaves either the old
     state live or recoverable at ``path + '__compact_old'`` (never both
     gone). Non-local schemes (hdfs://, s3a://…) are rejected BEFORE the
-    expensive tmp materialization (os.rename can't reach them; failing
-    after the write would leak the tmp prefix).
+    expensive tmp materialization: the two-rename window is only safe when
+    directory renames are cheap and atomic, which object stores don't
+    give — use pointer mode there.
 
-    ``mode="pointer"`` (object-store-safe): each compaction writes a NEW
-    versioned prefix ``<path>/v=<n+1>`` and atomically flips
-    ``<path>/_CURRENT`` — the EntityStore publish pattern. Compaction
+    ``mode="pointer"`` (object-store-safe, any scheme Spark can reach):
+    each compaction writes a NEW versioned prefix ``<path>/v=<n+1>`` and
+    atomically flips ``<path>/_CURRENT`` (fsio: local os IO for plain
+    paths, Hadoop FileSystem for file://, hdfs://, s3a://) — the
+    EntityStore publish pattern. Compaction
     never renames or deletes the data a reader resolved, so a reader
     holding the old version keeps a consistent snapshot for as long as it
     needs; superseded versions are reclaimed later by
@@ -464,29 +470,14 @@ def _swap_in(out: DataFrame, path: str, partition_by, mode: str = "rename") -> N
     off-window (an epoch written between the compaction's read and its
     flip would be dropped from the new version).
     """
-    import json
     import os
     import shutil
-    import tempfile
     import time
     from urllib.parse import urlparse
 
+    from vector_db_api_spark.sources import fsio
+
     if mode == "pointer":
-        if urlparse(path).scheme not in ("", "file"):
-            # fail BEFORE the expensive materialization (r6 review): the
-            # pointer PROTOCOL (versioned prefix + atomic pointer swap) is
-            # the object-store-correct design, but this implementation
-            # reads/writes the pointer with local-filesystem APIs
-            # (open/mkstemp/os.replace) — on hdfs:// or s3a:// it would
-            # complete the possibly-TB tmp write and then die at the
-            # pointer swap, and resolve_state_dir would never see the
-            # version anyway. Porting = swapping these three calls to the
-            # Hadoop FileSystem API (create + rename), kept out of scope.
-            raise ValueError(
-                f"pointer-mode compaction's pointer IO is local-filesystem "
-                f"only, got {path!r}; port _state_pointer_version/_swap_in "
-                "to the Hadoop FileSystem API for remote schemes"
-            )
         cur = _state_pointer_version(path)
         nxt = 1 if cur is None else cur + 1
         dest = os.path.join(path, f"v={nxt}")
@@ -494,19 +485,22 @@ def _swap_in(out: DataFrame, path: str, partition_by, mode: str = "rename") -> N
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(dest)
-        fd, tmp = tempfile.mkstemp(dir=path, prefix="_CURRENT.")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"version": nxt, "published_at": time.time()}, f)
-        os.replace(tmp, os.path.join(path, "_CURRENT"))
+        fsio.write_json_atomic(
+            fsio.fs_for(path, out.sparkSession),
+            os.path.join(path, "_CURRENT"),
+            {"version": nxt, "published_at": time.time()},
+        )
         return
     if mode != "rename":
         raise ValueError(f"unknown publish mode {mode!r}")
     if urlparse(path).scheme not in ("", "file"):
         raise ValueError(
             f"rename-mode compaction needs a local path, got {path!r}; "
-            "the pointer-mode PROTOCOL is the object-store design, but its "
-            "pointer IO is also local-only today (see mode='pointer' guard)"
+            "use mode='pointer' for remote roots (versioned prefix + "
+            "atomic pointer flip — no directory renames)"
         )
+    if urlparse(path).scheme == "file":
+        path = urlparse(path).path  # os.rename below needs the bare path
 
     tmp = path.rstrip("/") + "__compact_tmp"
     old = path.rstrip("/") + "__compact_old"
