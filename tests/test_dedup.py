@@ -251,6 +251,68 @@ def test_connected_components_warns_when_budget_exhausted(spark):
     assert any("did not converge" in str(w.message) for w in caught)
 
 
+def test_alternating_cc_equals_propagation(spark):
+    """Large-star/small-star (Kiveris et al.) must produce the identical
+    (id, component) labeling as min-label propagation on every topology —
+    chain, triangle, self-pair, reversed duplicate edges, random graph."""
+    import random
+
+    from vector_db_api_spark.operators.dedup import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    rng = random.Random(7)
+    cases = {
+        "mixed": [
+            ("a", "a"), ("b", "c"), ("c", "b"), ("d", "e"),
+            ("e", "f"), ("d", "f"), ("g", "h"),
+        ],
+        "chain": [(f"n{i:03d}", f"n{i+1:03d}") for i in range(40)],
+        "random": [
+            (f"x{rng.randrange(60):02d}", f"x{rng.randrange(60):02d}")
+            for _ in range(70)
+        ],
+    }
+    for name, edges in cases.items():
+        df = spark.createDataFrame(edges, "id_a string, id_b string")
+        want = {
+            (r["id"], r["component"])
+            for r in connected_components(df, max_iterations=60).collect()
+        }
+        got = {
+            (r["id"], r["component"])
+            for r in connected_components_alternating(df).collect()
+        }
+        assert got == want, name
+
+
+def test_alternating_cc_beats_propagation_round_count(spark):
+    """The reason it exists: a 64-link chain needs > 30 propagation rounds
+    (it WARNS at max_iterations=30 and returns split components) while
+    alternating converges inside ~log² rounds without warning."""
+    import warnings
+
+    from vector_db_api_spark.operators.dedup import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a bigint, id_b bigint"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        alt = connected_components_alternating(pairs, max_iterations=10)
+        got = {r["id"]: r["component"] for r in alt.collect()}
+    assert not any("did not converge" in str(w.message) for w in caught)
+    assert set(got.values()) == {0} and len(got) == 65
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(pairs, max_iterations=10).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+
+
 def test_dedup_near_keeps_one_per_group(spark):
     from vector_db_api_spark.operators.dedup import dedup_near
 

@@ -1,0 +1,223 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+2023, "Data Selection for Language Models via Importance Resampling").
+
+The production recipe for "make my 100 TB crawl look like my 10 GB target
+corpus": featurize every document into hashed n-gram buckets, fit two bag-
+of-buckets unigram distributions (target vs raw pool), weight each pool
+document by its log importance ratio Σ_f [log p_target(b(f)) −
+log p_raw(b(f))], and keep the top-weighted (the paper resamples with
+Gumbel noise; the deterministic top-k is the same estimator with
+temperature → 0 and is what makes the result oracle-checkable — a seeded
+Gumbel variant is a one-column change, noted on :func:`dsir_select`).
+
+Scale shape (everything corpus-sized stays distributed):
+
+- featurization is a scan (explode to one row per unigram+bigram);
+- the two distributions are ONE groupBy each over ``buckets`` keys —
+  the model is at most ``buckets`` rows (2^13 here, 2^20 in the paper's
+  config), i.e. broadcastable by construction, never vocabulary-sized;
+- scoring is an explode + broadcast-join + one groupBy(doc) shuffle —
+  the exact cost shape of ``lm.doc_nll_join``.
+
+Cross-engine determinism (the suite oracle replays this bit-for-bit in
+DuckDB): buckets use the portable md5-based ``h32`` (functions/hashing),
+log-ratios are computed from EXACT integer counts with the platform libm
+``math.log`` inside an Arrow pandas_udf over the bucket table (NOT
+``F.log``/JVM and NOT numpy's SIMD log — see lm.train_unigram_df for the
+measured ulp disagreement), and the per-document sum re-sorts terms into
+positional order before a sequential left fold, so the double accumulation
+order matches the SQL oracle's ordered-list fold exactly.
+
+Reference parity: the reference engine has no data-selection surface at
+all (its corpus is whatever was upserted); DSIR is part of this repo's
+LLM-training-pipeline extension alongside dedup/decontaminate/quality
+(SURVEY.md §2.11)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import text as T
+
+DEFAULT_BUCKETS = 8192
+
+
+def _features(text_col: str) -> F.Column:
+    """Unigrams then bigrams of the normalized token stream, one array in
+    a deterministic positional order (unigram i at position i, bigram j at
+    position n_tokens + j) — the order the scoring fold accumulates in."""
+    toks = F.filter(
+        F.split(T.normalize_text(text_col), " "), lambda t: t != F.lit("")
+    )
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                  F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def hashed_ngram_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """(id, pos, bucket): every unigram+bigram of every doc, hashed into
+    ``buckets`` with the portable h32 — one row per feature OCCURRENCE
+    (DSIR weights repeats; dedup'ing here would change the estimator)."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(_features(text_col)).alias("pos", "__f"),
+    ).select(
+        id_col, "pos", (H.h32(F.col("__f")) % F.lit(buckets)).cast("int").alias("bucket")
+    )
+
+
+def bucket_counts(feats: DataFrame) -> DataFrame:
+    """(bucket, c): the bag-of-buckets distribution — ≤ ``buckets`` rows."""
+    return feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def dsir_log_ratios(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """(bucket, w): w_b = log p̂_target(b) − log p̂_raw(b) with add-one
+    smoothing over the full ``buckets``-sized feature space, one row per
+    bucket the RAW pool realizes (a pool document can only ever hit those).
+
+    The logs run driver-libm via pandas_udf over the ≤``buckets``-row
+    model table; counts are exact integers up to that point, so the
+    weights are a pure deterministic function of the two corpora."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    _libm_log = pandas_udf(
+        lambda p: pd.Series([math.log(x) for x in p], dtype="float64"),
+        "double",
+    )
+    t_total = target_counts.agg(F.sum("c")).collect()[0][0] or 0
+    r_total = raw_counts.agg(F.sum("c")).collect()[0][0] or 0
+    t_denom = float(t_total + buckets)
+    r_denom = float(r_total + buckets)
+    joined = raw_counts.select(
+        "bucket", F.col("c").alias("rc")
+    ).join(
+        target_counts.select("bucket", F.col("c").alias("tc")), "bucket", "left"
+    )
+    return joined.select(
+        "bucket",
+        (
+            _libm_log((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1)) / F.lit(t_denom))
+            - _libm_log((F.col("rc") + F.lit(1)) / F.lit(r_denom))
+        ).alias("w"),
+    )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    log_ratios: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DEFAULT_BUCKETS,
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """(id, n_feats, logratio, logratio_per_feat): each document's log
+    importance weight under the fitted ratio model.
+
+    Explode features positionally, broadcast-join the ≤``buckets``-row
+    weight table (never a shuffle at any corpus size), then re-fold per
+    document in positional order — the sequential double accumulation the
+    oracle replays. Docs with no features score 0 over 0 (posexplode_outer
+    keeps them)."""
+    w = F.broadcast(log_ratios) if broadcast_weights else log_ratios
+    feats = docs.select(
+        F.col(id_col), F.posexplode_outer(_features(text_col)).alias("pos", "__f")
+    ).select(
+        id_col,
+        "pos",
+        F.when(
+            F.col("__f").isNotNull(),
+            (H.h32(F.col("__f")) % F.lit(buckets)).cast("int"),
+        ).alias("bucket"),
+    )
+    terms = feats.join(w, "bucket", "left").select(
+        id_col,
+        "pos",
+        F.when(F.col("bucket").isNotNull(), F.coalesce(F.col("w"), F.lit(0.0)))
+        .alias("__term"),
+    )
+    return terms.groupBy(id_col).agg(
+        F.count("__term").cast("int").alias("n_feats"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.filter(
+                        F.collect_list(F.struct("pos", "__term")),
+                        lambda s: s["__term"].isNotNull(),
+                    )
+                ),
+                lambda s: s["__term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("logratio"),
+    ).select(
+        id_col,
+        "n_feats",
+        "logratio",
+        F.when(F.col("n_feats") > 0, F.col("logratio") / F.col("n_feats"))
+        .otherwise(F.lit(0.0))
+        .alias("logratio_per_feat"),
+    )
+
+
+def dsir_select(
+    scores: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    score_col: str = "logratio_per_feat",
+) -> DataFrame:
+    """The selected subset: top-``k`` by per-feature log ratio (ties break
+    to the smaller id — selection is a pure function of the corpus). One
+    global top-k: rank() would shuffle everything to one window partition,
+    so this goes through the same two-phase pattern as operators/topk —
+    per-partition cap then one tiny sort.
+
+    Length normalization (per-feat, not raw sum) is a deliberate deviation
+    from the paper, which scores FIXED-LENGTH chunks; on variable-length
+    documents the raw sum just measures length. For sampled (rather than
+    argmax) selection à la the paper, add seeded Gumbel noise to
+    ``score_col`` before calling — every downstream step is unchanged."""
+    ordered = scores.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+    return ordered.withColumn("selected", F.lit(True))
+
+
+def dsir_pipeline(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Fit-and-score composition: hash both corpora, fit the ratio model,
+    score the raw pool, keep top-k. Returns the scored selection."""
+    t_counts = bucket_counts(
+        hashed_ngram_buckets(target_docs, id_col, text_col, buckets)
+    )
+    r_counts = bucket_counts(
+        hashed_ngram_buckets(raw_docs, id_col, text_col, buckets)
+    )
+    ratios = dsir_log_ratios(t_counts, r_counts, buckets)
+    scores = dsir_scores(raw_docs, ratios, id_col, text_col, buckets)
+    return dsir_select(scores, k, id_col)
