@@ -313,6 +313,55 @@ def test_alternating_cc_beats_propagation_round_count(spark):
     assert any("did not converge" in str(w.message) for w in caught)
 
 
+def test_alternating_cc_default_budget_covers_200_link_chain(spark):
+    """r8: alternating is the PRODUCTION component path (dedup_near,
+    leakage_split, suite queries) — its DEFAULT iteration budget must
+    absorb a 200-link chain without warning, the exact shape that breaks
+    propagation's default budget."""
+    import warnings
+
+    from vector_db_api_spark.operators.dedup import (
+        connected_components_alternating,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a bigint, id_b bigint"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components_alternating(pairs).collect()
+        }
+    assert not any("did not converge" in str(w.message) for w in caught)
+    assert set(got.values()) == {0} and len(got) == 201
+
+
+def test_alternating_cc_nonconverged_still_one_row_per_id(spark):
+    """r7 advice: mid-contraction a node can hold several outgoing edges;
+    the non-converged exit must still honor the one-row-per-id contract
+    (warn + provisional single label), never emit duplicate ids."""
+    import warnings
+
+    from vector_db_api_spark.operators.dedup import (
+        connected_components_alternating,
+    )
+
+    # node 5 has two outgoing edges in the raw edge list
+    pairs = spark.createDataFrame(
+        [(5, 1), (5, 2), (2, 3)], "id_a bigint, id_b bigint"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rows = connected_components_alternating(
+            pairs, max_iterations=0
+        ).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+    ids = [r["id"] for r in rows]
+    assert sorted(ids) == [1, 2, 3, 5]  # exactly one row per node
+    assert all(r["component"] is not None for r in rows)
+
+
 def test_dedup_near_keeps_one_per_group(spark):
     from vector_db_api_spark.operators.dedup import dedup_near
 

@@ -42,7 +42,6 @@ MUST_BE_IN_WINDOW = {
     "stream_trending_state",    # stream-built rollup == batch oracle
     # round-5 rotation survivors (one rep per class; quantile/histogram/
     # canonical/profiler rotated out in r6 after their r5 driver-green rows)
-    "events_distinct_kmv",      # KMV distinct sketch
     "doc_quality_model_join",   # hashed linear quality classifier (join twin)
     "stream_semdedup_state",    # continuous SemDeDup admission
     # round-6 rotation (VERDICT r5 #3): the §2.9 ANN search family's first
@@ -51,10 +50,16 @@ MUST_BE_IN_WINDOW = {
     "ivf_search_top10",         # IVF nprobe probe + re-rank
     "ivf_search_filtered_top10",  # filtered IVF (predicate pushdown)
     "pq_search_top10",          # PQ ADC scan + exact re-rank
-    "ivfpq_search_top10",       # IVF cell pruning × PQ compression
     # round-7 rotation: the Engine delete→tombstone→maintenance→move
     # lifecycle (displaced crud_move_document, its pure-operator subset)
     "crud_engine_index_delete",
+    # round-8 rotation: DSIR data selection (r7 verdict top item) and the
+    # r6 cross-table-transaction route's first driver window slot
+    # (displaced events_distinct_kmv — KMV estimator still oracle-swept
+    # out-of-window + stream_kmv_state — and ivfpq_search_top10, the
+    # composition of the in-window ivf + pq entries)
+    "doc_dsir_select",
+    "crud_engine_with_chunks",
 }
 
 

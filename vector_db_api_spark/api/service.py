@@ -623,7 +623,10 @@ class Engine:
         self.store.write_partitions("chunks", merged, [library_id])
         # keep the live ANN index fresh: hash/assign ONLY the written batch.
         # Deferred through after_commit (r6 advice): inside a transaction
-        # (create_document_with_chunks), the live index must not absorb a
+        # (Facade.create_document_with_chunks, api/facade.py:205, which
+        # composes document create + this bulk upsert in one store txn; the
+        # Engine-level transactional callers are delete_library /
+        # delete_document / move_document), the live index must not absorb a
         # delta whose chunk rows may yet roll back — the hook runs only
         # after the catalog flip publishes them (immediately when no
         # transaction is open).
@@ -632,8 +635,16 @@ class Engine:
         )
 
     #: batches with more distinct ids than this skip the driver-side bloom
-    #: walk and go straight to the distributed semi-join check
-    GLOBAL_ID_CHECK_MAX_DRIVER_IDS = 100_000
+    #: walk and go straight to the distributed semi-join check. 10k keeps
+    #: the worst-case pure-Python walk at ~10k ids × partitions × k bit
+    #: probes (r7 advice: 100k ids on a 1000-library store was ~10^9
+    #: probes — slower than just running the semi-join)
+    GLOBAL_ID_CHECK_MAX_DRIVER_IDS = 10_000
+
+    #: verify scans with more ids than this use a left_semi join instead of
+    #: an ``isin`` literal list (a 10k-literal In-expression bloats the plan
+    #: and codegen; the semi-join broadcasts the tiny id frame instead)
+    GLOBAL_ID_CHECK_MAX_ISIN_IDS = 1_000
 
     def _check_global_chunk_ids(self, library_id: str, incoming: DataFrame) -> None:
         """409 when any incoming id already lives in ANOTHER library.
@@ -676,7 +687,14 @@ class Engine:
         others = self.store.read("chunks", partitions=suspects).filter(
             F.col("library_id") != library_id
         )
-        foreign = others.filter(F.col("id").isin(ids)).limit(1).count()
+        if len(ids) > self.GLOBAL_ID_CHECK_MAX_ISIN_IDS:
+            foreign = (
+                others.join(incoming.select("id").distinct(), "id", "left_semi")
+                .limit(1)
+                .count()
+            )
+        else:
+            foreign = others.filter(F.col("id").isin(ids)).limit(1).count()
         if foreign:
             raise ConflictError(
                 "chunk id(s) already exist in another library"

@@ -213,17 +213,24 @@ class IndexLifecycle:
         if desc is None or desc["type"] == "flat":
             return 0  # flat scans the live table — nothing stale to track
         spark = self.spark
-        if isinstance(ids, DataFrame):
-            tomb = ids.select(F.col(ids.columns[0]).cast("string").alias("id"))
-        else:
-            if not ids:
-                return 0
-            tomb = spark.createDataFrame([(str(i),) for i in ids], "id string")
         vdir = os.path.join(
             self._lib_dir(library_id), f"v={desc['version']}", "tombstones"
         )
+        if isinstance(ids, DataFrame):
+            # materialize once: the id frame usually hangs off a delete's
+            # anti-join lineage over the old chunks snapshot — without the
+            # checkpoint, the write computes it and the return-value count
+            # would re-read that whole snapshot a second time (r7 advice)
+            tomb = ids.select(
+                F.col(ids.columns[0]).cast("string").alias("id")
+            ).localCheckpoint(eager=True)
+            tomb.write.mode("append").parquet(vdir)
+            return tomb.count()
+        if not ids:
+            return 0
+        tomb = spark.createDataFrame([(str(i),) for i in ids], "id string")
         tomb.write.mode("append").parquet(vdir)
-        return tomb.count()
+        return len(ids)
 
     def tombstone_count(self, library_id: str) -> int:
         """Dead-id rows recorded against the live version (0 when none)."""

@@ -282,8 +282,11 @@ def leakage_free_split(
     id. Same deterministic h32(key:seed) rule as :func:`hash_sample`, so
     the assignment is retry-stable and replayable by any engine.
 
-    Scale: one minhash pipeline + component propagation (both already
-    bounded — see operators/dedup.py), one join of the component labels,
+    Scale: one minhash pipeline + alternating-star connected components
+    (both already bounded — see operators/dedup.py; the star variant
+    converges in O(log²) rounds even on long dup chains, where label
+    propagation would exhaust its round budget and split clusters across
+    the train/eval boundary), one join of the component labels,
     then a scan-side hash comparison. The label join is NOT hinted: pairs
     cover only docs with a duplicate, but web-scale corpora run 30-50%
     duplicate-cluster membership, so the label frame can be far too big to
@@ -291,11 +294,11 @@ def leakage_free_split(
     shuffle join when it doesn't (pinned by
     tests/test_curation_temporal.py::test_leakage_split_high_dup_fraction).
     """
-    from .dedup import connected_components, minhash_lsh_pairs
+    from .dedup import connected_components_alternating, minhash_lsh_pairs
 
     if pairs is None:
         pairs = minhash_lsh_pairs(docs, id_col=key_col, text_col=text_col)
-    comp = connected_components(pairs, "left_id", "right_id").select(
+    comp = connected_components_alternating(pairs, "left_id", "right_id").select(
         F.col("id").alias(key_col), F.col("component")
     )
     threshold = int(eval_rate * (1 << 32))

@@ -784,9 +784,12 @@ def connected_components_alternating(
     — fewer, cheaper rounds), but real dup graphs grow long CHAINS —
     boilerplate families where A≈B≈C≈… without A≈C, crawl snapshots of a
     page drifting over months — and a 10 000-link chain costs propagation
-    10 000 shuffle rounds while this converges in ~14. At 100 TB the
-    driver picks by structure: propagation by default, alternating when a
-    prior round hit the propagation iteration guard.
+    10 000 shuffle rounds while this converges in ~14. Since r8 this is
+    the PRODUCTION default in every component-consuming path (dedup_near,
+    leakage_split, the suite component/canonical/modern-clean queries);
+    propagation remains for shallow-graph runs where its cheaper rounds
+    win and as the independent cross-implementation for the equivalence
+    tests.
 
     Per round, two operations over the edge list, each ONE groupBy
     shuffle on the smaller endpoint's neighborhood:
@@ -871,6 +874,12 @@ def connected_components_alternating(
             RuntimeWarning,
             stacklevel=2,
         )
+        # mid-contraction a node can still hold SEVERAL outgoing edges —
+        # joining nodes against that set would emit multiple (id, component)
+        # rows per id, breaking the one-row-per-id contract (r7 advice).
+        # Reduce to one provisional label (the smallest reachable-so-far);
+        # the warning above already flags that labels may be split.
+        edges = edges.groupBy("u").agg(F.min("v").alias("v"))
     # fixpoint edges form (member, min) stars; roots and isolated
     # self-pair nodes label themselves
     return nodes.join(
@@ -893,12 +902,20 @@ def dedup_near(
     """Keep one representative (min id) per near-dup group: minhash-LSH
     pairs → connected components → anti-join the non-representatives.
     The near-dup analogue of :func:`dedup_exact`; docs in no pair survive
-    untouched."""
+    untouched.
+
+    Components run through the alternating large-star/small-star variant
+    (the production default since r8): real dup graphs grow long chains
+    — boilerplate families, crawl snapshots of a drifting page — and
+    min-label propagation's O(diameter) rounds silently exceed the
+    iteration guard there, returning SPLIT components; the alternating
+    algorithm converges in O(log²) rounds on any shape (equivalence
+    pinned by tests/test_dedup.py)."""
     pairs = minhash_lsh_pairs(
         docs, num_hashes=num_hashes, bands=bands, id_col=id_col,
         text_col=text_col, k=k, seed=seed, max_bucket_size=max_bucket_size,
     )
-    comp = connected_components(pairs, "left_id", "right_id")
+    comp = connected_components_alternating(pairs, "left_id", "right_id")
     non_reps = comp.filter(F.col("component") != F.col("id")).select(
         F.col("id").alias(id_col)
     )

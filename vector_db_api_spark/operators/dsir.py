@@ -6,9 +6,9 @@ corpus": featurize every document into hashed n-gram buckets, fit two bag-
 of-buckets unigram distributions (target vs raw pool), weight each pool
 document by its log importance ratio Σ_f [log p_target(b(f)) −
 log p_raw(b(f))], and keep the top-weighted (the paper resamples with
-Gumbel noise; the deterministic top-k is the same estimator with
-temperature → 0 and is what makes the result oracle-checkable — a seeded
-Gumbel variant is a one-column change, noted on :func:`dsir_select`).
+Gumbel noise — :func:`dsir_sample` implements exactly that with seeded,
+id-keyed noise; the deterministic top-k :func:`dsir_select` is the same
+estimator with temperature → 0).
 
 Scale shape (everything corpus-sized stays distributed):
 
@@ -19,8 +19,9 @@ Scale shape (everything corpus-sized stays distributed):
 - scoring is an explode + broadcast-join + one groupBy(doc) shuffle —
   the exact cost shape of ``lm.doc_nll_join``.
 
-Cross-engine determinism (the suite oracle replays this bit-for-bit in
-DuckDB): buckets use the portable md5-based ``h32`` (functions/hashing),
+Cross-engine determinism (the suite oracles ``doc_dsir_select`` /
+``doc_dsir_sample`` replay this bit-for-bit in DuckDB): buckets use the
+portable md5-based ``h32`` (functions/hashing),
 log-ratios are computed from EXACT integer counts with the platform libm
 ``math.log`` inside an Arrow pandas_udf over the bucket table (NOT
 ``F.log``/JVM and NOT numpy's SIMD log — see lm.train_unigram_df for the
@@ -196,9 +197,66 @@ def dsir_select(
     Length normalization (per-feat, not raw sum) is a deliberate deviation
     from the paper, which scores FIXED-LENGTH chunks; on variable-length
     documents the raw sum just measures length. For sampled (rather than
-    argmax) selection à la the paper, add seeded Gumbel noise to
-    ``score_col`` before calling — every downstream step is unchanged."""
+    argmax) selection à la the paper, use :func:`dsir_sample` — identical
+    plan with one seeded Gumbel noise column added to ``score_col``."""
     ordered = scores.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+    return ordered.withColumn("selected", F.lit(True))
+
+
+DSIR_GUMBEL_SEED = 7
+
+#: 2^32 + 1 — maps h32 ∈ [0, 2^32) onto u ∈ (0, 1) strictly exclusive,
+#: so -log(-log(u)) is always finite
+_GUMBEL_DENOM = float((1 << 32) + 1)
+
+
+def dsir_gumbel_scores(
+    scores: DataFrame,
+    seed: int = DSIR_GUMBEL_SEED,
+    id_col: str = "doc_id",
+    score_col: str = "logratio_per_feat",
+) -> DataFrame:
+    """scores + (gumbel, sampled_score): the paper's importance RESAMPLING
+    via the Gumbel-max trick — top-k of score + g_i, g_i ~ Gumbel(0,1),
+    draws k documents ∝ exp(score) without replacement.
+
+    The noise is seeded and keyed on the document id (u_i =
+    (h32('gumbel{seed}:' || id) + 1) / (2^32 + 1), g_i = -log(-log u_i)),
+    so the sample is a pure deterministic function of (corpus, seed):
+    retry-stable, replayable by the DuckDB oracle, and free of any
+    per-partition RNG state. Logs run libm via pandas_udf — the same
+    cross-engine discipline as :func:`dsir_log_ratios`."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    _gumbel = pandas_udf(
+        lambda u: pd.Series(
+            [-math.log(-math.log(x)) for x in u], dtype="float64"
+        ),
+        "double",
+    )
+    u = (
+        H.h32(F.concat(F.lit(f"gumbel{seed}:"), F.col(id_col).cast("string")))
+        + F.lit(1)
+    ) / F.lit(_GUMBEL_DENOM)
+    return scores.withColumn("gumbel", _gumbel(u)).withColumn(
+        "sampled_score", F.col(score_col) + F.col("gumbel")
+    )
+
+
+def dsir_sample(
+    scores: DataFrame,
+    k: int,
+    seed: int = DSIR_GUMBEL_SEED,
+    id_col: str = "doc_id",
+    score_col: str = "logratio_per_feat",
+) -> DataFrame:
+    """Gumbel-sampled selection: top-``k`` by score + seeded Gumbel noise
+    (ties → smaller id). Same two-phase global top-k plan shape as
+    :func:`dsir_select` (TakeOrderedAndProject: per-partition heads, one
+    driver merge — never a full sort)."""
+    noisy = dsir_gumbel_scores(scores, seed, id_col, score_col)
+    ordered = noisy.orderBy(F.desc("sampled_score"), F.asc(id_col)).limit(k)
     return ordered.withColumn("selected", F.lit(True))
 
 

@@ -564,6 +564,21 @@ class EntityStore:
                         self._fs.remove(os.path.join(mdir, name))
                         if int(core) not in removed:
                             removed.append(int(core))
+        # Drop cached blooms for the removed generations: the cache key
+        # (table, 'v=N/part') assumes the path is immutable, but a rolled-
+        # back txn deletes staged v=N and the NEXT write recreates the same
+        # rel with different rows — a stale cached bloom would then yield
+        # false negatives and silently bypass the global-id 409 check
+        # (r7 advice).
+        cache = getattr(self, "_bloom_cache", None)
+        if cache and removed:
+            prefixes = tuple(f"v={v}/" for v in removed)
+            exact = {f"v={v}" for v in removed}
+            for key in [
+                k for k in cache
+                if k[0] == table and (k[1].startswith(prefixes) or k[1] in exact)
+            ]:
+                del cache[key]
         return sorted(removed)
 
     def compact(self, table: str) -> int:
