@@ -144,6 +144,44 @@ def _cpu_baseline() -> dict[str, float]:
     }
 
 
+def _jvm_probe(spark) -> float:
+    """Fixed-work JVM/Spark probe (VERDICT r7 #4): a constant range-sum
+    (2e8 rows through whole-stage codegen) plus one fixed 32-partition
+    shuffle + groupBy, median of 3 after one warmup run. ``python_loop_sec``
+    measures only single-thread interpreter speed and r7 proved it can
+    move OPPOSITE to JVM/container throughput (probe got faster while
+    every Spark wall time drifted +15-30%); this probe exercises the same
+    executor threads, codegen, and shuffle machinery the suite does, so
+    rounds that record it can adjudicate "machine or plan?" on the
+    component that actually dominates wall time. Recorded r8+; cross-round
+    jvm-normalized ratios appear in the delta table once both sides of a
+    comparison carry the probe."""
+
+    def once() -> float:
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr("sum(id)").collect()
+        (
+            spark.range(2_000_000)
+            .repartition(32, "id")
+            .selectExpr("id % 1024 AS k", "id AS v")
+            .groupBy("k")
+            .sum("v")
+            .collect()
+        )
+        return time.time() - t0
+
+    once()  # warm codegen/JIT for these exact plans
+    return round(sorted(once() for _ in range(3))[1], 3)
+
+
+def _norm_probe_jvm(cb) -> float | None:
+    """JVM-side normalizer (``jvm_fixed_work_sec``), when the record has
+    one — only r8+ records do."""
+    if isinstance(cb, dict) and cb.get("jvm_fixed_work_sec"):
+        return float(cb["jvm_fixed_work_sec"])
+    return None
+
+
 def _norm_probe(cb) -> float | None:
     """The cross-round normalizer from a ``cpu_baseline`` dict:
     ``python_loop_sec`` (single-thread interpreter speed), ONLY.
@@ -164,7 +202,10 @@ def _norm_probe(cb) -> float | None:
 
 
 def _round_over_round_delta(
-    here: str, timings: dict[str, float], probe_now: float | None = None
+    here: str,
+    timings: dict[str, float],
+    probe_now: float | None = None,
+    probe_now_jvm: float | None = None,
 ) -> str:
     """Markdown delta table of this run vs prior rounds, in BOTH raw seconds
     and machine-NORMALIZED units (time / that round's :func:`_norm_probe`
@@ -175,14 +216,15 @@ def _round_over_round_delta(
     import glob
     import re
 
-    def _mine(data) -> tuple[dict[str, float], float | None]:
-        """(per-query warm seconds, normalizer probe) from a driver bench
-        record: a top-level ``queries`` dict, else the record's
+    def _mine(data) -> tuple[dict[str, float], float | None, float | None]:
+        """(per-query warm seconds, python probe, jvm probe) from a driver
+        bench record: a top-level ``queries`` dict, else the record's
         truncated-stdout ``tail`` — the tail's LAST line is bench.py's
         compact headline (parseable JSON), and the tail's leading fragment
         is the middle of the detail line's queries dict."""
         out: dict[str, float] = {}
         probe: float | None = _norm_probe(data.get("cpu_baseline"))
+        jprobe: float | None = _norm_probe_jvm(data.get("cpu_baseline"))
         qs = data.get("queries")
         if isinstance(qs, dict):
             out.update(
@@ -206,12 +248,16 @@ def _round_over_round_delta(
                 hb = _norm_probe(head.get("cpu_baseline"))
                 if hb:
                     probe = hb
+                hj = _norm_probe_jvm(head.get("cpu_baseline"))
+                if hj:
+                    jprobe = hj
             except (ValueError, AttributeError):
                 pass
-        return out, probe
+        return out, probe, jprobe
 
     prior: dict[str, dict[str, float]] = {}
     baselines: dict[str, float] = {}
+    baselines_jvm: dict[str, float] = {}
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         m = re.search(r"BENCH_r(\d+)", path)
         try:
@@ -221,12 +267,14 @@ def _round_over_round_delta(
             continue
         if not isinstance(data, dict):
             continue  # valid JSON but not a record object
-        mined, probe = _mine(data)
+        mined, probe, jprobe = _mine(data)
         if mined:
             rnd = f"r{int(m.group(1)) if m else '?'}"
             prior[rnd] = mined
             if probe:
                 baselines[rnd] = probe
+            if jprobe:
+                baselines_jvm[rnd] = jprobe
     # the PREVIOUS round's committed BENCH_DETAIL.md carries its full
     # per-query dict + cpu_baseline (the driver tail holds only ~17) —
     # mine it before this run overwrites the file
@@ -237,11 +285,13 @@ def _round_over_round_delta(
         det = json.loads(blob)
         if not isinstance(det, dict):
             raise ValueError("BENCH_DETAIL json block is not an object")
-        mined, probe = _mine(det)
+        mined, probe, jprobe = _mine(det)
         if mined:
             prior["prev-detail"] = mined
             if probe:
                 baselines["prev-detail"] = probe
+            if jprobe:
+                baselines_jvm["prev-detail"] = jprobe
     except (OSError, IndexError, ValueError, json.JSONDecodeError):
         pass
     if not prior:
@@ -256,8 +306,8 @@ def _round_over_round_delta(
         "flat — records without the python probe contribute raw-only "
         "rows). Raw 'best prior' spans all rounds.\n",
         "| query | now (s) | now (norm) | best prior (s) | round | raw ratio"
-        " | best prior (norm) | round | norm ratio |",
-        "|---|---|---|---|---|---|---|---|---|",
+        " | best prior (norm) | round | norm ratio | jvm ratio |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     rows = []
     for name, now in timings.items():
@@ -275,24 +325,38 @@ def _round_over_round_delta(
                 nv = v / probe
                 if bn_val is None or nv < bn_val:
                     bn_val, bn_round = nv, rnd
+        # jvm-normalized best prior — only rounds that recorded the probe
+        # (r8+) participate, so the units never mix with python-loop units
+        jn_val = None
+        for rnd, jp in baselines_jvm.items():
+            v = prior[rnd].get(name)
+            if v is not None and v > 0:
+                nv = v / jp
+                if jn_val is None or nv < jn_val:
+                    jn_val = nv
         now_norm = now / probe_now if probe_now else None
+        now_jnorm = now / probe_now_jvm if probe_now_jvm else None
         rows.append(
             (now / best_val, name, now, now_norm, best_val, best_round,
-             bn_val, bn_round)
+             bn_val, bn_round, jn_val, now_jnorm)
         )
     norm_regressions = []
-    for raw_ratio, name, now, now_norm, best_val, best_round, bn_val, bn_round in sorted(
-        rows, reverse=True
-    ):
+    for (raw_ratio, name, now, now_norm, best_val, best_round, bn_val,
+         bn_round, jn_val, now_jnorm) in sorted(rows, reverse=True):
         nr = (now_norm / bn_val) if (now_norm and bn_val) else None
-        if nr is not None and nr > 1.2:
-            norm_regressions.append((nr, name))
+        jr = (now_jnorm / jn_val) if (now_jnorm and jn_val) else None
+        # the jvm probe is the authoritative machine axis when both sides
+        # carry it (r7: python_loop moved OPPOSITE to JVM throughput)
+        flag = jr if jr is not None else nr
+        if flag is not None and flag > 1.2:
+            norm_regressions.append((flag, name))
         lines.append(
             f"| {name} | {now:.2f} | "
             f"{f'{now_norm:.2f}' if now_norm else '—'} | "
             f"{best_val:.2f} | {best_round} | {raw_ratio:.2f}x | "
             f"{f'{bn_val:.2f}' if bn_val else '—'} | {bn_round or '—'} | "
-            f"{f'{nr:.2f}x' if nr else '—'} |"
+            f"{f'{nr:.2f}x' if nr else '—'} | "
+            f"{f'{jr:.2f}x' if jr else '—'} |"
         )
     if rows:
         ratios = sorted(r[0] for r in rows)
@@ -342,6 +406,10 @@ def main() -> None:
     # warm the JVM/codegen once on a trivial job so query 1 isn't charged
     # for session startup
     spark.range(1000).selectExpr("sum(id)").collect()
+    # fixed-work JVM probe BEFORE the suite touches caches — quietest
+    # point in the session, so the probe measures the machine, not the
+    # suite's memory pressure
+    jvm_probe_sec = _jvm_probe(spark)
 
     # -- build the full thunk list (headline + ANN search paths) ----------
     from vector_db_api_spark.operators.ivf import IVFIndex
@@ -646,7 +714,7 @@ def main() -> None:
         "candidate_fraction": selectivity,
         "recall_bar": recall_bar,
         "cold_first_run_sec": round(sum(cold.values()), 3),
-        "cpu_baseline": _cpu_baseline(),
+        "cpu_baseline": dict(_cpu_baseline(), jvm_fixed_work_sec=jvm_probe_sec),
         "sf": sf_val,
     }
     # Full detail: an early stdout line + a committed artifact. The driver
@@ -657,7 +725,8 @@ def main() -> None:
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         delta_md = _round_over_round_delta(
-            here, timings, _norm_probe(detail["cpu_baseline"])
+            here, timings, _norm_probe(detail["cpu_baseline"]),
+            _norm_probe_jvm(detail["cpu_baseline"]),
         )
         with open(os.path.join(here, "BENCH_DETAIL.md"), "w") as f:
             f.write("# Bench detail (written by bench.py)\n\n```json\n"

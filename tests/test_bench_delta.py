@@ -86,6 +86,49 @@ def test_normalized_ratio_uses_per_round_baseline(tmp_path):
     assert "median NORMALIZED ratio: **1.00x**" in out
 
 
+def test_jvm_probe_ratio_and_flagging(tmp_path):
+    """VERDICT r7 #4: rounds that record ``jvm_fixed_work_sec`` (r8+) get a
+    jvm-normalized ratio column, and the >1.2x regression flag uses the JVM
+    axis when available — a query that doubled while the JVM probe also
+    doubled is machine drift (jvm ratio 1.0, not flagged), even if the
+    python probe stayed flat (which would have flagged it in r7)."""
+    fn = _load_delta_fn()
+    headline = json.dumps({
+        "metric": "suite_wall_sec", "value": 9.9,
+        "queries": {"q_a": 1.0, "q_b": 1.0},
+        "cpu_baseline": {"python_loop_sec": 0.1, "jvm_fixed_work_sec": 2.0},
+    })
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"n": 8, "rc": 0, "tail": headline})
+    )
+    # q_a doubled with the JVM probe (machine), q_b doubled against a flat
+    # JVM probe (plan regression)
+    out = fn(str(tmp_path), {"q_a": 2.0, "q_b": 2.0}, 0.1, 4.0)
+    assert "| q_a | 2.00 | 20.00 | 1.00 | r8 | 2.00x | 10.00 | r8 | 2.00x | 1.00x |" in out
+    # python-normalized says 2x, jvm says 1x -> NOT flagged
+    assert "q_a (" not in out.split("Normalized regressions")[-1] if \
+        "Normalized regressions" in out else True
+    out2 = fn(str(tmp_path), {"q_b": 2.0}, 0.1, 2.0)
+    assert "| q_b | 2.00 | 20.00 | 1.00 | r8 | 2.00x | 10.00 | r8 | 2.00x | 2.00x |" in out2
+    assert "Normalized regressions >1.2x" in out2 and "q_b (2.00x)" in out2
+
+
+def test_jvm_probe_units_never_mix_with_python(tmp_path):
+    """A prior round WITHOUT the jvm probe yields an em-dash jvm ratio —
+    never a python-unit number smuggled into the jvm column."""
+    fn = _load_delta_fn()
+    headline = json.dumps({
+        "metric": "suite_wall_sec", "value": 9.9,
+        "queries": {"q_a": 1.0},
+        "cpu_baseline": {"python_loop_sec": 0.1},
+    })
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"n": 7, "rc": 0, "tail": headline})
+    )
+    out = fn(str(tmp_path), {"q_a": 1.0}, 0.1, 2.0)
+    assert "| q_a | 1.00 | 10.00 | 1.00 | r7 | 1.00x | 10.00 | r7 | 1.00x | — |" in out
+
+
 def test_norm_probe_is_python_loop_only():
     """The normalizer is python_loop_sec ONLY — a blas-only record must
     contribute raw-only rows (no fallback: mixing sec/python and sec/blas

@@ -134,6 +134,21 @@ class HadoopFS:
         self._conf = sc._jsc.hadoopConfiguration()
         self._jPath = self._jvm.org.apache.hadoop.fs.Path
         self._fs = self._jPath(path).getFileSystem(self._conf)
+        # file:// roots: unwrap the checksumming LocalFileSystem to the raw
+        # local FS. Two reasons, both found by the r8 pointer-flip
+        # contention test: (a) FileContext.rename(OVERWRITE) over the local
+        # scheme is implemented as delete-then-rename — a reader racing the
+        # flip observes a MISSING pointer (~25k torn reads per 1k flips);
+        # (b) the .crc sidecars the checksum layer writes cannot rename in
+        # lockstep with the data file, so even an atomic data flip would
+        # leave a mismatched-checksum window. The raw FS writes no
+        # sidecars and its rename is java.io.File.renameTo → POSIX
+        # rename(2): readers see the complete old or new pointer, never a
+        # gap. HDFS keeps the FileContext path (rename is atomic in the
+        # NameNode); object stores keep it too (single-key PUT replace).
+        self._local_posix = bool(self._jPath(path).toUri().getScheme() == "file")
+        if self._local_posix:
+            self._fs = self._fs.getRawFileSystem()
         # FileContext supplies the public atomic rename-with-OVERWRITE
         # (FileSystem.rename(Path,Path) refuses an existing destination)
         self._fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
@@ -177,6 +192,14 @@ class HadoopFS:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+        if self._local_posix:
+            # raw-local 2-arg rename = File.renameTo = POSIX rename(2):
+            # atomically replaces an existing destination (the FileContext
+            # OVERWRITE path would delete-then-rename here — torn reads)
+            if not self._fs.rename(self._p(tmp), self._p(path)):
+                self._fs.delete(self._p(tmp), False)
+                raise OSError(f"atomic rename failed: {tmp} -> {path}")
+            return
         # atomic on HDFS (NameNode op); on object stores the Hadoop client
         # copies the fully-written temp object then deletes it — readers
         # see old-or-new because a single-key PUT is atomic-replace
