@@ -98,6 +98,8 @@ HEADLINE = [
     "doc_repetition_np",
     "doc_bm25",
     "doc_hybrid_rrf",
+    # DSIR data selection (r8): fit + score + top-k over the pool
+    "doc_dsir_select",
     # chunking / span overlap / pii / layout / profile
     "doc_chunking",
     "span_overlap_pairs",

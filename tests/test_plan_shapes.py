@@ -430,3 +430,21 @@ def test_filtered_ivf_search_pushes_predicate_to_scan(spark, emb):
     )
     assert "LessThan(label,5)" in plan  # pushed, not a post-scan Filter only
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_scoring_broadcasts_model_and_takes_ordered_topk(spark):
+    """DSIR's 100 TB contract: the fitted ratio model (≤ buckets rows by
+    construction) BROADCASTS into the pool scan — the corpus-sized side
+    never shuffles for the join — and the final selection is a two-phase
+    TakeOrderedAndProject, never a global Sort."""
+    import re
+
+    from vector_db_api_spark.operators.dsir import dsir_pipeline
+
+    docs = load_table(spark, SF_DIR, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    pool = docs.filter(F.col("source") != "src0")
+    plan = _plan(dsir_pipeline(pool, target, k=50))
+    assert "BroadcastHashJoin" in plan          # weights ship, pool stays put
+    assert "TakeOrderedAndProject" in plan      # two-phase global top-k
+    assert not re.search(r"Sort \[logratio", plan)  # no full sort on scores

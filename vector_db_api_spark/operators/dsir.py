@@ -98,7 +98,13 @@ def dsir_log_ratios(
 
     The logs run driver-libm via pandas_udf over the ≤``buckets``-row
     model table; counts are exact integers up to that point, so the
-    weights are a pure deterministic function of the two corpora."""
+    weights are a pure deterministic function of the two corpora.
+
+    Both count frames are localCheckpointed first: they are ≤``buckets``
+    rows but their LINEAGE is a full corpus featurization scan — without
+    materialization the two scalar totals, the ratio join, and every
+    downstream reuse of the weight table would each re-featurize the
+    corpus (3× the scan cost at 100 TB for two KB-scale tables)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -106,6 +112,8 @@ def dsir_log_ratios(
         lambda p: pd.Series([math.log(x) for x in p], dtype="float64"),
         "double",
     )
+    target_counts = target_counts.localCheckpoint(eager=True)
+    raw_counts = raw_counts.localCheckpoint(eager=True)
     t_total = target_counts.agg(F.sum("c")).collect()[0][0] or 0
     r_total = raw_counts.agg(F.sum("c")).collect()[0][0] or 0
     t_denom = float(t_total + buckets)

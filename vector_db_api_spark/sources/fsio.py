@@ -148,7 +148,12 @@ class HadoopFS:
         # NameNode); object stores keep it too (single-key PUT replace).
         self._local_posix = bool(self._jPath(path).toUri().getScheme() == "file")
         if self._local_posix:
-            self._fs = self._fs.getRawFileSystem()
+            try:
+                self._fs = self._fs.getRawFileSystem()
+            except Exception:
+                # fs.file.impl configured to a non-checksumming class:
+                # already raw, nothing to unwrap
+                pass
         # FileContext supplies the public atomic rename-with-OVERWRITE
         # (FileSystem.rename(Path,Path) refuses an existing destination)
         self._fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
