@@ -401,6 +401,18 @@ def _round_over_round_delta(
     return "\n".join(lines) + "\n"
 
 
+def _carry_root_causes(old_body: str | None) -> str:
+    """The builder writes a '## Root-cause adjudication' section into
+    BENCH_DETAIL.md after analyzing a run; bench.py regenerates the file on
+    every run (including the driver's end-of-round run), so the section is
+    carried over verbatim — the section text itself names the round it
+    adjudicates, and each round's builder rewrites it."""
+    if not old_body:
+        return ""
+    idx = old_body.find("\n## Root-cause adjudication")
+    return old_body[idx:] if idx != -1 else ""
+
+
 def main() -> None:
     spark = get_spark("bench")
     qs = suite.queries()
@@ -730,9 +742,16 @@ def main() -> None:
             here, timings, _norm_probe(detail["cpu_baseline"]),
             _norm_probe_jvm(detail["cpu_baseline"]),
         )
-        with open(os.path.join(here, "BENCH_DETAIL.md"), "w") as f:
+        dpath = os.path.join(here, "BENCH_DETAIL.md")
+        try:
+            with open(dpath) as f:
+                carry = _carry_root_causes(f.read())
+        except OSError:
+            carry = ""
+        with open(dpath, "w") as f:
             f.write("# Bench detail (written by bench.py)\n\n```json\n"
-                    + json.dumps(detail, indent=1) + "\n```\n" + delta_md)
+                    + json.dumps(detail, indent=1) + "\n```\n" + delta_md
+                    + carry)
     except OSError:
         pass
     headline_queries = [

@@ -129,6 +129,18 @@ def test_jvm_probe_units_never_mix_with_python(tmp_path):
     assert "| q_a | 1.00 | 10.00 | 1.00 | r7 | 1.00x | 10.00 | r7 | 1.00x | — |" in out
 
 
+def test_root_cause_section_carries_across_regeneration():
+    """bench.py rewrites BENCH_DETAIL.md every run (including the driver's
+    end-of-round run); the builder's '## Root-cause adjudication' section
+    must survive the rewrite verbatim."""
+    carry = _load_bench_ns()["_carry_root_causes"]
+    body = "# Bench detail\n\n```json\n{}\n```\ntable...\n## Root-cause adjudication (r8)\n\ncauses here\n"
+    assert carry(body) == "\n## Root-cause adjudication (r8)\n\ncauses here\n"
+    assert carry("# Bench detail\nno section\n") == ""
+    assert carry(None) == ""
+    assert carry("") == ""
+
+
 def test_norm_probe_is_python_loop_only():
     """The normalizer is python_loop_sec ONLY — a blas-only record must
     contribute raw-only rows (no fallback: mixing sec/python and sec/blas
