@@ -854,12 +854,13 @@ def connected_components_alternating(
     converged = False
     for _ in range(max_iterations):
         after = _star(_star(edges, large=True), large=False)
-        # fixpoint when the (distinct) edge set is unchanged — two
-        # anti-join probes over star-sized frames
-        if (
-            after.exceptAll(edges).isEmpty()
-            and edges.exceptAll(after).isEmpty()
-        ):
+        # fixpoint when the (distinct) edge set is unchanged. Both frames
+        # are distinct sets, so equal counts + one-direction containment
+        # (after ⊆ edges) imply equality — the counts read the
+        # localCheckpointed partitions with no shuffle, so non-converged
+        # rounds (counts differ) skip the anti-join probe entirely and the
+        # final round pays ONE exceptAll instead of two
+        if after.count() == edges.count() and after.exceptAll(edges).isEmpty():
             edges = after
             converged = True
             break

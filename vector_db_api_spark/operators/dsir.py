@@ -73,7 +73,16 @@ def hashed_ngram_buckets(
 ) -> DataFrame:
     """(id, pos, bucket): every unigram+bigram of every doc, hashed into
     ``buckets`` with the portable h32 — one row per feature OCCURRENCE
-    (DSIR weights repeats; dedup'ing here would change the estimator)."""
+    (DSIR weights repeats; dedup'ing here would change the estimator).
+
+    The input is ``_parallelize``d first: featurization is the pipeline's
+    CPU (an md5 per feature occurrence), and a small parquet source
+    arrives as ONE split, serializing all of it on a single task — at
+    real scale the input already has ≥ cores splits and the helper
+    no-ops (operators/dedup.py:35)."""
+    from .dedup import _parallelize
+
+    docs = _parallelize(docs)
     return docs.select(
         F.col(id_col),
         F.posexplode(_features(text_col)).alias("pos", "__f"),
@@ -147,7 +156,11 @@ def dsir_scores(
     weight table (never a shuffle at any corpus size), then re-fold per
     document in positional order — the sequential double accumulation the
     oracle replays. Docs with no features score 0 over 0 (posexplode_outer
-    keeps them)."""
+    keeps them). Same ``_parallelize`` treatment as
+    :func:`hashed_ngram_buckets` — the scoring pass re-featurizes."""
+    from .dedup import _parallelize
+
+    docs = _parallelize(docs)
     w = F.broadcast(log_ratios) if broadcast_weights else log_ratios
     feats = docs.select(
         F.col(id_col), F.posexplode_outer(_features(text_col)).alias("pos", "__f")
