@@ -208,13 +208,16 @@ def _round_over_round_delta(
     timings: dict[str, float],
     probe_now: float | None = None,
     probe_now_jvm: float | None = None,
-) -> str:
-    """Markdown delta table of this run vs prior rounds, in BOTH raw seconds
-    and machine-NORMALIZED units (time / that round's :func:`_norm_probe`
-    value, VERDICT r5 #4). Raw ratios detect within-machine drift;
-    normalized ratios are the cross-round signal — a normalized regression
-    >1.2× is a plan/code problem, a uniform RAW shift with flat normalized
-    ratios is just machine speed."""
+) -> tuple[str, list[str]]:
+    """(markdown delta table, flagged query names) of this run vs prior
+    rounds, in BOTH raw seconds and machine-NORMALIZED units (time / that
+    round's :func:`_norm_probe` value, VERDICT r5 #4). Raw ratios detect
+    within-machine drift; normalized ratios are the cross-round signal — a
+    normalized regression >1.2× is a plan/code problem, a uniform RAW shift
+    with flat normalized ratios is just machine speed. The returned flag
+    list feeds ``main``'s stability re-run (r8 verdict #3): flagged queries
+    get extra timed passes and the table is recomputed on the merged
+    medians, so a single-run Arrow/GC spike can't publish a flag."""
     import glob
     import re
 
@@ -297,7 +300,7 @@ def _round_over_round_delta(
     except (OSError, IndexError, ValueError, json.JSONDecodeError):
         pass
     if not prior:
-        return ""
+        return "", []
 
     lines = [
         "\n## Round-over-round delta (this run vs prior rounds)\n",
@@ -398,19 +401,57 @@ def _round_over_round_delta(
                 "comparisons (twins, plan changes) remain valid in raw "
                 "seconds.\n"
             )
-    return "\n".join(lines) + "\n"
+    return (
+        "\n".join(lines) + "\n",
+        [n for _, n in sorted(norm_regressions, reverse=True)],
+    )
 
 
-def _carry_root_causes(old_body: str | None) -> str:
+def _carry_root_causes(old_body: str | None,
+                       current_round: int | None = None) -> str:
     """The builder writes a '## Root-cause adjudication' section into
     BENCH_DETAIL.md after analyzing a run; bench.py regenerates the file on
     every run (including the driver's end-of-round run), so the section is
-    carried over verbatim — the section text itself names the round it
-    adjudicates, and each round's builder rewrites it."""
+    carried over — but a carried section adjudicates the round named in its
+    OWN header, so when that tag doesn't match ``current_round`` a STALE
+    banner is inserted under the header (r8 advice: a stale adjudication
+    next to fresh numbers read as covering them). The builder's rewrite
+    drops the banner by rewriting the whole section."""
+    import re
+
     if not old_body:
         return ""
     idx = old_body.find("\n## Root-cause adjudication")
-    return old_body[idx:] if idx != -1 else ""
+    if idx == -1:
+        return ""
+    section = old_body[idx:]
+    # drop any banner a previous regeneration inserted (never stack them)
+    section = re.sub(r"\n> \*\*STALE[^\n]*\*\*\n", "", section)
+    m = re.search(r"## Root-cause adjudication \(r(\d+)", section)
+    if current_round is not None and m and int(m.group(1)) != current_round:
+        hdr_end = section.index("\n", section.index("## Root-cause"))
+        banner = (
+            f"\n> **STALE: this adjudication covers r{m.group(1)}; the "
+            f"table above is from an r{current_round} run — the r"
+            f"{current_round} builder must rewrite this section before "
+            f"its flags can be read against these numbers.**\n"
+        )
+        section = section[:hdr_end + 1] + banner + section[hdr_end + 1:]
+    return section
+
+
+def _current_round(here: str) -> int | None:
+    """The in-progress round number: max committed BENCH_r{N} + 1 (the
+    driver writes BENCH_r{N}.json only AFTER the round-N bench run)."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)", p))
+    ]
+    return max(rounds) + 1 if rounds else None
 
 
 def main() -> None:
@@ -559,6 +600,33 @@ def main() -> None:
             runs[name].append(time.time() - t0)
     for name, samples in runs.items():
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+
+    # -- stability re-run of flagged queries (r8 verdict #3) ---------------
+    # a >1.2x normalized flag computed from one median-of-3 can still be an
+    # Arrow/GC spike (r8: three queries swung +35-72% between same-tree
+    # runs while the jvm probe moved 8.6%); give every flagged query two
+    # more timed passes and recompute its median over all 5 samples BEFORE
+    # any artifact is written, so two same-tree runs converge on the same
+    # flag list. Build-phase entries aren't in `thunks` (not re-runnable in
+    # isolation) and keep their single measurement.
+    here = os.path.dirname(os.path.abspath(__file__))
+    probe_base = dict(_cpu_baseline(), jvm_fixed_work_sec=jvm_probe_sec)
+    delta_md, flagged = _round_over_round_delta(
+        here, timings, _norm_probe(probe_base), _norm_probe_jvm(probe_base)
+    )
+    rerun = [n for n in flagged if n in thunks]
+    if rerun:
+        for _ in range(2):
+            _gc_flush()
+            for name in rerun:
+                t0 = time.time()
+                thunks[name]()
+                runs[name].append(time.time() - t0)
+        for name in rerun:
+            timings[name] = round(sorted(runs[name])[len(runs[name]) // 2], 3)
+        delta_md, flagged = _round_over_round_delta(
+            here, timings, _norm_probe(probe_base), _norm_probe_jvm(probe_base)
+        )
 
     # recall@10 of the ANN paths vs the exact scan — the bar is speedup AT
     # BOUNDED RECALL, so the bench reports both sides of the tradeoff
@@ -728,7 +796,7 @@ def main() -> None:
         "candidate_fraction": selectivity,
         "recall_bar": recall_bar,
         "cold_first_run_sec": round(sum(cold.values()), 3),
-        "cpu_baseline": dict(_cpu_baseline(), jvm_fixed_work_sec=jvm_probe_sec),
+        "cpu_baseline": probe_base,
         "sf": sf_val,
     }
     # Full detail: an early stdout line + a committed artifact. The driver
@@ -737,15 +805,12 @@ def main() -> None:
     detail_line = json.dumps(detail)
     print(detail_line)
     try:
-        here = os.path.dirname(os.path.abspath(__file__))
-        delta_md = _round_over_round_delta(
-            here, timings, _norm_probe(detail["cpu_baseline"]),
-            _norm_probe_jvm(detail["cpu_baseline"]),
-        )
+        # delta_md/flagged were computed (and flag-stabilized) above,
+        # before any artifact write
         dpath = os.path.join(here, "BENCH_DETAIL.md")
         try:
             with open(dpath) as f:
-                carry = _carry_root_causes(f.read())
+                carry = _carry_root_causes(f.read(), _current_round(here))
         except OSError:
             carry = ""
         with open(dpath, "w") as f:

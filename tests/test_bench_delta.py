@@ -30,7 +30,7 @@ def _load_delta_fn():
 def test_mines_real_driver_records():
     fn = _load_delta_fn()
     # timings resembling a current run, overlapping the r4 record's queries
-    out = fn(HERE, {"doc_bm25": 1.0, "events_hourly": 0.3, "crud_upsert": 0.7})
+    out, _ = fn(HERE, {"doc_bm25": 1.0, "events_hourly": 0.3, "crud_upsert": 0.7})
     if not os.path.exists(os.path.join(HERE, "BENCH_r04.json")):
         return  # artifact layout changed; nothing to mine
     assert "Round-over-round delta" in out
@@ -46,7 +46,7 @@ def test_tolerates_malformed_and_nondict_records(tmp_path):
     (tmp_path / "BENCH_r01.json").write_text("[1, 2, 3]")       # valid, non-dict
     (tmp_path / "BENCH_r02.json").write_text("{not json")        # invalid
     (tmp_path / "BENCH_r03.json").write_text("null")             # valid, non-dict
-    assert fn(str(tmp_path), {"q": 1.0}) == ""  # no priors, no crash
+    assert fn(str(tmp_path), {"q": 1.0}) == ("", [])  # no priors, no crash
 
 
 def test_mines_tail_headline_and_detail_fragment(tmp_path):
@@ -57,7 +57,7 @@ def test_mines_tail_headline_and_detail_fragment(tmp_path):
     )
     rec = {"n": 1, "rc": 0, "tail": detail_frag + "\n" + headline}
     (tmp_path / "BENCH_r01.json").write_text(json.dumps(rec))
-    out = fn(str(tmp_path), {"doc_x": 5.0, "doc_z": 0.5, "unknown": 1.0})
+    out, _ = fn(str(tmp_path), {"doc_x": 5.0, "doc_z": 0.5, "unknown": 1.0})
     # detail fragment mined up to its closing brace; recall dict NOT mined;
     # r1 has no cpu_baseline → normalized columns are em dashes
     assert "| doc_x | 5.00 | — | 2.50 | r1 | 2.00x | — | — | — |" in out
@@ -81,7 +81,7 @@ def test_normalized_ratio_uses_per_round_baseline(tmp_path):
         json.dumps({"n": 5, "rc": 0, "tail": headline})
     )
     # now: machine is 2x slower (python probe 0.2 vs 0.1), query took 2x raw
-    out = fn(str(tmp_path), {"q_a": 2.0}, 0.2)
+    out, _ = fn(str(tmp_path), {"q_a": 2.0}, 0.2)
     assert "| q_a | 2.00 | 10.00 | 1.00 | r5 | 2.00x | 10.00 | r5 | 1.00x |" in out
     assert "median NORMALIZED ratio: **1.00x**" in out
 
@@ -103,14 +103,17 @@ def test_jvm_probe_ratio_and_flagging(tmp_path):
     )
     # q_a doubled with the JVM probe (machine), q_b doubled against a flat
     # JVM probe (plan regression)
-    out = fn(str(tmp_path), {"q_a": 2.0, "q_b": 2.0}, 0.1, 4.0)
+    out, flags = fn(str(tmp_path), {"q_a": 2.0, "q_b": 2.0}, 0.1, 4.0)
     assert "| q_a | 2.00 | 20.00 | 1.00 | r8 | 2.00x | 10.00 | r8 | 2.00x | 1.00x |" in out
     # python-normalized says 2x, jvm says 1x -> NOT flagged
     assert "q_a (" not in out.split("Normalized regressions")[-1] if \
         "Normalized regressions" in out else True
-    out2 = fn(str(tmp_path), {"q_b": 2.0}, 0.1, 2.0)
+    out2, flags2 = fn(str(tmp_path), {"q_b": 2.0}, 0.1, 2.0)
     assert "| q_b | 2.00 | 20.00 | 1.00 | r8 | 2.00x | 10.00 | r8 | 2.00x | 2.00x |" in out2
     assert "Normalized regressions >1.2x" in out2 and "q_b (2.00x)" in out2
+    # the returned flag list is what main's stability re-run consumes
+    # first call: jvm probe doubled too -> both machine drift, no flags
+    assert flags2 == ["q_b"] and flags == []
 
 
 def test_jvm_probe_units_never_mix_with_python(tmp_path):
@@ -125,7 +128,7 @@ def test_jvm_probe_units_never_mix_with_python(tmp_path):
     (tmp_path / "BENCH_r07.json").write_text(
         json.dumps({"n": 7, "rc": 0, "tail": headline})
     )
-    out = fn(str(tmp_path), {"q_a": 1.0}, 0.1, 2.0)
+    out, _ = fn(str(tmp_path), {"q_a": 1.0}, 0.1, 2.0)
     assert "| q_a | 1.00 | 10.00 | 1.00 | r7 | 1.00x | 10.00 | r7 | 1.00x | — |" in out
 
 
@@ -151,3 +154,37 @@ def test_norm_probe_is_python_loop_only():
     assert probe({"blas_matmul_sec": 0.5}) is None
     assert probe({}) is None
     assert probe(None) is None
+
+
+def test_root_cause_stale_banner_on_round_mismatch():
+    """r8 advice: a carried adjudication whose header names a different
+    round than the run regenerating the file gets a STALE banner inserted
+    under the header; a matching round carries verbatim; banners never
+    stack across repeated regenerations."""
+    carry = _load_bench_ns()["_carry_root_causes"]
+    body = (
+        "# Bench detail\n\n```json\n{}\n```\ntable...\n"
+        "## Root-cause adjudication (r8, per the r6 discipline)\n\ncauses\n"
+    )
+    # matching round: verbatim, no banner
+    assert "STALE" not in carry(body, 8)
+    # mismatched round: banner under the header, original text intact
+    stale = carry(body, 9)
+    assert "> **STALE: this adjudication covers r8" in stale
+    assert "r9 run" in stale and "\ncauses\n" in stale
+    assert stale.index("## Root-cause") < stale.index("STALE")
+    # regenerating an already-bannered body doesn't stack banners
+    again = carry("# x\n" + stale, 9)
+    assert again.count("STALE") == 1
+    # and a later builder rewrite for the right round clears it
+    assert "STALE" not in carry("# x\n" + stale, 8)
+    # no round info available -> verbatim carry (old behavior)
+    assert carry(body) == body[body.index("\n## Root-cause"):]
+
+
+def test_current_round_is_max_bench_record_plus_one(tmp_path):
+    cur = _load_bench_ns()["_current_round"]
+    assert cur(str(tmp_path)) is None
+    (tmp_path / "BENCH_r01.json").write_text("{}")
+    (tmp_path / "BENCH_r08.json").write_text("{}")
+    assert cur(str(tmp_path)) == 9

@@ -424,3 +424,29 @@ def test_select_canonical_best_quality_then_min_id(spark):
         for r in select_canonical(comp, qual, "q").collect()
     }
     assert got == {1: (2, 3, 0.9), 7: (7, 2, 0.4)}
+
+
+def test_alternating_cc_on_nonconverged_raise(spark):
+    """r8 advice: keep-one-per-group consumers pass on_nonconverged='raise'
+    — a provisional (split) labeling silently breaks their contract, so
+    the guard exit must error loudly instead of warning."""
+    import pytest
+
+    from vector_db_api_spark.operators.dedup import (
+        connected_components_alternating,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 1), (5, 2), (2, 3)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_alternating(
+            pairs, max_iterations=0, on_nonconverged="raise"
+        ).collect()
+    # a converged run is unaffected by the mode
+    rows = connected_components_alternating(
+        pairs, on_nonconverged="raise"
+    ).collect()
+    assert {(r["id"], r["component"]) for r in rows} == {
+        (1, 1), (2, 1), (3, 1), (5, 1)
+    }

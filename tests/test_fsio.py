@@ -277,3 +277,43 @@ def test_fs_for_without_session_raises(tmp_path):
         pytest.skip("an active session would legitimately serve the call")
     with pytest.raises(RuntimeError, match="no active SparkSession"):
         fsio.fs_for("file:///tmp/x")
+
+
+def test_listdir_hides_transient_dot_entries(spark, tmp_path):
+    """Both backends hide dot-prefixed entries: a crashed writer's orphan
+    atomic-write temp ('.<name>.<uuid>') and the checksum layer's
+    '.<name>.crc' sidecar are transient artifacts, never catalog content
+    (r8 advice — after the raw-FS unwrap nothing else filters them)."""
+    import os
+
+    local_base = tmp_path / "l"
+    hadoop_base = "file://" + str(tmp_path / "h")
+    local = fsio.fs_for(str(local_base), spark)
+    hadoop = fsio.fs_for(hadoop_base, spark)
+    for fs, base in ((local, str(local_base)), (hadoop, hadoop_base)):
+        fs.makedirs(base + "/d")
+        fs.write_text_atomic(base + "/d/real", "x")
+    (local_base / "d" / ".real.deadbeef0123").write_text("orphan temp")
+    (local_base / "d" / ".real.crc").write_text("stale checksum")
+    (tmp_path / "h" / "d" / ".real.deadbeef0123").write_text("orphan temp")
+    (tmp_path / "h" / "d" / ".real.crc").write_text("stale checksum")
+    assert local.listdir(str(local_base) + "/d") == ["real"]
+    assert hadoop.listdir(hadoop_base + "/d") == ["real"]
+    # the hidden entries still exist on disk — listdir filters, not deletes
+    assert sorted(os.listdir(local_base / "d")) == [
+        ".real.crc", ".real.deadbeef0123", "real"
+    ]
+
+
+def test_local_scheme_flip_cleans_stale_crc_sidecar(spark, tmp_path):
+    """A '.<name>.crc' left by a pre-raw-unwrap checksummed writer describes
+    the OLD bytes; the local-scheme atomic flip must remove it so a future
+    checksummed reader can't fail on a mismatched sidecar (r8 advice)."""
+    base = "file://" + str(tmp_path / "h")
+    fs = fsio.fs_for(base, spark)
+    fs.makedirs(base)
+    stale = tmp_path / "h" / "._CURRENT.crc"
+    stale.write_text("stale checksum for old bytes")
+    fs.write_text_atomic(base + "/_CURRENT", '{"v": 2}')
+    assert not stale.exists()
+    assert fs.read_text(base + "/_CURRENT") == '{"v": 2}'

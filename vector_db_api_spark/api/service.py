@@ -669,6 +669,10 @@ class Engine:
             others = self.store.read("chunks").filter(
                 F.col("library_id") != library_id
             )
+            # no broadcast hint here: this branch only runs above
+            # GLOBAL_ID_CHECK_MAX_DRIVER_IDS distinct ids, so the id frame
+            # is unbounded (a bulk load can carry millions) — let AQE pick
+            # broadcast vs shuffle from the measured size at runtime
             foreign = (
                 others.join(incoming.select("id").distinct(), "id", "left_semi")
                 .limit(1)
@@ -688,8 +692,14 @@ class Engine:
             F.col("library_id") != library_id
         )
         if len(ids) > self.GLOBAL_ID_CHECK_MAX_ISIN_IDS:
+            # bounded branch (≤ GLOBAL_ID_CHECK_MAX_DRIVER_IDS ids): the id
+            # frame is provably tiny, so hint the broadcast explicitly —
+            # without stats Spark can otherwise plan a sort-merge join
             foreign = (
-                others.join(incoming.select("id").distinct(), "id", "left_semi")
+                others.join(
+                    F.broadcast(incoming.select("id").distinct()),
+                    "id", "left_semi",
+                )
                 .limit(1)
                 .count()
             )

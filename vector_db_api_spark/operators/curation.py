@@ -298,9 +298,12 @@ def leakage_free_split(
 
     if pairs is None:
         pairs = minhash_lsh_pairs(docs, id_col=key_col, text_col=text_col)
-    comp = connected_components_alternating(pairs, "left_id", "right_id").select(
-        F.col("id").alias(key_col), F.col("component")
-    )
+    # on_nonconverged="raise": a provisional (split) labeling would let one
+    # dup cluster straddle train/eval — exactly the leakage this split
+    # exists to prevent — so fail loudly rather than return a leaky split
+    comp = connected_components_alternating(
+        pairs, "left_id", "right_id", on_nonconverged="raise"
+    ).select(F.col("id").alias(key_col), F.col("component"))
     threshold = int(eval_rate * (1 << 32))
     keyed = docs.join(comp, key_col, "left").withColumn(
         "__group",

@@ -772,6 +772,7 @@ def connected_components_alternating(
     left_col: str = "id_a",
     right_col: str = "id_b",
     max_iterations: int = 30,
+    on_nonconverged: str = "warn",
 ) -> DataFrame:
     """(id, component) labeling via the alternating large-star/small-star
     algorithm (Kiveris et al., "Connected Components in MapReduce and
@@ -803,6 +804,11 @@ def connected_components_alternating(
 
     Both preserve connectivity (paper, Lemma 1-2); the fixpoint is a
     star per component centered at its min id, read off as the labels.
+    ``on_nonconverged`` controls the iteration-guard exit: ``"warn"``
+    (default) emits a RuntimeWarning and returns one PROVISIONAL label per
+    node (smallest-reachable-so-far — components may be split);
+    ``"raise"`` errors instead — the contract keep-one-per-group consumers
+    need, since a split labeling silently both over-keeps and over-drops.
     ``localCheckpoint`` per round truncates the iterative-join lineage
     (same driver-heap discipline as propagation). Nothing collects to
     the driver; the convergence probe is a count.
@@ -866,15 +872,23 @@ def connected_components_alternating(
             break
         edges = after
     if not converged:
-        import warnings
-
-        warnings.warn(
+        msg = (
             f"connected_components_alternating did not converge within "
             f"{max_iterations} iterations; raise max_iterations "
-            f"(rounds needed ~ log² of the largest component)",
-            RuntimeWarning,
-            stacklevel=2,
+            f"(rounds needed ~ log² of the largest component)"
         )
+        if on_nonconverged == "raise":
+            # keep-one-per-group callers (dedup_near, leakage_split) pass
+            # this: a provisional labeling can hand two ids of ONE true
+            # component different labels that are themselves other docs'
+            # ids, so "keep component==id" would keep several
+            # representatives AND drop a doc another doc points at — a
+            # silently-wrong dedup is worse than a loud retry with a
+            # higher iteration budget (r8 advice)
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
         # mid-contraction a node can still hold SEVERAL outgoing edges —
         # joining nodes against that set would emit multiple (id, component)
         # rows per id, breaking the one-row-per-id contract (r7 advice).
@@ -916,7 +930,9 @@ def dedup_near(
         docs, num_hashes=num_hashes, bands=bands, id_col=id_col,
         text_col=text_col, k=k, seed=seed, max_bucket_size=max_bucket_size,
     )
-    comp = connected_components_alternating(pairs, "left_id", "right_id")
+    comp = connected_components_alternating(
+        pairs, "left_id", "right_id", on_nonconverged="raise"
+    )
     non_reps = comp.filter(F.col("component") != F.col("id")).select(
         F.col("id").alias(id_col)
     )

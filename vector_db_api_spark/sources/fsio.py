@@ -17,8 +17,9 @@ tests prove it.
 Atomicity by scheme:
 
 - **local / file://** — ``write_text_atomic`` is temp-in-same-dir +
-  rename-overwrite (POSIX ``rename(2)`` semantics; on the Hadoop path,
-  ``FileContext.rename(OVERWRITE)`` over ``RawLocalFs`` is the same call).
+  rename-overwrite (POSIX ``rename(2)``; the Hadoop path issues it via
+  ``java.nio.Files.move(ATOMIC_MOVE)``, which ERRORS rather than degrade
+  to copy+delete on a mount that cannot rename atomically).
 - **hdfs://** — ``FileContext.rename(..., Options.Rename.OVERWRITE)`` is
   atomic in the NameNode; readers see the old or the new pointer, never a
   partial file.
@@ -78,7 +79,11 @@ class LocalFS:
         return os.path.isdir(path)
 
     def listdir(self, path: str) -> list[str]:
-        return sorted(os.listdir(path))
+        # hide dot-prefixed entries — the atomic-write temps this module
+        # creates ('.<name>.<uuid>') are transient, and a crashed writer's
+        # orphan must not surface to manifest/generation consumers
+        # (mirrors HadoopFS.listdir)
+        return sorted(n for n in os.listdir(path) if not n.startswith("."))
 
     def makedirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -168,6 +173,18 @@ class HadoopFS:
     def _p(self, path: str):
         return self._jPath(path)
 
+    def _nio_atomic_move(self, src: str, dst: str) -> None:
+        """POSIX rename(2) via ``java.nio.Files.move(..., ATOMIC_MOVE)`` —
+        local-scheme only. Raises (py4j ``AtomicMoveNotSupportedException``
+        et al.) instead of ever copying."""
+        nio = self._jvm.java.nio.file
+        empty = self._gw.new_array(self._jvm.java.lang.String, 0)
+        jsrc = nio.Paths.get(self._p(src).toUri().getPath(), empty)
+        jdst = nio.Paths.get(self._p(dst).toUri().getPath(), empty)
+        opts = self._gw.new_array(nio.CopyOption, 1)
+        opts[0] = nio.StandardCopyOption.ATOMIC_MOVE
+        nio.Files.move(jsrc, jdst, opts)
+
     # -- API (matches LocalFS) -------------------------------------------------
 
     def read_text(self, path: str) -> str:
@@ -198,12 +215,27 @@ class HadoopFS:
         finally:
             out.close()
         if self._local_posix:
-            # raw-local 2-arg rename = File.renameTo = POSIX rename(2):
-            # atomically replaces an existing destination (the FileContext
-            # OVERWRITE path would delete-then-rename here — torn reads)
-            if not self._fs.rename(self._p(tmp), self._p(path)):
+            # java.nio.Files.move(ATOMIC_MOVE) = POSIX rename(2): atomically
+            # replaces an existing destination, and — unlike
+            # RawLocalFileSystem.rename, whose File.renameTo failure path
+            # silently falls back to FileUtil.copy (copy+delete, a reopened
+            # torn-read window on exotic mounts) — it ERRORS when the mount
+            # cannot rename atomically (r8 advice). Errors beat torn reads
+            # for a pointer flip.
+            try:
+                self._nio_atomic_move(tmp, path)
+            except Exception as exc:
                 self._fs.delete(self._p(tmp), False)
-                raise OSError(f"atomic rename failed: {tmp} -> {path}")
+                raise OSError(
+                    f"atomic rename failed: {tmp} -> {path} (the filesystem "
+                    "refused an atomic move; refusing to degrade to "
+                    "copy+delete for a pointer flip)"
+                ) from exc
+            # drop any stale checksum sidecar a pre-raw-unwrap writer left
+            # next to the destination (the checksummed LocalFileSystem used
+            # to write '.<name>.crc'; after this flip it would describe the
+            # OLD bytes and poison a future checksummed reader)
+            self._fs.delete(self._p(f"{parent}/.{name}.crc"), False)
             return
         # atomic on HDFS (NameNode op); on object stores the Hadoop client
         # copies the fully-written temp object then deletes it — readers
@@ -218,11 +250,20 @@ class HadoopFS:
         return bool(self._fs.exists(p) and self._fs.getFileStatus(p).isDirectory())
 
     def listdir(self, path: str) -> list[str]:
+        # dot-prefixed entries are this module's own atomic-write temps
+        # ('.<name>.<uuid>') and the checksum layer's '.<name>.crc'
+        # sidecars — transient artifacts, never catalog content. The raw
+        # local FS (unlike the checksumming wrapper we unwrapped from) does
+        # not hide them, so filter here; LocalFS filters identically
+        # (r8 advice: orphaned temps from a crashed writer must not
+        # surface to manifest/generation-directory consumers).
         p = self._p(path)
         if not self._fs.exists(p):
             raise FileNotFoundError(path)
         return sorted(
-            s.getPath().getName() for s in self._fs.listStatus(p)
+            name
+            for s in self._fs.listStatus(p)
+            if not (name := s.getPath().getName()).startswith(".")
         )
 
     def makedirs(self, path: str) -> None:
