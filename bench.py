@@ -491,7 +491,12 @@ def main() -> None:
     # the multiprobe-1 default) — the r2 bench's fixed H=8 was sized for
     # sf0.01 and gave deep buckets / 0.2 recall at sf0.1
     model = SignLSH.auto_size(n_corpus, dim=64, seed=42)
-    buckets = build_bucket_table(model, emb, id_col="vec_id").cache()
+    # self-contained bucket table (vectors co-located, the L× space/time
+    # trade): single-query probes re-rank in place with NO corpus join —
+    # one job instead of probe + broadcast-semi-join (r8 verdict #1)
+    buckets = build_bucket_table(
+        model, emb, id_col="vec_id", include_vectors=True
+    ).cache()
     buckets.count()
     build["lsh_build"] = round(time.time() - t0, 3)
 

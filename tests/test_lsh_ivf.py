@@ -339,3 +339,45 @@ def _group_rows(df):
     for rows in out.values():
         rows.sort(key=lambda r: (-r["score"], r["id"]))
     return out
+
+
+def test_selfcontained_bucket_search_parity(lsh_model, clustered_df, lsh_buckets, clustered_vectors):
+    """A self-contained bucket table (include_vectors=True) must return
+    BIT-IDENTICAL results to the id-only table on every path — it changes
+    the plan (no corpus join), never the answer."""
+    from pyspark.sql import functions as F
+
+    _, mat, _ = clustered_vectors
+    bv = build_bucket_table(lsh_model, clustered_df, include_vectors=True).cache()
+    try:
+        assert set(bv.columns) == {"id", "table_id", "signature", "embedding"}
+        # every (id, table_id, signature) bucket row matches the id-only table
+        assert bv.drop("embedding").exceptAll(lsh_buckets).count() == 0
+        assert lsh_buckets.exceptAll(bv.drop("embedding")).count() == 0
+        for qi, mp in ((10, 0), (260, 1), (490, 1)):
+            q = [float(x) for x in mat[qi]]
+            a = lsh_model.search(
+                clustered_df, lsh_buckets, q, 10, pad_to_k=False, multiprobe=mp
+            ).collect()
+            b = lsh_model.search(
+                clustered_df, bv, q, 10, pad_to_k=False, multiprobe=mp
+            ).collect()
+            assert [(r["id"], r["score"]) for r in a] == [
+                (r["id"], r["score"]) for r in b
+            ], qi
+        # zero query -> empty frame, same schema contract
+        z = lsh_model.search(clustered_df, bv, [0.0] * 32, 5, pad_to_k=False)
+        assert z.count() == 0 and z.columns == ["id", "score"]
+        # batch path: vec-in-pairs re-rank equals corpus-join re-rank
+        qdf = clustered_df.sparkSession.createDataFrame(
+            [(f"q{i}", [float(x) for x in mat[i]]) for i in (10, 260)],
+            "query_id string, query_vec array<double>",
+        )
+        ba = lsh_model.search_batch(clustered_df, lsh_buckets, qdf, 10)
+        bb = lsh_model.search_batch(clustered_df, bv, qdf, 10)
+        key = [F.col("query_id"), F.desc("score"), F.col("id")]
+        assert [tuple(r) for r in ba.orderBy(*key).collect()] == [
+            tuple(r) for r in bb.orderBy(*key).collect()
+        ]
+    finally:
+        bv.unpersist()

@@ -241,6 +241,7 @@ def rerank_pairs(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    vec_in_pairs: bool = False,
 ) -> DataFrame:
     """Exact re-rank of precomputed (query_id, id) candidate pairs — the
     shared tail of every batch ANN path (LSH/IVF ``search_batch``).
@@ -253,6 +254,10 @@ def rerank_pairs(
     query side is explicitly broadcast, and the final per-query top-k is one
     window shuffle on ``query_id`` over ≤ |pairs| scored rows — never over
     corpus × queries like a naive crossJoin.
+
+    ``vec_in_pairs=True``: ``pairs`` already carries ``vec_col`` (a
+    self-contained LSH bucket table probe), so the corpus hydration join is
+    skipped entirely — one fewer shuffle/broadcast stage.
     """
     e = V.as_double_array(vec_col)
     q = F.broadcast(
@@ -261,7 +266,10 @@ def rerank_pairs(
             V.as_double_array(query_vec_col).alias("__qv"),
         )
     )
-    cand = corpus.join(pairs.select(query_id_col, id_col), id_col, "inner")
+    if vec_in_pairs:
+        cand = pairs.select(query_id_col, id_col, vec_col)
+    else:
+        cand = corpus.join(pairs.select(query_id_col, id_col), id_col, "inner")
     scored = cand.join(q, query_id_col).select(
         F.col(query_id_col),
         F.col(id_col),

@@ -38,7 +38,7 @@ from collections.abc import Iterator, Sequence
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vector_db_api_spark.operators.knn import knn
@@ -137,12 +137,25 @@ class SignLSH:
         return _pack_signatures(mat, self.hyperplanes)
 
     def signatures(
-        self, corpus: DataFrame, id_col: str = "id", vec_col: str = "embedding"
+        self,
+        corpus: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        include_vectors: bool = False,
     ) -> DataFrame:
-        """(id, table_id, signature) for every embedded, non-zero row.
+        """(id, table_id, signature[, vec]) for every embedded, non-zero row.
 
         Zero vectors are excluded — the reference drops them from the index
         because normalize() returns None (lsh.py:59, 67-69).
+
+        ``include_vectors=True`` emits the embedding alongside each bucket
+        row — a SELF-CONTAINED bucket table (the classic LSH space/time
+        trade: L copies of every vector, like the reference holding bucket
+        members in RAM next to the store). A probe against it needs NO
+        corpus join: the matched bucket rows already carry the vectors to
+        re-rank, so single-query search is one job, and at scale a copy
+        persisted ``partitionBy(table_id)`` + sorted by ``signature`` serves
+        probes from a handful of row-group-pruned reads.
         """
         from vector_db_api_spark.functions.ship import ship_model
 
@@ -154,6 +167,9 @@ class SignLSH:
         # coercion that loses precision for large int64 ids).
         id_type = corpus.schema[id_col].dataType.simpleString()
         out_schema = f"{id_col} {id_type}, table_id int, signature long"
+        if include_vectors:
+            vec_type = corpus.schema[vec_col].dataType.simpleString()
+            out_schema += f", {vec_col} {vec_type}"
 
         def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             hp = shipped.get()
@@ -168,13 +184,17 @@ class SignLSH:
                 sigs = _pack_signatures(mat[keep], hp)  # (n, L)
                 ids = pdf[id_col].to_numpy()[keep]
                 n, l = sigs.shape
-                yield pd.DataFrame(
-                    {
-                        id_col: np.repeat(ids, l),
-                        "table_id": np.tile(np.arange(l, dtype=np.int32), n),
-                        "signature": sigs.reshape(-1),
-                    }
-                )
+                cols = {
+                    id_col: np.repeat(ids, l),
+                    "table_id": np.tile(np.arange(l, dtype=np.int32), n),
+                    "signature": sigs.reshape(-1),
+                }
+                if include_vectors:
+                    # object-dtype repeat: L references per row's list, no copy
+                    cols[vec_col] = np.repeat(
+                        pdf[vec_col].to_numpy()[keep], l
+                    )
+                yield pd.DataFrame(cols)
 
         return corpus.filter(F.col(vec_col).isNotNull()).mapInPandas(
             hash_batches, schema=out_schema
@@ -294,6 +314,21 @@ class SignLSH:
         )
         if broadcast_probes:
             probes = F.broadcast(probes)
+        if vec_col in buckets.columns:
+            # self-contained bucket table: the probe join already yields the
+            # candidate vectors — dedup per (query, id) keeps one copy
+            # (identical across tables) and the re-rank skips the corpus
+            # hydration join entirely
+            pairs = (
+                probes.join(buckets, ["table_id", "signature"])
+                .groupBy(query_id_col, id_col)
+                .agg(F.first(vec_col).alias(vec_col))
+            )
+            return rerank_pairs(
+                corpus, queries, pairs, k, metric=metric, id_col=id_col,
+                vec_col=vec_col, query_id_col=query_id_col,
+                query_vec_col=query_vec_col, vec_in_pairs=True,
+            )
         pairs = (
             probes.join(buckets, ["table_id", "signature"])
             .select(query_id_col, id_col)
@@ -307,15 +342,11 @@ class SignLSH:
 
     # -- search ------------------------------------------------------------
 
-    def _probe_filter(
-        self,
-        buckets: DataFrame,
-        query_vec: Sequence[float],
-        id_col: str,
-        multiprobe: int = 0,
-    ) -> DataFrame | None:
-        """Bucket rows matching the query's probe keys, or None for a zero
-        query. The probe is a LITERAL per-table ``signature IN (...)``
+    def _probe_condition(
+        self, query_vec: Sequence[float], multiprobe: int = 0
+    ) -> Column | None:
+        """Boolean Column matching the query's probe keys, or None for a
+        zero query. The probe is a LITERAL per-table ``signature IN (...)``
         disjunction, not a join: it pushes into the parquet scan
         (PushedFilters In/EqualTo) and prunes a table partitioned by
         ``table_id`` / sorted by ``signature`` without needing dynamic
@@ -330,6 +361,20 @@ class SignLSH:
         for t, sigs in by_table.items():
             leg = (F.col("table_id") == F.lit(t)) & F.col("signature").isin(sigs)
             cond = leg if cond is None else (cond | leg)
+        return cond
+
+    def _probe_filter(
+        self,
+        buckets: DataFrame,
+        query_vec: Sequence[float],
+        id_col: str,
+        multiprobe: int = 0,
+    ) -> DataFrame | None:
+        """Bucket rows matching the query's probe keys, or None for a zero
+        query (see :meth:`_probe_condition` for the pushdown rationale)."""
+        cond = self._probe_condition(query_vec, multiprobe=multiprobe)
+        if cond is None:
+            return None
         return buckets.filter(cond).select(id_col)
 
     def candidates(
@@ -361,27 +406,46 @@ class SignLSH:
     ) -> DataFrame:
         """ANN top-k: probe buckets → exact re-rank of candidates.
 
-        Runs ONE job: semi-join the candidate buckets, re-rank, collect the
-        ≤k result rows. Only if the re-ranked result has fewer than k rows
+        Runs ONE job: against a self-contained bucket table (built with
+        ``include_vectors=True``) the probed rows carry their vectors and
+        re-rank happens in place with no corpus join at all; against an
+        id-only table, semi-join the candidate buckets and re-rank. Only if the re-ranked result has fewer than k rows
         AND ``pad_to_k`` is set does a second, *logged* exact full scan run
         (deterministic, strictly better than the reference's arbitrary-order
         padding — lsh.py:101-110). At 100 TB a recall shortfall therefore
         costs one visible fallback job, never a silent full scan inside the
         probe path.
         """
-        cand = self._probe_filter(buckets, query_vec, id_col, multiprobe=multiprobe)
-        if cand is None:  # zero query → empty result, no jobs (lsh.py:86-87)
+        cond = self._probe_condition(query_vec, multiprobe=multiprobe)
+        if cond is None:  # zero query → empty result, no jobs (lsh.py:86-87)
             id_type = corpus.schema[id_col].dataType.simpleString()
             return corpus.sparkSession.createDataFrame(
                 [], f"{id_col} {id_type}, score double"
             )
-        # Candidate ids are bounded by L × bucket occupancy (the caller sizes
-        # H so buckets hold ~corpus/2^H rows), so the semi-join build side is
-        # small by construction → broadcast it. No .distinct() first: a
-        # left-semi join already dedups, and skipping it removes a full
-        # candidate shuffle.
-        hydrated = corpus.join(F.broadcast(cand), id_col, "left_semi")
-        hits = knn(hydrated, query_vec, k, metric=metric, id_col=id_col, vec_col=vec_col)
+        if vec_col in buckets.columns:
+            # SELF-CONTAINED bucket table (build_bucket_table
+            # include_vectors=True): the probed rows already carry the
+            # vectors, so re-rank needs NO corpus join — probe + dedup +
+            # score + top-k is ONE job. The dedup groupBy runs AFTER the
+            # probe filter (≤ L × bucket occupancy rows — AQE coalesces
+            # the tiny exchange); ``first`` is deterministic here because
+            # every copy of an id carries the identical vector.
+            cand_v = buckets.filter(cond).groupBy(id_col).agg(
+                F.first(vec_col).alias(vec_col)
+            )
+            hits = knn(cand_v, query_vec, k, metric=metric, id_col=id_col,
+                       vec_col=vec_col)
+        else:
+            # id-only bucket table: hydrate via semi-join. Candidate ids are
+            # bounded by L × bucket occupancy (the caller sizes H so buckets
+            # hold ~corpus/2^H rows), so the build side is small by
+            # construction → broadcast it. No .distinct() first: a left-semi
+            # join already dedups, and skipping it removes a full candidate
+            # shuffle.
+            cand = buckets.filter(cond).select(id_col)
+            hydrated = corpus.join(F.broadcast(cand), id_col, "left_semi")
+            hits = knn(hydrated, query_vec, k, metric=metric, id_col=id_col,
+                       vec_col=vec_col)
         if not pad_to_k:
             return hits
         rows = hits.collect()  # ≤ k rows — the search job itself
@@ -400,10 +464,17 @@ def build_bucket_table(
     corpus: DataFrame,
     id_col: str = "id",
     vec_col: str = "embedding",
+    include_vectors: bool = False,
 ) -> DataFrame:
     """Materializable bucket table, repartitioned by probe key so a persisted
     copy supports pruned probes (write with
-    ``.write.partitionBy('table_id').bucketBy(...)`` or sort by signature)."""
-    return model.signatures(corpus, id_col=id_col, vec_col=vec_col).repartition(
-        "table_id", "signature"
-    )
+    ``.write.partitionBy('table_id').bucketBy(...)`` or sort by signature).
+
+    ``include_vectors=True`` co-locates each row's embedding with its bucket
+    entries (L copies — the LSH space/time trade): probes then re-rank
+    in-place with no corpus join, making single-query search one job and a
+    persisted probe a handful of row-group-pruned reads. Leave False when
+    index storage is the constraint and a corpus semi-join is acceptable."""
+    return model.signatures(
+        corpus, id_col=id_col, vec_col=vec_col, include_vectors=include_vectors
+    ).repartition("table_id", "signature")
