@@ -98,8 +98,10 @@ HEADLINE = [
     "doc_repetition_np",
     "doc_bm25",
     "doc_hybrid_rrf",
-    # DSIR data selection (r8): fit + score + top-k over the pool
+    # DSIR data selection (r8): fit + score + top-k over the pool;
+    # _fast = the production plain-SUM scoring twin (r8 verdict #4)
     "doc_dsir_select",
+    "doc_dsir_select_fast",
     # chunking / span overlap / pii / layout / profile
     "doc_chunking",
     "span_overlap_pairs",

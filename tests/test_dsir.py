@@ -175,3 +175,85 @@ def test_select_plan_is_two_phase_topk(spark):
     pool = _docs(spark, [(i, f"doc number {i}") for i in range(20)])
     plan = dsir_pipeline(pool, target, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_fast_scores_match_exact_shape(spark):
+    """dsir_scores_fast (plain SUM, r8 verdict #4) vs the ordered-fold
+    oracle shape: identical (id, n_feats), scores within float-reassociation
+    tolerance, and IDENTICAL top-k selection on real testdata."""
+    from pyspark.sql import functions as F
+
+    from vector_db_api_spark.operators.dsir import dsir_scores_fast
+    from vector_db_api_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    target = docs.filter(F.col("source") == "src0")
+    pool = docs.filter(F.col("source") != "src0")
+    t_counts = bucket_counts(hashed_ngram_buckets(target))
+    r_counts = bucket_counts(hashed_ngram_buckets(pool))
+    ratios = dsir_log_ratios(t_counts, r_counts).localCheckpoint(eager=True)
+    exact = {r["doc_id"]: r for r in dsir_scores(pool, ratios).collect()}
+    fast = {r["doc_id"]: r for r in dsir_scores_fast(pool, ratios).collect()}
+    assert set(exact) == set(fast)
+    for did, e in exact.items():
+        f = fast[did]
+        assert e["n_feats"] == f["n_feats"], did
+        assert math.isclose(
+            e["logratio"], f["logratio"], rel_tol=1e-9, abs_tol=1e-12
+        ), (did, e["logratio"], f["logratio"])
+    sel_e = [r["doc_id"] for r in dsir_select(dsir_scores(pool, ratios), 20).collect()]
+    sel_f = [r["doc_id"] for r in dsir_select(dsir_scores_fast(pool, ratios), 20).collect()]
+    assert sel_e == sel_f
+
+
+def test_fast_scores_empty_doc_and_plan_shape(spark):
+    """Empty docs score (0, 0.0) in the fast shape too, and the fast plan
+    must contain NO collect_list/array_sort (that's the whole point) while
+    keeping the broadcast weight join."""
+    from vector_db_api_spark.operators.dsir import dsir_scores_fast
+
+    pool = _docs(spark, [(1, "a b"), (2, "")])
+    target = _docs(spark, [(10, "a")])
+    ratios = dsir_log_ratios(
+        bucket_counts(hashed_ngram_buckets(target)),
+        bucket_counts(hashed_ngram_buckets(pool)),
+    )
+    scored = dsir_scores_fast(pool, ratios)
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    assert rows[2]["n_feats"] == 0 and rows[2]["logratio"] == 0.0
+    assert rows[2]["logratio_per_feat"] == 0.0
+    assert rows[1]["n_feats"] == 3
+    plan = scored._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan and "array_sort" not in plan
+    assert "ResolvedHint" in plan or "broadcast" in plan.lower()
+
+
+def test_single_scan_fit_bit_identical_to_two_scan(spark):
+    """dsir_fit (one featurization scan, conditional counts) must produce a
+    BIT-identical weight table to the two-frame bucket_counts +
+    dsir_log_ratios fit — same exact-integer counts, same totals, same
+    libm logs. Null predicate rows belong to neither distribution, exactly
+    like the two-frame split's two exclusive filters."""
+    from pyspark.sql import functions as F
+
+    from vector_db_api_spark.operators.dsir import dsir_fit
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "t"), (2, "a a d", "p"), (3, "b d e f", "p"),
+         (4, "c", "t"), (5, "x y", None)],
+        "doc_id bigint, text string, side string",
+    )
+    target = docs.filter(F.col("side") == "t")
+    pool = docs.filter(F.col("side") != "t")
+    two = {
+        r["bucket"]: r["w"]
+        for r in dsir_log_ratios(
+            bucket_counts(hashed_ngram_buckets(target)),
+            bucket_counts(hashed_ngram_buckets(pool)),
+        ).collect()
+    }
+    one = {
+        r["bucket"]: r["w"]
+        for r in dsir_fit(docs, F.col("side") == "t").collect()
+    }
+    assert one == two  # bit-exact float equality, same bucket row set

@@ -1,0 +1,311 @@
+"""Scale-proof bench (r8 verdict #1b + #6): measure the claims the per-round
+sf0.1 bench cannot.
+
+The driver's sf0.1 embeddings table holds 2,000 rows — at that size a flat
+exact scan is ONE single-stage job whose cost is almost entirely fixed
+overhead (plan compile + task launch), so no index plan containing an
+exchange can beat it and BASELINE.md's "ANN beats flat" bar is physically
+untestable there. This script measures where the crossover actually happens:
+a deterministic clustered corpus (sources/synthetic_vectors.py — the regime
+ANN indexes exist for) swept across corpus sizes, flat vs LSH
+(self-contained buckets) vs IVF, single-query and batch-32, with recall and
+candidate fraction reported next to every wall time. It also measures the
+two non-ANN scale claims: alternating-CC round counts on a dup-heavy corpus
+scaled 10x/50x beyond sf0.1, and DSIR select wall at 10x.
+
+Writes BENCH_SCALE.md at the repo root (committed artifact). Runtime is
+~10-20 min at full size; ``--quick`` caps the sweep at 200k vectors.
+
+Usage: python tools/bench_scale.py [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vector_db_api_spark.session import get_spark  # noqa: E402
+
+
+def _median(samples: list[float]) -> float:
+    return sorted(samples)[len(samples) // 2]
+
+
+def _timed(fn, reps: int = 5) -> float:
+    fn()  # warm (plan compile + cache touch)
+    out = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        out.append(time.time() - t0)
+    return round(_median(out), 3)
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def ann_sweep(spark, sizes: list[int]) -> list[dict]:
+    from vector_db_api_spark.operators.ivf import IVFIndex
+    from vector_db_api_spark.operators.knn import knn, knn_batch
+    from vector_db_api_spark.operators.lsh import SignLSH, build_bucket_table
+    from vector_db_api_spark.sources.synthetic_vectors import clustered_corpus
+
+    rows_out = []
+    for n in sizes:
+        # ~1000 members per cluster — topical structure at every size.
+        # spread=0.05 (within-cluster cosine ≈ 0.997) is the tight-cluster
+        # regime the recall-bar test pins: the sweep must hold recall ≥0.9
+        # for the walls to be comparable "at bounded recall".
+        n_clusters = max(16, n // 1000)
+        corpus = clustered_corpus(
+            spark, n, dim=64, n_clusters=n_clusters, spread=0.05, seed=7,
+            num_partitions=max(8, min(64, n // 25_000)),
+        ).cache()
+        corpus.count()
+        qrows = corpus.limit(32).collect()
+        qv = [float(x) for x in qrows[0]["embedding"]]
+        qdf = spark.createDataFrame(
+            [(f"q{r['id']}", [float(x) for x in r["embedding"]]) for r in qrows],
+            "query_id string, query_vec array<double>",
+        ).cache()
+        qdf.count()
+
+        rec: dict = {"n": n, "n_clusters": n_clusters}
+
+        t0 = time.time()
+        model = SignLSH.auto_size(n, dim=64, seed=42)
+        buckets = build_bucket_table(
+            model, corpus, include_vectors=True
+        ).cache()
+        buckets.count()
+        rec["lsh_build_sec"] = round(time.time() - t0, 3)
+        rec["lsh_H"] = model.hyperplanes_per_table
+
+        t0 = time.time()
+        ivf = IVFIndex.auto_train(corpus, n_rows=n, seed=42)
+        assignments = ivf.assign(corpus).cache()
+        assignments.count()
+        rec["ivf_build_sec"] = round(time.time() - t0, 3)
+        rec["ivf_centroids"] = int(ivf.centroids.shape[0])
+
+        rec["flat_sec"] = _timed(lambda: _noop(knn(corpus, qv, 10)))
+        rec["lsh_sec"] = _timed(
+            lambda: _noop(
+                model.search(corpus, buckets, qv, 10, pad_to_k=False)
+            )
+        )
+        rec["ivf_sec"] = _timed(
+            lambda: _noop(ivf.search(corpus, assignments, qv, 10))
+        )
+        rec["flat_batch32_sec"] = _timed(
+            lambda: _noop(knn_batch(corpus, qdf, 10)), reps=3
+        )
+        rec["lsh_batch32_sec"] = _timed(
+            lambda: _noop(model.search_batch(corpus, buckets, qdf, 10)),
+            reps=3,
+        )
+        rec["ivf_batch32_sec"] = _timed(
+            lambda: _noop(ivf.search_batch(corpus, assignments, qdf, 10)),
+            reps=3,
+        )
+
+        exact = {r["id"] for r in knn(corpus, qv, 10).collect()}
+        lsh_hits = {
+            r["id"]
+            for r in model.search(
+                corpus, buckets, qv, 10, pad_to_k=False
+            ).collect()
+        }
+        ivf_hits = {
+            r["id"] for r in ivf.search(corpus, assignments, qv, 10).collect()
+        }
+        rec["lsh_recall_at_10"] = round(len(lsh_hits & exact) / 10, 3)
+        rec["ivf_recall_at_10"] = round(len(ivf_hits & exact) / 10, 3)
+        rec["lsh_candidate_fraction"] = round(
+            model.candidates(buckets.drop("embedding"), qv, multiprobe=1)
+            .count() / n, 5,
+        )
+        rec["ivf_candidate_fraction"] = round(
+            assignments.filter(
+                F.col("centroid_id").isin(ivf.probe_centroids(qv))
+            ).count() / n, 5,
+        )
+
+        rows_out.append(rec)
+        print(json.dumps(rec))
+        for c in (corpus, buckets, assignments, qdf):
+            c.unpersist()
+    return rows_out
+
+
+def cc_scale(spark, replicas: list[int]) -> list[dict]:
+    """Alternating-CC wall + measured rounds on a dup-heavy corpus: every
+    sf0.1 document cloned R times (ids re-keyed) — each original becomes an
+    R-clone near-dup cluster, the densest realistic dedup load."""
+    from vector_db_api_spark.operators.dedup import (
+        connected_components_alternating,
+        minhash_lsh_pairs,
+    )
+    from vector_db_api_spark.sources.tables import load_table
+
+    docs = load_table(spark, os.path.join("/root/testdata", "sf0.1"), "documents")
+    out = []
+    for r_n in replicas:
+        scaled = (
+            docs.crossJoin(spark.range(r_n).select(F.col("id").alias("__r")))
+            .select(
+                (F.col("doc_id") * r_n + F.col("__r")).alias("doc_id"),
+                "text",
+            )
+            .cache()
+        )
+        n = scaled.count()
+        t0 = time.time()
+        pairs = minhash_lsh_pairs(scaled, id_col="doc_id", text_col="text")
+        pairs = pairs.localCheckpoint(eager=True)
+        n_pairs = pairs.count()
+        t_pairs = round(time.time() - t0, 3)
+        stats: dict = {}
+        t0 = time.time()
+        comp = connected_components_alternating(
+            pairs, "left_id", "right_id", stats=stats,
+            on_nonconverged="raise",
+        )
+        n_comp = comp.groupBy("component").count().count()
+        t_cc = round(time.time() - t0, 3)
+        rec = {
+            "replicas": r_n, "n_docs": n, "n_pairs": n_pairs,
+            "pairs_sec": t_pairs, "cc_sec": t_cc,
+            "cc_rounds": stats.get("rounds"),
+            "cc_converged": stats.get("converged"),
+            "n_components": n_comp,
+        }
+        out.append(rec)
+        print(json.dumps(rec))
+        scaled.unpersist()
+    return out
+
+
+def dsir_scale(spark, replicas: int) -> dict:
+    """DSIR fit + select wall on the raw pool scaled ``replicas``x (clone
+    texts, re-keyed ids) against the unscaled high-quality target."""
+    from vector_db_api_spark.operators.dsir import dsir_pipeline
+    from vector_db_api_spark.sources.tables import load_table
+
+    docs = load_table(spark, os.path.join("/root/testdata", "sf0.1"), "documents")
+    raw = (
+        docs.crossJoin(spark.range(replicas).select(F.col("id").alias("__r")))
+        .select(
+            (F.col("doc_id") * replicas + F.col("__r")).alias("doc_id"),
+            "text",
+        )
+        .cache()
+    )
+    n = raw.count()
+    # target = the English wiki-like slice (deterministic, ~10% of docs) —
+    # DSIR's usual "high-quality target corpus" role
+    target = docs.filter(
+        (F.col("lang") == "en") & F.col("source").isin("src0", "src1")
+    ).select("doc_id", "text")
+    t0 = time.time()
+    sel = dsir_pipeline(raw, target, k=1000)
+    n_sel = sel.count()
+    wall = round(time.time() - t0, 3)
+    rec = {"replicas": replicas, "n_raw": n, "k": 1000,
+           "selected": n_sel, "dsir_sec": wall}
+    print(json.dumps(rec))
+    raw.unpersist()
+    return rec
+
+
+def _md_table(rows: list[dict], cols: list[str]) -> str:
+    head = "| " + " | ".join(cols) + " |\n"
+    head += "|" + "|".join("---" for _ in cols) + "|\n"
+    for r in rows:
+        head += "| " + " | ".join(str(r.get(c, "—")) for c in cols) + " |\n"
+    return head
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    sizes = [2_000, 20_000, 200_000] + ([] if quick else [1_000_000])
+    spark = get_spark("bench-scale")
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm
+
+    t_all = time.time()
+    ann = ann_sweep(spark, sizes)
+    cc = cc_scale(spark, [10] + ([] if quick else [50]))
+    ds = dsir_scale(spark, 10)
+
+    lines = [
+        "# BENCH_SCALE — where the ANN crossover actually happens",
+        "",
+        "Generated by `tools/bench_scale.py` (deterministic clustered corpus,",
+        "`sources/synthetic_vectors.py`, seed 7; walls are median-of-5 warm",
+        "noop-write runs on `local[%s]`)." % os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "",
+        "## Why this artifact exists (r8 verdict #1b/#6)",
+        "",
+        "At sf0.1 the embeddings table has 2,000 rows: a flat exact scan is a",
+        "single-stage job of almost pure fixed overhead (~0.2s plan compile +",
+        "task launch), while ANY index plan adds at least one exchange/AQE",
+        "stage (~0.1s each). BASELINE.md's \"LSH/IVF beat flat\" bar is",
+        "therefore a fixed-overhead coin flip at sf0.1, not a measurement of",
+        "the index. This sweep holds geometry fixed (clustered, ~1k",
+        "members/cluster) and scales n; the crossover is where scan cost",
+        "overtakes plan overhead.",
+        "",
+        "## ANN crossover sweep (single query, k=10)",
+        "",
+        _md_table(ann, [
+            "n", "flat_sec", "lsh_sec", "ivf_sec", "lsh_recall_at_10",
+            "ivf_recall_at_10", "lsh_candidate_fraction",
+            "ivf_candidate_fraction",
+        ]),
+        "",
+        "## Batch-32 (one job per batch)",
+        "",
+        _md_table(ann, [
+            "n", "flat_batch32_sec", "lsh_batch32_sec", "ivf_batch32_sec",
+        ]),
+        "",
+        "## Index builds (amortized over the index lifetime)",
+        "",
+        _md_table(ann, [
+            "n", "lsh_build_sec", "lsh_H", "ivf_build_sec", "ivf_centroids",
+        ]),
+        "",
+        "## Alternating-CC at dedup scale (sf0.1 documents cloned Rx)",
+        "",
+        _md_table(cc, [
+            "replicas", "n_docs", "n_pairs", "pairs_sec", "cc_sec",
+            "cc_rounds", "cc_converged", "n_components",
+        ]),
+        "",
+        "## DSIR select at 10x raw pool",
+        "",
+        _md_table([ds], ["replicas", "n_raw", "k", "selected", "dsir_sec"]),
+        "",
+        f"Total wall: {round(time.time() - t_all, 1)}s. Raw records:",
+        "",
+        "```json",
+        json.dumps({"ann": ann, "cc": cc, "dsir": ds}, indent=1),
+        "```",
+        "",
+    ]
+    with open(os.path.join(HERE, "BENCH_SCALE.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote BENCH_SCALE.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -773,6 +773,7 @@ def connected_components_alternating(
     right_col: str = "id_b",
     max_iterations: int = 30,
     on_nonconverged: str = "warn",
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) labeling via the alternating large-star/small-star
     algorithm (Kiveris et al., "Connected Components in MapReduce and
@@ -804,6 +805,9 @@ def connected_components_alternating(
 
     Both preserve connectivity (paper, Lemma 1-2); the fixpoint is a
     star per component centered at its min id, read off as the labels.
+    ``stats`` (optional dict) receives ``{"rounds", "converged"}`` after
+    the run — scale artifacts report measured round counts rather than
+    asserting the O(log²) bound.
     ``on_nonconverged`` controls the iteration-guard exit: ``"warn"``
     (default) emits a RuntimeWarning and returns one PROVISIONAL label per
     node (smallest-reachable-so-far — components may be split);
@@ -858,7 +862,9 @@ def connected_components_alternating(
         )
 
     converged = False
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         after = _star(_star(edges, large=True), large=False)
         # fixpoint when the (distinct) edge set is unchanged. Both frames
         # are distinct sets, so equal counts + one-direction containment
@@ -871,6 +877,11 @@ def connected_components_alternating(
             converged = True
             break
         edges = after
+    if stats is not None:
+        # observability out-param (scale artifacts report round counts —
+        # the O(log²) claim should be measured, not asserted)
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     if not converged:
         msg = (
             f"connected_components_alternating did not converge within "

@@ -203,6 +203,109 @@ def dsir_scores(
     )
 
 
+def dsir_fit(
+    docs: DataFrame,
+    target_cond: F.Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """One-scan fit: the (bucket, w) weight table of
+    :func:`dsir_log_ratios`, from a SINGLE corpus featurization pass.
+
+    The two-frame fit (``bucket_counts`` over target, over pool,
+    ``dsir_log_ratios``) featurizes the corpus twice — the right shape
+    when target and pool arrive as separate tables, and the shape the
+    bit-exact oracle replays. When both sides live in ONE table split by
+    a predicate (the common curation case), this fits both distributions
+    with one explode scan and conditional counts; every count is the same
+    exact integer, the totals and add-one smoothing are identical, and
+    the logs run the same driver-libm pandas_udf — the weight table is
+    bit-identical to the two-scan fit (pinned by test). At 100 TB that is
+    one corpus read instead of two.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .dedup import _parallelize
+
+    _libm_log = pandas_udf(
+        lambda p: pd.Series([math.log(x) for x in p], dtype="float64"),
+        "double",
+    )
+    feats = _parallelize(docs).select(
+        target_cond.alias("__t"), F.explode(_features(text_col)).alias("__f")
+    ).select(
+        "__t", (H.h32(F.col("__f")) % F.lit(buckets)).cast("int").alias("bucket")
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("tc"),
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("rc"),
+    ).localCheckpoint(eager=True)  # ≤ buckets rows; lineage = the one scan
+    totals = counts.agg(
+        F.sum("tc").alias("t"), F.sum("rc").alias("r")
+    ).collect()[0]
+    t_denom = float((totals["t"] or 0) + buckets)
+    r_denom = float((totals["r"] or 0) + buckets)
+    # one row per bucket the RAW pool realizes (a pool doc can only ever
+    # hit those) — same row set as dsir_log_ratios' raw-side join
+    return counts.filter(F.col("rc") > 0).select(
+        "bucket",
+        (
+            _libm_log((F.col("tc") + F.lit(1)) / F.lit(t_denom))
+            - _libm_log((F.col("rc") + F.lit(1)) / F.lit(r_denom))
+        ).alias("w"),
+    )
+
+
+def dsir_scores_fast(
+    docs: DataFrame,
+    log_ratios: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DEFAULT_BUCKETS,
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """Production twin of :func:`dsir_scores` (same featurization, same
+    broadcast weight join) whose per-document reduction is a plain
+    ``SUM`` — partially aggregated map-side with no per-document
+    ``collect_list → array_sort`` array materialization, the shape to run
+    at 100 TB. Float addition order is engine-chosen here, so ``logratio``
+    can differ from the oracle twin in the last bits; top-k MEMBERSHIP is
+    identical unless two documents bit-tie at the selection boundary
+    (tests pin score agreement to ~1e-12 and identical selection).
+    Keep :func:`dsir_scores` for bit-exact cross-engine replay."""
+    from .dedup import _parallelize
+
+    docs = _parallelize(docs)
+    w = F.broadcast(log_ratios) if broadcast_weights else log_ratios
+    feats = docs.select(
+        F.col(id_col), F.explode_outer(_features(text_col)).alias("__f")
+    ).select(
+        id_col,
+        F.when(
+            F.col("__f").isNotNull(),
+            (H.h32(F.col("__f")) % F.lit(buckets)).cast("int"),
+        ).alias("bucket"),
+    )
+    terms = feats.join(w, "bucket", "left").select(
+        id_col,
+        F.when(F.col("bucket").isNotNull(), F.coalesce(F.col("w"), F.lit(0.0)))
+        .alias("__term"),
+    )
+    return terms.groupBy(id_col).agg(
+        F.count("__term").cast("int").alias("n_feats"),
+        F.coalesce(F.sum("__term"), F.lit(0.0)).alias("logratio"),
+    ).select(
+        id_col,
+        "n_feats",
+        "logratio",
+        F.when(F.col("n_feats") > 0, F.col("logratio") / F.col("n_feats"))
+        .otherwise(F.lit(0.0))
+        .alias("logratio_per_feat"),
+    )
+
+
 def dsir_select(
     scores: DataFrame,
     k: int,

@@ -1904,6 +1904,34 @@ def q_doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_pipeline(pool, target, k=DSIR_K, buckets=DSIR_BUCKETS)
 
 
+def q_doc_dsir_select_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape DSIR selection (r8 verdict #4): dsir_fit fits BOTH
+    bucket distributions in ONE corpus featurization scan (the exact twin
+    scans twice — bit-identical weight table, pinned by test), and
+    dsir_scores_fast reduces per document with a plain partial-aggregated
+    SUM (no collect_list/array_sort fold). Float addition order is
+    engine-chosen, so the result carries only the order-independent
+    columns (ids + integer n_feats); the oracle replays the ordered-fold
+    ranking to pick the same top-k — membership agrees unless two docs
+    bit-tie at the boundary, which the dsir tests pin doesn't happen on
+    this data."""
+    from vector_db_api_spark.operators.dsir import (
+        dsir_fit,
+        dsir_scores_fast,
+        dsir_select,
+    )
+
+    docs = _docs(spark, sf_dir)
+    _, pool = _dsir_split(docs)
+    ratios = dsir_fit(
+        docs, F.col("source") == DSIR_TARGET_SOURCE, buckets=DSIR_BUCKETS
+    )
+    scores = dsir_scores_fast(pool, ratios, buckets=DSIR_BUCKETS)
+    return dsir_select(scores, k=DSIR_K).select(
+        "doc_id", "n_feats", "selected"
+    )
+
+
 def q_doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gumbel-resampled DSIR (the paper's actual sampler): seeded id-keyed
     Gumbel noise on top of the per-feature log ratio, top-k of the noisy
@@ -1979,6 +2007,20 @@ def _sql_doc_dsir_select() -> str:
     return f"""
 WITH {_dsir_sql_ctes()}
 SELECT doc_id, n_feats, logratio, logratio_per_feat, TRUE AS selected
+FROM scored
+ORDER BY logratio_per_feat DESC, doc_id ASC
+LIMIT {DSIR_K}
+"""
+
+
+def _sql_doc_dsir_select_fast() -> str:
+    # ranking replays the ordered fold (the deterministic tie-broken
+    # order BOTH score shapes agree with, absent bit-ties); the float
+    # score columns stay out of the projection so the hash compares only
+    # order-independent values
+    return f"""
+WITH {_dsir_sql_ctes()}
+SELECT doc_id, n_feats, TRUE AS selected
 FROM scored
 ORDER BY logratio_per_feat DESC, doc_id ASC
 LIMIT {DSIR_K}
@@ -4512,6 +4554,13 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # in-window doc_dsir_select; adds the seeded noise column the paper's
     # sampler uses — determinism additionally pinned by tests/test_dsir.py)
     "doc_dsir_sample": (q_doc_dsir_sample, _sql_doc_dsir_sample()),
+    # production-shape DSIR twin (r8 verdict #4): plain-SUM scoring, no
+    # per-document ordered-fold array materialization; result carries only
+    # order-independent columns so the oracle hash is float-order-safe
+    "doc_dsir_select_fast": (
+        q_doc_dsir_select_fast,
+        _sql_doc_dsir_select_fast(),
+    ),
 }
 
 
