@@ -60,6 +60,14 @@ MUST_BE_IN_WINDOW = {
     # composition of the in-window ivf + pq entries)
     "doc_dsir_select",
     "crud_engine_with_chunks",
+    # round-9 rotation: the paper's actual DSIR sampler (Gumbel
+    # resampling — pass-local since r8, never driver-green) and the
+    # multimodal family's first window slot since r5 (displaced
+    # chunks_by_document — listing class covered by doc_listing_page —
+    # and rel_ship_priority — multi-join agg covered by
+    # rel_revenue_by_nation + rel_pricing_summary)
+    "doc_dsir_sample",
+    "multimodal_neardup",
 }
 
 

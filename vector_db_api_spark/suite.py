@@ -4367,7 +4367,6 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # --- in-window: relational headliners ---
     "rel_pricing_summary": (q_rel_pricing_summary, _SQL_REL_PRICING_SUMMARY),
     "rel_revenue_by_nation": (q_rel_revenue_by_nation, _SQL_REL_REVENUE_BY_NATION),
-    "rel_ship_priority": (q_rel_ship_priority, _SQL_REL_SHIP_PRIORITY),
     "rel_customer_running_total": (
         q_rel_customer_running_total,
         _SQL_REL_CUSTOMER_RUNNING_TOTAL,
@@ -4385,7 +4384,6 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_crud_engine_index_delete,
         _SQL_CRUD_ENGINE_INDEX_DELETE,
     ),
-    "chunks_by_document": (q_chunks_by_document, _sql_chunks_by_document()),
     "search_e2e": (q_search_e2e, _sql_search_e2e()),
     # --- in-window: similarity join + end-to-end corpus clean ---
     "knn_self_join_top3": (q_knn_self_join, _sql_knn_self_join()),
@@ -4396,6 +4394,16 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "events_asof": (q_events_asof, _SQL_EVENTS_ASOF),
     "events_interval_join": (q_events_interval_join, _SQL_EVENTS_INTERVAL_JOIN),
     "events_gapfill": (q_events_gapfill, _SQL_EVENTS_GAPFILL),
+    # --- in-window: r9 rotation — the paper's actual DSIR sampler (seeded
+    # Gumbel resampling; pass-local since r8 but never driver-green) and
+    # the multimodal family's first driver window slot since r5 (binary
+    # decode → feature → embed → cosine near-dup over Arrow batches).
+    # Displaced: chunks_by_document (listing/pagination class stays
+    # covered by in-window doc_listing_page) and rel_ship_priority (multi-
+    # join agg class covered by rel_revenue_by_nation + rel_pricing_summary;
+    # both keep full value oracles out-of-window) ---
+    "doc_dsir_sample": (q_doc_dsir_sample, _sql_doc_dsir_sample()),
+    "multimodal_neardup": (q_multimodal_neardup, _sql_multimodal_neardup()),
     # ================= past the 50-entry window =================
     # oracle-backed, subsumed by an in-window entry (still checked by pytest
     # and by tools/check_correctness.py, which runs ALL entries): the kNN
@@ -4519,7 +4527,11 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "knn_batch_numpy_top5": (q_knn_batch_numpy, _sql_knn_batch_scored()),
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
     "multimodal_embed": (q_multimodal_embed, _sql_multimodal_embed()),
-    "multimodal_neardup": (q_multimodal_neardup, _sql_multimodal_neardup()),
+    # r9 rotation: displaced from the window (classes covered in-window by
+    # doc_listing_page and rel_revenue_by_nation/rel_pricing_summary) —
+    # full value oracles kept
+    "chunks_by_document": (q_chunks_by_document, _sql_chunks_by_document()),
+    "rel_ship_priority": (q_rel_ship_priority, _SQL_REL_SHIP_PRIORITY),
     # SemDeDup BLAS twin (expression path is in-window; shared drop set)
     "semdedup_drop_np": (q_semdedup_drop_np, _sql_semdedup(ids_only=True)),
     # hot-cell panel tiling, same oracle (exact blocked gram — round 5)
@@ -4550,10 +4562,6 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # IVFPQ by its in-window ivf + pq constituents) — full value oracles kept
     "events_distinct_kmv": (q_events_distinct_kmv, _sql_events_distinct_kmv()),
     "ivfpq_search_top10": (q_ivfpq_search, _sql_ivfpq_search()),
-    # Gumbel-resampled DSIR twin (same fitted model + scores as the
-    # in-window doc_dsir_select; adds the seeded noise column the paper's
-    # sampler uses — determinism additionally pinned by tests/test_dsir.py)
-    "doc_dsir_sample": (q_doc_dsir_sample, _sql_doc_dsir_sample()),
     # production-shape DSIR twin (r8 verdict #4): plain-SUM scoring, no
     # per-document ordered-fold array materialization; result carries only
     # order-independent columns so the oracle hash is float-order-safe
