@@ -504,7 +504,9 @@ def main() -> None:
 
     t0 = time.time()
     ivf = IVFIndex.auto_train(emb, n_rows=n_corpus, seed=42)
-    assignments = ivf.assign(emb, id_col="vec_id").cache()
+    # IVF-Flat posting layout (vectors in the posting rows, one copy per
+    # id): probes re-rank in place with no corpus hydration join
+    assignments = ivf.assign(emb, id_col="vec_id", include_vectors=True).cache()
     assignments.count()
     build["ivf_build"] = round(time.time() - t0, 3)
 

@@ -381,3 +381,48 @@ def test_selfcontained_bucket_search_parity(lsh_model, clustered_df, lsh_buckets
         ]
     finally:
         bv.unpersist()
+
+
+def test_ivfflat_assignments_search_parity(clustered_df, clustered_vectors):
+    """IVF-Flat posting table (assign include_vectors=True) must return
+    BIT-IDENTICAL results to the id-only posting table on single-query and
+    batch paths; the filtered (prefilter) search must fall through to the
+    corpus-join path and stay identical too."""
+    from pyspark.sql import functions as F
+
+    _, mat, _ = clustered_vectors
+    ivf = IVFIndex.auto_train(clustered_df, seed=42)
+    a_id = ivf.assign(clustered_df).cache()
+    a_v = ivf.assign(clustered_df, include_vectors=True).cache()
+    try:
+        assert set(a_v.columns) == {"id", "centroid_id", "embedding"}
+        assert a_v.drop("embedding").exceptAll(a_id).count() == 0
+        assert a_id.exceptAll(a_v.drop("embedding")).count() == 0
+        for qi in (10, 260, 490):
+            q = [float(x) for x in mat[qi]]
+            r_id = ivf.search(clustered_df, a_id, q, 10).collect()
+            r_v = ivf.search(clustered_df, a_v, q, 10).collect()
+            assert [(r["id"], r["score"]) for r in r_id] == [
+                (r["id"], r["score"]) for r in r_v
+            ], qi
+            # prefilter falls through to the corpus-join path on both
+            f_id = ivf.search(clustered_df, a_id, q, 10,
+                              prefilter=F.col("id") % 2 == 0).collect()
+            f_v = ivf.search(clustered_df, a_v, q, 10,
+                             prefilter=F.col("id") % 2 == 0).collect()
+            assert [tuple(r) for r in f_id] == [tuple(r) for r in f_v]
+            assert all(r["id"] % 2 == 0 for r in f_v)
+        # zero query -> empty
+        assert ivf.search(clustered_df, a_v, [0.0] * 32, 5).count() == 0
+        # batch path
+        qdf = clustered_df.sparkSession.createDataFrame(
+            [(f"q{i}", [float(x) for x in mat[i]]) for i in (10, 260)],
+            "query_id string, query_vec array<double>",
+        )
+        key = [F.col("query_id"), F.desc("score"), F.col("id")]
+        b_id = ivf.search_batch(clustered_df, a_id, qdf, 10).orderBy(*key).collect()
+        b_v = ivf.search_batch(clustered_df, a_v, qdf, 10).orderBy(*key).collect()
+        assert [tuple(r) for r in b_id] == [tuple(r) for r in b_v]
+    finally:
+        a_id.unpersist()
+        a_v.unpersist()

@@ -91,7 +91,8 @@ def ann_sweep(spark, sizes: list[int]) -> list[dict]:
 
         t0 = time.time()
         ivf = IVFIndex.auto_train(corpus, n_rows=n, seed=42)
-        assignments = ivf.assign(corpus).cache()
+        # IVF-Flat: vectors live in the posting rows (one copy per id)
+        assignments = ivf.assign(corpus, include_vectors=True).cache()
         assignments.count()
         rec["ivf_build_sec"] = round(time.time() - t0, 3)
         rec["ivf_centroids"] = int(ivf.centroids.shape[0])

@@ -260,12 +260,23 @@ class IVFIndex:
     # -- assignment (posting lists) ----------------------------------------
 
     def assign(
-        self, corpus: DataFrame, id_col: str = "id", vec_col: str = "embedding"
+        self,
+        corpus: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        include_vectors: bool = False,
     ) -> DataFrame:
-        """(id, centroid_id) posting table: nearest centroid by dot product
-        on normalized vectors (== cosine). Broadcast the centroid matrix into
-        an Arrow-batched numpy matmul; incremental adds reuse this on the
-        delta only (ivf.py:40-49 semantics)."""
+        """(id, centroid_id[, vec]) posting table: nearest centroid by dot
+        product on normalized vectors (== cosine). Broadcast the centroid
+        matrix into an Arrow-batched numpy matmul; incremental adds reuse
+        this on the delta only (ivf.py:40-49 semantics).
+
+        ``include_vectors=True`` is the classic IVF-Flat layout: each
+        vector stored IN its posting row (exactly one copy — unlike LSH's
+        L× duplication). Probes over such a table re-rank in place with no
+        corpus hydration join, and a copy persisted
+        ``partitionBy(centroid_id)`` serves an nprobe probe as a
+        partition-pruned scan of just the probed cells."""
         from collections.abc import Iterator
 
         import pandas as pd
@@ -279,6 +290,9 @@ class IVFIndex:
         # implicitly coerce (string=bigint loses precision on large int64).
         id_type = corpus.schema[id_col].dataType.simpleString()
         out_schema = f"{id_col} {id_type}, centroid_id int"
+        if include_vectors:
+            vec_type = corpus.schema[vec_col].dataType.simpleString()
+            out_schema += f", {vec_col} {vec_type}"
 
         def assign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             cent = shipped.get()
@@ -292,9 +306,10 @@ class IVFIndex:
                     continue
                 unit = mat[keep] / norms[keep, None]
                 best = (unit @ cent.T).argmax(axis=1).astype(np.int32)
-                yield pd.DataFrame(
-                    {id_col: pdf[id_col].to_numpy()[keep], "centroid_id": best}
-                )
+                cols = {id_col: pdf[id_col].to_numpy()[keep], "centroid_id": best}
+                if include_vectors:
+                    cols[vec_col] = pdf[vec_col].to_numpy()[keep]
+                yield pd.DataFrame(cols)
 
         return corpus.filter(F.col(vec_col).isNotNull()).mapInPandas(
             assign_batches, schema=out_schema
@@ -346,6 +361,17 @@ class IVFIndex:
         if not probe:
             id_type = corpus.schema[id_col].dataType.simpleString()
             return corpus.sparkSession.createDataFrame([], f"{id_col} {id_type}, score double")
+        if vec_col in assignments.columns and prefilter is None:
+            # IVF-Flat posting table (assign include_vectors=True): probed
+            # cells already carry their vectors — re-rank in place, no
+            # corpus hydration join. ``prefilter`` predicates reference
+            # corpus attributes, so a filtered search falls through to the
+            # corpus-join path below.
+            cand_v = assignments.filter(
+                F.col("centroid_id").isin(probe)
+            ).select(id_col, vec_col)
+            return knn(cand_v, query_vec, k, metric=metric, id_col=id_col,
+                       vec_col=vec_col)
         cand = assignments.filter(F.col("centroid_id").isin(probe)).select(id_col)
         corpus2 = corpus.filter(prefilter) if prefilter is not None else corpus
         hydrated = corpus2.join(cand, id_col, "left_semi")
@@ -430,6 +456,18 @@ class IVFIndex:
         )
         if broadcast_probes:
             probes = F.broadcast(probes)
+        if vec_col in assignments.columns:
+            # IVF-Flat posting table: the probe join already carries the
+            # candidate vectors (one copy per id by construction — no
+            # dedup, no corpus hydration join)
+            pairs = probes.join(assignments, "centroid_id").select(
+                query_id_col, id_col, vec_col
+            )
+            return rerank_pairs(
+                corpus, queries, pairs, k, metric=metric, id_col=id_col,
+                vec_col=vec_col, query_id_col=query_id_col,
+                query_vec_col=query_vec_col, vec_in_pairs=True,
+            )
         pairs = probes.join(assignments, "centroid_id").select(
             query_id_col, id_col
         )
