@@ -448,3 +448,64 @@ def test_dsir_scoring_broadcasts_model_and_takes_ordered_topk(spark):
     assert "BroadcastHashJoin" in plan          # weights ship, pool stays put
     assert "TakeOrderedAndProject" in plan      # two-phase global top-k
     assert not re.search(r"Sort \[logratio", plan)  # no full sort on scores
+
+
+def test_lsh_selfcontained_probe_has_no_corpus_join(spark, emb, tmp_path):
+    """Self-contained bucket table (r9): the probe must (a) keep the
+    partition/pushdown pruning of the id-only layout on a persisted copy
+    and (b) contain NO join at all — the re-rank happens in place on the
+    probed rows (one dedup aggregate, no corpus hydration)."""
+    from vector_db_api_spark.operators.lsh import SignLSH, build_bucket_table
+
+    model = SignLSH(dim=64, num_tables=4, hyperplanes_per_table=8, seed=42)
+    path = str(tmp_path / "buckets_v")
+    build_bucket_table(
+        model, emb, id_col="vec_id", include_vectors=True
+    ).write.partitionBy("table_id").parquet(path)
+    buckets = spark.read.parquet(path)
+    plan = _plan(
+        model.search(emb, buckets, suite.Q0, 5, id_col="vec_id", pad_to_k=False)
+    )
+    assert "PartitionFilters" in plan and "table_id" in plan
+    assert "PushedFilters" in plan and "signature" in plan
+    for join in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+    # a dedup aggregate (per-id first(vec)) feeds the top-k — array-typed
+    # aggregation buffers plan as SortAggregate on some Spark versions
+    assert ("HashAggregate" in plan or "ObjectHashAggregate" in plan
+            or "SortAggregate" in plan)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_flat_probe_has_no_corpus_join(spark, emb, tmp_path):
+    """IVF-Flat posting table (r9): nprobe probe = partition pruning on a
+    persisted copy, re-rank in place — no join, no dedup aggregate (each id
+    lives in exactly one posting row)."""
+    from vector_db_api_spark.operators.ivf import IVFIndex
+
+    ivf = IVFIndex.train(emb, num_centroids=8, nprobe=2, seed=42)
+    path = str(tmp_path / "postings_v")
+    ivf.assign(emb, id_col="vec_id", include_vectors=True).write.partitionBy(
+        "centroid_id"
+    ).parquet(path)
+    assignments = spark.read.parquet(path)
+    plan = _plan(ivf.search(emb, assignments, suite.Q0, 5, id_col="vec_id"))
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    for join in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+    assert "TakeOrderedAndProject" in plan
+    # batch path on the same table: exactly TWO broadcast joins — the
+    # probe-pairs join and the tiny query-vector join for scoring — and
+    # NO corpus hydration join (the id-only layout plans three)
+    queries = spark.createDataFrame(
+        suite.QUERY_BATCH, "query_id string, query_vec array<double>"
+    )
+    bplan = _plan(ivf.search_batch(emb, assignments, queries, 5, id_col="vec_id"))
+    assert bplan.count("BroadcastHashJoin") == 2
+    id_only = ivf.assign(emb, id_col="vec_id")
+    old = _plan(ivf.search_batch(emb, id_only, queries, 5, id_col="vec_id"))
+    assert old.count("BroadcastHashJoin") + old.count("SortMergeJoin") == 3
+    assert "SortMergeJoin" not in bplan
+    assert "WindowGroupLimit" in bplan and "Partial" in bplan

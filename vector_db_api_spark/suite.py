@@ -3101,6 +3101,37 @@ SELECT vec_id, score FROM (
 """
 
 
+def q_lsh_search_selfcontained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-contained bucket-table twin of lsh_search_top10 (r9): same
+    fixed model, buckets built ``include_vectors=True`` so the probe
+    re-ranks IN PLACE — one job, no corpus join (operators/lsh.py). Shares
+    lsh_search_top10's replay oracle; plan divergence is the point, value
+    equality is the proof (parity additionally pinned by
+    tests/test_lsh_ivf.py::test_selfcontained_bucket_search_parity)."""
+    from vector_db_api_spark.operators.lsh import build_bucket_table
+
+    model = _lsh_fixed_model()
+    emb = _emb(spark, sf_dir)
+    buckets = build_bucket_table(
+        model, emb, id_col="vec_id", include_vectors=True
+    )
+    return model.search(
+        emb, buckets, Q0, 10, id_col="vec_id", pad_to_k=False, multiprobe=1
+    )
+
+
+def q_ivf_flat_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat twin of ivf_search_top10 (r9): postings built
+    ``include_vectors=True`` (one vector copy in its posting row) so the
+    nprobe probe re-ranks in place with no corpus hydration join
+    (operators/ivf.py). Shares ivf_search_top10's replay oracle; parity
+    additionally pinned by test_ivfflat_assignments_search_parity."""
+    model = _ivf_fixed_model()
+    emb = _emb(spark, sf_dir)
+    assignments = model.assign(emb, id_col="vec_id", include_vectors=True)
+    return model.search(emb, assignments, Q0, 10, id_col="vec_id")
+
+
 def q_ivf_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED vector search: the metadata predicate (label < 5) applies
     to the corpus BEFORE the candidate semi-join — pushed into the parquet
@@ -4523,6 +4554,13 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # ANN batch paths (exactness additionally pinned in pytest)
     "lsh_search_batch_top10": (q_lsh_search_batch, _sql_lsh_search_batch()),
     "ivf_search_batch_top10": (q_ivf_search_batch, _sql_ivf_search_batch()),
+    # r9 in-place re-rank layouts: self-contained LSH buckets and IVF-Flat
+    # postings — same fixed models, same replay oracles as the in-window
+    # probe entries (the LAYOUT changes the plan, never the answer)
+    "lsh_search_selfcontained_top10": (
+        q_lsh_search_selfcontained, _sql_lsh_search(),
+    ),
+    "ivf_flat_search_top10": (q_ivf_flat_search, _sql_ivf_search()),
     "knn_quantized_top10": (q_knn_quantized, _sql_knn_quantized()),
     "knn_batch_numpy_top5": (q_knn_batch_numpy, _sql_knn_batch_scored()),
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
