@@ -276,7 +276,14 @@ class IVFIndex:
         L× duplication). Probes over such a table re-rank in place with no
         corpus hydration join, and a copy persisted
         ``partitionBy(centroid_id)`` serves an nprobe probe as a
-        partition-pruned scan of just the probed cells."""
+        partition-pruned scan of just the probed cells.
+
+        Mutability contract: in-place re-rank reads the vector stored in
+        the posting row, so this layout is only correct for an
+        immutable/append-only snapshot. The mutable serving path
+        (lifecycle.py) keeps the id-only layout, whose stale rows are
+        harmless precisely BECAUSE re-rank hydrates from the live chunks
+        table (deletes drop at the join, updates win at re-rank)."""
         from collections.abc import Iterator
 
         import pandas as pd

@@ -474,7 +474,15 @@ def build_bucket_table(
     entries (L copies — the LSH space/time trade): probes then re-rank
     in-place with no corpus join, making single-query search one job and a
     persisted probe a handful of row-group-pruned reads. Leave False when
-    index storage is the constraint and a corpus semi-join is acceptable."""
+    index storage is the constraint and a corpus semi-join is acceptable.
+
+    Mutability contract: the in-place layout re-ranks against the vectors
+    STORED IN the index, so it is only correct for an immutable/append-only
+    snapshot (the batch-analytics and dedup cases). A mutable serving index
+    (lifecycle.py) must keep the id-only layout: its correctness argument —
+    stale posting rows are harmless because re-rank hydrates from the LIVE
+    chunks table, where deletes drop and updates win — does not hold when
+    the index row itself carries the (possibly superseded) vector."""
     return model.signatures(
         corpus, id_col=id_col, vec_col=vec_col, include_vectors=include_vectors
     ).repartition("table_id", "signature")
