@@ -257,3 +257,38 @@ def test_single_scan_fit_bit_identical_to_two_scan(spark):
         for r in dsir_fit(docs, F.col("side") == "t").collect()
     }
     assert one == two  # bit-exact float equality, same bucket row set
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_fast_selection_boundary_margin(spark, sf):
+    """doc_dsir_select_fast's oracle parity holds only while the score gap
+    at the k-selection boundary exceeds float-reassociation noise (the fast
+    shape's SUM order is engine-chosen run to run). Pin the measured margin
+    (6.4e-5 at sf0.001, 2.5e-4 at sf0.01 — ~8 orders above ~1e-13 noise) so
+    regenerated testdata that introduces a near-tie fails HERE loudly
+    instead of flaking the driver's hash check."""
+    from pyspark.sql import functions as F
+
+    from vector_db_api_spark import suite
+    from vector_db_api_spark.operators.dsir import dsir_fit, dsir_scores_fast
+    from vector_db_api_spark.sources.tables import load_table
+
+    docs = load_table(spark, f"/root/testdata/{sf}", "documents")
+    pool = docs.filter(F.col("source") != suite.DSIR_TARGET_SOURCE)
+    ratios = dsir_fit(
+        docs, F.col("source") == suite.DSIR_TARGET_SOURCE,
+        buckets=suite.DSIR_BUCKETS,
+    )
+    top = (
+        dsir_scores_fast(pool, ratios, buckets=suite.DSIR_BUCKETS)
+        .orderBy(F.desc("logratio_per_feat"), F.asc("doc_id"))
+        .limit(suite.DSIR_K + 1)
+        .collect()
+    )
+    gap = (top[suite.DSIR_K - 1]["logratio_per_feat"]
+           - top[suite.DSIR_K]["logratio_per_feat"])
+    assert gap > 1e-6, (
+        f"selection boundary margin {gap} too small for the sum-order-"
+        f"independent parity claim; re-rank the boundary with the exact "
+        f"ordered fold or drop the fast entry's oracle"
+    )

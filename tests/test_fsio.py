@@ -317,3 +317,28 @@ def test_local_scheme_flip_cleans_stale_crc_sidecar(spark, tmp_path):
     fs.write_text_atomic(base + "/_CURRENT", '{"v": 2}')
     assert not stale.exists()
     assert fs.read_text(base + "/_CURRENT") == '{"v": 2}'
+
+
+def test_write_reclaims_same_name_orphan_temps(spark, tmp_path):
+    """A crashed writer's orphan temp ('.<name>.<uuid>') is invisible to
+    listdir and owned by nobody — the NEXT write of the same destination
+    must reclaim it (single-writer-per-pointer contract), while another
+    destination's orphan is left alone."""
+    import os
+
+    local_base = tmp_path / "l"
+    hadoop_base = "file://" + str(tmp_path / "h")
+    local = fsio.fs_for(str(local_base), spark)
+    hadoop = fsio.fs_for(hadoop_base, spark)
+    for fs, base, disk in (
+        (local, str(local_base), local_base),
+        (hadoop, hadoop_base, tmp_path / "h"),
+    ):
+        fs.makedirs(base + "/d")
+        (disk / "d" / "._CURRENT.deadbeef0123").write_text("orphan")
+        (disk / "d" / ".other.deadbeef0123").write_text("not ours")
+        fs.write_text_atomic(base + "/d/_CURRENT", '{"v": 1}')
+        names = sorted(os.listdir(disk / "d"))
+        assert "._CURRENT.deadbeef0123" not in names, base
+        assert ".other.deadbeef0123" in names, base
+        assert fs.read_text(base + "/d/_CURRENT") == '{"v": 1}'

@@ -70,7 +70,10 @@ def ann_sweep(spark, sizes: list[int]) -> list[dict]:
             num_partitions=max(8, min(64, n // 25_000)),
         ).cache()
         corpus.count()
-        qrows = corpus.limit(32).collect()
+        # orderBy pins the query set: a bare limit() on a multi-partition
+        # frame has no ordering guarantee, and the artifact claims
+        # determinism across regenerations
+        qrows = corpus.orderBy("id").limit(32).collect()
         qv = [float(x) for x in qrows[0]["embedding"]]
         qdf = spark.createDataFrame(
             [(f"q{r['id']}", [float(x) for x in r["embedding"]]) for r in qrows],

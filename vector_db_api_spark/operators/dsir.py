@@ -114,13 +114,9 @@ def dsir_log_ratios(
     materialization the two scalar totals, the ratio join, and every
     downstream reuse of the weight table would each re-featurize the
     corpus (3× the scan cost at 100 TB for two KB-scale tables)."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    from ..functions.libm import libm_log_udf
 
-    _libm_log = pandas_udf(
-        lambda p: pd.Series([math.log(x) for x in p], dtype="float64"),
-        "double",
-    )
+    _libm_log = libm_log_udf()
     target_counts = target_counts.localCheckpoint(eager=True)
     raw_counts = raw_counts.localCheckpoint(eager=True)
     t_total = target_counts.agg(F.sum("c")).collect()[0][0] or 0
@@ -141,6 +137,54 @@ def dsir_log_ratios(
     )
 
 
+def _feature_terms(
+    docs: DataFrame,
+    log_ratios: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int,
+    broadcast_weights: bool,
+    with_pos: bool,
+) -> DataFrame:
+    """Shared scoring prefix of :func:`dsir_scores` and
+    :func:`dsir_scores_fast`: featurize (``explode_outer`` keeps
+    feature-less docs as one null row), hash to buckets, broadcast-join
+    the ≤``buckets``-row weight table, emit one ``__term`` per feature
+    occurrence (NULL for the feature-less-doc row). The twins' claimed
+    equivalence rests on this prefix being IDENTICAL — it exists once so
+    an edit cannot silently split them. ``with_pos`` carries the
+    positional column only the ordered-fold oracle shape needs."""
+    from .dedup import _parallelize
+
+    docs = _parallelize(docs)
+    w = F.broadcast(log_ratios) if broadcast_weights else log_ratios
+    if with_pos:
+        exploded = docs.select(
+            F.col(id_col),
+            F.posexplode_outer(_features(text_col)).alias("pos", "__f"),
+        )
+        pos_cols = ["pos"]
+    else:
+        exploded = docs.select(
+            F.col(id_col), F.explode_outer(_features(text_col)).alias("__f")
+        )
+        pos_cols = []
+    feats = exploded.select(
+        id_col,
+        *pos_cols,
+        F.when(
+            F.col("__f").isNotNull(),
+            (H.h32(F.col("__f")) % F.lit(buckets)).cast("int"),
+        ).alias("bucket"),
+    )
+    return feats.join(w, "bucket", "left").select(
+        id_col,
+        *pos_cols,
+        F.when(F.col("bucket").isNotNull(), F.coalesce(F.col("w"), F.lit(0.0)))
+        .alias("__term"),
+    )
+
+
 def dsir_scores(
     docs: DataFrame,
     log_ratios: DataFrame,
@@ -158,25 +202,9 @@ def dsir_scores(
     oracle replays. Docs with no features score 0 over 0 (posexplode_outer
     keeps them). Same ``_parallelize`` treatment as
     :func:`hashed_ngram_buckets` — the scoring pass re-featurizes."""
-    from .dedup import _parallelize
-
-    docs = _parallelize(docs)
-    w = F.broadcast(log_ratios) if broadcast_weights else log_ratios
-    feats = docs.select(
-        F.col(id_col), F.posexplode_outer(_features(text_col)).alias("pos", "__f")
-    ).select(
-        id_col,
-        "pos",
-        F.when(
-            F.col("__f").isNotNull(),
-            (H.h32(F.col("__f")) % F.lit(buckets)).cast("int"),
-        ).alias("bucket"),
-    )
-    terms = feats.join(w, "bucket", "left").select(
-        id_col,
-        "pos",
-        F.when(F.col("bucket").isNotNull(), F.coalesce(F.col("w"), F.lit(0.0)))
-        .alias("__term"),
+    terms = _feature_terms(
+        docs, log_ratios, id_col, text_col, buckets, broadcast_weights,
+        with_pos=True,
     )
     return terms.groupBy(id_col).agg(
         F.count("__term").cast("int").alias("n_feats"),
@@ -224,15 +252,10 @@ def dsir_fit(
     bit-identical to the two-scan fit (pinned by test). At 100 TB that is
     one corpus read instead of two.
     """
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
+    from ..functions.libm import libm_log_udf
     from .dedup import _parallelize
 
-    _libm_log = pandas_udf(
-        lambda p: pd.Series([math.log(x) for x in p], dtype="float64"),
-        "double",
-    )
+    _libm_log = libm_log_udf()
     feats = _parallelize(docs).select(
         target_cond.alias("__t"), F.explode(_features(text_col)).alias("__f")
     ).select(
@@ -270,28 +293,18 @@ def dsir_scores_fast(
     broadcast weight join) whose per-document reduction is a plain
     ``SUM`` — partially aggregated map-side with no per-document
     ``collect_list → array_sort`` array materialization, the shape to run
-    at 100 TB. Float addition order is engine-chosen here, so ``logratio``
-    can differ from the oracle twin in the last bits; top-k MEMBERSHIP is
-    identical unless two documents bit-tie at the selection boundary
-    (tests pin score agreement to ~1e-12 and identical selection).
+    at 100 TB. Float addition order is engine-chosen here (and can vary
+    run to run with task scheduling), so ``logratio`` differs from the
+    oracle twin within float-reassociation error; top-k MEMBERSHIP is
+    identical as long as the score gap at the selection boundary exceeds
+    that error — tests pin both the ~1e-12 score agreement AND a ≥1e-6
+    measured boundary margin on the driver testdata, so a regenerated
+    dataset with a genuine near-tie fails pytest loudly instead of
+    flaking the driver's hash check.
     Keep :func:`dsir_scores` for bit-exact cross-engine replay."""
-    from .dedup import _parallelize
-
-    docs = _parallelize(docs)
-    w = F.broadcast(log_ratios) if broadcast_weights else log_ratios
-    feats = docs.select(
-        F.col(id_col), F.explode_outer(_features(text_col)).alias("__f")
-    ).select(
-        id_col,
-        F.when(
-            F.col("__f").isNotNull(),
-            (H.h32(F.col("__f")) % F.lit(buckets)).cast("int"),
-        ).alias("bucket"),
-    )
-    terms = feats.join(w, "bucket", "left").select(
-        id_col,
-        F.when(F.col("bucket").isNotNull(), F.coalesce(F.col("w"), F.lit(0.0)))
-        .alias("__term"),
+    terms = _feature_terms(
+        docs, log_ratios, id_col, text_col, buckets, broadcast_weights,
+        with_pos=False,
     )
     return terms.groupBy(id_col).agg(
         F.count("__term").cast("int").alias("n_feats"),

@@ -71,13 +71,9 @@ def train_unigram_df(
     own SIMD log that measurably disagrees with libm on this container:
     62/286 probe values off by an ulp). The per-element Python loop runs
     over VOCAB-sized batches once per training, not over the corpus."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    from ..functions.libm import libm_log_udf
 
-    _libm_log = pandas_udf(
-        lambda p: pd.Series([math.log(x) for x in p], dtype="float64"),
-        "double",
-    )
+    _libm_log = libm_log_udf()
 
     counts = (
         docs.select(F.explode(F.split(T.normalize_text(text_col), " ")).alias("t"))

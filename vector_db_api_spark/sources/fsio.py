@@ -60,7 +60,21 @@ class LocalFS:
 
     def write_text_atomic(self, path: str, text: str) -> None:
         d = os.path.dirname(path) or "."
-        fd, tmp = tempfile.mkstemp(dir=d, prefix="." + os.path.basename(path) + ".")
+        base = os.path.basename(path)
+        # reclaim orphan temps a CRASHED previous writer of THIS destination
+        # left behind ('.<name>.<uuid>') — listdir hides dot-entries, so no
+        # other path ever surfaces or cleans them, and under the
+        # single-writer-per-pointer contract nothing live matches
+        try:
+            for n in os.listdir(d):
+                if n.startswith(f".{base}."):
+                    try:
+                        os.remove(os.path.join(d, n))
+                    except OSError:
+                        pass
+        except OSError:
+            pass
+        fd, tmp = tempfile.mkstemp(dir=d, prefix="." + base + ".")
         try:
             with os.fdopen(fd, "w") as f:
                 f.write(text)
@@ -208,6 +222,15 @@ class HadoopFS:
 
     def write_text_atomic(self, path: str, text: str) -> None:
         parent, name = path.rsplit("/", 1)
+        # reclaim orphan temps of THIS destination from a crashed previous
+        # writer (and any stale '.<name>.crc' — it matches the same glob);
+        # safe under the single-writer-per-pointer contract, and listdir
+        # hides these entries so nothing else would ever clean them
+        try:
+            for st in self._fs.globStatus(self._p(f"{parent}/.{name}.*")) or []:
+                self._fs.delete(st.getPath(), False)
+        except Exception:
+            pass
         tmp = f"{parent}/.{name}.{uuid.uuid4().hex[:12]}"
         out = self._fs.create(self._p(tmp), True)
         try:

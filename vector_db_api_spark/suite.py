@@ -1912,9 +1912,9 @@ def q_doc_dsir_select_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUM (no collect_list/array_sort fold). Float addition order is
     engine-chosen, so the result carries only the order-independent
     columns (ids + integer n_feats); the oracle replays the ordered-fold
-    ranking to pick the same top-k — membership agrees unless two docs
-    bit-tie at the boundary, which the dsir tests pin doesn't happen on
-    this data."""
+    ranking to pick the same top-k — membership agrees while the boundary
+    score gap exceeds float-reassociation noise, which the dsir tests pin
+    (measured margin ≥1e-6 on this data vs ~1e-13 noise)."""
     from vector_db_api_spark.operators.dsir import (
         dsir_fit,
         dsir_scores_fast,
