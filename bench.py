@@ -555,6 +555,10 @@ def main() -> None:
     thunks["ivf_search_batch32"] = lambda: _force(
         ivf.search_batch(emb, assignments, qdf, 10, id_col="vec_id")
     )
+    # batch ADC: one codes pass for the whole batch, map-side partial top-k
+    thunks["pq_search_batch32"] = lambda: _force(
+        pqm.search_batch(emb, pq_codes, qdf, 10, id_col="vec_id")
+    )
     # approximate similarity self-join — the 100-TB path of the dedup
     # pipeline's most expensive stage as a FIRST-CLASS operator: the whole
     # corpus as the query batch through the IVF probe → pruned posting

@@ -165,3 +165,50 @@ def test_ivfpq_search_cells(spark):
         assert sum(recalls) / len(recalls) >= 0.85, recalls
     finally:
         corpus.unpersist()
+
+
+def test_pq_search_batch_matches_per_query(spark, clustered_df, clustered_vectors):
+    """search_batch must return EXACTLY each query's single-query search
+    result (same ADC candidate set under the shared (score desc, id asc)
+    tie-break, same exact re-rank); zero-vector queries yield no rows."""
+    from pyspark.sql import functions as F
+
+    from vector_db_api_spark.operators.pq import PQIndex
+
+    _, mat, _ = clustered_vectors
+    pq = PQIndex.train(clustered_df, m=8, k=16, seed=7)
+    codes = pq.encode(clustered_df).cache()
+    try:
+        qdf = spark.createDataFrame(
+            [("q10", [float(x) for x in mat[10]]),
+             ("q260", [float(x) for x in mat[260]]),
+             ("qzero", [0.0] * mat.shape[1])],
+            "query_id string, query_vec array<double>",
+        )
+        got = {}
+        for r in pq.search_batch(clustered_df, codes, qdf, 5).collect():
+            got.setdefault(r["query_id"], []).append((r["id"], r["score"]))
+        assert "qzero" not in got
+        for qid, qi in (("q10", 10), ("q260", 260)):
+            single = [
+                (r["id"], r["score"])
+                for r in pq.search(
+                    clustered_df, codes, [float(x) for x in mat[qi]], 5
+                ).collect()
+            ]
+            batch = sorted(got[qid], key=lambda t: (-t[1], t[0]))
+            assert batch == single, qid
+        # an all-zero batch returns an empty, correctly-typed frame
+        zdf = spark.createDataFrame(
+            [("z", [0.0] * mat.shape[1])],
+            "query_id string, query_vec array<double>",
+        )
+        z = pq.search_batch(clustered_df, codes, zdf, 5)
+        assert z.count() == 0
+        # bounded-batch guard
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="bounded-batch"):
+            pq.search_batch(clustered_df, codes, qdf, 5, max_queries=2)
+    finally:
+        codes.unpersist()

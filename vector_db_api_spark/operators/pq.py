@@ -274,6 +274,105 @@ class PQIndex:
         pruned = corpus.join(F.broadcast(cand), id_col, "left_semi")
         return knn(pruned, qvec, n, metric=metric, id_col=id_col, vec_col=vec_col)
 
+    def search_batch(
+        self,
+        corpus: DataFrame,
+        codes: DataFrame,
+        queries: DataFrame,
+        k: int,
+        rerank: int | None = None,
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        metric: str = "cosine",
+        max_queries: int = 4096,
+    ) -> DataFrame:
+        """Batch ADC search: ONE pass over the codes table answers every
+        query in ``queries``.
+
+        Plan: the query batch collects to the driver (bounded —
+        ``max_queries`` guards the contract; the reference's batch search
+        is equally a bounded request) and becomes a (Q, m, k) LUT tensor
+        shipped once; each Arrow code batch emits only its PER-QUERY
+        TOP-``rerank`` rows (map-side partial top-k under the same
+        (score desc, id asc) total order as the global step, so the
+        composition is exactly the global ADC top-``rerank``); a
+        per-query window top-k narrows to candidates and
+        :func:`rerank_pairs` re-ranks them exactly. The full Q × N score
+        matrix never leaves the tasks — per batch the output is
+        ≤ Q × rerank rows. Zero-vector queries return no rows (same
+        contract as :meth:`IVFIndex.assign_queries`)."""
+        from vector_db_api_spark.functions.ship import ship_model
+        from vector_db_api_spark.operators.knn import rerank_pairs
+        from vector_db_api_spark.operators.topk import topk_per_group
+
+        qrows = queries.select(query_id_col, query_vec_col).take(max_queries + 1)
+        if len(qrows) > max_queries:
+            raise ValueError(
+                f"search_batch is a bounded-batch API: got more than "
+                f"{max_queries} queries; split the batch or raise max_queries"
+            )
+        kept = []
+        for r in qrows:
+            v = [float(x) for x in r[query_vec_col]]
+            if any(x != 0.0 for x in v):
+                kept.append((r[query_id_col], v))
+        qid_type = queries.schema[query_id_col].dataType.simpleString()
+        out_schema = (
+            f"{query_id_col} {qid_type}, "
+            f"{id_col} {codes.schema[id_col].dataType.simpleString()}, "
+            f"adc_score double"
+        )
+        if not kept:
+            return corpus.sparkSession.createDataFrame(
+                [], f"{query_id_col} {qid_type}, "
+                    f"{id_col} {codes.schema[id_col].dataType.simpleString()}, "
+                    f"score double"
+            )
+        rerank = max(k, rerank if rerank is not None else 4 * k)
+        luts = np.stack([self._lut(v) for _, v in kept])  # (Q, m, k)
+        qids = [q for q, _ in kept]
+        shipped = ship_model(codes, luts)
+        m = self.m
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            tensor = shipped.get()
+            rows = np.arange(m)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.asarray(
+                    [np.asarray(c) for c in pdf["codes"]], dtype=np.int64
+                )
+                ids = pdf[id_col].to_numpy()
+                out = []
+                for qi in range(tensor.shape[0]):
+                    s = tensor[qi][rows, mat].sum(axis=1)
+                    # deterministic partial top-k: full (score desc, id
+                    # asc) order inside the batch, so boundary ties
+                    # resolve identically to the global window step
+                    order = np.lexsort((ids, -s))[:rerank]
+                    out.append(pd.DataFrame({
+                        query_id_col: qids[qi],
+                        id_col: ids[order],
+                        "adc_score": s[order],
+                    }))
+                yield pd.concat(out)
+
+        partial = codes.mapInPandas(run, schema=out_schema)
+        cand = topk_per_group(
+            partial, [query_id_col],
+            [F.desc("adc_score"), F.col(id_col).asc()], rerank,
+        ).select(query_id_col, id_col)
+        # zero-vector queries have no candidate pairs, so they vanish at
+        # the rerank join without an explicit filter
+        return rerank_pairs(
+            corpus, queries, cand, k, metric=metric, id_col=id_col,
+            vec_col=vec_col, query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+
     # -- IVF-PQ composition ----------------------------------------------
 
     def encode_with_cells(

@@ -3176,13 +3176,20 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.search(emb, codes, Q0, 10, id_col="vec_id")
 
 
-def _sql_pq_like(extra_where: str = "") -> str:
+def _sql_pq_like(
+    extra_where: str = "",
+    qvec: list | None = None,
+    query_id: str | None = None,
+) -> str:
     """Shared PQ replay SQL: encode (per-subspace argmin with numpy's
     expansion-trick operation order) → ADC LUT scan → exact re-rank;
-    ``extra_where`` narrows the scanned rows (IVF-PQ cell pruning)."""
+    ``extra_where`` narrows the scanned rows (IVF-PQ cell pruning);
+    ``qvec``/``query_id`` parameterize one batch leg (the batch oracle is
+    a UNION ALL of per-query replays)."""
     model = _pq_fixed_model()
+    qv = Q0 if qvec is None else qvec
     m, dsub = model.m, model.dsub
-    lut = model._lut(Q0)  # (m, k) constants — query-side math at gen time
+    lut = model._lut(qv)  # (m, k) constants — query-side math at gen time
     nrm = O.norm("e.embedding")
     u = (
         f"list_transform(e.embedding, x -> CAST(x AS DOUBLE) / "
@@ -3201,6 +3208,7 @@ def _sql_pq_like(extra_where: str = "") -> str:
         lut_lit = O.vec_literal([float(x) for x in lut[j]])
         adc_terms.append(f"{lut_lit}[list_position([{d2}], list_min([{d2}]))]")
     adc = O.fold(f"[{', '.join(adc_terms)}]")
+    qid_col = f"'{query_id}' AS query_id, " if query_id is not None else ""
     return f"""
 WITH uvec AS (
   SELECT e.vec_id, {u} AS __u
@@ -3208,7 +3216,7 @@ WITH uvec AS (
 ),
 adc AS (SELECT vec_id, {adc} AS adc_score FROM uvec),
 cand AS (SELECT vec_id FROM adc ORDER BY adc_score DESC, vec_id ASC LIMIT 40)
-SELECT e.vec_id, {O.cosine_const('e.embedding', Q0)} AS score
+SELECT {qid_col}e.vec_id, {O.cosine_const('e.embedding', qv)} AS score
 FROM embeddings e JOIN cand USING (vec_id)
 ORDER BY score DESC, e.vec_id ASC LIMIT 10
 """
@@ -3216,6 +3224,30 @@ ORDER BY score DESC, e.vec_id ASC LIMIT 10
 
 def _sql_pq_search() -> str:
     return _sql_pq_like()
+
+
+def q_pq_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ADC search (operators/pq.py search_batch, r9): one pass over
+    the codes table answers the whole query batch — map-side per-query
+    partial top-rerank under the same (score desc, id asc) total order as
+    the global window step, then exact re-rank. The oracle is a UNION ALL
+    of the proven per-query PQ replays. Two queries keep the generated
+    SQL bounded (each leg embeds the full codebook replay)."""
+    model = _pq_fixed_model()
+    emb = _emb(spark, sf_dir)
+    codes = model.encode(emb, id_col="vec_id")
+    qdf = spark.createDataFrame(
+        QUERY_BATCH[:2], "query_id string, query_vec array<double>"
+    )
+    return model.search_batch(emb, codes, qdf, 10, id_col="vec_id")
+
+
+def _sql_pq_search_batch() -> str:
+    legs = [
+        "(" + _sql_pq_like(qvec=vec, query_id=qid) + ")"
+        for qid, vec in QUERY_BATCH[:2]
+    ]
+    return "\nUNION ALL\n".join(legs)
 
 
 def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4561,6 +4593,10 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_lsh_search_selfcontained, _sql_lsh_search(),
     ),
     "ivf_flat_search_top10": (q_ivf_flat_search, _sql_ivf_search()),
+    # r9: PQ batch path (the family's last missing batch surface) — one
+    # codes pass per batch, map-side partial ADC top-k; oracle = UNION ALL
+    # of the per-query PQ replays
+    "pq_search_batch_top10": (q_pq_search_batch, _sql_pq_search_batch()),
     "knn_quantized_top10": (q_knn_quantized, _sql_knn_quantized()),
     "knn_batch_numpy_top5": (q_knn_batch_numpy, _sql_knn_batch_scored()),
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
