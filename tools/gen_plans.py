@@ -86,6 +86,33 @@ def main() -> None:
             model.search(emb, buckets, suite.Q0, 5, id_col="vec_id", pad_to_k=False),
         ),
         (
+            "LSH single-query search — SELF-CONTAINED layout (r9, in-place re-rank)",
+            "Bucket rows carry their vectors (`include_vectors=True`, the "
+            "L× space/time trade): the probed rows re-rank IN PLACE — the "
+            "plan contains NO join operator at all; one dedup aggregate "
+            "(per-id first(vec)) feeds TakeOrderedAndProject. Immutable-"
+            "snapshot layout only (see the mutability contract in lsh.py).",
+            model.search(
+                emb,
+                build_bucket_table(model, emb, id_col="vec_id",
+                                   include_vectors=True),
+                suite.Q0, 5, id_col="vec_id", pad_to_k=False,
+            ),
+        ),
+        (
+            "IVF-Flat single-query search (r9, in-place re-rank)",
+            "Postings carry their vectors (one copy per id — the classic "
+            "IVF-Flat layout): nprobe probe filters the posting table "
+            "(partition-prunable when persisted by centroid_id) and scores "
+            "in place — NO corpus hydration join, straight to "
+            "TakeOrderedAndProject.",
+            ivf.search(
+                emb,
+                ivf.assign(emb, id_col="vec_id", include_vectors=True),
+                suite.Q0, 5, id_col="vec_id",
+            ),
+        ),
+        (
             "Exact dedup (hash groupBy)",
             "Two HashAggregates around ONE Exchange: map-side partial "
             "aggregation shrinks every fingerprint group before the shuffle.",
