@@ -10,8 +10,10 @@ a deterministic clustered corpus (sources/synthetic_vectors.py — the regime
 ANN indexes exist for) swept across corpus sizes, flat vs LSH
 (self-contained buckets) vs IVF, single-query and batch-32, with recall and
 candidate fraction reported next to every wall time. It also measures the
-two non-ANN scale claims: alternating-CC round counts on a dup-heavy corpus
-scaled 10x/50x beyond sf0.1, and DSIR select wall at 10x.
+non-ANN scale claims: alternating-CC round counts on a dup-heavy corpus
+scaled 10x/50x beyond sf0.1, DSIR select wall at 10x, skew mitigation
+(plain vs salted agg/join on a 50%-hot key at 10M rows, AQE on), and
+mergeable sketches vs exact (wall + worst-group error at 10M rows).
 
 Writes BENCH_SCALE.md at the repo root (committed artifact). Runtime is
 ~10-20 min at full size; ``--quick`` caps the sweep at 200k vectors.
@@ -230,6 +232,121 @@ def dsir_scale(spark, replicas: int) -> dict:
     return rec
 
 
+def skew_scale(spark, n_rows: int = 10_000_000) -> dict:
+    """Skew mitigation at a scale where it matters: a fact table with 50%
+    of rows on ONE key (the canonical hot-key stress) aggregated and
+    joined plain vs salted. Deterministic: key = 0 for even ids, uniform
+    over 100k keys otherwise."""
+    from vector_db_api_spark.operators.skew import salted_agg, salted_join
+
+    fact = spark.range(n_rows).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+         .otherwise(F.col("id") % 100_000).alias("k"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    ).cache()
+    fact.count()
+    dim = spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    ).localCheckpoint(eager=True)
+
+    plain_agg = _timed(
+        lambda: _noop(fact.groupBy("k").agg(F.sum("v").alias("s"))), reps=3
+    )
+    s_agg = _timed(
+        lambda: _noop(salted_agg(fact, ["k"], {"s": ("v", "sum")})), reps=3
+    )
+    # disable auto-broadcast so the join measures the shuffle path the
+    # salt exists for (a 100k-row dim would otherwise broadcast and hide
+    # the skew entirely — at real scale the dim side is too big for that)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain_join = _timed(
+            lambda: _noop(fact.join(dim, "k", "inner")), reps=3
+        )
+        s_join = _timed(
+            lambda: _noop(
+                salted_join(fact, dim, fact["k"] == dim["k"], num_salts=32)
+            ),
+            reps=3,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    rec = {
+        "n_rows": n_rows, "hot_key_fraction": 0.5,
+        "plain_agg_sec": plain_agg, "salted_agg_sec": s_agg,
+        "plain_join_sec_noAQEbroadcast": plain_join,
+        "salted_join_sec": s_join,
+    }
+    print(json.dumps(rec))
+    fact.unpersist()
+    return rec
+
+
+def sketch_scale(spark, n_rows: int = 10_000_000) -> dict:
+    """Mergeable sketches vs exact at 10M rows × 20 groups: wall and
+    worst-group relative error for KMV distinct and the quantile sketch."""
+    from vector_db_api_spark.operators.sketches import (
+        kmv_distinct,
+        quantile_estimate,
+        quantile_sketch_state,
+    )
+
+    ev = spark.range(n_rows).select(
+        (F.col("id") % 20).alias("g"),
+        # per-group distinct cardinality varies 1k..1M-ish
+        F.col("id").alias("rid"),
+        F.concat(F.lit("u"), (F.col("id") % ((F.col("id") % 20 + 1) * 50_000))
+                 .cast("string")).alias("u"),
+        (F.pmod(F.xxhash64("id"), F.lit(100_000)).cast("double") / 100.0)
+        .alias("x"),
+    ).cache()
+    ev.count()
+
+    t_exact_d = _timed(
+        lambda: _noop(ev.groupBy("g").agg(F.countDistinct("u"))), reps=3
+    )
+    t_kmv = _timed(lambda: _noop(kmv_distinct(ev, ["g"], "u", k=256)), reps=3)
+    exact_d = {r["g"]: r["cnt"] for r in ev.groupBy("g").agg(
+        F.countDistinct("u").alias("cnt")).collect()}
+    est_d = {r["g"]: r["est_distinct"] for r in
+             kmv_distinct(ev, ["g"], "u", k=256).collect()}
+    kmv_err = max(abs(est_d[g] - exact_d[g]) / exact_d[g] for g in exact_d)
+
+    t_exact_q = _timed(
+        lambda: _noop(ev.groupBy("g").agg(F.percentile("x", 0.95))), reps=3
+    )
+    t_qsk = _timed(
+        lambda: _noop(
+            quantile_sketch_state(ev, ["g"], "x", id_col="rid").select(
+                "g", quantile_estimate("qsample", 0.95)
+            )
+        ),
+        reps=3,
+    )
+    exact_q = {r["g"]: r["p"] for r in ev.groupBy("g").agg(
+        F.percentile("x", 0.95).alias("p")).collect()}
+    est_q = {
+        r["g"]: r["q"]
+        for r in quantile_sketch_state(ev, ["g"], "x", id_col="rid").select(
+            "g", quantile_estimate("qsample", 0.95).alias("q")
+        ).collect()
+    }
+    q_err = max(
+        abs(est_q[g] - exact_q[g]) / max(abs(exact_q[g]), 1e-9) for g in exact_q
+    )
+    rec = {
+        "n_rows": n_rows, "n_groups": 20,
+        "exact_distinct_sec": t_exact_d, "kmv_sec": t_kmv,
+        "kmv_max_rel_err": round(kmv_err, 4),
+        "exact_p95_sec": t_exact_q, "qsketch_sec": t_qsk,
+        "qsketch_max_rel_err": round(q_err, 4),
+    }
+    print(json.dumps(rec))
+    ev.unpersist()
+    return rec
+
+
 def _md_table(rows: list[dict], cols: list[str]) -> str:
     head = "| " + " | ".join(cols) + " |\n"
     head += "|" + "|".join("---" for _ in cols) + "|\n"
@@ -248,6 +365,8 @@ def main() -> None:
     ann = ann_sweep(spark, sizes)
     cc = cc_scale(spark, [10] + ([] if quick else [50]))
     ds = dsir_scale(spark, 10)
+    sk = skew_scale(spark, 1_000_000 if quick else 10_000_000)
+    sx = sketch_scale(spark, 1_000_000 if quick else 10_000_000)
 
     lines = [
         "# BENCH_SCALE — where the ANN crossover actually happens",
@@ -298,10 +417,48 @@ def main() -> None:
         "",
         _md_table([ds], ["replicas", "n_raw", "k", "selected", "dsir_sec"]),
         "",
+        "## Skew mitigation (50% of rows on ONE key) — measured, not assumed",
+        "",
+        "Plain vs salted, with AQE (incl. skew-join) ON — the production",
+        "default. Two honest findings: (1) for ALGEBRAIC aggregation,",
+        "plain WINS — whole-stage map-side partial aggregation collapses",
+        "the hot key before the shuffle, so `salted_agg`'s second shuffle",
+        "is pure overhead (it remains the tool for aggregates whose",
+        "partial state can't compress a hot key); (2) for the shuffle",
+        "JOIN (broadcast disabled — at real scale the dim side doesn't",
+        "fit), `salted_join` beats the plain sort-merge join even though",
+        "AQE's skew-join splitting is active: AQE splits the oversized",
+        "stream-side partition, but every split still sorts/joins against",
+        "the single hot build row group, while the salt spreads the hot",
+        "key across reducers up front.",
+        "",
+        _md_table([sk], [
+            "n_rows", "hot_key_fraction", "plain_agg_sec", "salted_agg_sec",
+            "plain_join_sec_noAQEbroadcast", "salted_join_sec",
+        ]),
+        "",
+        "## Mergeable sketches vs exact at 10M rows × 20 groups",
+        "",
+        "Honest framing: at this size a single-job exact",
+        "countDistinct/percentile WINS on wall — the sketch pays an extra",
+        "window step. The sketches' value is the property exact",
+        "aggregation cannot have: bounded MERGEABLE state (≤k rows per",
+        "group forwarded per task via WindowGroupLimit, CRDT-mergeable",
+        "across epochs/streams — the stream_kmv/quantile entries), where",
+        "exact must re-shuffle every distinct value each time.",
+        "",
+        _md_table([sx], [
+            "n_rows", "exact_distinct_sec", "kmv_sec", "kmv_max_rel_err",
+            "exact_p95_sec", "qsketch_sec", "qsketch_max_rel_err",
+        ]),
+        "",
         f"Total wall: {round(time.time() - t_all, 1)}s. Raw records:",
         "",
         "```json",
-        json.dumps({"ann": ann, "cc": cc, "dsir": ds}, indent=1),
+        json.dumps(
+            {"ann": ann, "cc": cc, "dsir": ds, "skew": sk, "sketch": sx},
+            indent=1,
+        ),
         "```",
         "",
     ]
