@@ -342,3 +342,38 @@ def test_write_reclaims_same_name_orphan_temps(spark, tmp_path):
         assert "._CURRENT.deadbeef0123" not in names, base
         assert ".other.deadbeef0123" in names, base
         assert fs.read_text(base + "/d/_CURRENT") == '{"v": 1}'
+
+
+def test_reclaim_spares_dot_suffixed_sibling_temps(spark, tmp_path):
+    """Reclamation matches the EXACT temp shape '.{base}.{dotless-token}',
+    never a bare prefix: a live temp of sibling destination 'x.y'
+    ('.x.y.<uuid>') must survive an atomic write of 'x', or the sibling's
+    in-flight rename would fail (r9 advice). Also pins the once-per-
+    destination-per-process gating: a second flip of the same pointer does
+    NOT re-list the directory, so an orphan planted after the first flip
+    stays until the next process (cost bound beats eager cleanup of a
+    can't-happen-while-alive case)."""
+    import os
+
+    local_base = tmp_path / "l"
+    hadoop_base = "file://" + str(tmp_path / "h")
+    local = fsio.fs_for(str(local_base), spark)
+    hadoop = fsio.fs_for(hadoop_base, spark)
+    for fs, base, disk in (
+        (local, str(local_base), local_base),
+        (hadoop, hadoop_base, tmp_path / "h"),
+    ):
+        fs.makedirs(base + "/d")
+        # live temp of sibling destination 'x.y' + a same-name orphan
+        (disk / "d" / ".x.y.deadbeef0123").write_text("sibling in flight")
+        (disk / "d" / ".x.deadbeef0123").write_text("our orphan")
+        fs.write_text_atomic(base + "/d/x", "one")
+        names = set(os.listdir(disk / "d"))
+        assert ".x.y.deadbeef0123" in names, base
+        assert ".x.deadbeef0123" not in names, base
+        # gating: plant an orphan AFTER the first flip — the next flip of
+        # the same destination in the same process must not rescan
+        (disk / "d" / ".x.cafecafecafe").write_text("late orphan")
+        fs.write_text_atomic(base + "/d/x", "two")
+        assert ".x.cafecafecafe" in set(os.listdir(disk / "d")), base
+        assert fs.read_text(base + "/d/x") == "two"

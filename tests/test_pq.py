@@ -170,7 +170,8 @@ def test_ivfpq_search_cells(spark):
 def test_pq_search_batch_matches_per_query(spark, clustered_df, clustered_vectors):
     """search_batch must return EXACTLY each query's single-query search
     result (same ADC candidate set under the shared (score desc, id asc)
-    tie-break, same exact re-rank); zero-vector queries yield no rows."""
+    tie-break, same exact re-rank); zero-vector and NULL queries yield no
+    rows (r9 advice: a NULL query_vec used to crash driver-side)."""
     from pyspark.sql import functions as F
 
     from vector_db_api_spark.operators.pq import PQIndex
@@ -182,13 +183,15 @@ def test_pq_search_batch_matches_per_query(spark, clustered_df, clustered_vector
         qdf = spark.createDataFrame(
             [("q10", [float(x) for x in mat[10]]),
              ("q260", [float(x) for x in mat[260]]),
-             ("qzero", [0.0] * mat.shape[1])],
+             ("qzero", [0.0] * mat.shape[1]),
+             ("qnull", None)],
             "query_id string, query_vec array<double>",
         )
         got = {}
         for r in pq.search_batch(clustered_df, codes, qdf, 5).collect():
             got.setdefault(r["query_id"], []).append((r["id"], r["score"]))
         assert "qzero" not in got
+        assert "qnull" not in got
         for qid, qi in (("q10", 10), ("q260", 260)):
             single = [
                 (r["id"], r["score"])

@@ -301,8 +301,8 @@ class PQIndex:
         per-query window top-k narrows to candidates and
         :func:`rerank_pairs` re-ranks them exactly. The full Q × N score
         matrix never leaves the tasks — per batch the output is
-        ≤ Q × rerank rows. Zero-vector queries return no rows (same
-        contract as :meth:`IVFIndex.assign_queries`)."""
+        ≤ Q × rerank rows. Zero-vector and NULL queries return no rows
+        (same contract as :meth:`IVFIndex.assign_queries`)."""
         from vector_db_api_spark.functions.ship import ship_model
         from vector_db_api_spark.operators.knn import rerank_pairs
         from vector_db_api_spark.operators.topk import topk_per_group
@@ -315,6 +315,11 @@ class PQIndex:
             )
         kept = []
         for r in qrows:
+            if r[query_vec_col] is None:
+                # NULL query vectors carry no direction to score against —
+                # same contract as zero-vector queries: no rows (r9 advice;
+                # previously an opaque driver-side TypeError)
+                continue
             v = [float(x) for x in r[query_vec_col]]
             if any(x != 0.0 for x in v):
                 kept.append((r[query_id_col], v))

@@ -49,6 +49,29 @@ from urllib.parse import urlparse
 
 __all__ = ["LocalFS", "HadoopFS", "fs_for", "LOCAL"]
 
+# Destinations whose directory has already been swept for orphan temps in
+# this process. Orphans only come from CRASHED (dead) writers, so one sweep
+# per (dir, name) per process suffices — later flips of the same pointer
+# skip the O(dir-entries) listing that the r9 advice flagged as growing
+# with table history. Keyed per destination, not per directory, so each
+# pointer's first write still cleans ITS OWN orphans.
+_RECLAIMED: set[tuple[str, str]] = set()
+
+
+def _is_orphan_temp(name: str, base: str) -> bool:
+    """True only for this module's own temp shape for destination ``base``:
+    ``.{base}.{token}`` where token is a single dotless suffix (mkstemp's
+    random tail, HadoopFS's 12-hex uuid, or the checksum layer's ``crc``).
+    A prefix match alone would also hit a LIVE temp of a sibling
+    destination whose name extends ``base`` with a dot suffix — an atomic
+    write of ``x`` must not delete an in-flight writer-of-``x.y`` temp
+    ``.x.y.<uuid>`` (r9 advice)."""
+    head = f".{base}."
+    if not name.startswith(head):
+        return False
+    rest = name[len(head):]
+    return bool(rest) and "." not in rest
+
 
 class LocalFS:
     """``os``-backed implementation for plain (scheme-less) paths —
@@ -62,18 +85,23 @@ class LocalFS:
         d = os.path.dirname(path) or "."
         base = os.path.basename(path)
         # reclaim orphan temps a CRASHED previous writer of THIS destination
-        # left behind ('.<name>.<uuid>') — listdir hides dot-entries, so no
-        # other path ever surfaces or cleans them, and under the
-        # single-writer-per-pointer contract nothing live matches
-        try:
-            for n in os.listdir(d):
-                if n.startswith(f".{base}."):
-                    try:
-                        os.remove(os.path.join(d, n))
-                    except OSError:
-                        pass
-        except OSError:
-            pass
+        # left behind ('.<name>.<token>') — listdir hides dot-entries, so no
+        # other path ever surfaces or cleans them. Exact temp-shape match
+        # only (see _is_orphan_temp), and at most once per destination per
+        # process: orphans can only predate this process, so re-listing the
+        # directory on every flip buys nothing and costs O(dir entries).
+        key = (os.path.abspath(d), base)
+        if key not in _RECLAIMED:
+            _RECLAIMED.add(key)
+            try:
+                for n in os.listdir(d):
+                    if _is_orphan_temp(n, base):
+                        try:
+                            os.remove(os.path.join(d, n))
+                        except OSError:
+                            pass
+            except OSError:
+                pass
         fd, tmp = tempfile.mkstemp(dir=d, prefix="." + base + ".")
         try:
             with os.fdopen(fd, "w") as f:
@@ -223,14 +251,22 @@ class HadoopFS:
     def write_text_atomic(self, path: str, text: str) -> None:
         parent, name = path.rsplit("/", 1)
         # reclaim orphan temps of THIS destination from a crashed previous
-        # writer (and any stale '.<name>.crc' — it matches the same glob);
-        # safe under the single-writer-per-pointer contract, and listdir
-        # hides these entries so nothing else would ever clean them
-        try:
-            for st in self._fs.globStatus(self._p(f"{parent}/.{name}.*")) or []:
-                self._fs.delete(st.getPath(), False)
-        except Exception:
-            pass
+        # writer (and any stale '.<name>.crc' — 'crc' is a dotless token so
+        # it matches the same exact shape). Exact-shape filter on top of the
+        # glob so a live temp of a dot-suffixed sibling destination
+        # ('.x.y.<uuid>' while writing 'x') is never touched, and at most
+        # once per destination per process (orphans only predate us).
+        key = (parent, name)
+        if key not in _RECLAIMED:
+            _RECLAIMED.add(key)
+            try:
+                for st in (
+                    self._fs.globStatus(self._p(f"{parent}/.{name}.*")) or []
+                ):
+                    if _is_orphan_temp(st.getPath().getName(), name):
+                        self._fs.delete(st.getPath(), False)
+            except Exception:
+                pass
         tmp = f"{parent}/.{name}.{uuid.uuid4().hex[:12]}"
         out = self._fs.create(self._p(tmp), True)
         try:
