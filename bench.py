@@ -205,6 +205,53 @@ def _norm_probe(cb) -> float | None:
     return None
 
 
+# bench-query → the tests/test_plan_shapes.py test that freezes its physical
+# plan shape. Consumed by the machine-written flag adjudication (r9 verdict
+# #1): a flagged query whose plan is pinned by a green test cannot be a
+# silent plan regression — the excess over the machine band is runtime
+# variance or a within-plan data change, and the artifact says which test to
+# re-check. Conservative by design: only entries whose bench thunk runs the
+# EXACT pinned plan are listed; anything else falls through to NEEDS-HUMAN
+# (tests/test_bench_delta.py asserts every value here names a real test).
+PLAN_PINS = {
+    "knn_cosine_top10": "test_knn_single_is_take_ordered_no_shuffle",
+    "knn_batch_top5": "test_knn_batch_partial_limit_before_shuffle",
+    "search_e2e": "test_hydration_join_broadcasts",
+    "exact_duplicates": "test_exact_dedup_partial_aggregates",
+    "lsh_search": "test_lsh_selfcontained_probe_has_no_corpus_join",
+    "lsh_search_mp1": "test_lsh_selfcontained_probe_has_no_corpus_join",
+    "lsh_search_batch32": "test_batch_ann_plans_broadcast_probes_and_partial_limit",
+    "ivf_search": "test_ivf_flat_probe_has_no_corpus_join",
+    "ivf_search_np8": "test_ivf_flat_probe_has_no_corpus_join",
+    "ivf_search_batch32": "test_batch_ann_plans_broadcast_probes_and_partial_limit",
+    "knn_self_join_ivf": "test_batch_ann_plans_broadcast_probes_and_partial_limit",
+    "pq_search": "test_pq_search_candidate_selection_is_take_ordered",
+    "pq_search_batch32": "test_pq_search_candidate_selection_is_take_ordered",
+    "simhash_np": "test_simhash_kernel_is_shuffle_free",
+    "multimodal_embed": "test_embed_texts_fuses_with_scan_no_shuffle",
+    "doc_decontaminate": "test_decontaminate_broadcasts_benchmark",
+    "doc_bm25": "test_bm25_scores_single_scan_no_join",
+    "doc_repetition": "test_repetition_stats_two_stacked_aggs_one_wide_shuffle",
+    "doc_repetition_np": "test_repetition_kernel_is_shuffle_free",
+    "span_overlap_pairs": "test_span_overlap_explodes_materialized_fps_not_expression",
+    "doc_lm_nll_join": "test_doc_nll_join_broadcasts_model_one_group_shuffle",
+    "events_gapfill": "test_gapfill_numeric_grid_two_shuffles",
+    "doc_leakage_split": "test_leakage_split_label_join_is_unhinted",
+    "semdedup_drop_np": "test_semdedup_pair_join_is_equi_keyed_on_cell",
+    "semdedup_drop_np_hotcell": "test_semdedup_pair_join_is_equi_keyed_on_cell",
+    "embedding_neardup_mp": "test_multiprobe_neardup_join_is_equi_keyed_on_cell",
+    "embedding_neardup_mp_np": "test_multiprobe_neardup_join_is_equi_keyed_on_cell",
+    "events_distinct_kmv": "test_kmv_limits_per_partition_before_shuffle",
+    "events_value_histogram": "test_histogram_two_scans_no_sort",
+    "doc_dsir_select": "test_dsir_scoring_broadcasts_model_and_takes_ordered_topk",
+    "doc_dsir_select_fast": "test_dsir_scoring_broadcasts_model_and_takes_ordered_topk",
+}
+
+# a machine band estimated from fewer shared queries than this is noise —
+# below it the adjudicator refuses to classify a flag as band-member
+_BAND_MIN_SAMPLE = 8
+
+
 def _round_over_round_delta(
     here: str,
     timings: dict[str, float],
@@ -348,15 +395,22 @@ def _round_over_round_delta(
              bn_val, bn_round, jn_val, now_jnorm)
         )
     norm_regressions = []
+    flag_axis: dict[str, str] = {}
+    axis_pool: dict[str, list[float]] = {"jvm": [], "norm": []}
     for (raw_ratio, name, now, now_norm, best_val, best_round, bn_val,
          bn_round, jn_val, now_jnorm) in sorted(rows, reverse=True):
         nr = (now_norm / bn_val) if (now_norm and bn_val) else None
         jr = (now_jnorm / jn_val) if (now_jnorm and jn_val) else None
+        if jr is not None:
+            axis_pool["jvm"].append(jr)
+        if nr is not None:
+            axis_pool["norm"].append(nr)
         # the jvm probe is the authoritative machine axis when both sides
         # carry it (r7: python_loop moved OPPOSITE to JVM throughput)
         flag = jr if jr is not None else nr
         if flag is not None and flag > 1.2:
             norm_regressions.append((flag, name))
+            flag_axis[name] = "jvm" if jr is not None else "norm"
         lines.append(
             f"| {name} | {now:.2f} | "
             f"{f'{now_norm:.2f}' if now_norm else '—'} | "
@@ -392,6 +446,60 @@ def _round_over_round_delta(
                 f"\n**Normalized regressions >1.2x (need a named root "
                 f"cause): {worst}**\n"
             )
+            # machine-written per-flag adjudication (r9 verdict #1): the
+            # generator already holds everything needed to classify a flag
+            # — the suite-wide machine band (median ratio on the flag's own
+            # axis) and the plan-pin map — so emit the verdict HERE, at
+            # artifact-generation time. A regenerated BENCH_DETAIL.md can
+            # then never publish a flag without a named root-cause class,
+            # no matter who regenerates it (builder or driver).
+            band = {
+                axis: sorted(vals)[len(vals) // 2]
+                for axis, vals in axis_pool.items()
+                if len(vals) >= _BAND_MIN_SAMPLE
+            }
+            lines.append("\n### Flag adjudication (machine-written)\n")
+            lines.append(
+                "Band = the suite-wide MEDIAN ratio on the flag's own "
+                "normalization axis"
+                + (
+                    " (this run: "
+                    + ", ".join(
+                        f"{a} {v:.2f}x/{len(axis_pool[a])}q"
+                        for a, v in sorted(band.items())
+                    )
+                    + ")"
+                    if band
+                    else f" (unavailable: <{_BAND_MIN_SAMPLE} shared "
+                         "queries per axis)"
+                )
+                + ". Verdicts: `band-member` = within 1.2x of the band — "
+                "the query moved with the machine, covered; "
+                "`pinned-residual` = above the band but the physical plan "
+                "is frozen by the named (green) tests/test_plan_shapes.py "
+                "test, so a silent plan regression is excluded — re-examine "
+                "only if that test fails; `NEEDS-HUMAN` = no pin and above "
+                "the band — the builder must name a root cause in the "
+                "Root-cause adjudication section before commit.\n"
+            )
+            lines.append("| flag | ratio (axis) | band | over band | verdict |")
+            lines.append("|---|---|---|---|---|")
+            for r, n in sorted(norm_regressions, reverse=True):
+                axis = flag_axis[n]
+                b = band.get(axis)
+                excess = (r / b) if b else None
+                if excess is not None and excess <= 1.2:
+                    verdict = "band-member"
+                elif n in PLAN_PINS:
+                    verdict = f"pinned-residual (`{PLAN_PINS[n]}`)"
+                else:
+                    verdict = "**NEEDS-HUMAN** — name a root cause below"
+                lines.append(
+                    f"| {n} | {r:.2f}x ({axis}) | "
+                    f"{f'{b:.2f}x' if b else '—'} | "
+                    f"{f'{excess:.2f}x' if excess else '—'} | {verdict} |"
+                )
+            lines.append("")
         if med_norm is None or not (0.83 <= (med_norm or med) <= 1.2):
             # machine-speed note only when the distribution actually shifted
             # (ADVICE r5: don't restate the r5 diagnosis on a ~1.0 run)
@@ -817,6 +925,23 @@ def main() -> None:
     # a compact headline (r3's full line overflowed and recorded no bench).
     detail_line = json.dumps(detail)
     print(detail_line)
+    # what's benched and why (r9 verdict #6): the subset rule lived only in
+    # this file's HEADLINE list; state it in the artifact with machine-
+    # computed counts so a reader can't mistake the benched subset for the
+    # registry size.
+    subset_note = (
+        f"\n## What's benched and why\n\n"
+        f"This artifact times {len(thunks)} query thunks + {len(build)} "
+        f"index builds = {len(timings)} rows, out of {len(qs)} registered "
+        f"suite entries. The subset is bench.py's HEADLINE list plus the "
+        f"ANN search/build paths: ONE production-shaped thunk per operator "
+        f"family. Excluded by design: expression-oracle twins whose numpy "
+        f"production twin IS benched (the oracle shape exists for DuckDB "
+        f"parity, not throughput), per-entry CRUD micro-ops covered by "
+        f"crud_upsert, and fixed-model SQL replays (correctness artifacts). "
+        f"Every registered entry — benched or not — runs under the driver's "
+        f"correctness sweep and tools/check_correctness.py.\n"
+    )
     try:
         # delta_md/flagged were computed (and flag-stabilized) above,
         # before any artifact write
@@ -829,7 +954,7 @@ def main() -> None:
         with open(dpath, "w") as f:
             f.write("# Bench detail (written by bench.py)\n\n```json\n"
                     + json.dumps(detail, indent=1) + "\n```\n" + delta_md
-                    + carry)
+                    + subset_note + carry)
     except OSError:
         pass
     headline_queries = [

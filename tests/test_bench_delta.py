@@ -188,3 +188,94 @@ def test_current_round_is_max_bench_record_plus_one(tmp_path):
     (tmp_path / "BENCH_r01.json").write_text("{}")
     (tmp_path / "BENCH_r08.json").write_text("{}")
     assert cur(str(tmp_path)) == 9
+
+
+def test_plan_pins_name_real_plan_shape_tests():
+    """Every PLAN_PINS value must be an actual test in
+    tests/test_plan_shapes.py — a pin naming a deleted/renamed test would
+    let the adjudicator claim coverage that no longer exists."""
+    ns = _load_bench_ns()
+    pins = ns["PLAN_PINS"]
+    src = open(os.path.join(HERE, "tests", "test_plan_shapes.py")).read()
+    missing = sorted(
+        {t for t in pins.values() if f"def {t}(" not in src}
+    )
+    assert not missing, f"PLAN_PINS reference missing tests: {missing}"
+    # and every pinned bench name is a real thunk name: HEADLINE or one of
+    # the ANN thunks bench.py registers by string literal
+    bench_src = open(os.path.join(HERE, "bench.py")).read()
+    unknown = sorted(
+        n for n in pins
+        if n not in ns["HEADLINE"] and f'thunks["{n}"]' not in bench_src
+    )
+    assert not unknown, f"PLAN_PINS name unknown bench queries: {unknown}"
+
+
+def test_flag_adjudication_is_emitted_with_flags(tmp_path):
+    """r9 verdict #1: whenever the delta table prints a >1.2x flag list, the
+    SAME generation must emit a machine-written adjudication block that
+    classifies every flag (band-member / pinned-residual / NEEDS-HUMAN) —
+    so a regenerated BENCH_DETAIL.md can never publish an uncovered flag."""
+    fn = _load_delta_fn()
+    # 10 shared queries so the band sample is big enough: nine at jvm ratio
+    # 1.0 (flat machine), one pinned query and one unpinned query at 2.0x
+    prior_q = {f"q{i}": 1.0 for i in range(9)}
+    prior_q["semdedup_drop_np"] = 1.0   # pinned in PLAN_PINS
+    prior_q["zz_custom_op"] = 1.0       # not pinned
+    headline = json.dumps({
+        "metric": "suite_wall_sec", "value": 9.9, "queries": prior_q,
+        "cpu_baseline": {"python_loop_sec": 0.1, "jvm_fixed_work_sec": 1.0},
+    })
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"n": 8, "rc": 0, "tail": headline})
+    )
+    now = {f"q{i}": 1.0 for i in range(9)}
+    now["semdedup_drop_np"] = 2.0
+    now["zz_custom_op"] = 2.0
+    out, flags = fn(str(tmp_path), now, 0.1, 1.0)
+    assert set(flags) == {"semdedup_drop_np", "zz_custom_op"}
+    assert "### Flag adjudication (machine-written)" in out
+    adj = out.split("### Flag adjudication", 1)[1]
+    # every flag appears in the block with a verdict
+    assert "| semdedup_drop_np | 2.00x (jvm) |" in adj
+    assert "pinned-residual (`test_semdedup_pair_join_is_equi_keyed_on_cell`)" in adj
+    assert "| zz_custom_op | 2.00x (jvm) |" in adj
+    zz_row = [l for l in adj.splitlines() if l.startswith("| zz_custom_op")]
+    assert zz_row and "**NEEDS-HUMAN**" in zz_row[0]
+    # band = median jvm ratio (1.00x over the 9 flat queries + 2 flags)
+    assert "band" in adj and "1.00x" in adj
+
+
+def test_flag_adjudication_band_member_and_small_sample_guard(tmp_path):
+    """A flag within 1.2x of the suite-wide band is band-member (machine
+    drift, covered); with fewer than the minimum shared queries per axis the
+    band is refused and an unpinned flag falls through to NEEDS-HUMAN — a
+    2-query 'band' must never launder a real regression."""
+    fn = _load_delta_fn()
+    # large sample, everything drifted ~1.3x together: flags are band-members
+    prior_q = {f"q{i}": 1.0 for i in range(12)}
+    headline = json.dumps({
+        "metric": "suite_wall_sec", "value": 9.9, "queries": prior_q,
+        "cpu_baseline": {"python_loop_sec": 0.1, "jvm_fixed_work_sec": 1.0},
+    })
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"n": 8, "rc": 0, "tail": headline})
+    )
+    out, flags = fn(str(tmp_path), {f"q{i}": 1.3 for i in range(12)}, 0.1, 1.0)
+    assert len(flags) == 12
+    adj = out.split("### Flag adjudication", 1)[1]
+    assert adj.count("| band-member |") == 12
+    assert "**NEEDS-HUMAN**" not in adj  # the cell form, not the legend
+    # tiny sample: band unavailable, unpinned flag needs a human
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps({
+        "n": 8, "rc": 0, "tail": json.dumps({
+            "metric": "suite_wall_sec", "value": 1.0,
+            "queries": {"q_only": 1.0},
+            "cpu_baseline": {"python_loop_sec": 0.1,
+                             "jvm_fixed_work_sec": 1.0},
+        })
+    }))
+    out2, flags2 = fn(str(tmp_path), {"q_only": 2.0}, 0.1, 1.0)
+    assert flags2 == ["q_only"]
+    adj2 = out2.split("### Flag adjudication", 1)[1]
+    assert "unavailable" in adj2 and "NEEDS-HUMAN" in adj2
