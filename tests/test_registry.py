@@ -9,7 +9,6 @@ from vector_db_api_spark import suite
 MUST_BE_IN_WINDOW = {
     "vec_kernel_scores",        # vector kernel
     "knn_cosine_top10",         # FlatIndex search
-    "knn_batch_top5",           # batch kNN
     "search_e2e",               # composed search flagship
     "exact_duplicates",         # exact dedup
     "minhash_lsh_pairs",        # minhash LSH
@@ -20,7 +19,6 @@ MUST_BE_IN_WINDOW = {
     "doc_repetition",           # repetition gates
     "doc_lm_nll",               # LM quality scoring
     "doc_hybrid_rrf",           # hybrid retrieval
-    "doc_bm25",                 # lexical retrieval
     "doc_chunking",             # document chunking
     "corpus_profile",           # corpus report
     "corpus_clean_near",        # end-to-end pipeline
@@ -30,7 +28,6 @@ MUST_BE_IN_WINDOW = {
     "events_hourly",            # windowed rollup
     "events_sessions",          # sessionization
     "events_asof",              # as-of join
-    "events_interval_join",     # interval join
     "events_gapfill",           # gapfill
     "skew_salted_agg",          # skew mitigation
     "rel_revenue_by_nation",    # relational joins
@@ -48,7 +45,6 @@ MUST_BE_IN_WINDOW = {
     # driver-checked rows
     "lsh_search_top10",         # sign-LSH bucket probe + re-rank
     "ivf_search_top10",         # IVF nprobe probe + re-rank
-    "ivf_search_filtered_top10",  # filtered IVF (predicate pushdown)
     "pq_search_top10",          # PQ ADC scan + exact re-rank
     # round-7 rotation: the Engine delete→tombstone→maintenance→move
     # lifecycle (displaced crud_move_document, its pure-operator subset)
@@ -68,6 +64,19 @@ MUST_BE_IN_WINDOW = {
     # rel_revenue_by_nation + rel_pricing_summary)
     "doc_dsir_sample",
     "multimodal_neardup",
+    # round-10 rotation (r9 verdict #4 + #5): the last never-driver-checked
+    # families — streaming sketch state, the real multimodal decode oracle,
+    # the tokenizer family, and the local-semantic-embedder pipeline.
+    # Displaced (all keep full value oracles out-of-window): knn_batch_top5
+    # (batch exact-kNN plan exercised by in-window knn_self_join_top3),
+    # doc_bm25 (oracle shared verbatim with in-window stream_bm25_state),
+    # ivf_search_filtered_top10 (ivf_search_top10 + plan-shape pushdown
+    # pin), events_interval_join (temporal class covered by events_asof +
+    # events_gapfill)
+    "stream_kmv_state",
+    "multimodal_features",
+    "doc_token_count_bpe",
+    "embed_semantic_knn_top10",
 }
 
 

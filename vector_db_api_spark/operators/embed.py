@@ -26,12 +26,15 @@ device. Partition count, not driver fan-out, sets the concurrency.
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
 def fake_md5_embedder(dim: int = 64) -> Callable[[list[str]], np.ndarray]:
@@ -51,6 +54,71 @@ def fake_md5_embedder(dim: int = 64) -> Callable[[list[str]], np.ndarray]:
             for j in range(dim):
                 h = int(hashlib.md5(f"{t}|{j}".encode()).hexdigest()[:8], 16)
                 out[i, j] = (h % 1_000_000) / 1_000_000.0 * 2.0 - 1.0
+        return out
+
+    return embed
+
+
+def hashed_ngram_embedder(
+    dim: int = 64,
+    char_ngrams: tuple[int, ...] = (3, 4, 5),
+    max_words: int | None = None,
+) -> Callable[[list[str]], np.ndarray]:
+    """Local deterministic text→vector model: a hashed bag-of-features
+    random projection (the fastText hashing trick without training).
+
+    Unlike :func:`fake_md5_embedder` (which embeds the WHOLE string, so two
+    texts sharing every word but one are orthogonal), this is a real — if
+    purely lexical/subword — embedding: texts sharing vocabulary get high
+    cosine, morphological variants overlap through their character n-grams
+    (``learning``/``learn`` share ``lea/ear/arn…``). It closes the
+    reference's external-embedding test family
+    (tests/integration/test_cohere_embeddings.py:47-373, incl. the
+    semantic-ranking assertion at :233) with a no-network model the sandbox
+    can run end-to-end: embed → index → search → ranking sanity.
+
+    Recipe (every step exact in float64 and, with ``char_ngrams=()``,
+    replayable in ANSI SQL so the driver's DuckDB oracle can hash-check the
+    pipeline):
+
+    - tokens: lowercase ``[a-z0-9]+`` runs, first ``max_words`` kept;
+    - features, in order of appearance (duplicates kept → tf weighting):
+      ``w|{word}`` per token, then ``g|{gram}`` for each character n-gram
+      of that token, n in ``char_ngrams``, positions left to right;
+    - component j of feature f: the :func:`fake_md5_embedder` uniform,
+      ``(int(md5(f"{f}|{j}")[:8], 16) % 1_000_000) / 1_000_000 * 2 - 1``;
+    - text vector: SEQUENTIAL left-fold sum over the feature sequence
+      (matches the oracle's ``list_reduce`` fold bit-for-bit — numpy
+      pairwise summation would not). Unnormalized; cosine normalizes
+      identically downstream. No tokens → the zero vector (search paths
+      already define zero-vector behavior).
+    """
+
+    def embed(texts: list[str]) -> np.ndarray:
+        cache: dict[str, np.ndarray] = {}
+
+        def feat_vec(f: str) -> np.ndarray:
+            v = cache.get(f)
+            if v is None:
+                v = np.empty(dim, dtype=np.float64)
+                for j in range(dim):
+                    h = int(
+                        hashlib.md5(f"{f}|{j}".encode()).hexdigest()[:8], 16
+                    )
+                    v[j] = (h % 1_000_000) / 1_000_000.0 * 2.0 - 1.0
+                cache[f] = v
+            return v
+
+        out = np.zeros((len(texts), dim), dtype=np.float64)
+        for i, t in enumerate(texts):
+            words = _TOKEN_RE.findall(t.lower())
+            if max_words is not None:
+                words = words[:max_words]
+            for w in words:
+                out[i] += feat_vec("w|" + w)
+                for n in char_ngrams:
+                    for p in range(len(w) - n + 1):
+                        out[i] += feat_vec("g|" + w[p:p + n])
         return out
 
     return embed
