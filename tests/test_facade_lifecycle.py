@@ -385,3 +385,94 @@ def test_rest_parity_routes_round6(spark, tmp_path_factory):
     # the rebuilt index still serves
     hits = f.search("R0", {"query_embedding": [1.0, 0.0, 0.0, 0.0], "k": 1})
     assert hits["status"] == 200 and hits["data"]["hits"][0]["chunk_id"] == "k1"
+
+
+def test_selfcontained_layout_lifecycle(spark, tmp_path_factory):
+    """r9 verdict #3: the in-place layouts (IVF-Flat postings /
+    self-contained LSH buckets) published through the lifecycle as an
+    opt-in SNAPSHOT layout, with the operators' documented mutability
+    contract enforced in code: the first mutation against a
+    selfcontained-serving version atomically re-flips the pointer with
+    serving downgraded to live hydration (fresh embeddings win, deletes
+    drop), and the next rebuild restores in-place serving."""
+    import pytest
+
+    from vector_db_api_spark.api.errors import ValidationError
+
+    eng = Engine(spark, str(tmp_path_factory.mktemp("selfcontained")))
+    eng.create_library("S", 4, library_id="S")
+    eng.create_document("S", document_id="d0")
+    rows = [
+        ("s0", "S", "d0", 0, "t0", [1.0, 0.0, 0.0, 0.0], None),
+        ("s1", "S", "d0", 1, "t1", [0.75, 0.25, 0.0, 0.0], None),
+        ("s2", "S", "d0", 2, "t2", [0.5, 0.5, 0.0, 0.0], None),
+        ("s3", "S", "d0", 3, "t3", [0.0, 1.0, 0.0, 0.0], None),
+    ]
+    schema = (
+        "id string, library_id string, document_id string, position int, "
+        "text string, embedding array<float>, "
+        "metadata struct<source_uri:string,author:string,lang:string,"
+        "mime_type:string,tags:array<string>,page_number:int,"
+        "token_count:int,sha256:string>"
+    )
+    eng.upsert_chunks("S", spark.createDataFrame(rows, schema))
+    q = [1.0, 0.0, 0.0, 0.0]
+
+    for cfg in (
+        IndexConfig("ivf", {"num_centroids": 2, "nprobe": 2,
+                            "layout": "selfcontained"}),
+        IndexConfig("lsh", {"num_tables": 4, "hyperplanes_per_table": 2,
+                            "layout": "selfcontained"}),
+    ):
+        eng.update_index_config("S", cfg)
+        desc = eng.indexes.current("S")
+        assert desc["layout"] == desc["layout_serving"] == "selfcontained"
+        # the physical tables really carry the vectors (in-place re-rank)
+        vdir = f"{eng.indexes._lib_dir('S')}/v={desc['version']}"
+        table = "lsh_buckets" if cfg.type == "lsh" else "ivf_assignments"
+        assert "embedding" in spark.read.parquet(f"{vdir}/{table}").columns
+        hits = eng.search("S", q, k=2).collect()
+        assert [h["id"] for h in hits] == ["s0", "s1"], cfg.type
+        assert hits[0]["score"] == 1.0
+
+        # mutation #1 (update s0 to an orthogonal vector): serving must
+        # re-flip to live hydration BEFORE the delta lands, and the fresh
+        # embedding must win — a stale in-place re-rank would still put
+        # s0 first at score 1.0
+        eng.upsert_chunk("S", "d0", {
+            "id": "s0", "position": 0, "text": "t0",
+            "embedding": [0.0, 0.0, 1.0, 0.0],
+        })
+        desc = eng.indexes.current("S")
+        assert desc["layout"] == "selfcontained"          # tables unchanged
+        assert desc["layout_serving"] == "idonly"         # serving flipped
+        hits = [h["id"] for h in eng.search("S", q, k=2).collect()]
+        assert hits == ["s1", "s2"], (cfg.type, hits)
+
+        # mutation #2 (delete): stays downgraded, deleted id never surfaces
+        eng.delete_chunk("S", "s2")
+        hits = [h["id"] for h in eng.search("S", q, k=3).collect()]
+        assert "s2" not in hits and hits[0] == "s1", (cfg.type, hits)
+
+        # restore the snapshot layout for the next loop iteration's config
+        # swap — and put s0/s2 back so both iterations see the same corpus
+        eng.upsert_chunks("S", spark.createDataFrame(
+            [rows[0], rows[2]], schema))
+
+    # a rebuild under the same selfcontained config restores in-place
+    # serving at a new version
+    eng.update_index_config("S", IndexConfig(
+        "ivf", {"num_centroids": 2, "nprobe": 2, "layout": "selfcontained"}))
+    desc = eng.indexes.current("S")
+    assert desc["layout_serving"] == "selfcontained"
+    assert [h["id"] for h in eng.search("S", q, k=2).collect()] == ["s0", "s1"]
+    # parameterless rebuild-index re-applies the stored config, which does
+    # NOT persist the layout (a per-snapshot storage option): back to idonly
+    eng.rebuild_index("S")
+    assert eng.indexes.current("S")["layout"] == "idonly"
+
+    # flat has no materialized tables — selfcontained is rejected
+    with pytest.raises(ValidationError, match="selfcontained"):
+        eng.indexes.rebuild(
+            "S", eng._library_chunks("S"),
+            IndexConfig("flat", {"layout": "selfcontained"}), 4)

@@ -96,10 +96,41 @@ class IndexLifecycle:
         dim: int,
         id_col: str = "id",
         vec_col: str = "embedding",
+        layout: str | None = None,
     ) -> dict:
         """Build the next index version from the library's embedded chunks,
         write its tables, then atomically publish (services/library.py:58-93
-        semantics: readers keep the old index until the flip)."""
+        semantics: readers keep the old index until the flip).
+
+        ``layout`` (r9 verdict #3) — how the version's tables are laid out:
+
+        - ``"idonly"`` (default): bucket/posting rows carry only ids;
+          every probe re-ranks against the LIVE chunks table, so stale
+          rows are harmless (deletes drop at the join, updates win at
+          re-rank). Always mutation-safe.
+        - ``"selfcontained"``: vectors are materialized INTO the bucket/
+          posting rows (LSH self-contained buckets / IVF-Flat postings —
+          the layouts that win the bench by re-ranking in place with no
+          corpus join). Correct ONLY while the snapshot stays untouched,
+          which a version directory is by construction — so the catalog
+          ENFORCES the operators' documented mutability contract
+          (lsh.py build_bucket_table / ivf.py assign): the first mutation
+          against the live version (:meth:`apply_delta` or :meth:`remove`)
+          atomically re-flips the pointer with serving DOWNGRADED to live
+          hydration (``layout_serving: idonly``); the next rebuild
+          restores in-place serving. May also arrive via
+          ``config.params["layout"]`` (the Engine route); not meaningful
+          for ``flat`` (no materialized tables) — rejected.
+        """
+        layout = layout or config.params.get("layout") or "idonly"
+        if layout not in ("idonly", "selfcontained"):
+            raise ValidationError(f"unknown index layout: {layout!r}")
+        if layout == "selfcontained" and config.type == "flat":
+            raise ValidationError(
+                "layout='selfcontained' needs materialized index tables; "
+                "type 'flat' has none"
+            )
+        include_vectors = layout == "selfcontained"
         cur = self.current(library_id)
         version = 1 if cur is None else cur["version"] + 1
         vdir = os.path.join(self._lib_dir(library_id), f"v={version}")
@@ -113,8 +144,12 @@ class IndexLifecycle:
                 hyperplanes_per_table=p["hyperplanes_per_table"],
                 seed=p["seed"],
             )
-            build_bucket_table(model, embedded, id_col=id_col, vec_col=vec_col) \
-                .write.mode("errorifexists").parquet(os.path.join(vdir, "lsh_buckets"))
+            build_bucket_table(
+                model, embedded, id_col=id_col, vec_col=vec_col,
+                include_vectors=include_vectors,
+            ).write.mode("errorifexists").parquet(
+                os.path.join(vdir, "lsh_buckets")
+            )
         elif config.type == "ivf":
             p = config.params
             ivf = IVFIndex.train(
@@ -129,9 +164,12 @@ class IndexLifecycle:
                 "errorifexists"
             ).parquet(os.path.join(vdir, "ivf_centroids"))
             # partitioned by centroid_id → the nprobe probe partition-prunes
-            ivf.assign(embedded, id_col=id_col, vec_col=vec_col).write.mode(
-                "errorifexists"
-            ).partitionBy("centroid_id").parquet(os.path.join(vdir, "ivf_assignments"))
+            ivf.assign(
+                embedded, id_col=id_col, vec_col=vec_col,
+                include_vectors=include_vectors,
+            ).write.mode("errorifexists").partitionBy("centroid_id").parquet(
+                os.path.join(vdir, "ivf_assignments")
+            )
         elif config.type != "flat":  # pragma: no cover — IndexConfig validates
             raise ValidationError(f"unknown index type: {config.type!r}")
 
@@ -141,9 +179,37 @@ class IndexLifecycle:
             "params": config.params,
             "dim": dim,
             "built_at": time.time(),
+            # layout = what the TABLES hold (fixed for this version);
+            # layout_serving = how search reads them (downgraded to
+            # 'idonly' by the first mutation when selfcontained)
+            "layout": layout if config.type != "flat" else "idonly",
+            "layout_serving": layout if config.type != "flat" else "idonly",
         }
         self._flip(library_id, desc)
         return desc
+
+    def _downgrade_serving(self, library_id: str, desc: dict) -> None:
+        """Enforce the in-place layouts' mutability contract: a mutation
+        against a selfcontained-serving version atomically re-flips the
+        pointer with serving downgraded to live hydration. The TABLES are
+        untouched (the extra vector column is simply dropped at read), so
+        the downgrade is one pointer write — readers observe either the
+        old (in-place) or new (hydrating) mode, both of which return
+        correct results for data written BEFORE the mutation; results for
+        the mutation itself are correct only under hydration, which is why
+        the flip happens before the delta lands."""
+        if desc.get("layout_serving", "idonly") != "selfcontained":
+            return
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "library %s: mutation against a selfcontained index snapshot "
+            "(v=%s) — downgrading serving to live hydration until the next "
+            "rebuild", library_id, desc["version"],
+        )
+        self._flip(library_id, {**desc, "layout_serving": "idonly",
+                                "downgraded_at": time.time()})
+        desc["layout_serving"] = "idonly"
 
     def apply_delta(
         self,
@@ -172,6 +238,12 @@ class IndexLifecycle:
         embedded = batch.filter(F.col(vec_col).isNotNull())
         if embedded.isEmpty():
             return 0
+        # mutability contract: in-place serving ends at the first mutation
+        # (flip BEFORE the delta lands, so no reader can in-place re-rank a
+        # superseded row); the delta itself keeps the version's BUILT
+        # schema so the appended files read uniformly
+        self._downgrade_serving(library_id, desc)
+        include_vectors = desc.get("layout", "idonly") == "selfcontained"
         vdir = os.path.join(self._lib_dir(library_id), f"v={desc['version']}")
         p = desc["params"]
         if desc["type"] == "lsh":
@@ -181,7 +253,10 @@ class IndexLifecycle:
                 hyperplanes_per_table=p["hyperplanes_per_table"],
                 seed=p["seed"],
             )
-            delta = build_bucket_table(model, embedded, id_col=id_col, vec_col=vec_col)
+            delta = build_bucket_table(
+                model, embedded, id_col=id_col, vec_col=vec_col,
+                include_vectors=include_vectors,
+            )
             delta.write.mode("append").parquet(os.path.join(vdir, "lsh_buckets"))
             return delta.count()
         # ivf: assign against the stored centroids, append partition-locally
@@ -189,7 +264,10 @@ class IndexLifecycle:
             self.spark.read.parquet(os.path.join(vdir, "ivf_centroids")),
             nprobe=p["nprobe"],
         )
-        delta = ivf.assign(embedded, id_col=id_col, vec_col=vec_col)
+        delta = ivf.assign(
+            embedded, id_col=id_col, vec_col=vec_col,
+            include_vectors=include_vectors,
+        )
         delta.write.mode("append").partitionBy("centroid_id").parquet(
             os.path.join(vdir, "ivf_assignments")
         )
@@ -212,6 +290,9 @@ class IndexLifecycle:
         desc = self.current(library_id)
         if desc is None or desc["type"] == "flat":
             return 0  # flat scans the live table — nothing stale to track
+        # a delete is a mutation too: in-place re-rank never consults the
+        # live table, so only the hydrating mode can drop the deleted rows
+        self._downgrade_serving(library_id, desc)
         spark = self.spark
         vdir = os.path.join(
             self._lib_dir(library_id), f"v={desc['version']}", "tombstones"
@@ -339,6 +420,12 @@ class IndexLifecycle:
             return knn(chunks, query_vec, k, metric=metric, id_col=id_col,
                        vec_col=vec_col, extra_cols=extra_cols)
         vdir = os.path.join(self._lib_dir(library_id), f"v={desc['version']}")
+        # serving mode: the operators auto-detect the in-place layouts by
+        # the vector column's presence, so an idonly-SERVING version whose
+        # tables were built selfcontained (downgraded by a mutation) just
+        # drops the column — probes fall back to live hydration, where
+        # deletes drop at the join and updated embeddings win at re-rank
+        in_place = desc.get("layout_serving", "idonly") == "selfcontained"
         if desc["type"] == "lsh":
             p = desc["params"]
             model = SignLSH(
@@ -348,6 +435,8 @@ class IndexLifecycle:
                 seed=p["seed"],
             )
             buckets = self.spark.read.parquet(os.path.join(vdir, "lsh_buckets"))
+            if not in_place and vec_col in buckets.columns:
+                buckets = buckets.drop(vec_col)
             return model.search(chunks, buckets, query_vec, k, metric=metric,
                                 id_col=id_col, vec_col=vec_col)
         if desc["type"] == "ivf":
@@ -356,6 +445,8 @@ class IndexLifecycle:
                 nprobe=desc["params"]["nprobe"],
             )
             assignments = self.spark.read.parquet(os.path.join(vdir, "ivf_assignments"))
+            if not in_place and vec_col in assignments.columns:
+                assignments = assignments.drop(vec_col)
             return ivf.search(chunks, assignments, query_vec, k, metric=metric,
                               id_col=id_col, vec_col=vec_col)
         raise NotFoundError(f"no usable index for library {library_id!r}")

@@ -280,10 +280,13 @@ class IVFIndex:
 
         Mutability contract: in-place re-rank reads the vector stored in
         the posting row, so this layout is only correct for an
-        immutable/append-only snapshot. The mutable serving path
-        (lifecycle.py) keeps the id-only layout, whose stale rows are
-        harmless precisely BECAUSE re-rank hydrates from the live chunks
-        table (deletes drop at the join, updates win at re-rank)."""
+        immutable/append-only snapshot. The serving catalog (lifecycle.py)
+        enforces this in code since r10: versions built
+        ``layout='selfcontained'`` serve in place only until the first
+        mutation, which atomically downgrades serving to the id-only mode
+        — whose stale rows are harmless precisely BECAUSE re-rank hydrates
+        from the live chunks table (deletes drop at the join, updates win
+        at re-rank)."""
         from collections.abc import Iterator
 
         import pandas as pd

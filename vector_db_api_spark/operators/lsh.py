@@ -478,11 +478,13 @@ def build_bucket_table(
 
     Mutability contract: the in-place layout re-ranks against the vectors
     STORED IN the index, so it is only correct for an immutable/append-only
-    snapshot (the batch-analytics and dedup cases). A mutable serving index
-    (lifecycle.py) must keep the id-only layout: its correctness argument —
-    stale posting rows are harmless because re-rank hydrates from the LIVE
-    chunks table, where deletes drop and updates win — does not hold when
-    the index row itself carries the (possibly superseded) vector."""
+    snapshot (the batch-analytics and dedup cases). The serving catalog
+    (lifecycle.py) ENFORCES this in code since r10: a version may be built
+    ``layout='selfcontained'``, and the first mutation against it
+    atomically downgrades serving to the id-only/live-hydration mode —
+    whose correctness argument (stale posting rows are harmless because
+    re-rank hydrates from the LIVE chunks table, where deletes drop and
+    updates win) holds regardless of what the index row carries."""
     return model.signatures(
         corpus, id_col=id_col, vec_col=vec_col, include_vectors=include_vectors
     ).repartition("table_id", "signature")

@@ -2990,6 +2990,105 @@ FROM d, p
 """
 
 
+def q_crud_engine_selfcontained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine drive of the r10 opt-in SNAPSHOT layout (r9 verdict #3):
+    IVF-Flat postings published through the lifecycle, with the mutability
+    contract enforced in code (lifecycle.py rebuild/_downgrade_serving):
+
+    A. config swap to ivf + ``layout='selfcontained'`` → search re-ranks
+       IN PLACE (postings carry the vectors; plan pinned by
+       tests/test_plan_shapes.py::test_ivf_flat_probe_has_no_corpus_join);
+    B. upsert s0 with an orthogonal embedding → the FIRST mutation re-flips
+       the pointer to ``layout_serving: idonly`` BEFORE the delta lands, so
+       the fresh vector wins (a stale in-place re-rank would keep s0 first
+       at 1.0 — the oracle's step-B scores pin the downgrade);
+    C. delete s2 → still hydrating; the deleted id never surfaces;
+    D. rebuild under the same config → a NEW immutable version restores
+       in-place serving with identical results.
+
+    Output = (step, id, score, layout, serving) rows for every step's hits;
+    the oracle recomputes each step's exact cosines over the literal
+    corpus."""
+    import tempfile
+
+    from vector_db_api_spark.api.service import Engine
+    from vector_db_api_spark.lifecycle import IndexConfig
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="crud_engine_selfc_"))
+    eng.create_library("S", 4, library_id="S")
+    eng.create_document("S", document_id="d0")
+    rows = [
+        ("s0", "S", "d0", 0, "t0", [1.0, 0.0, 0.0, 0.0], None),
+        ("s1", "S", "d0", 1, "t1", [0.75, 0.25, 0.0, 0.0], None),
+        ("s2", "S", "d0", 2, "t2", [0.5, 0.5, 0.0, 0.0], None),
+        ("s3", "S", "d0", 3, "t3", [0.0, 1.0, 0.0, 0.0], None),
+    ]
+    eng.upsert_chunks("S", spark.createDataFrame(rows, _ENGINE_CHUNK_SCHEMA))
+    cfg = IndexConfig(
+        "ivf", {"num_centroids": 2, "nprobe": 2, "layout": "selfcontained"}
+    )
+    q = [1.0, 0.0, 0.0, 0.0]
+    out: list[tuple] = []
+
+    def snap(step: str, k: int) -> None:
+        desc = eng.indexes.current("S")
+        for h in eng.search("S", q, k=k).collect():
+            out.append((step, h["id"], float(h["score"]),
+                        desc["layout"], desc["layout_serving"]))
+
+    eng.update_index_config("S", cfg)
+    assert eng.indexes.current("S")["layout_serving"] == "selfcontained"
+    snap("A_inplace", 2)
+    eng.upsert_chunk("S", "d0", {
+        "id": "s0", "position": 0, "text": "t0",
+        "embedding": [0.0, 0.0, 1.0, 0.0],
+    })
+    desc = eng.indexes.current("S")
+    assert desc["layout"] == "selfcontained", desc
+    assert desc["layout_serving"] == "idonly", desc
+    snap("B_downgraded_update", 2)
+    eng.delete_chunk("S", "s2")
+    snap("C_downgraded_delete", 3)
+    eng.update_index_config("S", cfg)
+    assert eng.indexes.current("S")["layout_serving"] == "selfcontained"
+    snap("D_reflipped", 3)
+    return spark.createDataFrame(
+        out, "step string, id string, score double, layout string, "
+             "serving string"
+    )
+
+
+def _sql_crud_engine_selfcontained() -> str:
+    q = [1.0, 0.0, 0.0, 0.0]
+    base = {
+        "s0": [1.0, 0.0, 0.0, 0.0],
+        "s1": [0.75, 0.25, 0.0, 0.0],
+        "s2": [0.5, 0.5, 0.0, 0.0],
+        "s3": [0.0, 1.0, 0.0, 0.0],
+    }
+    mutated = dict(base, s0=[0.0, 0.0, 1.0, 0.0])
+    deleted = {i: v for i, v in mutated.items() if i != "s2"}
+
+    def step(name: str, corpus: dict, k: int, layout: str, serving: str) -> str:
+        values = ", ".join(
+            f"('{i}', {O.vec_literal(v)})" for i, v in corpus.items()
+        )
+        return f"""
+SELECT * FROM (
+  SELECT '{name}' AS step, id, {O.cosine_const('emb', q)} AS score,
+         '{layout}' AS layout, '{serving}' AS serving
+  FROM (VALUES {values}) AS t(id, emb)
+  ORDER BY score DESC, id ASC LIMIT {k}
+)"""
+
+    return " UNION ALL ".join([
+        step("A_inplace", base, 2, "selfcontained", "selfcontained"),
+        step("B_downgraded_update", mutated, 2, "selfcontained", "idonly"),
+        step("C_downgraded_delete", deleted, 3, "selfcontained", "idonly"),
+        step("D_reflipped", deleted, 3, "selfcontained", "selfcontained"),
+    ])
+
+
 def q_chunks_by_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     """By-document chunk listing, position order (repos/chunks.py:28-31)."""
     chunks = _base_chunks(spark, sf_dir)
@@ -4616,6 +4715,12 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # rotated out of the window in r7 (driver-green r3-r6; subsumed by the
     # Engine-level crud_engine_index_delete, which moves through store+index)
     "crud_move_document": (q_crud_move_document, _SQL_CRUD_MOVE_DOCUMENT),
+    # r10: the opt-in selfcontained snapshot layout through the Engine path
+    # (mutability contract enforced in lifecycle code; see r9 verdict #3)
+    "crud_engine_selfcontained": (
+        q_crud_engine_selfcontained,
+        _sql_crud_engine_selfcontained(),
+    ),
     "doc_token_count": (
         q_doc_token_count,
         f"SELECT doc_id, {O.token_count('text')} AS n_tokens FROM documents",
