@@ -1,0 +1,109 @@
+"""Machine check for CORRECTNESS_LOCAL.md's freeze-discipline postscript
+(r9 verdict #7: a postscript that claims completeness must be the last
+word — or name its successors).
+
+The sweep artifact carries a machine block::
+
+    Sweep-Tree: <commit the sweeps ran on>
+    Sweep-Status: final | superseded
+    Post-Sweep-Commits: <hash> <hash> ...
+
+Semantics:
+
+- ``final`` — the sweep results describe the current tree; every commit
+  after ``Sweep-Tree`` must be NAMED in ``Post-Sweep-Commits`` (proving a
+  human looked at it and the postscript prose covers it). Exempt: commits
+  that touch only driver-written round artifacts (BENCH_r*.json,
+  CORRECTNESS_r*.json, VERDICT.md, ADVICE.md, PROGRESS.jsonl,
+  BENCH_DETAIL.md) — the driver commits those after the builder's last
+  commit by construction, so a final postscript cannot name them.
+- ``superseded`` — the claim is withdrawn (a new round started changing
+  code); nothing is enforced beyond the block being parseable. The
+  round's end-of-sweep regeneration flips it back to ``final``.
+
+Run as a script (exit 1 on violation) or import ``check`` from pytest.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# driver-written round artifacts: a commit touching ONLY these cannot
+# falsify a sweep and lands after the builder's last commit by design
+EXEMPT = re.compile(
+    r"^(BENCH_r\d+\.json|CORRECTNESS_r\d+\.json|VERDICT\.md|ADVICE\.md|"
+    r"PROGRESS\.jsonl|BENCH_DETAIL\.md)$"
+)
+
+
+def parse_block(md_text: str) -> dict | None:
+    """The machine block, or None when the artifact predates it."""
+    tree = re.search(r"^Sweep-Tree:\s*([0-9a-f]{7,40})", md_text, re.M)
+    status = re.search(r"^Sweep-Status:\s*(final|superseded)", md_text, re.M)
+    named = re.search(r"^Post-Sweep-Commits:\s*([0-9a-f \n]*?)$", md_text, re.M)
+    if not (tree and status):
+        return None
+    return {
+        "tree": tree.group(1),
+        "status": status.group(1),
+        "named": set((named.group(1) if named else "").split()),
+    }
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", HERE, *args], capture_output=True, text=True, check=True
+    ).stdout
+
+
+def unlisted_commits(block: dict) -> list[str]:
+    """Commits after the sweep tree that a ``final`` postscript fails to
+    name, excluding driver-artifact-only commits. Empty for
+    ``superseded``."""
+    if block["status"] != "final":
+        return []
+    log = _git("log", "--format=%h", f"{block['tree']}..HEAD").split()
+    bad = []
+    for h in log:
+        if any(h.startswith(n) or n.startswith(h) for n in block["named"]):
+            continue
+        files = _git(
+            "show", "--name-only", "--format=", h
+        ).split()
+        if files and all(EXEMPT.match(f) for f in files):
+            continue
+        bad.append(h)
+    return bad
+
+
+def check(md_path: str | None = None) -> list[str]:
+    """Violations for the repo's sweep artifact (empty = clean)."""
+    md_path = md_path or os.path.join(HERE, "CORRECTNESS_LOCAL.md")
+    with open(md_path) as f:
+        text = f.read()
+    block = parse_block(text)
+    if block is None:
+        return [
+            "CORRECTNESS_LOCAL.md has no machine postscript block "
+            "(Sweep-Tree / Sweep-Status / Post-Sweep-Commits)"
+        ]
+    bad = unlisted_commits(block)
+    return [
+        f"commit {h} postdates the sweep tree {block['tree']} but is not "
+        f"named in Post-Sweep-Commits (and is not a driver-artifact-only "
+        f"commit) — name it in the postscript or flip Sweep-Status to "
+        f"superseded and re-sweep"
+        for h in bad
+    ]
+
+
+if __name__ == "__main__":
+    problems = check()
+    for p in problems:
+        print(f"POSTSCRIPT VIOLATION: {p}")
+    sys.exit(1 if problems else 0)
