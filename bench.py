@@ -251,6 +251,70 @@ PLAN_PINS = {
 # below it the adjudicator refuses to classify a flag as band-member
 _BAND_MIN_SAMPLE = 8
 
+# the scale the cross-round artifact chain (BENCH_DETAIL.md, BENCH_r*.json
+# priors) is measured at; runs at any other sf write their own artifact and
+# a SCALING table instead (time ratios vs the canonical run, compared to
+# the data growth) — cross-sf "regressions" against sf0.1 priors would all
+# be flags and all be meaningless
+CANONICAL_SF = 0.1
+
+
+def _scaling_section(here: str, timings: dict[str, float],
+                     sf_val: float | str) -> str:
+    """Markdown scaling table for a non-canonical sf run (r9 verdict #2):
+    per-query wall vs the committed canonical BENCH_DETAIL.md, read against
+    the data growth factor. Machine verdicts: ``scales`` (time grew no more
+    than 1.2x the data), ``sub-linear`` (grew less than half the data
+    growth — index probes, top-k, broadcast paths), ``SUPER-LINEAR`` (grew
+    >1.2x the data — needs a named cause before the scale claim stands)."""
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.md")) as f:
+            blob = f.read().split("```json", 1)[1].split("```", 1)[0]
+        det = json.loads(blob)
+        base_q = det.get("queries") or {}
+        base_sf = float(det.get("sf", CANONICAL_SF))
+    except (OSError, IndexError, ValueError, json.JSONDecodeError):
+        return "\n(no canonical BENCH_DETAIL.md to scale against)\n"
+    try:
+        growth = float(sf_val) / base_sf
+    except (TypeError, ValueError):
+        return "\n(non-numeric sf; no scaling table)\n"
+    lines = [
+        f"\n## Scaling vs canonical sf{base_sf} (data growth {growth:.0f}x)\n",
+        "| query | sf{0} (s) | sf{1} (s) | time ratio | verdict |".format(
+            base_sf, sf_val),
+        "|---|---|---|---|---|",
+    ]
+    supers = []
+    rows = []
+    for name, now in timings.items():
+        base = base_q.get(name)
+        if not base or base <= 0:
+            continue
+        r = now / base
+        if r <= growth * 0.5:
+            verdict = "sub-linear"
+        elif r <= growth * 1.2:
+            verdict = "scales"
+        else:
+            verdict = "**SUPER-LINEAR** — name a cause"
+            supers.append((r, name))
+        rows.append((r, name, base, now, verdict))
+    for r, name, base, now, verdict in sorted(rows, reverse=True):
+        lines.append(f"| {name} | {base:.2f} | {now:.2f} | {r:.2f}x | {verdict} |")
+    ratios = sorted(r for r, *_ in rows)
+    if ratios:
+        lines.append(
+            f"\nMedian time ratio: **{ratios[len(ratios) // 2]:.2f}x** over "
+            f"{len(ratios)} shared queries at {growth:.0f}x the data. "
+            f"{len(supers)} super-linear flag(s)."
+            + (" Flags: " + ", ".join(
+                f"{n} ({r:.2f}x)" for r, n in sorted(supers, reverse=True))
+               if supers else "")
+            + "\n"
+        )
+    return "\n".join(lines) + "\n"
+
 
 def _round_over_round_delta(
     here: str,
@@ -732,7 +796,16 @@ def main() -> None:
     # isolation) and keep their single measurement.
     here = os.path.dirname(os.path.abspath(__file__))
     probe_base = dict(_cpu_baseline(), jvm_fixed_work_sec=jvm_probe_sec)
-    delta_md, flagged = _round_over_round_delta(
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    canonical = sf_val == CANONICAL_SF
+    # non-canonical sf: priors are all sf0.1 records, so the cross-round
+    # delta (and its flag-stabilization re-runs) would flag everything and
+    # mean nothing — the scaling table below is that run's analysis
+    delta_md, flagged = ("", []) if not canonical else _round_over_round_delta(
         here, timings, _norm_probe(probe_base), _norm_probe_jvm(probe_base)
     )
     rerun = [n for n in flagged if n in thunks]
@@ -902,11 +975,6 @@ def main() -> None:
                     and selectivity["ivf_clustered"] <= 0.05),
     }
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "suite_wall_sec",
@@ -943,18 +1011,28 @@ def main() -> None:
         f"correctness sweep and tools/check_correctness.py.\n"
     )
     try:
-        # delta_md/flagged were computed (and flag-stabilized) above,
-        # before any artifact write
-        dpath = os.path.join(here, "BENCH_DETAIL.md")
-        try:
-            with open(dpath) as f:
-                carry = _carry_root_causes(f.read(), _current_round(here))
-        except OSError:
-            carry = ""
-        with open(dpath, "w") as f:
-            f.write("# Bench detail (written by bench.py)\n\n```json\n"
-                    + json.dumps(detail, indent=1) + "\n```\n" + delta_md
-                    + subset_note + carry)
+        if canonical:
+            # delta_md/flagged were computed (and flag-stabilized) above,
+            # before any artifact write
+            dpath = os.path.join(here, "BENCH_DETAIL.md")
+            try:
+                with open(dpath) as f:
+                    carry = _carry_root_causes(f.read(), _current_round(here))
+            except OSError:
+                carry = ""
+            with open(dpath, "w") as f:
+                f.write("# Bench detail (written by bench.py)\n\n```json\n"
+                        + json.dumps(detail, indent=1) + "\n```\n" + delta_md
+                        + subset_note + carry)
+        else:
+            # scale run: own artifact (never touch the canonical sf0.1
+            # cross-round chain) + scaling-vs-canonical table (r9 #2)
+            spath = os.path.join(here, f"BENCH_SF{sf}.md")
+            with open(spath, "w") as f:
+                f.write(f"# Bench at sf{sf} (written by bench.py)\n\n"
+                        "```json\n" + json.dumps(detail, indent=1)
+                        + "\n```\n" + _scaling_section(here, timings, sf_val)
+                        + subset_note)
     except OSError:
         pass
     headline_queries = [

@@ -279,3 +279,28 @@ def test_flag_adjudication_band_member_and_small_sample_guard(tmp_path):
     assert flags2 == ["q_only"]
     adj2 = out2.split("### Flag adjudication", 1)[1]
     assert "unavailable" in adj2 and "NEEDS-HUMAN" in adj2
+
+
+def test_scaling_section_verdicts(tmp_path):
+    """Non-canonical sf runs write a scaling table vs the committed
+    canonical detail: sub-linear / scales / SUPER-LINEAR verdicts read
+    against the data growth factor (r9 verdict #2)."""
+    ns = _load_bench_ns()
+    (tmp_path / "BENCH_DETAIL.md").write_text(
+        "# x\n\n```json\n" + json.dumps({
+            "queries": {"q_lin": 1.0, "q_sub": 1.0, "q_bad": 1.0,
+                        "q_new": 0.0},
+            "sf": 0.1,
+        }) + "\n```\n"
+    )
+    out = ns["_scaling_section"](
+        str(tmp_path), {"q_lin": 9.0, "q_sub": 2.0, "q_bad": 30.0,
+                        "q_new": 1.0, "unknown": 5.0}, 1.0)
+    assert "| q_lin | 1.00 | 9.00 | 9.00x | scales |" in out
+    assert "| q_sub | 1.00 | 2.00 | 2.00x | sub-linear |" in out
+    assert "| q_bad | 1.00 | 30.00 | 30.00x | **SUPER-LINEAR**" in out
+    assert "q_new" not in out and "unknown" not in out
+    assert "1 super-linear flag(s). Flags: q_bad (30.00x)" in out
+    # no canonical artifact -> explicit note, no crash
+    assert "no canonical" in ns["_scaling_section"](str(tmp_path / "nope"),
+                                                    {"q": 1.0}, 1.0)
