@@ -49,8 +49,18 @@ def canon(rows: list[tuple], cols: list[str]):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --spark-only=a,b,c : run those entries' Spark side only (prove the
+    # engine executes at this sf) and skip their DuckDB replay — for
+    # large-sf sweeps where an oracle is quadratic BY CONSTRUCTION (full
+    # n² self-join replays) and its values are already checked at the
+    # driver scales. Printed as SPARK-ONLY so the artifact can't overclaim.
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    spark_only: set[str] = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--spark-only="):
+            spark_only = {n for n in a.split("=", 1)[1].split(",") if n}
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("check-correctness")
     con = duck_con(sf_dir)
     qs = entrymod.queries()
@@ -60,6 +70,17 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        if name in spark_only:
+            try:
+                n = fn(spark, sf_dir).count()
+                print(f"SPARK-ONLY  {name}: {n} rows, oracle skipped at this "
+                      f"sf (quadratic replay) [{time.time()-t0:.1f}s]")
+                n_rowsonly += 1
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL  {name}: spark error: {type(e).__name__}: "
+                      f"{str(e)[:300]}")
+                n_fail += 1
+            continue
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
