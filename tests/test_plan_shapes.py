@@ -509,3 +509,32 @@ def test_ivf_flat_probe_has_no_corpus_join(spark, emb, tmp_path):
     assert old.count("BroadcastHashJoin") + old.count("SortMergeJoin") == 3
     assert "SortMergeJoin" not in bplan
     assert "WindowGroupLimit" in bplan and "Partial" in bplan
+
+
+def test_lifecycle_selfcontained_serving_plan_is_join_free(spark, tmp_path):
+    """The lifecycle's selfcontained serving mode (r10) must produce the
+    operators' in-place plan — ONE parquet scan (the posting/bucket table),
+    no chunks hydration join — and the mutation-downgraded mode must fall
+    back to the hydrating plan (posting scan + chunks scan)."""
+    from vector_db_api_spark.lifecycle import IndexConfig, IndexLifecycle
+
+    chunks = spark.createDataFrame(
+        [(f"c{i}", [float(i), 1.0, 0.0, 0.0]) for i in range(16)],
+        "id string, embedding array<double>",
+    )
+    lc = IndexLifecycle(spark, str(tmp_path / "idx"))
+    lc.rebuild("L", chunks, IndexConfig("ivf", {"num_centroids": 2,
+                                                "nprobe": 2}),
+               4, layout="selfcontained")
+    q = [1.0, 1.0, 0.0, 0.0]
+    plan = _plan(lc.search("L", chunks, q, 3))
+    assert plan.count("Scan parquet") == 1, plan   # postings only, in place
+    assert "Join" not in plan, plan                # re-rank happens in place
+    # the nprobe filter partition-prunes the posting scan
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    # mutation downgrades serving: now the probe hydrates from the live
+    # chunks frame (posting scan + the in-memory chunks relation join)
+    lc.remove("L", ["c0"])
+    assert lc.current("L")["layout_serving"] == "idonly"
+    plan2 = _plan(lc.search("L", chunks, q, 3))
+    assert plan2.count("Scan parquet") == 1 and "Join" in plan2, plan2
