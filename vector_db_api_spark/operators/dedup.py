@@ -143,9 +143,21 @@ def ngram_jaccard_pairs(
         .groupBy("left_id", "right_id")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # Join strategy pinned to SHUFFLED HASH with the per-doc sizes side as
+    # the build: `inter` is a multi-stage aggregate whose planner size
+    # estimate is unreliable, and on a shingle-dense corpus it is ORDERS
+    # larger than its estimate — at sf1 (50k docs, ~27k distinct shingles)
+    # the static planner picked inter as the BROADCAST build side and the
+    # driver OOMed collecting ~10^8 pair rows. sizes is one row per doc
+    # (always ≤ the corpus, always ≤ inter), so building it per partition
+    # is bounded; no driver collect, no sort, correct at any corpus size.
     return (
-        inter.join(sizes.withColumnRenamed(id_col, "left_id").withColumnRenamed("sz", "lsz"), "left_id")
-        .join(sizes.withColumnRenamed(id_col, "right_id").withColumnRenamed("sz", "rsz"), "right_id")
+        inter.join(sizes.withColumnRenamed(id_col, "left_id")
+                   .withColumnRenamed("sz", "lsz").hint("shuffle_hash"),
+                   "left_id")
+        .join(sizes.withColumnRenamed(id_col, "right_id")
+              .withColumnRenamed("sz", "rsz").hint("shuffle_hash"),
+              "right_id")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
