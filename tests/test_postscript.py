@@ -33,10 +33,12 @@ def test_parse_block_roundtrip():
 
 def test_exempt_matches_driver_artifacts_only():
     for name in ("BENCH_r10.json", "CORRECTNESS_r09.json", "VERDICT.md",
-                 "ADVICE.md", "PROGRESS.jsonl", "BENCH_DETAIL.md"):
+                 "ADVICE.md", "PROGRESS.jsonl", "BENCH_DETAIL.md",
+                 "CORRECTNESS_LOCAL.md",  # the postscript commit itself
+                 "BENCH_SF1.md"):         # scale-run bench artifact
         assert cp.EXEMPT.match(name), name
     for name in ("bench.py", "vector_db_api_spark/suite.py",
-                 "CORRECTNESS_LOCAL.md", "BENCH_SCALE.md", "tools/x.py",
+                 "BENCH_SCALE.md", "tools/x.py",
                  "tests/test_x.py", "README.md"):
         assert not cp.EXEMPT.match(name), name
 

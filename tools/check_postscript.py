@@ -33,11 +33,15 @@ import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# driver-written round artifacts: a commit touching ONLY these cannot
-# falsify a sweep and lands after the builder's last commit by design
+# measurement/round artifacts: a commit touching ONLY these cannot falsify
+# a sweep. Driver-written files land after the builder's last commit by
+# design; CORRECTNESS_LOCAL.md itself is exempt because the postscript
+# commit cannot name its own hash; BENCH_SF*.md are scale-run bench
+# artifacts written by bench.py.
 EXEMPT = re.compile(
     r"^(BENCH_r\d+\.json|CORRECTNESS_r\d+\.json|VERDICT\.md|ADVICE\.md|"
-    r"PROGRESS\.jsonl|BENCH_DETAIL\.md)$"
+    r"PROGRESS\.jsonl|BENCH_DETAIL\.md|CORRECTNESS_LOCAL\.md|"
+    r"BENCH_SF[0-9.]+\.md)$"
 )
 
 
