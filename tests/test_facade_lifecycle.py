@@ -466,10 +466,40 @@ def test_selfcontained_layout_lifecycle(spark, tmp_path_factory):
     desc = eng.indexes.current("S")
     assert desc["layout_serving"] == "selfcontained"
     assert [h["id"] for h in eng.search("S", q, k=2).collect()] == ["s0", "s1"]
-    # parameterless rebuild-index re-applies the stored config, which does
-    # NOT persist the layout (a per-snapshot storage option): back to idonly
+    # parameterless rebuild-index re-applies the stored config INCLUDING
+    # the persisted layout (r10 advice #5: without persistence, the
+    # maintenance() compaction rebuild silently reverted a selfcontained
+    # library to idonly serving forever)
     eng.rebuild_index("S")
-    assert eng.indexes.current("S")["layout"] == "idonly"
+    desc = eng.indexes.current("S")
+    assert desc["layout"] == desc["layout_serving"] == "selfcontained"
+
+    # r10 advice (high): an upsert that replaces an embedded chunk with
+    # embedding=NULL contributes no index-delta rows, yet still supersedes
+    # a vector the selfcontained tables carry — only live hydration can
+    # observe "no embedding", so serving must downgrade anyway
+    eng.upsert_chunk("S", "d0", {"id": "s1", "position": 1, "text": "t1",
+                                 "embedding": None})
+    desc = eng.indexes.current("S")
+    assert desc["layout"] == "selfcontained"
+    assert desc["layout_serving"] == "idonly", (
+        "null-embedding upsert must downgrade in-place serving")
+    hits = [h["id"] for h in eng.search("S", q, k=4).collect()]
+    assert "s1" not in hits, hits  # superseded vector must NOT surface
+
+    # restore s1, rebuild back to in-place serving
+    eng.upsert_chunks("S", spark.createDataFrame([rows[1]], schema))
+    eng.rebuild_index("S")
+    assert eng.indexes.current("S")["layout_serving"] == "selfcontained"
+
+    # r10 advice (low): a NO-OP delete is not a mutation — deleting a
+    # chunkless document (empty ids frame) or an empty id list must keep
+    # in-place serving
+    eng.create_document("S", document_id="d_empty")
+    eng.delete_document("S", "d_empty")
+    assert eng.indexes.current("S")["layout_serving"] == "selfcontained"
+    assert eng.indexes.remove("S", []) == 0
+    assert eng.indexes.current("S")["layout_serving"] == "selfcontained"
 
     # flat has no materialized tables — selfcontained is rejected
     with pytest.raises(ValidationError, match="selfcontained"):

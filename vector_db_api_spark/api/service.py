@@ -125,7 +125,8 @@ class Engine:
             "SELECT {id} AS id, {name} AS name, {dim} AS embedding_dim, "
             "named_struct('type', {t}, 'lsh_num_tables', {lt}, "
             "'lsh_hyperplanes_per_table', {lh}, 'ivf_num_centroids', {ik}, "
-            "'ivf_nprobe', {ip}, 'ivf_max_kmeans_iters', {im}) AS index_config, "
+            "'ivf_nprobe', {ip}, 'ivf_max_kmeans_iters', {im}, "
+            "'layout', {lay}) AS index_config, "
             "CAST(NULL AS struct<source_uri:string,author:string,lang:string,"
             "mime_type:string,tags:array<string>,description:string>) AS metadata, "
             "current_timestamp() AS created_at, current_timestamp() AS updated_at, "
@@ -134,6 +135,7 @@ class Engine:
             lt=p.get("num_tables", 0), lh=p.get("hyperplanes_per_table", 0),
             ik=p.get("num_centroids", 0), ip=p.get("nprobe", 0),
             im=p.get("max_kmeans_iters", 0),
+            lay=p.get("layout") or "idonly",
         )
         self.store.write("libraries", self.store.read("libraries").unionByName(row))
         return lib_id
@@ -163,6 +165,10 @@ class Engine:
             F.lit("ivf_nprobe"), F.lit(p.get("nprobe", 0)).cast("int"),
             F.lit("ivf_max_kmeans_iters"),
             F.lit(p.get("max_kmeans_iters", 0)).cast("int"),
+            # persisted so a later parameterless rebuild_index — including
+            # the maintenance() compaction path — restores in-place serving
+            # instead of silently reverting to idonly (r10 advice)
+            F.lit("layout"), F.lit(p.get("layout") or "idonly"),
         )
         is_target = F.col("id") == library_id
         libs = (
@@ -220,7 +226,14 @@ class Engine:
             },
         }.get(ctype, {}) if cfg_row else {}
         # 0 means "unset" in the stored flat struct → fall back to DEFAULTS
-        cfg = IndexConfig(ctype, {k: v for k, v in stored.items() if v})
+        params = {k: v for k, v in stored.items() if v}
+        # re-apply the persisted layout so maintenance/parameterless
+        # rebuilds PRESERVE selfcontained serving (r10 advice: without
+        # this, a compaction-triggered rebuild silently reverted it)
+        layout = (cfg_row["layout"] if cfg_row else None) or "idonly"
+        if ctype != "flat" and layout != "idonly":
+            params["layout"] = layout
+        cfg = IndexConfig(ctype, params)
         return self.indexes.rebuild(
             library_id, self._library_chunks(library_id), cfg, lib["embedding_dim"]
         )

@@ -235,14 +235,19 @@ class IndexLifecycle:
         desc = self.current(library_id)
         if desc is None or desc["type"] == "flat":
             return 0  # flat scans the live table — always fresh
-        embedded = batch.filter(F.col(vec_col).isNotNull())
-        if embedded.isEmpty():
+        if batch.isEmpty():
             return 0
         # mutability contract: in-place serving ends at the first mutation
         # (flip BEFORE the delta lands, so no reader can in-place re-rank a
-        # superseded row); the delta itself keeps the version's BUILT
-        # schema so the appended files read uniformly
+        # superseded row). This must gate on the RAW batch, not the embedded
+        # subset: an upsert that replaces an embedded chunk with
+        # embedding=NULL contributes no delta row, yet still supersedes a
+        # vector the selfcontained tables may carry — only live hydration
+        # can drop it (r10 advice, high).
         self._downgrade_serving(library_id, desc)
+        embedded = batch.filter(F.col(vec_col).isNotNull())
+        if embedded.isEmpty():
+            return 0
         include_vectors = desc.get("layout", "idonly") == "selfcontained"
         vdir = os.path.join(self._lib_dir(library_id), f"v={desc['version']}")
         p = desc["params"]
@@ -290,9 +295,6 @@ class IndexLifecycle:
         desc = self.current(library_id)
         if desc is None or desc["type"] == "flat":
             return 0  # flat scans the live table — nothing stale to track
-        # a delete is a mutation too: in-place re-rank never consults the
-        # live table, so only the hydrating mode can drop the deleted rows
-        self._downgrade_serving(library_id, desc)
         spark = self.spark
         vdir = os.path.join(
             self._lib_dir(library_id), f"v={desc['version']}", "tombstones"
@@ -305,10 +307,17 @@ class IndexLifecycle:
             tomb = ids.select(
                 F.col(ids.columns[0]).cast("string").alias("id")
             ).localCheckpoint(eager=True)
+            if tomb.isEmpty():
+                return 0  # no-op delete: nothing mutated, keep serving mode
+            # a delete is a mutation too: in-place re-rank never consults
+            # the live table, so only hydrating mode drops the deleted rows
+            # — but only a NON-EMPTY delete is a mutation (r10 advice)
+            self._downgrade_serving(library_id, desc)
             tomb.write.mode("append").parquet(vdir)
             return tomb.count()
         if not ids:
-            return 0
+            return 0  # no-op delete: keep in-place serving
+        self._downgrade_serving(library_id, desc)
         tomb = spark.createDataFrame([(str(i),) for i in ids], "id string")
         tomb.write.mode("append").parquet(vdir)
         return len(ids)

@@ -169,7 +169,7 @@ def doc_nll(
     lp_map = F.create_map(*kv) if kv else F.create_map()
     toks = T.scoring_tokens(text_col)
     terms = F.transform(
-        toks, lambda t: -F.coalesce(lp_map.getItem(t), F.lit(oov_logprob))
+        toks, lambda t: -F.coalesce(lp_map[t], F.lit(oov_logprob))
     )
     nll = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
     out = docs.select(

@@ -70,7 +70,7 @@ LIBRARIES_DDL = (
     "id string, name string, embedding_dim int, "
     "index_config struct<type:string, lsh_num_tables:int, "
     "lsh_hyperplanes_per_table:int, ivf_num_centroids:int, ivf_nprobe:int, "
-    "ivf_max_kmeans_iters:int>, "
+    "ivf_max_kmeans_iters:int, layout:string>, "
     f"metadata struct<{BASE_METADATA}, description:string>, "
     "created_at timestamp, updated_at timestamp, version int"
 )
