@@ -236,8 +236,9 @@ def test_flag_adjudication_is_emitted_with_flags(tmp_path):
     assert set(flags) == {"semdedup_drop_np", "zz_custom_op"}
     assert "### Flag adjudication (machine-written)" in out
     adj = out.split("### Flag adjudication", 1)[1]
-    # every flag appears in the block with a verdict
-    assert "| semdedup_drop_np | 2.00x (jvm) |" in adj
+    # every flag appears in the block with a verdict; semdedup_drop_np is a
+    # numpy-kernel thunk → classified on the PYTHON axis (r10 verdict #8)
+    assert "| semdedup_drop_np | 2.00x (python) |" in adj
     assert "pinned-residual (`test_semdedup_pair_join_is_equi_keyed_on_cell`)" in adj
     assert "| zz_custom_op | 2.00x (jvm) |" in adj
     zz_row = [l for l in adj.splitlines() if l.startswith("| zz_custom_op")]
@@ -296,11 +297,91 @@ def test_scaling_section_verdicts(tmp_path):
     out = ns["_scaling_section"](
         str(tmp_path), {"q_lin": 9.0, "q_sub": 2.0, "q_bad": 30.0,
                         "q_new": 1.0, "unknown": 5.0}, 1.0)
-    assert "| q_lin | 1.00 | 9.00 | 9.00x | scales |" in out
-    assert "| q_sub | 1.00 | 2.00 | 2.00x | sub-linear |" in out
-    assert "| q_bad | 1.00 | 30.00 | 30.00x | **SUPER-LINEAR**" in out
+    assert "| q_lin | 1.00 | 9.00 | 9.00x | 9.00x | scales |" in out
+    assert "| q_sub | 1.00 | 2.00 | 2.00x | 2.00x | sub-linear |" in out
+    assert "| q_bad | 1.00 | 30.00 | 30.00x | 30.00x | **SUPER-LINEAR**" in out
     assert "q_new" not in out and "unknown" not in out
     assert "1 super-linear flag(s). Flags: q_bad (30.00x)" in out
+    # no shared probe -> ratios are explicitly unnormalized
+    assert "unnormalized (no shared probe)" in out
     # no canonical artifact -> explicit note, no crash
     assert "no canonical" in ns["_scaling_section"](str(tmp_path / "nope"),
                                                     {"q": 1.0}, 1.0)
+
+
+def test_scaling_section_machine_normalized_and_downscale_guard(tmp_path):
+    """r10 advice #3: the scaling table must normalize time ratios by the
+    probe ratio between the two artifacts (per-round host speed swings
+    1.5-2x — a slow host would otherwise inflate SUPER-LINEAR verdicts),
+    and a downscale run (growth < 1) must not classify fixed overhead as
+    SUPER-LINEAR."""
+    ns = _load_bench_ns()
+    (tmp_path / "BENCH_DETAIL.md").write_text(
+        "# x\n\n```json\n" + json.dumps({
+            "queries": {"q_lin": 1.0, "q_edge": 1.0},
+            "sf": 0.1,
+            "cpu_baseline": {"python_loop_sec": 0.1,
+                             "jvm_fixed_work_sec": 1.0},
+        }) + "\n```\n"
+    )
+    # this host is 2x SLOWER on the jvm probe: raw 24x at 10x data would
+    # flag SUPER-LINEAR, normalized 12x scales
+    now_cb = {"python_loop_sec": 0.1, "jvm_fixed_work_sec": 2.0}
+    out = ns["_scaling_section"](
+        str(tmp_path), {"q_lin": 24.0, "q_edge": 30.0}, 1.0, now_cb)
+    assert "**2.00x** on the jvm probe" in out
+    assert "| q_lin | 1.00 | 24.00 | 24.00x | 12.00x | scales |" in out
+    # still super-linear AFTER normalization -> flagged
+    assert "| q_edge | 1.00 | 30.00 | 30.00x | 15.00x | **SUPER-LINEAR**" in out
+    # jvm probe missing on one side -> python fallback
+    out_py = ns["_scaling_section"](
+        str(tmp_path), {"q_lin": 24.0}, 1.0, {"python_loop_sec": 0.2})
+    assert "on the python probe" in out_py
+    # downscale run: informational only, no SUPER-LINEAR classifier
+    out_down = ns["_scaling_section"](
+        str(tmp_path), {"q_lin": 0.9}, 0.01, now_cb)
+    assert "Downscale run" in out_down
+    assert "SUPER-LINEAR" not in out_down.split("classifier is disabled")[1]
+
+
+def test_python_axis_queries_are_real_bench_thunks():
+    """Every PYTHON_AXIS_QUERIES name must be a real bench thunk (HEADLINE,
+    a thunks[...] literal, or a build[...] timing) — a stale name would
+    silently fall back to jvm-axis classification for that query."""
+    ns = _load_bench_ns()
+    bench_src = open(os.path.join(HERE, "bench.py")).read()
+    unknown = sorted(
+        n for n in ns["PYTHON_AXIS_QUERIES"]
+        if n not in ns["HEADLINE"]
+        and f'thunks["{n}"]' not in bench_src
+        and f'build["{n}"]' not in bench_src
+    )
+    assert not unknown, f"PYTHON_AXIS_QUERIES name unknown thunks: {unknown}"
+
+
+def test_python_axis_flag_classifies_on_python_band(tmp_path):
+    """r10 verdict #8: an Arrow/pandas/numpy-class query that drifted WITH
+    the interpreter (python ratio ~1.0) must not flag at all, even when the
+    jvm axis says 2x — and when it does flag, the verdict row reads against
+    the python band, not the jvm band."""
+    fn = _load_delta_fn()
+    prior_q = {f"q{i}": 1.0 for i in range(9)}
+    prior_q["knn_batch_numpy_top5"] = 1.0  # in PYTHON_AXIS_QUERIES
+    headline = json.dumps({
+        "metric": "suite_wall_sec", "value": 9.9, "queries": prior_q,
+        "cpu_baseline": {"python_loop_sec": 0.1, "jvm_fixed_work_sec": 1.0},
+    })
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"n": 8, "rc": 0, "tail": headline})
+    )
+    # python probe doubled (0.1 -> 0.2) and the numpy query doubled with it:
+    # python ratio 1.0 -> NOT flagged, despite jvm ratio 2.0 (jvm probe flat)
+    now = {f"q{i}": 1.0 for i in range(9)}
+    now["knn_batch_numpy_top5"] = 2.0
+    out, flags = fn(str(tmp_path), now, 0.2, 1.0)
+    assert "knn_batch_numpy_top5" not in flags
+    # python probe flat, numpy query doubled alone -> flagged ON python axis
+    out2, flags2 = fn(str(tmp_path), now, 0.1, 1.0)
+    assert flags2 == ["knn_batch_numpy_top5"]
+    adj2 = out2.split("### Flag adjudication", 1)[1]
+    assert "| knn_batch_numpy_top5 | 2.00x (python) |" in adj2

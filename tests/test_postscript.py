@@ -52,6 +52,72 @@ def test_live_postscript_is_clean_or_superseded():
     assert problems == [], "\n".join(problems)
 
 
+def test_parse_block_rejects_short_tokens():
+    """r10 advice #4: a short/typo'd token (the old parse accepted ANY hex
+    run, even one char) combined with prefix matching silently exempted
+    every commit sharing the prefix — tokens under 7 hex chars must not be
+    collected at all."""
+    text = (
+        "Sweep-Status: final\n"
+        "Sweep-Tree: abc1234\n"
+        "Post-Sweep-Commits: e dead0 dead007 beef00812345\n"
+    )
+    b = cp.parse_block(text)
+    assert b["named"] == {"dead007", "beef00812345"}
+
+
+def _tmp_repo(tmp_path):
+    import subprocess
+
+    def g(*args):
+        return subprocess.run(
+            ["git", "-C", str(tmp_path), *args],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+
+    g("init", "-q", "-b", "main")
+    g("config", "user.email", "t@example.org")
+    g("config", "user.name", "t")
+    return g
+
+
+def test_merge_commits_diff_against_first_parent(tmp_path, monkeypatch):
+    """r10 advice #4: ``git show`` prints no files for a merge commit, so
+    merges always landed in ``bad`` — the first-parent diff is what the
+    merge actually added to the swept line of history, and an exempt-only
+    (or empty) first-parent diff must be exempt."""
+    g = _tmp_repo(tmp_path)
+    (tmp_path / "a.py").write_text("x = 1\n")
+    g("add", "a.py"); g("commit", "-qm", "base")
+    base = g("rev-parse", "HEAD")
+    # side branch: artifact-only commit
+    g("checkout", "-qb", "side")
+    (tmp_path / "VERDICT.md").write_text("v\n")
+    g("add", "VERDICT.md"); g("commit", "-qm", "verdict")
+    # main: artifact-only commit, then merge the side branch
+    g("checkout", "-q", "main")
+    (tmp_path / "BENCH_DETAIL.md").write_text("b\n")
+    g("add", "BENCH_DETAIL.md"); g("commit", "-qm", "detail")
+    g("merge", "-q", "--no-ff", "-m", "merge side", "side")
+    monkeypatch.setattr(cp, "HERE", str(tmp_path))
+    # merge's first-parent diff is VERDICT.md only -> exempt; both direct
+    # commits artifact-only -> clean
+    assert cp.unlisted_commits(
+        {"tree": base, "status": "final", "named": set()}
+    ) == []
+    # a code commit on top IS flagged, and a dangling token exempts nothing
+    (tmp_path / "a.py").write_text("x = 2\n")
+    g("add", "a.py"); g("commit", "-qm", "code")
+    short = g("rev-parse", "--short", "HEAD")
+    assert cp.unlisted_commits(
+        {"tree": base, "status": "final", "named": {"1234567"}}
+    ) == [short]
+    # naming it (short form resolves via rev-parse) clears the violation
+    assert cp.unlisted_commits(
+        {"tree": base, "status": "final", "named": {short}}
+    ) == []
+
+
 def test_final_status_flags_unnamed_commit():
     """Against the real git history: pretend the CURRENT head's parent was
     the sweep tree with nothing named — HEAD itself must be flagged unless

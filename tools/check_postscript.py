@@ -17,6 +17,17 @@ Semantics:
   CORRECTNESS_r*.json, VERDICT.md, ADVICE.md, PROGRESS.jsonl,
   BENCH_DETAIL.md) — the driver commits those after the builder's last
   commit by construction, so a final postscript cannot name them.
+
+  The artifact-only exemption (named rule, r10 verdict #6 — first
+  applied by commit 3c4b21e): a commit whose ENTIRE file set matches
+  ``EXEMPT`` is measurement/prose REGENERATION — BENCH_DETAIL.md,
+  BENCH_SF*.md, CORRECTNESS_LOCAL.md itself, and the driver's round
+  records. Such a commit cannot invalidate a code sweep because no file
+  it touches participates in any swept plan: the sweeps execute package
+  code + registry entries, and regenerating a report about them changes
+  no executed byte. CORRECTNESS_LOCAL.md is additionally exempt because
+  the commit that writes the final postscript cannot name its own hash.
+  Any commit touching even one non-exempt file must be named.
 - ``superseded`` — the claim is withdrawn (a new round started changing
   code); nothing is enforced beyond the block being parseable. The
   round's end-of-sweep regeneration flips it back to ``final``.
@@ -46,16 +57,24 @@ EXEMPT = re.compile(
 
 
 def parse_block(md_text: str) -> dict | None:
-    """The machine block, or None when the artifact predates it."""
+    """The machine block, or None when the artifact predates it.
+
+    Named tokens must be >= 7 hex chars (r10 advice #4): a short or typo'd
+    token under the old anything-hex parse, combined with bidirectional
+    prefix matching, silently exempted EVERY commit sharing the prefix —
+    e.g. a stray ``e`` exempted most of the repo. Short tokens are simply
+    not collected (they then can't exempt anything, and the unnamed commit
+    they meant to cover fails the check loudly)."""
     tree = re.search(r"^Sweep-Tree:\s*([0-9a-f]{7,40})", md_text, re.M)
     status = re.search(r"^Sweep-Status:\s*(final|superseded)", md_text, re.M)
     named = re.search(r"^Post-Sweep-Commits:\s*([0-9a-f \n]*?)$", md_text, re.M)
     if not (tree and status):
         return None
+    toks = (named.group(1) if named else "").split()
     return {
         "tree": tree.group(1),
         "status": status.group(1),
-        "named": set((named.group(1) if named else "").split()),
+        "named": {t for t in toks if re.fullmatch(r"[0-9a-f]{7,40}", t)},
     }
 
 
@@ -68,20 +87,37 @@ def _git(*args: str) -> str:
 def unlisted_commits(block: dict) -> list[str]:
     """Commits after the sweep tree that a ``final`` postscript fails to
     name, excluding driver-artifact-only commits. Empty for
-    ``superseded``."""
+    ``superseded``.
+
+    Named tokens resolve through ``git rev-parse`` prefix matching
+    against real objects (r10 advice #4) — a token that names nothing in
+    this repo exempts nothing. Merge commits are diffed against their
+    FIRST PARENT (``git show`` prints no files for merges, which used to
+    land every merge in ``bad`` even when it introduced nothing): the
+    first-parent diff is exactly what the merge added to the line of
+    history the sweep ran on, so an empty or exempt-only diff is exempt
+    like any other commit's."""
     if block["status"] != "final":
         return []
-    log = _git("log", "--format=%h", f"{block['tree']}..HEAD").split()
+    resolved = set()
+    for tok in block["named"]:
+        try:
+            resolved.add(_git("rev-parse", "--verify", f"{tok}^{{commit}}").strip())
+        except subprocess.CalledProcessError:
+            continue  # token matches no commit here — can't exempt anything
+    log = _git("log", "--format=%H %h", f"{block['tree']}..HEAD").splitlines()
     bad = []
-    for h in log:
-        if any(h.startswith(n) or n.startswith(h) for n in block["named"]):
+    for line in log:
+        full, short = line.split()
+        if full in resolved:
             continue
-        files = _git(
-            "show", "--name-only", "--format=", h
-        ).split()
-        if files and all(EXEMPT.match(f) for f in files):
+        # first-parent diff covers merge commits too; --root-safe is not
+        # needed (a commit inside tree..HEAD always has a parent)
+        files = _git("diff", "--name-only", f"{full}^1", full).split("\n")
+        files = [f for f in files if f]
+        if all(EXEMPT.match(f) for f in files):
             continue
-        bad.append(h)
+        bad.append(short)
     return bad
 
 
