@@ -27,10 +27,7 @@ MUST_BE_IN_WINDOW = {
     "crud_delete_cascade",      # cascade delete
     "events_hourly",            # windowed rollup
     "events_sessions",          # sessionization
-    "events_asof",              # as-of join
-    "events_gapfill",           # gapfill
     "skew_salted_agg",          # skew mitigation
-    "rel_revenue_by_nation",    # relational joins
     "semdedup_drop",            # semantic dedup (round-4 class; displaced
                                 # doc_lm_nll_join, whose oracle is shared
                                 # with in-window doc_lm_nll and whose
@@ -62,8 +59,6 @@ MUST_BE_IN_WINDOW = {
     # chunks_by_document — listing class covered by doc_listing_page —
     # and rel_ship_priority — multi-join agg covered by
     # rel_revenue_by_nation + rel_pricing_summary)
-    "doc_dsir_sample",
-    "multimodal_neardup",
     # round-10 rotation (r9 verdict #4 + #5): the last never-driver-checked
     # families — streaming sketch state, the real multimodal decode oracle,
     # the tokenizer family, and the local-semantic-embedder pipeline.
@@ -77,6 +72,25 @@ MUST_BE_IN_WINDOW = {
     "multimodal_features",
     "doc_token_count_bpe",
     "embed_semantic_knn_top10",
+    # round-11 rotation (r10 verdict #2 + #4): the eight never-driver-
+    # checked relational entries take the rel-class window slots (the
+    # previous three rel headliners were driver-green r1-r10 and keep full
+    # oracles out-of-window), plus the subword (char-ngram) embedder
+    # pipeline, previously pytest-only. Also displaced after their r10
+    # driver-green rows: events_asof/events_gapfill (temporal class keeps
+    # events_hourly + events_sessions), doc_dsir_sample (DSIR keeps
+    # doc_dsir_select), multimodal_neardup (keeps multimodal_features),
+    # doc_winnowing (np twin shares its oracle), emb_quantize_int8
+    # (quantization covered by pq_search_top10)
+    "rel_large_orders",
+    "rel_distinct_suppliers",
+    "rel_promo_ratio",
+    "rel_above_avg_orders",
+    "rel_trade_volume",
+    "rel_disjunctive_parts",
+    "rel_priority_returns",
+    "rel_idle_customers",
+    "embed_subword_knn_top10",
 }
 
 

@@ -2533,6 +2533,65 @@ ORDER BY score DESC, e.doc_id ASC LIMIT 10
 """
 
 
+def q_embed_subword_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embed → search with the SUBWORD (char-ngram) semantic embedder —
+    the configuration that actually models morphology (r10 verdict #4:
+    ``learning``/``learn`` overlap through shared ``lea/ear/arn`` grams;
+    the reference's ranking semantics in
+    tests/integration/test_cohere_embeddings.py:233). Features per token,
+    in order: the word itself, then its 3-grams, then its 4-grams; vector
+    = sequential left-fold sum of md5-uniform feature vectors
+    (operators/embed.py ``hashed_ngram_embedder``), so DuckDB replays
+    every vector bit-for-bit (the fold matches ``list_reduce``). Exact
+    top-10 cosine neighbors of the min-id document's generated vector."""
+    from vector_db_api_spark.operators.embed import (
+        embed_texts,
+        hashed_ngram_embedder,
+    )
+
+    model = hashed_ngram_embedder(dim=16, char_ngrams=(3, 4), max_words=16)
+    emb = embed_texts(_docs(spark, sf_dir), model_fn=model, dim=16)
+    qvec = [
+        float(x)
+        for x in emb.orderBy("doc_id").limit(1).collect()[0]["embedding"]
+    ]
+    return KNN.knn(emb, qvec, 10, id_col="doc_id")
+
+
+def _sql_embed_subword_knn(dim: int = 16, max_words: int = 16) -> str:
+    comp = (
+        "(CAST(('0x' || substring(md5(f || '|' || CAST(j AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 1000000) / 1000000.0 * 2.0 - 1.0"
+    )
+    # feature sequence per word w: ['w|'||w] ++ 3-grams ++ 4-grams, grams
+    # left to right (range is empty when the word is shorter than n) —
+    # exactly hashed_ngram_embedder's append order, so the fold agrees
+    feats = f"""flatten(list_transform(
+        list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                   1, {max_words}),
+        w -> list_concat(list_concat(
+          ['w|' || w],
+          list_transform(range(1, length(w) - 1),
+                         p -> 'g|' || substring(w, p, 3))),
+          list_transform(range(1, length(w) - 2),
+                         p -> 'g|' || substring(w, p, 4)))))"""
+    return f"""
+WITH emb AS (
+  SELECT doc_id,
+    list_transform(range(0, {dim}), j ->
+      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform({feats}, f -> {comp})),
+        (acc, x) -> acc + x)) AS embedding
+  FROM documents
+),
+q AS (SELECT embedding AS qv FROM emb
+      WHERE doc_id = (SELECT min(doc_id) FROM emb))
+SELECT e.doc_id, {O.cosine('e.embedding', 'q.qv')} AS score
+FROM emb e CROSS JOIN q
+ORDER BY score DESC, e.doc_id ASC LIMIT 10
+"""
+
+
 def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnow_fps is array<int>; the driver canonicalizer can't sort/hash
     # arrays, so project to a CSV string (bit-exact: integers only).
@@ -4521,11 +4580,6 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     ),
     "corpus_profile": (q_corpus_profile, _sql_corpus_profile()),
     "doc_chunking": (q_doc_chunking, _sql_doc_chunking()),
-    "doc_winnowing": (
-        q_doc_winnowing,
-        f"SELECT doc_id, COALESCE(array_to_string(winnow_fps, ','), '') "
-        f"AS winnow_fps_csv FROM ({O.winnowing_sql()})",
-    ),
     # --- in-window: dedup ---
     "exact_duplicates": (q_exact_duplicates, _sql_exact_duplicates()),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh_pairs()),
@@ -4575,15 +4629,27 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # --- in-window: stream-built state vs batch oracle ---
     "stream_bm25_state": (q_stream_bm25_state, _sql_doc_bm25()),
     "stream_trending_state": (q_stream_trending_state, _SQL_STREAM_TRENDING),
-    # --- in-window: relational headliners ---
-    "rel_pricing_summary": (q_rel_pricing_summary, _SQL_REL_PRICING_SUMMARY),
-    "rel_revenue_by_nation": (q_rel_revenue_by_nation, _SQL_REL_REVENUE_BY_NATION),
-    "rel_customer_running_total": (
-        q_rel_customer_running_total,
-        _SQL_REL_CUSTOMER_RUNNING_TOTAL,
-    ),
-    # --- in-window: quantization ---
-    "emb_quantize_int8": (q_emb_quantize_int8, _sql_emb_quantize_int8()),
+    # --- in-window: relational family, r11 rotation (r10 verdict #2: the
+    # eight rel_* entries below had NEVER had a driver CORRECTNESS row —
+    # every other rel entry had been green in some round's window).
+    # Displaced to make room, all multiply driver-green and keeping full
+    # value oracles out-of-window: rel_pricing_summary /
+    # rel_revenue_by_nation / rel_customer_running_total (green r1-r10;
+    # the relational class now has EIGHT in-window reps), doc_winnowing
+    # (green r10; np twin shares its oracle verbatim), emb_quantize_int8
+    # (green r10; quantization class covered by in-window pq_search_top10),
+    # events_asof + events_gapfill (green r10; temporal class keeps
+    # events_hourly + events_sessions), doc_dsir_sample (green r10; DSIR
+    # keeps doc_dsir_select), multimodal_neardup (green r10; multimodal
+    # keeps multimodal_features) ---
+    "rel_large_orders": (q_rel_large_orders, _SQL_REL_LARGE_ORDERS),
+    "rel_distinct_suppliers": (q_rel_distinct_suppliers, _SQL_REL_DISTINCT_SUPPLIERS),
+    "rel_promo_ratio": (q_rel_promo_ratio, _SQL_REL_PROMO_RATIO),
+    "rel_above_avg_orders": (q_rel_above_avg_orders, _SQL_REL_ABOVE_AVG_ORDERS),
+    "rel_trade_volume": (q_rel_trade_volume, _SQL_REL_TRADE_VOLUME),
+    "rel_disjunctive_parts": (q_rel_disjunctive_parts, _SQL_REL_DISJUNCTIVE_PARTS),
+    "rel_priority_returns": (q_rel_priority_returns, _SQL_REL_PRIORITY_RETURNS),
+    "rel_idle_customers": (q_rel_idle_customers, _SQL_REL_IDLE_CUSTOMERS),
     # --- in-window: CRUD / mutation layer + composed search ---
     "crud_upsert": (q_crud_upsert, _SQL_CRUD_UPSERT),
     "crud_cas": (q_crud_cas, _SQL_CRUD_CAS),
@@ -4599,20 +4665,13 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # --- in-window: similarity join + end-to-end corpus clean ---
     "knn_self_join_top3": (q_knn_self_join, _sql_knn_self_join()),
     "corpus_clean_near": (q_corpus_clean_near, _sql_corpus_clean_near()),
-    # --- in-window: curation + temporal (DuckDB native ASOF JOIN oracle) ---
+    # --- in-window: curation ---
     "doc_packing": (q_doc_packing, _sql_doc_packing()),
-    "events_asof": (q_events_asof, _SQL_EVENTS_ASOF),
-    "events_gapfill": (q_events_gapfill, _SQL_EVENTS_GAPFILL),
-    # --- in-window: r9 rotation — the paper's actual DSIR sampler (seeded
-    # Gumbel resampling; pass-local since r8 but never driver-green) and
-    # the multimodal family's first driver window slot since r5 (binary
-    # decode → feature → embed → cosine near-dup over Arrow batches).
-    # Displaced: chunks_by_document (listing/pagination class stays
-    # covered by in-window doc_listing_page) and rel_ship_priority (multi-
-    # join agg class covered by rel_revenue_by_nation + rel_pricing_summary;
-    # both keep full value oracles out-of-window) ---
-    "doc_dsir_sample": (q_doc_dsir_sample, _sql_doc_dsir_sample()),
-    "multimodal_neardup": (q_multimodal_neardup, _sql_multimodal_neardup()),
+    # --- in-window: r11 rotation slot — the subword (char-ngram) semantic
+    # embedder pipeline (r10 verdict #4: the morphology-modeling recipe,
+    # previously pytest-only; its oracle replays word + 3-gram + 4-gram
+    # feature folds bit-for-bit) ---
+    "embed_subword_knn_top10": (q_embed_subword_knn, _sql_embed_subword_knn()),
     # --- in-window: r10 rotation (r9 verdict #4 + #5) — the last
     # never-driver-checked families take window slots: streaming sketch
     # state (stream_kmv_state), the real multimodal decode oracle
@@ -4686,14 +4745,24 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "doc_leakage_split": (q_doc_leakage_split, _sql_doc_leakage_split()),
     "events_anomalies": (q_events_anomalies, _SQL_EVENTS_ANOMALIES),
     "knn_postfilter": (q_knn_postfilter, _sql_knn_postfilter()),
-    "rel_large_orders": (q_rel_large_orders, _SQL_REL_LARGE_ORDERS),
-    "rel_distinct_suppliers": (q_rel_distinct_suppliers, _SQL_REL_DISTINCT_SUPPLIERS),
-    "rel_promo_ratio": (q_rel_promo_ratio, _SQL_REL_PROMO_RATIO),
-    "rel_above_avg_orders": (q_rel_above_avg_orders, _SQL_REL_ABOVE_AVG_ORDERS),
-    "rel_trade_volume": (q_rel_trade_volume, _SQL_REL_TRADE_VOLUME),
-    "rel_disjunctive_parts": (q_rel_disjunctive_parts, _SQL_REL_DISJUNCTIVE_PARTS),
-    "rel_priority_returns": (q_rel_priority_returns, _SQL_REL_PRIORITY_RETURNS),
-    "rel_idle_customers": (q_rel_idle_customers, _SQL_REL_IDLE_CUSTOMERS),
+    # r11 rotation: displaced from the window (classes covered in-window —
+    # see the r11 rotation comments above) — full value oracles kept
+    "doc_winnowing": (
+        q_doc_winnowing,
+        f"SELECT doc_id, COALESCE(array_to_string(winnow_fps, ','), '') "
+        f"AS winnow_fps_csv FROM ({O.winnowing_sql()})",
+    ),
+    "rel_pricing_summary": (q_rel_pricing_summary, _SQL_REL_PRICING_SUMMARY),
+    "rel_revenue_by_nation": (q_rel_revenue_by_nation, _SQL_REL_REVENUE_BY_NATION),
+    "rel_customer_running_total": (
+        q_rel_customer_running_total,
+        _SQL_REL_CUSTOMER_RUNNING_TOTAL,
+    ),
+    "emb_quantize_int8": (q_emb_quantize_int8, _sql_emb_quantize_int8()),
+    "events_asof": (q_events_asof, _SQL_EVENTS_ASOF),
+    "events_gapfill": (q_events_gapfill, _SQL_EVENTS_GAPFILL),
+    "doc_dsir_sample": (q_doc_dsir_sample, _sql_doc_dsir_sample()),
+    "multimodal_neardup": (q_multimodal_neardup, _sql_multimodal_neardup()),
     "events_pivot": (q_events_pivot, _SQL_EVENTS_PIVOT),
     "knn_euclidean_top10": (_q_knn("euclidean"), _sql_knn("euclidean")),
     "knn_dot_top10": (_q_knn("dot_product"), _sql_knn("dot_product")),
