@@ -225,6 +225,7 @@ PLAN_PINS = {
     "ivf_search_np8": "test_ivf_flat_probe_has_no_corpus_join",
     "ivf_search_batch32": "test_batch_ann_plans_broadcast_probes_and_partial_limit",
     "knn_self_join_ivf": "test_batch_ann_plans_broadcast_probes_and_partial_limit",
+    "knn_self_join_ivf_sym": "test_ivf_self_join_plan_is_equi_join_no_cartesian",
     "pq_search": "test_pq_search_candidate_selection_is_take_ordered",
     "pq_search_batch32": "test_pq_search_candidate_selection_is_take_ordered",
     "simhash_np": "test_simhash_kernel_is_shuffle_free",
@@ -800,6 +801,12 @@ def main() -> None:
     corpus_queries.count()
     thunks["knn_self_join_ivf"] = lambda: _force(
         ivf.search_batch(emb, assignments, corpus_queries, 4, id_col="vec_id")
+    )
+    # symmetric multi-probe self-join (r10 verdict #3): both sides probe 2
+    # cells, pairs candidate on probe-set intersection — the boundary-recall
+    # upgrade; recall/candidate-fraction curve lives in BENCH_SCALE.md
+    thunks["knn_self_join_ivf_sym"] = lambda: _force(
+        ivf.self_join(emb, 4, id_col="vec_id", nprobe_sym=2)
     )
     # full exact kNN self-join (every vector × every vector, top-3) via the
     # Arrow/numpy matmul path — the throughput variant of the oracle-exact

@@ -171,6 +171,24 @@ def test_batch_ann_plans_broadcast_probes_and_partial_limit(spark, emb):
     assert "WindowGroupLimit" in plan and "Partial" in plan
 
 
+def test_ivf_self_join_plan_is_equi_join_no_cartesian(spark, emb):
+    """r10 verdict #3: the symmetric multi-probe self-join must stay
+    bucket-local — an equi-self-join of the probe table on centroid_id
+    plus equi-joins for hydration/scoring; never a cartesian or
+    nested-loop product, and never a corpus-sized broadcast (the query
+    side is the WHOLE corpus — rerank_pairs runs with
+    broadcast_queries=False, r10's ngram OOM lesson)."""
+    from vector_db_api_spark.operators.ivf import IVFIndex
+
+    ivf = IVFIndex.train(emb, num_centroids=8, nprobe=2, seed=42)
+    plan = _plan(ivf.self_join(emb, 4, id_col="vec_id", nprobe_sym=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    # the candidate dedup is a real distinct (rerank_pairs contract)
+    assert "HashAggregate" in plan
+
+
 def test_bucketed_join_is_shuffle_free(spark, emb, tmp_path):
     from vector_db_api_spark.sources.tables import write_bucketed
 

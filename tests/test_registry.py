@@ -91,6 +91,10 @@ MUST_BE_IN_WINDOW = {
     "rel_priority_returns",
     "rel_idle_customers",
     "embed_subword_knn_top10",
+    # the new symmetric multi-probe ANN self-join operator (r10 verdict
+    # #3) — first-class, oracle-backed, in-window from its first round
+    # (displaced doc_packing after its r10 driver-green row)
+    "knn_self_join_ivf_sym",
 }
 
 

@@ -1,0 +1,205 @@
+"""Streaming-at-scale sweep (r10 verdict #5): drain the stateful streaming
+operators against a LARGE sf dir (default /tmp/sf1 — 1M events / 50k docs /
+20k vectors), with real micro-batch granularity where the semantics allow
+it, and record what the gate-scale sweeps never showed:
+
+- PER-BATCH wall + input rows, from the StreamingQuery's progress log;
+- the on-disk STATE-STORE size after the drain (epoch-partitioned parquet);
+- the served result checked against the SAME DuckDB oracle the registry
+  uses (the stream-vs-batch equality bar, now at 100× the gate scale).
+
+Epoch granularity per family (chosen so the oracle stays EXACT):
+
+- bm25 postings: 8 files → 8 micro-batches (each doc lands in exactly one
+  epoch; latest_rows max-epoch dedup makes the epoch split invisible);
+- kmv sketches: 8 files → 8 micro-batches (KMV merge theorem: any split
+  merges to the single-pass sketch bit-for-bit);
+- semdedup: the registry's 2-epoch even/odd split (the oracle replays that
+  exact two-stage greedy — MORE epochs would change the admitted set);
+- trending rollup: single availableNow batch (the watermark would drop
+  time-unordered late files under a forced split; the suite contract is
+  drain-then-serve).
+
+Prints a markdown section for CORRECTNESS_LOCAL.md.
+
+Usage: python tools/stream_sf1.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.join(HERE, "tools"))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from check_correctness import canon, duck_con  # noqa: E402
+from vector_db_api_spark import suite  # noqa: E402
+from vector_db_api_spark.session import get_spark  # noqa: E402
+from vector_db_api_spark.sources.tables import load_table  # noqa: E402
+
+
+def _du_mb(path: str) -> float:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return round(total / 1e6, 2)
+
+
+def _batches(q) -> list[dict]:
+    out = []
+    for p in q.recentProgress:
+        if p is None:
+            continue
+        out.append({
+            "batch": p["batchId"],
+            "rows": p["numInputRows"],
+            "sec": round((p.get("durationMs") or {}).get(
+                "triggerExecution", 0) / 1000.0, 2),
+        })
+    return [b for b in out if b["rows"] or b["sec"]]
+
+
+def _oracle_ok(con, name: str, df) -> tuple[bool, int]:
+    sql = suite.SUITE[name][1]
+    srows, scols = canon([tuple(r) for r in df.collect()], df.columns)
+    res = con.execute(sql)
+    drows, dcols = canon(res.fetchall(), [d[0] for d in res.description])
+    return (srows == drows and [c.lower() for c in scols]
+            == [c.lower() for c in dcols]), len(srows)
+
+
+def run_bm25(spark, con, sf_dir, report):
+    from vector_db_api_spark.operators.keyword import bm25_scores_postings
+    from vector_db_api_spark.streaming.ingest import (
+        incremental_postings_ingest,
+        latest_rows,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sf1_stream_bm25_")
+    src, pp, dp, ck = (f"{tmp}/{d}" for d in ("src", "postings", "doclens", "ck"))
+    suite._docs(spark, sf_dir).select("doc_id", "text").repartition(8) \
+        .write.mode("overwrite").parquet(src)
+    t0 = time.time()
+    q = incremental_postings_ingest(
+        spark, src, "doc_id bigint, text string", pp, dp, ck,
+        max_files_per_trigger=1,
+    )
+    suite._await_stream(q, seconds=3600)
+    wall = time.time() - t0
+    served = bm25_scores_postings(
+        latest_rows(spark.read.parquet(pp)),
+        latest_rows(spark.read.parquet(dp)),
+        suite.BM25_QUERY,
+    )
+    ok, n = _oracle_ok(con, "stream_bm25_state", served)
+    report("stream_bm25 (8 epochs)", wall, _batches(q),
+           _du_mb(pp) + _du_mb(dp), ok, n)
+
+
+def run_kmv(spark, con, sf_dir, report):
+    from vector_db_api_spark.streaming.ingest import (
+        incremental_kmv_ingest,
+        served_kmv_estimates,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sf1_stream_kmv_")
+    src, sp, ck = (f"{tmp}/{d}" for d in ("src", "state", "ck"))
+    load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    ).repartition(8).write.mode("overwrite").parquet(src)
+    t0 = time.time()
+    q = incremental_kmv_ingest(
+        spark, src, "event_type string, user_id bigint", sp, ck,
+        ["event_type"], "user_id", k=suite._KMV_K, max_files_per_trigger=1,
+    )
+    suite._await_stream(q, seconds=3600)
+    wall = time.time() - t0
+    served = served_kmv_estimates(
+        spark, sp, ["event_type"], k=suite._KMV_K
+    ).withColumnRenamed("est_distinct", "est_users")
+    ok, n = _oracle_ok(con, "stream_kmv_state", served)
+    report("stream_kmv (8 epochs)", wall, _batches(q), _du_mb(sp), ok, n)
+
+
+def run_semdedup(spark, con, sf_dir, report):
+    from vector_db_api_spark.streaming.dedup import incremental_semdedup_ingest
+
+    tmp = tempfile.mkdtemp(prefix="sf1_stream_semdedup_")
+    a, b, sp = f"{tmp}/a", f"{tmp}/b", f"{tmp}/state"
+    emb = suite._emb(spark, sf_dir).select("vec_id", "embedding")
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(a)
+    emb.filter(F.col("vec_id") % 2 == 1).write.mode("overwrite").parquet(b)
+    cent = suite._semdedup_fixed_centroids()
+    batches, t0 = [], time.time()
+    for i, src in enumerate((a, b)):
+        stream = spark.readStream.schema(
+            "vec_id bigint, embedding array<float>"
+        ).parquet(src)
+        q = incremental_semdedup_ingest(
+            stream, sp, f"{tmp}/ck{i}", cent, suite.NEARDUP_THRESHOLD,
+            id_col="vec_id", epoch_offset=i * 1_000_000,
+        )
+        suite._await_stream(q, seconds=3600)
+        bs = _batches(q)
+        for bb in bs:
+            bb["batch"] = f"epoch{i}"
+        batches += bs
+    wall = time.time() - t0
+    served = spark.read.parquet(sp).select("vec_id")
+    ok, n = _oracle_ok(con, "stream_semdedup_state", served)
+    report("stream_semdedup (2 epochs)", wall, batches, _du_mb(sp), ok, n)
+
+
+def run_trending(spark, con, sf_dir, report):
+    served = suite.q_stream_trending_state(spark, sf_dir)
+    t0 = time.time()
+    n_served = served.count()
+    wall = time.time() - t0
+    ok, n = _oracle_ok(con, "stream_trending_state", served)
+    report("stream_trending (1 availableNow batch over 1M events)",
+           wall, [], None, ok, n)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    spark = get_spark("stream-sf1")
+    con = duck_con(sf_dir)
+    lines = [f"\n### Streaming at {sf_dir} (tools/stream_sf1.py)\n"]
+
+    def report(name, wall, batches, state_mb, ok, n):
+        lines.append(
+            f"- **{name}**: drain {wall:.1f}s"
+            + (f", state {state_mb} MB" if state_mb is not None else "")
+            + f", served {n} rows, oracle "
+            + ("**MATCH**" if ok else "**MISMATCH**")
+        )
+        if batches:
+            per = ", ".join(
+                f"b{b['batch']}={b['sec']}s/{b['rows']}r" for b in batches
+            )
+            lines.append(f"  - per-batch: {per}")
+        print(lines[-1], flush=True)
+
+    run_kmv(spark, con, sf_dir, report)
+    run_bm25(spark, con, sf_dir, report)
+    run_trending(spark, con, sf_dir, report)
+    run_semdedup(spark, con, sf_dir, report)
+    print("\n".join(lines))
+    with open("/tmp/stream_sf1_section.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\nwritten: /tmp/stream_sf1_section.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

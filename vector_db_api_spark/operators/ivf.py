@@ -437,6 +437,79 @@ class IVFIndex:
             probe_batches, schema=out_schema
         )
 
+    def self_join_pairs(
+        self,
+        corpus: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        nprobe_sym: int | None = None,
+    ) -> DataFrame:
+        """Directed candidate pairs (query_id, ``id_col``) for an
+        approximate kNN SELF-join via SYMMETRIC multi-probe (r10 verdict
+        #3): every vector probes its ``nprobe_sym`` nearest cells, and a
+        pair is a candidate when the two probe SETS INTERSECT.
+
+        Why symmetric: the asymmetric batch plan (``search_batch`` over
+        the corpus as its own query set) probes p cells per QUERY but each
+        corpus vector is discoverable only in its single home cell — two
+        boundary vectors straddling adjacent cells miss each other unless
+        one happens to probe the other's home. Probing both sides makes a
+        pair reachable when ANY of the p×p cell combinations collide —
+        the standard multi-assignment recall upgrade, reference-free.
+
+        Plan shape (100 TB): one mapInPandas probe pass (n×p rows, fused
+        with the scan) → equi-self-join on ``centroid_id`` (bucket-local:
+        Σ_cells |bucket|² directed pairs — NEVER a cartesian; AQE handles
+        skewed cells) → ``distinct`` (a pair sharing ≥2 probed cells must
+        score once — rerank_pairs requires duplicate-free pairs). Self
+        pairs (a,a) are kept for parity with ``search_batch`` (a vector is
+        its own nearest neighbor; dedup callers filter it like the exact
+        plan does). Candidate work scales as p²/k of the naive n² — the
+        recall/cost knob the self-join recall curve in BENCH_SCALE.md
+        measures."""
+        queries = corpus.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("query_vec"),
+        )
+        probes = self.assign_queries(queries, nprobe=nprobe_sym)
+        right = probes.select(
+            F.col("query_id").alias(id_col), "centroid_id"
+        )
+        return (
+            probes.join(right, "centroid_id")
+            .select("query_id", id_col)
+            .distinct()
+        )
+
+    def self_join(
+        self,
+        corpus: DataFrame,
+        k: int,
+        metric: str = "cosine",
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        nprobe_sym: int | None = None,
+    ) -> DataFrame:
+        """Approximate kNN self-join: per-vector top-k over the symmetric
+        multi-probe candidates (:meth:`self_join_pairs`), exact re-rank.
+        Drop-in for the ``search_batch``-as-self-join plan with strictly
+        higher recall at the same nprobe (the candidate set is a
+        superset); cost grows with nprobe² instead of nprobe — choose via
+        the measured recall/candidate-fraction curve (BENCH_SCALE.md)."""
+        from vector_db_api_spark.operators.knn import rerank_pairs
+
+        queries = corpus.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("query_vec"),
+        )
+        pairs = self.self_join_pairs(
+            corpus, id_col=id_col, vec_col=vec_col, nprobe_sym=nprobe_sym
+        )
+        return rerank_pairs(
+            corpus, queries, pairs, k, metric=metric, id_col=id_col,
+            vec_col=vec_col, broadcast_queries=False,
+        )
+
     def search_batch(
         self,
         corpus: DataFrame,

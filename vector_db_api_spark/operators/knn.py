@@ -242,6 +242,7 @@ def rerank_pairs(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     vec_in_pairs: bool = False,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact re-rank of precomputed (query_id, id) candidate pairs — the
     shared tail of every batch ANN path (LSH/IVF ``search_batch``).
@@ -258,14 +259,19 @@ def rerank_pairs(
     ``vec_in_pairs=True``: ``pairs`` already carries ``vec_col`` (a
     self-contained LSH bucket table probe), so the corpus hydration join is
     skipped entirely — one fewer shuffle/broadcast stage.
-    """
+
+    ``broadcast_queries=False``: for CORPUS-SIZED query sides (the
+    IVF self-join feeds the whole corpus as queries) a forced broadcast is
+    the same driver-OOM cliff the r10 sf1 sweep caught in ngram_jaccard —
+    leave the join strategy to Catalyst/AQE instead (shuffled hash/SMJ on
+    ``query_id_col``, both sides partition cleanly)."""
     e = V.as_double_array(vec_col)
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col),
-            V.as_double_array(query_vec_col).alias("__qv"),
-        )
+    q = queries.select(
+        F.col(query_id_col),
+        V.as_double_array(query_vec_col).alias("__qv"),
     )
+    if broadcast_queries:
+        q = F.broadcast(q)
     if vec_in_pairs:
         cand = pairs.select(query_id_col, id_col, vec_col)
     else:

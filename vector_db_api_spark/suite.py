@@ -3776,6 +3776,56 @@ SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
 """
 
 
+def q_knn_self_join_ivf_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN SELF-join with SYMMETRIC multi-probe
+    (operators/ivf.py ``IVFIndex.self_join``, r10 verdict #3) under the
+    fixed seeded centroids: every vector probes its 2 nearest cells, a
+    pair is a candidate when the probe sets intersect, candidates re-rank
+    exactly, top-3 per vector (self included — a vector is its own
+    nearest neighbor, as in the exact plan). The oracle replays probe
+    ranking (dots over the same centroid constants, ties to the lower
+    cell id), the probe-set-intersection pair join, and the re-rank."""
+    model = _ivf_fixed_model()
+    emb = _emb(spark, sf_dir)
+    return model.self_join(emb, 3, id_col="vec_id", nprobe_sym=2)
+
+
+def _sql_knn_self_join_ivf_sym(p: int = 2, k: int = 3) -> str:
+    model = _ivf_fixed_model()
+    dlist = O.dots_const_list("e.embedding", model.centroids)
+    return f"""
+WITH base AS (
+  SELECT e.vec_id, e.embedding, {dlist} AS dots
+  FROM embeddings e
+  WHERE e.embedding IS NOT NULL AND {O.norm('e.embedding')} <> 0.0
+),
+probe AS (
+  SELECT b.vec_id, t.j - 1 AS centroid_id,
+         row_number() OVER (PARTITION BY b.vec_id
+                            ORDER BY b.dots[t.j] DESC, t.j ASC) AS rk
+  FROM base b CROSS JOIN range(1, {_IVF_FIXED_K} + 1) AS t(j)
+),
+p AS (SELECT vec_id, centroid_id FROM probe WHERE rk <= {p}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vid
+  FROM p a JOIN p b USING (centroid_id)
+),
+scored AS (
+  SELECT pr.qid AS query_id, pr.vid AS vec_id,
+         {O.cosine('cb.embedding', 'ca.embedding')} AS score
+  FROM pairs pr
+  JOIN base ca ON ca.vec_id = pr.qid
+  JOIN base cb ON cb.vec_id = pr.vid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= {k}
+"""
+
+
 def q_knn_batch_numpy_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactness proof for the Arrow/numpy batch path: the top-5 *id set* per
     query must equal the SQL fold's. Scores are projected away because numpy's
@@ -4665,13 +4715,17 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # --- in-window: similarity join + end-to-end corpus clean ---
     "knn_self_join_top3": (q_knn_self_join, _sql_knn_self_join()),
     "corpus_clean_near": (q_corpus_clean_near, _sql_corpus_clean_near()),
-    # --- in-window: curation ---
-    "doc_packing": (q_doc_packing, _sql_doc_packing()),
-    # --- in-window: r11 rotation slot — the subword (char-ngram) semantic
+    # --- in-window: r11 rotation slots — the subword (char-ngram) semantic
     # embedder pipeline (r10 verdict #4: the morphology-modeling recipe,
     # previously pytest-only; its oracle replays word + 3-gram + 4-gram
-    # feature folds bit-for-bit) ---
+    # feature folds bit-for-bit) and the NEW symmetric multi-probe ANN
+    # self-join (r10 verdict #3; displaced doc_packing after its r10
+    # driver-green row — curation class keeps doc_dsir_select in-window) ---
     "embed_subword_knn_top10": (q_embed_subword_knn, _sql_embed_subword_knn()),
+    "knn_self_join_ivf_sym": (
+        q_knn_self_join_ivf_sym,
+        _sql_knn_self_join_ivf_sym(),
+    ),
     # --- in-window: r10 rotation (r9 verdict #4 + #5) — the last
     # never-driver-checked families take window slots: streaming sketch
     # state (stream_kmv_state), the real multimodal decode oracle
@@ -4759,6 +4813,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         _SQL_REL_CUSTOMER_RUNNING_TOTAL,
     ),
     "emb_quantize_int8": (q_emb_quantize_int8, _sql_emb_quantize_int8()),
+    "doc_packing": (q_doc_packing, _sql_doc_packing()),
     "events_asof": (q_events_asof, _SQL_EVENTS_ASOF),
     "events_gapfill": (q_events_gapfill, _SQL_EVENTS_GAPFILL),
     "doc_dsir_sample": (q_doc_dsir_sample, _sql_doc_dsir_sample()),
