@@ -999,7 +999,15 @@ def main() -> None:
         c_ivf_frac.append(casg.filter(
             F.col("centroid_id").isin(civf.probe_centroids(cq))
         ).count() / n_corpus)
-        c_pq = {x["id"] for x in cpq.search(cdf, ccodes, cq, 10).collect()}
+        # PQ's rerank pool must cover the cluster multiplicity (r11, found
+        # by the sf1 run: the 4n default pool recalled 0.25 at n=20k where
+        # clusters hold ~n/64 members; ADC cannot rank within a tight
+        # cluster, so the pool IS the recall knob — measured curve in
+        # BENCH_SCALE.md "PQ rerank pool"). n/50 = 2% of the corpus,
+        # still a ~50x scan reduction before the exact re-rank.
+        c_pq = {x["id"] for x in cpq.search(
+            cdf, ccodes, cq, 10, rerank=max(40, n_corpus // 50)
+        ).collect()}
         c_pq_rec.append(len(c_pq & c_exact) / 10)
     recall["lsh_clustered"] = round(sum(c_lsh_rec) / len(c_lsh_rec), 3)
     recall["ivf_clustered"] = round(sum(c_ivf_rec) / len(c_ivf_rec), 3)

@@ -215,3 +215,40 @@ def test_pq_search_batch_matches_per_query(spark, clustered_df, clustered_vector
             pq.search_batch(clustered_df, codes, qdf, 5, max_queries=2)
     finally:
         codes.unpersist()
+
+
+def test_pq_search_keeps_adc_ties_at_the_boundary(spark):
+    """r11 (found by the sf1 bench: pq recall_clustered collapsed 1.0 →
+    0.25 as cluster size outgrew the fixed rerank pool): quantization maps
+    near-identical vectors to IDENTICAL codes, so inside a tight cluster
+    every member ties on ADC score — a hard LIMIT rerank kept an arbitrary
+    id-ordered subset and the true neighbors never reached the exact
+    re-rank. The fix keeps the whole tie class at the cutoff. This corpus
+    makes the old behavior fail deterministically: 200 copies of one
+    vector, jitter shrinking as id GROWS (so the true top-10 are the
+    HIGHEST ids — exactly the rows a lowest-id-first LIMIT 40 drops)."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    books = rng.standard_normal((8, 4, 2))  # m=8, k=4, dsub=2
+    pq = PQIndex(books)
+    rows = []
+    for i in range(200):
+        # jitter ~1e-9 · (200 - i): closest to base at the LARGEST ids;
+        # far too small to move any per-subspace argmin codeword
+        v = base + rng.standard_normal(16) * 1e-9 * (200 - i)
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "id bigint, embedding array<double>")
+    codes = pq.encode(corpus)
+    # precondition: one tie class — every row quantizes to the same codes
+    assert codes.select("codes").distinct().count() == 1
+    qv = [float(x) for x in base]
+    exact = [r["id"] for r in knn(corpus, qv, 10).collect()]
+    got = [r["id"] for r in pq.search(corpus, codes, qv, 10).collect()]
+    assert got == exact, (got, exact)
+    # batch path: same ties semantics per query
+    qdf = spark.createDataFrame(
+        [("q0", qv)], "query_id string, query_vec array<double>"
+    )
+    batch = [r["id"] for r in pq.search_batch(
+        corpus, codes, qdf, 10).orderBy(F.desc("score"), "id").collect()]
+    assert batch == exact, (batch, exact)

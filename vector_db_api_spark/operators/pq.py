@@ -36,7 +36,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -258,19 +258,38 @@ class PQIndex:
         vec_col: str = "embedding",
         metric: str = "cosine",
     ) -> DataFrame:
-        """ADC top-``rerank`` candidates (default 4n) from the codes scan,
-        then exact re-rank against the full vectors — reported scores are
-        true similarities, PQ error only affects WHICH candidates surface
-        (the recall test bounds that)."""
+        """ADC top-``rerank`` candidates (default 4n) from the codes scan
+        — WITH ties at the boundary — then exact re-rank against the full
+        vectors; reported scores are true similarities, PQ error only
+        affects WHICH candidates surface (the recall test bounds that).
+
+        Ties-at-boundary (r11, found by the sf1 bench): quantization maps
+        near-identical vectors to IDENTICAL codes, so inside a tight
+        cluster every member shares one ADC score and a hard
+        ``LIMIT rerank`` would keep an arbitrary id-ordered subset —
+        recall_clustered collapsed 1.0 → 0.25 between n=2k and n=20k as
+        cluster size outgrew the fixed pool. Keeping the full tie class at
+        the cutoff (every row scoring >= the rerank-th ADC score) restores
+        recall at the cost of exactly the rows the quantizer cannot
+        distinguish anyway; the degenerate bound is one tie class (an
+        all-identical-codes corpus re-ranks everything — which is then the
+        CORRECT answer, not a pruning bug)."""
         from vector_db_api_spark.operators.knn import knn
 
         rerank = max(n, rerank if rerank is not None else 4 * n)
-        cand = (
-            self.adc_scores(codes, qvec, id_col=id_col)
-            .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
+        scored = self.adc_scores(codes, qvec, id_col=id_col)
+        # distributed TakeOrdered of one scalar: the rerank-th ADC score
+        row = (
+            scored.orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
             .limit(rerank)
-            .select(id_col)
+            .agg(F.min("adc_score"))
+            .collect()
         )
+        cutoff = row[0][0]
+        if cutoff is None:
+            return knn(corpus.limit(0), qvec, n, metric=metric,
+                       id_col=id_col, vec_col=vec_col)
+        cand = scored.filter(F.col("adc_score") >= cutoff).select(id_col)
         pruned = corpus.join(F.broadcast(cand), id_col, "left_semi")
         return knn(pruned, qvec, n, metric=metric, id_col=id_col, vec_col=vec_col)
 
@@ -305,7 +324,6 @@ class PQIndex:
         (same contract as :meth:`IVFIndex.assign_queries`)."""
         from vector_db_api_spark.functions.ship import ship_model
         from vector_db_api_spark.operators.knn import rerank_pairs
-        from vector_db_api_spark.operators.topk import topk_per_group
 
         qrows = queries.select(query_id_col, query_vec_col).take(max_queries + 1)
         if len(qrows) > max_queries:
@@ -354,22 +372,34 @@ class PQIndex:
                 out = []
                 for qi in range(tensor.shape[0]):
                     s = tensor[qi][rows, mat].sum(axis=1)
-                    # deterministic partial top-k: full (score desc, id
-                    # asc) order inside the batch, so boundary ties
-                    # resolve identically to the global window step
-                    order = np.lexsort((ids, -s))[:rerank]
+                    # partial top-k WITH batch-boundary ties: identical
+                    # codes score identically, so a hard [:rerank] cut
+                    # could drop a tied row the global cutoff keeps —
+                    # emitting every row scoring >= the batch's rerank-th
+                    # score preserves the superset property (r11
+                    # ties-at-boundary fix, see search())
+                    if len(s) > rerank:
+                        cut = np.partition(-s, rerank - 1)[rerank - 1]
+                        keep = np.flatnonzero(-s <= cut)
+                    else:
+                        keep = np.arange(len(s))
                     out.append(pd.DataFrame({
                         query_id_col: qids[qi],
-                        id_col: ids[order],
-                        "adc_score": s[order],
+                        id_col: ids[keep],
+                        "adc_score": s[keep],
                     }))
                 yield pd.concat(out)
 
         partial = codes.mapInPandas(run, schema=out_schema)
-        cand = topk_per_group(
-            partial, [query_id_col],
-            [F.desc("adc_score"), F.col(id_col).asc()], rerank,
-        ).select(query_id_col, id_col)
+        # global top-rerank WITH ties: rank() (not row_number) keeps the
+        # whole tie class at the cutoff — matches search()'s score-cutoff
+        # semantics and the oracle's rank()-based replay
+        w = Window.partitionBy(query_id_col).orderBy(F.desc("adc_score"))
+        cand = (
+            partial.withColumn("__rk", F.rank().over(w))
+            .filter(F.col("__rk") <= rerank)
+            .select(query_id_col, id_col)
+        )
         # zero-vector queries have no candidate pairs, so they vanish at
         # the rerank join without an explicit filter
         return rerank_pairs(

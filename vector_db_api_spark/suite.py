@@ -3427,7 +3427,13 @@ WITH uvec AS (
   FROM embeddings e WHERE e.embedding IS NOT NULL{extra_where}
 ),
 adc AS (SELECT vec_id, {adc} AS adc_score FROM uvec),
-cand AS (SELECT vec_id FROM adc ORDER BY adc_score DESC, vec_id ASC LIMIT 40)
+-- top-40 WITH ties at the boundary (r11: identical codes tie on ADC score;
+-- rank() keeps the whole tie class, matching pq.search's score cutoff)
+cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, rank() OVER (ORDER BY adc_score DESC) AS rk FROM adc
+  ) WHERE rk <= 40
+)
 SELECT {qid_col}e.vec_id, {O.cosine_const('e.embedding', qv)} AS score
 FROM embeddings e JOIN cand USING (vec_id)
 ORDER BY score DESC, e.vec_id ASC LIMIT 10
@@ -3441,10 +3447,11 @@ def _sql_pq_search() -> str:
 def q_pq_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ADC search (operators/pq.py search_batch, r9): one pass over
     the codes table answers the whole query batch — map-side per-query
-    partial top-rerank under the same (score desc, id asc) total order as
-    the global window step, then exact re-rank. The oracle is a UNION ALL
-    of the proven per-query PQ replays. Two queries keep the generated
-    SQL bounded (each leg embeds the full codebook replay)."""
+    partial top-rerank WITH batch-boundary ties (r11: identical codes tie
+    on ADC score), then a global rank()-based cutoff that keeps the whole
+    tie class, then exact re-rank. The oracle is a UNION ALL of the proven
+    per-query PQ replays. Two queries keep the generated SQL bounded (each
+    leg embeds the full codebook replay)."""
     model = _pq_fixed_model()
     emb = _emb(spark, sf_dir)
     codes = model.encode(emb, id_col="vec_id")
