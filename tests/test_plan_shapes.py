@@ -241,15 +241,29 @@ def test_embed_texts_fuses_with_scan_no_shuffle(spark):
 
 
 def test_pq_search_candidate_selection_is_take_ordered(spark, emb):
-    """ADC top-rerank must be TakeOrderedAndProject (per-partition heaps),
-    never a global Sort of all ADC scores."""
+    """PQ search's two phases both avoid a global Sort (r11 shape): the
+    cutoff probe is a distributed TakeOrderedAndProject (per-partition
+    heaps) run as an eager side job, and the RETURNED plan is the tie
+    filter (adc_score >= literal cutoff) -> broadcast semi-join ->
+    knn's TakeOrderedAndProject tail — never a full-corpus Sort of ADC
+    scores anywhere."""
     from vector_db_api_spark.operators.pq import PQIndex
 
     pq = PQIndex.train(emb, m=8, k=16, seed=42, train_sample_rows=1024)
     codes = pq.encode(emb, id_col="vec_id")
     q = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    # the cutoff probe plan: TakeOrdered, no global sort
+    scored = pq.adc_scores(codes, q, id_col="vec_id")
+    probe_plan = _plan(
+        scored.orderBy(F.col("adc_score").desc(), F.col("vec_id").asc())
+        .limit(40).agg(F.min("adc_score"))
+    )
+    assert "TakeOrderedAndProject" in probe_plan
+    assert "Sort " not in probe_plan or "SortMergeJoin" in probe_plan
+    # the returned plan: tie filter + semi-join + knn top-k, no global sort
     plan = _plan(pq.search(emb, codes, q, 5, id_col="vec_id"))
     assert "TakeOrderedAndProject" in plan
+    assert "adc_score" in plan  # the tie-filter scan is in-plan
     assert "Sort " not in plan or "SortMergeJoin" in plan  # no global sort stage
 
 
