@@ -244,9 +244,10 @@ def test_pq_search_candidate_selection_is_take_ordered(spark, emb):
     """PQ search's two phases both avoid a global Sort (r11 shape): the
     cutoff probe is a distributed TakeOrderedAndProject (per-partition
     heaps) run as an eager side job, and the RETURNED plan is the tie
-    filter (adc_score >= literal cutoff) -> broadcast semi-join ->
-    knn's TakeOrderedAndProject tail — never a full-corpus Sort of ADC
-    scores anywhere."""
+    filter (adc_score >= literal cutoff, over the checkpointed scores —
+    r12: the ADC scan runs ONCE per call, not once per phase) ->
+    semi-join -> knn's TakeOrderedAndProject tail — never a full-corpus
+    Sort of ADC scores anywhere."""
     from vector_db_api_spark.operators.pq import PQIndex
 
     pq = PQIndex.train(emb, m=8, k=16, seed=42, train_sample_rows=1024)
@@ -265,6 +266,45 @@ def test_pq_search_candidate_selection_is_take_ordered(spark, emb):
     assert "TakeOrderedAndProject" in plan
     assert "adc_score" in plan  # the tie-filter scan is in-plan
     assert "Sort " not in plan or "SortMergeJoin" in plan  # no global sort stage
+    # cache_scores=True checkpoints the scores: the returned plan re-reads
+    # the materialized RDD, not a second MapInPandas ADC pass over codes
+    assert "MapInPandas" not in plan
+
+
+def test_pq_tie_class_broadcast_is_gated(spark, emb):
+    """Both branches of the degenerate-tie guard (r11 verdict #3):
+
+    - normal codebooks → tie class ~rerank rows → the candidate semi-join
+      carries the explicit broadcast hint (BroadcastHashJoin pre-AQE);
+    - a degenerate all-identical-codes corpus (every row ties at the
+      cutoff) with the bound forced below the corpus size → NO hint: the
+      join is left to AQE instead of force-broadcasting a corpus-sized
+      frame (the r10 ngram driver-OOM precedent).
+    """
+    from vector_db_api_spark.operators.pq import PQIndex
+
+    pq = PQIndex.train(emb, m=8, k=16, seed=42, train_sample_rows=1024)
+    codes = pq.encode(emb, id_col="vec_id")
+    q = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    hinted = pq.search(emb, codes, q, 5, id_col="vec_id")
+    assert "strategy=broadcast" in _optimized(hinted)
+    assert "BroadcastHashJoin" in _plan(hinted)
+    # degenerate regime: every code row identical -> one corpus-wide tie
+    # class; gate at 1 row so the guard must refuse the hint
+    one = codes.limit(1).collect()[0]["codes"]
+    degenerate = codes.select("vec_id", F.lit(one).cast("array<smallint>").alias("codes"))
+    ungated = pq.search(emb, degenerate, q, 5, id_col="vec_id",
+                        broadcast_tie_rows=1)
+    # no forced broadcast: the optimized plan carries NO join hint — the
+    # physical strategy is Catalyst/AQE's choice from actual sizes (it may
+    # still PICK broadcast at this test's scale; the point is the plan no
+    # longer mandates it on a corpus-sized frame)
+    assert "strategy=broadcast" not in _optimized(ungated)
+    # and the result is still the exact top-k (re-ranking everything is the
+    # correct degenerate answer)
+    rows = ungated.collect()
+    exact = KNN.knn(emb, q, 5, id_col="vec_id").collect()
+    assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in exact]
 
 
 def test_decontaminate_broadcasts_benchmark(spark):
@@ -584,3 +624,95 @@ def test_ngram_jaccard_sizes_join_is_shuffled_hash(spark):
     plan = _plan(ngram_jaccard_pairs(docs))
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+# -- r12 pins for the r11 driver-run NEEDS-HUMAN flags ----------------------
+# (VERDICT r11 #1): every flag class gets a frozen plan so a future bench
+# regeneration auto-classifies machine drift as pinned-residual instead of
+# re-asking a human. Each test pins the EXACT plan its bench thunk runs.
+
+
+def test_ivfpq_search_cells_prunes_codes_and_keeps_take_ordered_tail(spark, emb):
+    """`ivfpq_search` pin: the nprobe centroid filter lands on the
+    cell-codes side BEFORE the ADC scan (partition-prunable at scale), and
+    the returned plan is pq.search's two-phase shape — checkpointed scores
+    (the ADC MapInPandas pass ran ONCE, into the checkpoint; r12), tie
+    filter, candidate semi-join, knn TakeOrdered tail — never a global
+    sort of ADC scores."""
+    from vector_db_api_spark.operators.ivf import IVFIndex
+    from vector_db_api_spark.operators.pq import PQIndex
+
+    ivf = IVFIndex.train(emb, num_centroids=8, nprobe=2, seed=42)
+    pq = PQIndex.train(emb, m=8, k=16, seed=42, train_sample_rows=1024)
+    cell_codes = pq.encode_with_cells(
+        emb, ivf.assign(emb, id_col="vec_id"), id_col="vec_id"
+    )
+    q = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    # the ADC scan side: MapInPandas fused over the centroid-filtered codes
+    probed = [int(c) for c in ivf.probe_centroids(q)]
+    scan = _plan(pq.adc_scores(
+        cell_codes.filter(F.col("centroid_id").isin(probed))
+        .select("vec_id", "codes"), q, id_col="vec_id"))
+    assert "MapInPandas" in scan and "centroid_id" in scan
+    # the returned plan: checkpoint-fed two-phase tail, no second ADC pass
+    plan = _plan(pq.search_cells(emb, cell_codes, ivf, q, 5, id_col="vec_id"))
+    assert "TakeOrderedAndProject" in plan
+    assert "MapInPandas" not in plan
+    assert "Sort " not in plan or "SortMergeJoin" in plan
+
+
+def test_knn_batch_numpy_partial_topk_single_exchange(spark, emb):
+    """`knn_self_join_np` pin: one Arrow MapInPandas scoring pass fused
+    with the corpus scan (the query matrix rides a broadcast, not task
+    closures), per-batch argpartition partial top-k, then the global
+    per-query top-k behind a SINGLE exchange with a WindowGroupLimit
+    partial limit — only ~k rows per (batch, query) ever shuffle; no
+    cartesian, no global sort."""
+    queries = [
+        (str(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.limit(8).collect()
+    ]
+    plan = _plan(KNN.knn_batch_numpy(emb, queries, 3, id_col="vec_id"))
+    assert "MapInPandas" in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_doc_nll_literal_scoring_is_zero_shuffle_pure_expressions(spark):
+    """`doc_lm_nll` pin: the literal-path scoring plan is scan + project
+    ONLY — the model ships as a map literal, so the corpus-sized pass has
+    no join, no exchange, and no Python eval node anywhere (training is a
+    separate bounded count-collect job)."""
+    from vector_db_api_spark import suite as S
+
+    plan = _plan(S.queries()["doc_lm_nll"](spark, SF_DIR))
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_temperature_sample_is_windowed_no_join(spark):
+    """`doc_temperature_sample` pin: quotas fold to literals (one bounded
+    count-collect at call time), so the selection plan carries NO join —
+    a per-stratum window behind exactly two exchanges (Chernoff prefilter
+    + stratum window), pure JVM end to end."""
+    from vector_db_api_spark import suite as S
+
+    plan = _plan(S.queries()["doc_temperature_sample"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_upsert_is_equi_joins_and_union_no_cartesian(spark):
+    """`crud_upsert` pin: MERGE = anti-join (rows the batch doesn't touch)
+    + left-outer join (version bump / created_at carry) + union — every
+    join equi-keyed on id (never cartesian / nested-loop), pure JVM."""
+    from vector_db_api_spark import suite as S
+
+    plan = _plan(S.queries()["crud_upsert"](spark, SF_DIR))
+    assert "LeftAnti" in plan and "Union" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

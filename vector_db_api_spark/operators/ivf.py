@@ -340,8 +340,13 @@ class IVFIndex:
             return []  # zero query → empty (ivf.py:92-93)
         scores = self.centroids @ (q / qn)
         nprobe = min(nprobe or self.nprobe, len(scores))
-        idx = np.argpartition(-scores, nprobe - 1)[:nprobe] if nprobe < len(scores) else np.arange(len(scores))
-        return [int(i) for i in idx[np.argsort(-scores[idx], kind="stable")]]
+        # stable argsort on -scores: equal dots keep index order, so ties
+        # resolve to the LOWER centroid id — the oracle's tie rule (ORDER BY
+        # dots DESC, j ASC). argpartition's arbitrary tie SELECTION at the
+        # nprobe boundary could diverge from it nondeterministically (r11
+        # advice); the centroid table is k-sized, the full sort is noise.
+        order = np.argsort(-scores, kind="stable")
+        return [int(i) for i in order[:nprobe]]
 
     def search(
         self,
@@ -420,7 +425,11 @@ class IVFIndex:
                 unit = mat[keep] / norms[keep, None]
                 scores = unit @ cent.T  # (n, k_centroids)
                 if nprobe < scores.shape[1]:
-                    top = np.argpartition(-scores, nprobe - 1, axis=1)[:, :nprobe]
+                    # stable sort = ties to the lower centroid id, matching
+                    # probe_centroids and the oracle's (dots DESC, j ASC)
+                    # rule — an exact tie at the nprobe boundary must pick
+                    # the same cells on every engine (r11 advice)
+                    top = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
                 else:
                     top = np.broadcast_to(
                         np.arange(scores.shape[1]), (len(unit), scores.shape[1])

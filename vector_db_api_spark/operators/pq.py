@@ -257,6 +257,8 @@ class PQIndex:
         id_col: str = "id",
         vec_col: str = "embedding",
         metric: str = "cosine",
+        cache_scores: bool = True,
+        broadcast_tie_rows: int = 100_000,
     ) -> DataFrame:
         """ADC top-``rerank`` candidates (default 4n) from the codes scan
         — WITH ties at the boundary — then exact re-rank against the full
@@ -271,13 +273,33 @@ class PQIndex:
         cluster size outgrew the fixed pool. Keeping the full tie class at
         the cutoff (every row scoring >= the rerank-th ADC score) restores
         recall at the cost of exactly the rows the quantizer cannot
-        distinguish anyway; the degenerate bound is one tie class (an
-        all-identical-codes corpus re-ranks everything — which is then the
-        CORRECT answer, not a pruning bug)."""
+        distinguish anyway.
+
+        NOT a pure lazy plan builder: the cutoff is a distributed
+        TakeOrdered probe that collects ONE scalar at call time, and the
+        tie filter re-reads the same scores. ``cache_scores`` (default on,
+        r11 advice) localCheckpoints the (id, adc_score) frame once so the
+        codes scan + ADC gather run once per call instead of per pass —
+        the blocks are executor-resident (MEMORY_AND_DISK, freed by the
+        ContextCleaner when the plan is dropped); pass ``False`` to trade
+        repeated codes scans for zero block residency.
+
+        Degenerate-tie guard (r11 verdict #3): the tie class is expected
+        ~``rerank`` rows, but an all-identical-codes corpus makes the
+        candidate set CORPUS-sized (re-ranking everything is then the
+        correct answer, not a pruning bug) — and a forced broadcast of a
+        corpus-sized frame is a driver-OOM cliff (the r10 ngram
+        precedent, dedup.py). The candidate count is known for free off
+        the checkpointed scores, so the broadcast hint applies only under
+        ``broadcast_tie_rows``; above it (or when ``cache_scores=False``
+        skips the count) the semi-join goes unhinted and AQE picks the
+        strategy that fits the actual size."""
         from vector_db_api_spark.operators.knn import knn
 
         rerank = max(n, rerank if rerank is not None else 4 * n)
         scored = self.adc_scores(codes, qvec, id_col=id_col)
+        if cache_scores:
+            scored = scored.localCheckpoint(eager=True)
         # distributed TakeOrdered of one scalar: the rerank-th ADC score
         row = (
             scored.orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
@@ -290,7 +312,9 @@ class PQIndex:
             return knn(corpus.limit(0), qvec, n, metric=metric,
                        id_col=id_col, vec_col=vec_col)
         cand = scored.filter(F.col("adc_score") >= cutoff).select(id_col)
-        pruned = corpus.join(F.broadcast(cand), id_col, "left_semi")
+        if cache_scores and cand.count() <= broadcast_tie_rows:
+            cand = F.broadcast(cand)
+        pruned = corpus.join(cand, id_col, "left_semi")
         return knn(pruned, qvec, n, metric=metric, id_col=id_col, vec_col=vec_col)
 
     def search_batch(
