@@ -228,6 +228,11 @@ PLAN_PINS = {
     "knn_self_join_ivf_sym": "test_ivf_self_join_plan_is_equi_join_no_cartesian",
     "pq_search": "test_pq_search_candidate_selection_is_take_ordered",
     "pq_search_batch32": "test_pq_search_candidate_selection_is_take_ordered",
+    "ivfpq_search": "test_ivfpq_search_cells_prunes_codes_and_keeps_take_ordered_tail",
+    "knn_self_join_np": "test_knn_batch_numpy_partial_topk_single_exchange",
+    "doc_lm_nll": "test_doc_nll_literal_scoring_is_zero_shuffle_pure_expressions",
+    "doc_temperature_sample": "test_temperature_sample_is_windowed_no_join",
+    "crud_upsert": "test_upsert_is_equi_joins_and_union_no_cartesian",
     "simhash_np": "test_simhash_kernel_is_shuffle_free",
     "multimodal_embed": "test_embed_texts_fuses_with_scan_no_shuffle",
     "doc_decontaminate": "test_decontaminate_broadcasts_benchmark",
@@ -640,15 +645,28 @@ def _round_over_round_delta(
 
 
 def _carry_root_causes(old_body: str | None,
-                       current_round: int | None = None) -> str:
+                       current_round: int | None = None,
+                       fresh_delta_md: str | None = None) -> str:
     """The builder writes a '## Root-cause adjudication' section into
     BENCH_DETAIL.md after analyzing a run; bench.py regenerates the file on
     every run (including the driver's end-of-round run), so the section is
-    carried over — but a carried section adjudicates the round named in its
-    OWN header, so when that tag doesn't match ``current_round`` a STALE
-    banner is inserted under the header (r8 advice: a stale adjudication
-    next to fresh numbers read as covering them). The builder's rewrite
-    drops the banner by rewriting the whole section."""
+    carried over — but a carried section adjudicates the run it was written
+    against, so it is STALE-bannered when either signal mismatches:
+
+    - the round tag in its OWN header doesn't match ``current_round`` (r8
+      advice: a stale adjudication next to fresh numbers reads as covering
+      them);
+    - (r11 verdict #1) its ``Adjudicated bands:`` line doesn't match the
+      fresh machine table's band string in ``fresh_delta_md`` — a SAME-round
+      regeneration (the driver re-runs bench after the builder's run) can
+      produce a materially different table, and the round tag alone let the
+      old prose silently claim the new numbers. The bands are the
+      adjudication's whole frame of reference, so band equality is the
+      staleness test; a prose section WITHOUT the line is treated as stale
+      whenever the fresh table adjudicates flags.
+
+    The builder's rewrite drops the banner by rewriting the whole section
+    (including a fresh ``Adjudicated bands:`` line copied from the table)."""
     import re
 
     if not old_body:
@@ -659,15 +677,30 @@ def _carry_root_causes(old_body: str | None,
     section = old_body[idx:]
     # drop any banner a previous regeneration inserted (never stack them)
     section = re.sub(r"\n> \*\*STALE[^\n]*\*\*\n", "", section)
+    banner = None
     m = re.search(r"## Root-cause adjudication \(r(\d+)", section)
     if current_round is not None and m and int(m.group(1)) != current_round:
-        hdr_end = section.index("\n", section.index("## Root-cause"))
         banner = (
             f"\n> **STALE: this adjudication covers r{m.group(1)}; the "
             f"table above is from an r{current_round} run — the r"
             f"{current_round} builder must rewrite this section before "
             f"its flags can be read against these numbers.**\n"
         )
+    elif fresh_delta_md:
+        fresh = re.search(r"\(this run: ([^)]+)\)", fresh_delta_md)
+        prose = re.search(r"Adjudicated bands: ([^\n]+)", section)
+        if fresh and (not prose or prose.group(1).strip().rstrip(".")
+                      != fresh.group(1).strip()):
+            banner = (
+                f"\n> **STALE: this adjudication was written against bands "
+                f"`{prose.group(1).strip() if prose else '(none recorded)'}`"
+                f" but the regenerated table above computed `"
+                f"{fresh.group(1).strip()}` — the table changed under the "
+                f"prose; rewrite this section (and its Adjudicated bands "
+                f"line) against the new numbers.**\n"
+            )
+    if banner is not None:
+        hdr_end = section.index("\n", section.index("## Root-cause"))
         section = section[:hdr_end + 1] + banner + section[hdr_end + 1:]
     return section
 
@@ -1089,7 +1122,8 @@ def main() -> None:
             dpath = os.path.join(here, "BENCH_DETAIL.md")
             try:
                 with open(dpath) as f:
-                    carry = _carry_root_causes(f.read(), _current_round(here))
+                    carry = _carry_root_causes(f.read(), _current_round(here),
+                                               fresh_delta_md=delta_md)
             except OSError:
                 carry = ""
             with open(dpath, "w") as f:

@@ -385,3 +385,67 @@ def test_python_axis_flag_classifies_on_python_band(tmp_path):
     assert flags2 == ["knn_batch_numpy_top5"]
     adj2 = out2.split("### Flag adjudication", 1)[1]
     assert "| knn_batch_numpy_top5 | 2.00x (python) |" in adj2
+
+
+def test_root_cause_stale_banner_on_band_mismatch():
+    """r11 verdict #1: the driver's SAME-round bench re-run regenerated the
+    table with different bands while the round tag still matched, so the
+    old prose silently claimed the new numbers. The carry now compares the
+    prose's 'Adjudicated bands:' line against the fresh table's
+    '(this run: ...)' band string and banners on mismatch (or when the
+    line is missing while the fresh table adjudicates flags)."""
+    carry = _load_bench_ns()["_carry_root_causes"]
+    fresh = (
+        "table...\n### Flag adjudication (machine-written)\n"
+        "Band = ... (this run: jvm 0.93x/75q, python 1.21x/75q). ...\n"
+    )
+    prose_ok = (
+        "# x\n## Root-cause adjudication (r11)\n\n"
+        "Adjudicated bands: jvm 0.93x/75q, python 1.21x/75q\n\ncauses\n"
+    )
+    prose_stale = (
+        "# x\n## Root-cause adjudication (r11)\n\n"
+        "Adjudicated bands: jvm 1.42x/74q, python 1.31x/74q\n\ncauses\n"
+    )
+    prose_missing = "# x\n## Root-cause adjudication (r11)\n\ncauses\n"
+    # matching round + matching bands: verbatim
+    assert "STALE" not in carry(prose_ok, 11, fresh_delta_md=fresh)
+    # matching round, band mismatch: banner naming both band strings
+    out = carry(prose_stale, 11, fresh_delta_md=fresh)
+    assert "STALE" in out and "jvm 1.42x/74q" in out and "jvm 0.93x/75q" in out
+    # no recorded bands at all while the fresh table adjudicates: banner
+    assert "STALE" in carry(prose_missing, 11, fresh_delta_md=fresh)
+    # fresh run with NO flags (no band string) never banners on bands
+    assert "STALE" not in carry(prose_stale, 11, fresh_delta_md="table only\n")
+    # banners never stack
+    again = carry("# x\n" + out, 11, fresh_delta_md=fresh)
+    assert again.count("STALE") == 1
+    # round mismatch takes precedence over the band check
+    rd = carry(prose_ok, 12, fresh_delta_md=fresh)
+    assert "covers r11" in rd and rd.count("STALE") == 1
+
+
+def test_committed_bench_detail_adjudication_matches_its_table():
+    """The committed artifact must be self-consistent (r11 verdict #1
+    'Done' bar): the prose section's 'Adjudicated bands:' line equals the
+    machine table's '(this run: ...)' bands, and every flag the machine
+    table marks NEEDS-HUMAN is named in the prose — a regenerated table
+    can never silently orphan its adjudication again."""
+    import re
+
+    body = open(os.path.join(HERE, "BENCH_DETAIL.md")).read()
+    fresh = re.search(r"\(this run: ([^)]+)\)", body)
+    if not fresh:
+        return  # no machine adjudication block -> nothing to reconcile
+    prose = re.search(r"Adjudicated bands: ([^\n]+)", body)
+    assert prose, "BENCH_DETAIL.md has a flag table but no 'Adjudicated bands:' line"
+    assert prose.group(1).strip().rstrip(".") == fresh.group(1).strip(), (
+        "adjudication prose was written against different bands than the "
+        "machine table — rewrite the Root-cause section"
+    )
+    idx = body.index("## Root-cause adjudication")
+    prose_text = body[idx:]
+    needs = re.findall(r"\| (\S+) \|[^|]+\|[^|]+\|[^|]+\| \*\*NEEDS-HUMAN\*\*", body)
+    unnamed = sorted(n for n in needs if n not in prose_text)
+    assert not unnamed, f"NEEDS-HUMAN flags with no named cause: {unnamed}"
+    assert "STALE" not in prose_text, "committed adjudication carries a STALE banner"
