@@ -294,8 +294,11 @@ def _scaling_section(here: str, timings: dict[str, float],
     Time ratios are machine-NORMALIZED (r10 advice #3): both artifacts
     carry ``cpu_baseline`` probes and per-round host speed swings 1.5-2x,
     so raw ratios on a slower host would inflate SUPER-LINEAR verdicts
-    (and mask them on a faster one). The jvm probe normalizes (most
-    benched plans are JVM-bound); python probe is the fallback. A
+    (and mask them on a faster one). The probe is chosen PER QUERY (r11
+    advice — the same axis rule the round-over-round delta adopted in
+    r10 #8): ``PYTHON_AXIS_QUERIES`` (Arrow/pandas-UDF/numpy hot paths)
+    normalize on the python interpreter probe, everything else on the
+    jvm probe, falling back to whichever the two artifacts share. A
     downscale run (growth < 1) is annotated and exempt from SUPER-LINEAR
     flags — per-query fixed overhead (session, plan, probe collects)
     dominates small inputs and would misclassify as super-linear."""
@@ -311,22 +314,35 @@ def _scaling_section(here: str, timings: dict[str, float],
         growth = float(sf_val) / base_sf
     except (TypeError, ValueError):
         return "\n(non-numeric sf; no scaling table)\n"
-    norm, axis = 1.0, "unnormalized (no shared probe)"
+    norms: dict[str, float] = {}
     for probe_fn, axis_name in ((_norm_probe_jvm, "jvm"), (_norm_probe, "python")):
         b, n = probe_fn(det.get("cpu_baseline")), probe_fn(cpu_baseline)
         if b and n:
-            norm, axis = n / b, axis_name  # >1: this host slower than canonical
-            break
+            norms[axis_name] = n / b  # >1: this host slower than canonical
+
+    def _axis_for(name: str) -> tuple[float, str]:
+        want = "python" if name in PYTHON_AXIS_QUERIES else "jvm"
+        if want in norms:
+            return norms[want], want
+        if norms:
+            other = next(iter(norms))
+            return norms[other], other
+        return 1.0, "raw"
+
     downscale = growth < 1
+    norm_note = ", ".join(
+        f"{a} {v:.2f}x" for a, v in sorted(norms.items())
+    ) or "unnormalized (no shared probe)"
     lines = [
         f"\n## Scaling vs canonical sf{base_sf} (data growth {growth:.2f}x)\n",
         f"Machine normalization: this host / canonical host = "
-        f"**{norm:.2f}x** on the {axis} probe; normalized ratio = "
-        f"(now / {norm:.2f}) / canonical.\n"
+        f"**{norm_note}**; each query normalizes on its own axis "
+        f"(python probe for PYTHON_AXIS_QUERIES, jvm otherwise); "
+        f"normalized ratio = (now / axis norm) / canonical.\n"
         + ("\n**Downscale run (growth < 1): verdicts are informational "
            "only** — per-query fixed overhead dominates small inputs, so "
            "the SUPER-LINEAR classifier is disabled.\n" if downscale else ""),
-        "| query | sf{0} (s) | sf{1} (s) | raw ratio | norm ratio | verdict |".format(
+        "| query | sf{0} (s) | sf{1} (s) | raw ratio | norm ratio (axis) | verdict |".format(
             base_sf, sf_val),
         "|---|---|---|---|---|---|",
     ]
@@ -337,6 +353,7 @@ def _scaling_section(here: str, timings: dict[str, float],
         if not base or base <= 0:
             continue
         raw = now / base
+        norm, axis = _axis_for(name)
         r = raw / norm
         if downscale:
             verdict = "(downscale — informational)"
@@ -347,10 +364,10 @@ def _scaling_section(here: str, timings: dict[str, float],
         else:
             verdict = "**SUPER-LINEAR** — name a cause"
             supers.append((r, name))
-        rows.append((r, name, base, now, raw, verdict))
-    for r, name, base, now, raw, verdict in sorted(rows, reverse=True):
+        rows.append((r, name, base, now, raw, verdict, axis))
+    for r, name, base, now, raw, verdict, axis in sorted(rows, reverse=True):
         lines.append(f"| {name} | {base:.2f} | {now:.2f} | {raw:.2f}x "
-                     f"| {r:.2f}x | {verdict} |")
+                     f"| {r:.2f}x ({axis}) | {verdict} |")
     ratios = sorted(r for r, *_ in rows)
     if ratios:
         lines.append(
@@ -443,24 +460,39 @@ def _round_over_round_delta(
                 baselines[rnd] = probe
             if jprobe:
                 baselines_jvm[rnd] = jprobe
-    # the PREVIOUS round's committed BENCH_DETAIL.md carries its full
-    # per-query dict + cpu_baseline (the driver tail holds only ~17) —
-    # mine it before this run overwrites the file
+    # the previous COMMITTED BENCH_DETAIL.md carries its full per-query
+    # dict + cpu_baseline (the driver tail holds only ~17). Mined from git
+    # (HEAD), never the working tree (r11 verdict #8): a working-tree file
+    # is whatever some prior run left behind — citing it as "best prior"
+    # made the comparison unreproducible. The row label carries the commit
+    # that last touched the file, so every best-prior cite resolves to a
+    # committed artifact.
     try:
-        with open(os.path.join(here, "BENCH_DETAIL.md")) as f:
-            body = f.read()
+        import subprocess
+
+        body = subprocess.run(
+            ["git", "-C", here, "show", "HEAD:BENCH_DETAIL.md"],
+            capture_output=True, text=True, timeout=30,
+        ).stdout
+        sha = subprocess.run(
+            ["git", "-C", here, "log", "-n1", "--format=%h", "--",
+             "BENCH_DETAIL.md"],
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
         blob = body.split("```json", 1)[1].split("```", 1)[0]
         det = json.loads(blob)
         if not isinstance(det, dict):
             raise ValueError("BENCH_DETAIL json block is not an object")
         mined, probe, jprobe = _mine(det)
-        if mined:
-            prior["prev-detail"] = mined
+        if mined and sha:
+            tag = f"detail@{sha}"
+            prior[tag] = mined
             if probe:
-                baselines["prev-detail"] = probe
+                baselines[tag] = probe
             if jprobe:
-                baselines_jvm["prev-detail"] = jprobe
-    except (OSError, IndexError, ValueError, json.JSONDecodeError):
+                baselines_jvm[tag] = jprobe
+    except (OSError, IndexError, ValueError, json.JSONDecodeError,
+            subprocess.SubprocessError):
         pass
     if not prior:
         return "", []
@@ -472,7 +504,10 @@ def _round_over_round_delta(
         "available r5+; `blas_matmul_sec` was demoted in r6 after swinging "
         "4.4x on BLAS threading while python and the raw JVM wall stayed "
         "flat — records without the python probe contribute raw-only "
-        "rows). Raw 'best prior' spans all rounds.\n",
+        "rows). Raw 'best prior' spans all rounds; every prior is a "
+        "COMMITTED artifact — BENCH_r*.json or the committed "
+        "BENCH_DETAIL.md, cited as detail@<commit> (r11 verdict #8: the "
+        "working tree is never a best-prior source).\n",
         "| query | now (s) | now (norm) | best prior (s) | round | raw ratio"
         " | best prior (norm) | round | norm ratio | jvm ratio |",
         "|---|---|---|---|---|---|---|---|---|---|",

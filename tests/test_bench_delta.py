@@ -297,9 +297,9 @@ def test_scaling_section_verdicts(tmp_path):
     out = ns["_scaling_section"](
         str(tmp_path), {"q_lin": 9.0, "q_sub": 2.0, "q_bad": 30.0,
                         "q_new": 1.0, "unknown": 5.0}, 1.0)
-    assert "| q_lin | 1.00 | 9.00 | 9.00x | 9.00x | scales |" in out
-    assert "| q_sub | 1.00 | 2.00 | 2.00x | 2.00x | sub-linear |" in out
-    assert "| q_bad | 1.00 | 30.00 | 30.00x | 30.00x | **SUPER-LINEAR**" in out
+    assert "| q_lin | 1.00 | 9.00 | 9.00x | 9.00x (raw) | scales |" in out
+    assert "| q_sub | 1.00 | 2.00 | 2.00x | 2.00x (raw) | sub-linear |" in out
+    assert "| q_bad | 1.00 | 30.00 | 30.00x | 30.00x (raw) | **SUPER-LINEAR**" in out
     assert "q_new" not in out and "unknown" not in out
     assert "1 super-linear flag(s). Flags: q_bad (30.00x)" in out
     # no shared probe -> ratios are explicitly unnormalized
@@ -310,33 +310,40 @@ def test_scaling_section_verdicts(tmp_path):
 
 
 def test_scaling_section_machine_normalized_and_downscale_guard(tmp_path):
-    """r10 advice #3: the scaling table must normalize time ratios by the
-    probe ratio between the two artifacts (per-round host speed swings
-    1.5-2x — a slow host would otherwise inflate SUPER-LINEAR verdicts),
-    and a downscale run (growth < 1) must not classify fixed overhead as
-    SUPER-LINEAR."""
+    """r10 advice #3 + r11 advice: the scaling table must normalize time
+    ratios by the probe ratio between the two artifacts (per-round host
+    speed swings 1.5-2x — a slow host would otherwise inflate SUPER-LINEAR
+    verdicts), picking the probe PER QUERY (python for
+    PYTHON_AXIS_QUERIES, jvm otherwise — the same axis rule as the
+    round-over-round delta), and a downscale run (growth < 1) must not
+    classify fixed overhead as SUPER-LINEAR."""
     ns = _load_bench_ns()
     (tmp_path / "BENCH_DETAIL.md").write_text(
         "# x\n\n```json\n" + json.dumps({
-            "queries": {"q_lin": 1.0, "q_edge": 1.0},
+            "queries": {"q_lin": 1.0, "q_edge": 1.0, "pq_search": 1.0},
             "sf": 0.1,
             "cpu_baseline": {"python_loop_sec": 0.1,
                              "jvm_fixed_work_sec": 1.0},
         }) + "\n```\n"
     )
-    # this host is 2x SLOWER on the jvm probe: raw 24x at 10x data would
-    # flag SUPER-LINEAR, normalized 12x scales
-    now_cb = {"python_loop_sec": 0.1, "jvm_fixed_work_sec": 2.0}
+    # this host is 2x SLOWER on the jvm probe and 3x slower on python:
+    # jvm-axis queries normalize by 2, python-axis (pq_search) by 3
+    now_cb = {"python_loop_sec": 0.3, "jvm_fixed_work_sec": 2.0}
     out = ns["_scaling_section"](
-        str(tmp_path), {"q_lin": 24.0, "q_edge": 30.0}, 1.0, now_cb)
-    assert "**2.00x** on the jvm probe" in out
-    assert "| q_lin | 1.00 | 24.00 | 24.00x | 12.00x | scales |" in out
+        str(tmp_path), {"q_lin": 24.0, "q_edge": 30.0, "pq_search": 24.0},
+        1.0, now_cb)
+    assert "jvm 2.00x, python 3.00x" in out
+    assert "| q_lin | 1.00 | 24.00 | 24.00x | 12.00x (jvm) | scales |" in out
     # still super-linear AFTER normalization -> flagged
-    assert "| q_edge | 1.00 | 30.00 | 30.00x | 15.00x | **SUPER-LINEAR**" in out
-    # jvm probe missing on one side -> python fallback
+    assert ("| q_edge | 1.00 | 30.00 | 30.00x | 15.00x (jvm) | "
+            "**SUPER-LINEAR**") in out
+    # pq_search is PYTHON_AXIS: 24x raw / 3.0 python norm = 8x -> scales,
+    # where the shared jvm probe would have called it 12x
+    assert "| pq_search | 1.00 | 24.00 | 24.00x | 8.00x (python) | scales |" in out
+    # jvm probe missing on one side -> python fallback for jvm-axis queries
     out_py = ns["_scaling_section"](
         str(tmp_path), {"q_lin": 24.0}, 1.0, {"python_loop_sec": 0.2})
-    assert "on the python probe" in out_py
+    assert "(python)" in out_py and "python 2.00x" in out_py
     # downscale run: informational only, no SUPER-LINEAR classifier
     out_down = ns["_scaling_section"](
         str(tmp_path), {"q_lin": 0.9}, 0.01, now_cb)
@@ -449,3 +456,44 @@ def test_committed_bench_detail_adjudication_matches_its_table():
     unnamed = sorted(n for n in needs if n not in prose_text)
     assert not unnamed, f"NEEDS-HUMAN flags with no named cause: {unnamed}"
     assert "STALE" not in prose_text, "committed adjudication carries a STALE banner"
+
+
+def test_best_prior_cites_only_committed_artifacts(tmp_path):
+    """r11 verdict #8: the delta table's best-prior rounds must resolve to
+    committed artifacts — BENCH_r*.json records or the COMMITTED
+    BENCH_DETAIL.md (cited detail@<commit>). A working-tree
+    BENCH_DETAIL.md sitting next to the records must be ignored: it is
+    whatever some prior run left behind, not a reproducible baseline."""
+    import re
+    import subprocess
+
+    fn = _load_delta_fn()
+    # a non-git dir with a (working-tree) detail file: must contribute
+    # NOTHING — only the committed record is cited
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps(
+        {"queries": {"q_a": 2.0},
+         "cpu_baseline": {"python_loop_sec": 0.1}}))
+    (tmp_path / "BENCH_DETAIL.md").write_text(
+        "# detail\n\n```json\n"
+        + json.dumps({"queries": {"q_a": 0.5, "q_only_detail": 0.5},
+                      "cpu_baseline": {"python_loop_sec": 0.1}})
+        + "\n```\n")
+    out, _ = fn(str(tmp_path), {"q_a": 1.0, "q_only_detail": 1.0})
+    assert "prev-detail" not in out and "| detail@" not in out
+    assert "q_only_detail" not in out  # detail-only query has no prior
+    assert "| q_a | 1.00 |" in out and "| r7 |" in out
+    # in the real repo, the detail prior IS mined — from HEAD, labeled with
+    # the commit that last touched the file
+    sha = subprocess.run(
+        ["git", "-C", HERE, "log", "-n1", "--format=%h", "--",
+         "BENCH_DETAIL.md"], capture_output=True, text=True).stdout.strip()
+    blob = subprocess.run(
+        ["git", "-C", HERE, "show", "HEAD:BENCH_DETAIL.md"],
+        capture_output=True, text=True).stdout
+    committed = json.loads(blob.split("```json", 1)[1].split("```", 1)[0])
+    name, base = next(iter(committed["queries"].items()))
+    out2, _ = fn(HERE, {name: base * 100.0})
+    assert f"detail@{sha}" in out2
+    # every round label in the table is r<N> or detail@<committed sha>
+    for m in re.finditer(r"\| (r\d+|detail@[0-9a-f]+|prev-detail) \|", out2):
+        assert m.group(1) != "prev-detail"

@@ -143,3 +143,31 @@ def test_final_status_flags_unnamed_commit():
     assert cp.unlisted_commits(
         {"tree": f"{head}~1", "status": "final", "named": {head}}
     ) == []
+
+
+def test_parse_block_collects_wrapped_token_lines():
+    """r11 advice: a Post-Sweep-Commits list wrapped across indented
+    continuation lines must keep ALL tokens — the old single-line capture
+    silently dropped later lines, failing commits the postscript DID
+    name. A non-indented following line ends the list (it's prose, not
+    tokens)."""
+    import tools.check_postscript as cp
+
+    text = (
+        "Sweep-Tree: aaaaaaa1\n"
+        "Sweep-Status: final\n"
+        "Post-Sweep-Commits: bbbbbbb2 ccccccc3\n"
+        "  ddddddd4 eeeeeee5\n"
+        "\tfffffff6\n"
+        "prose resumes here deadbeef0\n"
+    )
+    b = cp.parse_block(text)
+    assert b["named"] == {
+        "bbbbbbb2", "ccccccc3", "ddddddd4", "eeeeeee5", "fffffff6"
+    }
+    # single-line lists and short-token filtering are unchanged
+    one = cp.parse_block(
+        "Sweep-Tree: aaaaaaa1\nSweep-Status: final\n"
+        "Post-Sweep-Commits: bbbbbbb2 e\n"
+    )
+    assert one["named"] == {"bbbbbbb2"}

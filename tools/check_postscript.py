@@ -64,13 +64,23 @@ def parse_block(md_text: str) -> dict | None:
     prefix matching, silently exempted EVERY commit sharing the prefix —
     e.g. a stray ``e`` exempted most of the repo. Short tokens are simply
     not collected (they then can't exempt anything, and the unnamed commit
-    they meant to cover fails the check loudly)."""
+    they meant to cover fails the check loudly).
+
+    A long token list may WRAP (r11 advice: the old ``re.M`` capture
+    stopped at the first newline, silently dropping later tokens —
+    commits the postscript DID name then failed the check): continuation
+    lines are collected as long as they are indented and contain only hex
+    tokens/whitespace; the first non-indented or non-hex line ends the
+    list."""
     tree = re.search(r"^Sweep-Tree:\s*([0-9a-f]{7,40})", md_text, re.M)
     status = re.search(r"^Sweep-Status:\s*(final|superseded)", md_text, re.M)
-    named = re.search(r"^Post-Sweep-Commits:\s*([0-9a-f \n]*?)$", md_text, re.M)
+    named = re.search(
+        r"^Post-Sweep-Commits:([^\n]*)((?:\n[ \t]+[0-9a-f][0-9a-f \t]*)*)",
+        md_text, re.M,
+    )
     if not (tree and status):
         return None
-    toks = (named.group(1) if named else "").split()
+    toks = (named.group(1) + named.group(2)).split() if named else []
     return {
         "tree": tree.group(1),
         "status": status.group(1),
