@@ -7,17 +7,21 @@ from vector_db_api_spark import suite
 # operator classes that must stay inside the driver's 50-entry check
 # window — one entry per class, the round-3 composition
 MUST_BE_IN_WINDOW = {
-    "vec_kernel_scores",        # vector kernel
-    "knn_cosine_top10",         # FlatIndex search
+    "knn_cosine_top10",         # FlatIndex search (+ the vector kernel —
+                                # vec_kernel_scores rotated out r12 after
+                                # its r11 driver-green row; every ANN/kNN
+                                # entry runs the kernels)
     "search_e2e",               # composed search flagship
-    "exact_duplicates",         # exact dedup
-    "minhash_lsh_pairs",        # minhash LSH
+    "minhash_lsh_pairs",        # minhash LSH (exact_duplicates rotated out
+                                # r12: green r11, plan-pinned)
     "dedup_components",         # connected components
     "simhash_hamming_pairs",    # simhash banding
     "embedding_neardup",        # embedding near-dup
     "doc_decontaminate",        # benchmark decontamination
-    "doc_repetition",           # repetition gates
-    "doc_lm_nll",               # LM quality scoring
+    "doc_lm_nll_join",          # LM quality scoring (r12: the broadcast-join
+                                # scale twin takes the literal path's slot —
+                                # same oracle verbatim; doc_repetition also
+                                # rotated out r12, np twin shares its oracle)
     "doc_hybrid_rrf",           # hybrid retrieval
     "doc_chunking",             # document chunking
     "corpus_profile",           # corpus report
@@ -28,21 +32,23 @@ MUST_BE_IN_WINDOW = {
     "events_hourly",            # windowed rollup
     "events_sessions",          # sessionization
     "skew_salted_agg",          # skew mitigation
-    "semdedup_drop",            # semantic dedup (round-4 class; displaced
-                                # doc_lm_nll_join, whose oracle is shared
-                                # with in-window doc_lm_nll and whose
-                                # join==literal equality test_lm.py pins)
+    "semdedup_drop",            # semantic dedup (round-4 class)
     "stream_bm25_state",        # stream-built postings == batch oracle
     "stream_trending_state",    # stream-built rollup == batch oracle
     # round-5 rotation survivors (one rep per class; quantile/histogram/
     # canonical/profiler rotated out in r6 after their r5 driver-green rows)
     "doc_quality_model_join",   # hashed linear quality classifier (join twin)
     "stream_semdedup_state",    # continuous SemDeDup admission
-    # round-6 rotation (VERDICT r5 #3): the §2.9 ANN search family's first
-    # driver-checked rows
-    "lsh_search_top10",         # sign-LSH bucket probe + re-rank
-    "ivf_search_top10",         # IVF nprobe probe + re-rank
-    "pq_search_top10",          # PQ ADC scan + exact re-rank
+    # r12 rotation (VERDICT r11 #2): the ANN production variants a real
+    # user actually calls take the §2.9 window slots — the single-probe
+    # entries (driver-green r6-r11) keep full oracles out-of-window and
+    # stay plan-pinned; each family now has TWO in-window reps
+    "lsh_search_batch_top10",          # one-job 32-query LSH batch
+    "lsh_search_selfcontained_top10",  # in-place bucket layout probe
+    "ivf_search_batch_top10",          # one-job 32-query IVF batch
+    "ivf_flat_search_top10",           # IVF-Flat in-place posting layout
+    "pq_search_batch_top10",           # batch ADC, one codes pass
+    "knn_quantized_top10",             # int8 two-stage quantized search
     # round-7 rotation: the Engine delete→tombstone→maintenance→move
     # lifecycle (displaced crud_move_document, its pure-operator subset)
     "crud_engine_index_delete",
@@ -52,7 +58,10 @@ MUST_BE_IN_WINDOW = {
     # out-of-window + stream_kmv_state — and ivfpq_search_top10, the
     # composition of the in-window ivf + pq entries)
     "doc_dsir_select",
-    "crud_engine_with_chunks",
+    # r12: the opt-in selfcontained snapshot layout through the Engine
+    # lifecycle (never driver-checked before) takes the engine-class slot
+    # of crud_engine_with_chunks (driver-green r8-r11; full oracle kept)
+    "crud_engine_selfcontained",
     # round-9 rotation: the paper's actual DSIR sampler (Gumbel
     # resampling — pass-local since r8, never driver-green) and the
     # multimodal family's first window slot since r5 (displaced

@@ -4625,8 +4625,6 @@ FROM binned GROUP BY bin
 # replays. Since round 4 EVERY entry is oracle-backed (0 rows-only); the
 # full registry is swept at sf0.01 AND sf0.1 into CORRECTNESS_LOCAL.md.
 SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- in-window: vector kernel ---
-    "vec_kernel_scores": (q_vec_kernel_scores, _sql_vec_kernel_scores()),
     # --- in-window: exact kNN (FlatIndex parity) ---
     "knn_cosine_top10": (_q_knn("cosine"), _sql_knn("cosine")),
     "topk_per_label": (q_topk_per_label, _sql_topk_per_label()),
@@ -4638,14 +4636,11 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "corpus_profile": (q_corpus_profile, _sql_corpus_profile()),
     "doc_chunking": (q_doc_chunking, _sql_doc_chunking()),
     # --- in-window: dedup ---
-    "exact_duplicates": (q_exact_duplicates, _sql_exact_duplicates()),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh_pairs()),
     "dedup_components": (q_dedup_components, _sql_dedup_components()),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, _sql_simhash_hamming_pairs()),
     "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup()),
     "doc_decontaminate": (q_doc_decontaminate, _sql_doc_decontaminate()),
-    "doc_repetition": (q_doc_repetition, _sql_doc_repetition()),
-    "doc_lm_nll": (q_doc_lm_nll, _sql_doc_lm_nll()),
     # --- in-window: semantic dedup (SemDeDup, round-4 class) ---
     "semdedup_drop": (q_semdedup_drop, _sql_semdedup()),
     # --- in-window: round-4 family rotation (VERDICT r4 #3: first
@@ -4656,14 +4651,36 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_stream_semdedup_state,
         _sql_stream_semdedup_state(),
     ),
-    # --- in-window: round-6 rotation (VERDICT r5 #3: first driver-checked
-    # rows for the §2.9 ANN search family — these value oracles replay
-    # signature/probe/ADC logic in pure SQL; displaced: quantile sketch,
-    # histogram, canonical, profiler, multimodal_stats, all driver-green in
-    # r5 and still swept in the full local registry) ---
-    "lsh_search_top10": (q_lsh_search, _sql_lsh_search()),
-    "ivf_search_top10": (q_ivf_search, _sql_ivf_search()),
-    "pq_search_top10": (q_pq_search, _sql_pq_search()),
+    # --- in-window: r12 rotation (VERDICT r11 #2: the ANN production
+    # variants a real user actually calls — batch paths, self-contained /
+    # IVF-Flat in-place layouts, the int8 quantized two-stage path — plus
+    # the Engine selfcontained lifecycle and the LM broadcast-join scale
+    # twin; NONE had ever had a driver CORRECTNESS row. Displaced, all
+    # driver-green in r11 (or multiple earlier rounds), full value oracles
+    # kept out-of-window: vec_kernel_scores (the kernels run inside every
+    # in-window knn/ANN entry), exact_duplicates (dedup keeps the minhash/
+    # simhash/components/embedding reps; plan pinned in
+    # test_exact_dedup_partial_aggregates), doc_repetition (np twin shares
+    # its oracle verbatim), doc_lm_nll (its join twin shares the oracle
+    # verbatim and takes the slot), lsh/ivf/pq_search_top10 (each ANN
+    # family keeps TWO in-window reps via batch + layout/quantized
+    # variants; the single-probe plans stay plan-pinned),
+    # crud_engine_with_chunks (engine lifecycle keeps
+    # crud_engine_index_delete + the incoming crud_engine_selfcontained)
+    # ---
+    "lsh_search_batch_top10": (q_lsh_search_batch, _sql_lsh_search_batch()),
+    "lsh_search_selfcontained_top10": (
+        q_lsh_search_selfcontained, _sql_lsh_search(),
+    ),
+    "ivf_search_batch_top10": (q_ivf_search_batch, _sql_ivf_search_batch()),
+    "ivf_flat_search_top10": (q_ivf_flat_search, _sql_ivf_search()),
+    "pq_search_batch_top10": (q_pq_search_batch, _sql_pq_search_batch()),
+    "knn_quantized_top10": (q_knn_quantized, _sql_knn_quantized()),
+    "doc_lm_nll_join": (q_doc_lm_nll_join, _sql_doc_lm_nll()),
+    "crud_engine_selfcontained": (
+        q_crud_engine_selfcontained,
+        _sql_crud_engine_selfcontained(),
+    ),
     # --- in-window: r8 rotation — DSIR data selection (the r7 verdict's
     # top item: operators/dsir.py wired end-to-end) and the r6
     # cross-table-transaction Engine route's first driver-green row;
@@ -4671,10 +4688,6 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # still oracle-swept below + stream_kmv_state) and ivfpq_search_top10
     # (driver-green r6-r7; a composition of in-window ivf + pq) ---
     "doc_dsir_select": (q_doc_dsir_select, _sql_doc_dsir_select()),
-    "crud_engine_with_chunks": (
-        q_crud_engine_with_chunks,
-        _SQL_CRUD_ENGINE_WITH_CHUNKS,
-    ),
     # --- in-window: listing / pagination ---
     "doc_listing_page": (q_doc_listing_page, _SQL_DOC_LISTING_PAGE),
     # --- in-window: hybrid retrieval ---
@@ -4846,11 +4859,20 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # rotated out of the window in r7 (driver-green r3-r6; subsumed by the
     # Engine-level crud_engine_index_delete, which moves through store+index)
     "crud_move_document": (q_crud_move_document, _SQL_CRUD_MOVE_DOCUMENT),
-    # r10: the opt-in selfcontained snapshot layout through the Engine path
-    # (mutability contract enforced in lifecycle code; see r9 verdict #3)
-    "crud_engine_selfcontained": (
-        q_crud_engine_selfcontained,
-        _sql_crud_engine_selfcontained(),
+    # r12 rotation: displaced from the window after multi-round driver-green
+    # rows — full value oracles kept; the production batch / layout /
+    # quantized ANN variants, the LM join twin, and the Engine
+    # selfcontained lifecycle took their slots (VERDICT r11 #2)
+    "vec_kernel_scores": (q_vec_kernel_scores, _sql_vec_kernel_scores()),
+    "exact_duplicates": (q_exact_duplicates, _sql_exact_duplicates()),
+    "doc_repetition": (q_doc_repetition, _sql_doc_repetition()),
+    "doc_lm_nll": (q_doc_lm_nll, _sql_doc_lm_nll()),
+    "lsh_search_top10": (q_lsh_search, _sql_lsh_search()),
+    "ivf_search_top10": (q_ivf_search, _sql_ivf_search()),
+    "pq_search_top10": (q_pq_search, _sql_pq_search()),
+    "crud_engine_with_chunks": (
+        q_crud_engine_with_chunks,
+        _SQL_CRUD_ENGINE_WITH_CHUNKS,
     ),
     "doc_token_count": (
         q_doc_token_count,
@@ -4890,21 +4912,6 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "dedup_canonical": (q_dedup_canonical, _sql_dedup_canonical()),
     "events_table_profile": (q_events_table_profile, _sql_events_table_profile()),
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL_STATS),
-    # ANN batch paths (exactness additionally pinned in pytest)
-    "lsh_search_batch_top10": (q_lsh_search_batch, _sql_lsh_search_batch()),
-    "ivf_search_batch_top10": (q_ivf_search_batch, _sql_ivf_search_batch()),
-    # r9 in-place re-rank layouts: self-contained LSH buckets and IVF-Flat
-    # postings — same fixed models, same replay oracles as the in-window
-    # probe entries (the LAYOUT changes the plan, never the answer)
-    "lsh_search_selfcontained_top10": (
-        q_lsh_search_selfcontained, _sql_lsh_search(),
-    ),
-    "ivf_flat_search_top10": (q_ivf_flat_search, _sql_ivf_search()),
-    # r9: PQ batch path (the family's last missing batch surface) — one
-    # codes pass per batch, map-side partial ADC top-k; oracle = UNION ALL
-    # of the per-query PQ replays
-    "pq_search_batch_top10": (q_pq_search_batch, _sql_pq_search_batch()),
-    "knn_quantized_top10": (q_knn_quantized, _sql_knn_quantized()),
     "knn_batch_numpy_top5": (q_knn_batch_numpy, _sql_knn_batch_scored()),
     "multimodal_embed": (q_multimodal_embed, _sql_multimodal_embed()),
     # r9 rotation: displaced from the window (classes covered in-window by
@@ -4919,9 +4926,6 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_semdedup_drop_np_hotcell,
         _sql_semdedup(ids_only=True),
     ),
-    # LM broadcast-join scale twin (same oracle as in-window doc_lm_nll;
-    # join==literal bit-equality additionally pinned by tests/test_lm.py)
-    "doc_lm_nll_join": (q_doc_lm_nll_join, _sql_doc_lm_nll()),
     # post-compaction re-checks (round 5): epoch-collapsed state must serve
     # bit-identically against the SAME oracles as the uncompacted streams
     "stream_bm25_compacted": (q_stream_bm25_compacted, _sql_doc_bm25()),
