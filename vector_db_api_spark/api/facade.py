@@ -84,13 +84,29 @@ class Facade:
         """ONE definition of chunk-DTO validation (extra='forbid' parity)
         shared by the bulk route and the with-chunks route — two copies
         here previously meant a rule change in one could let with-chunks
-        pre-validate OK and then have the bulk upsert reject mid-flight."""
+        pre-validate OK and then have the bulk upsert reject mid-flight.
+
+        Embeddings are coerced to float IN PLACE (Pydantic ``list[float]``
+        parity — JSON clients legitimately send ``[1.0, 0, 0, 0]``, and the
+        ints would otherwise surface as a 500 from Spark's FloatType row
+        check instead of either working or a 422; found by the r12 stdlib
+        live-HTTP smoke)."""
         for c in chunks:
             unknown = set(c) - set(CHUNK_IN_FIELDS)
             if unknown:
                 raise ValidationError(f"unknown chunk fields: {sorted(unknown)}")
             if not c.get("text"):
                 raise ValidationError("chunk.text must be non-empty")
+            emb = c.get("embedding")
+            if emb is not None:
+                if not isinstance(emb, (list, tuple)):
+                    raise ValidationError(
+                        "chunk.embedding must be a list of numbers")
+                try:
+                    c["embedding"] = [float(x) for x in emb]
+                except (TypeError, ValueError):
+                    raise ValidationError(
+                        "chunk.embedding must be a list of numbers")
 
     def upsert_chunk(self, library_id: str, document_id: str, body: dict) -> dict:
         """routers/chunks.py:62-77 POST /libraries/{lib}/documents/{doc}/chunks
@@ -357,9 +373,15 @@ class Facade:
         """routers/search.py:20-44 — SearchIn DTO → hits list."""
         try:
             filters = body.get("filters") or {}
+            qe = body.get("query_embedding")
+            try:
+                qe = [float(x) for x in qe or []]
+            except (TypeError, ValueError):
+                raise ValidationError(
+                    "query_embedding must be a list of numbers")
             hits = self.engine.search(
                 library_id,
-                body["query_embedding"],
+                qe,
                 k=body.get("k", 10),
                 metric=body.get("metric", "cosine"),
                 doc_ids=filters.get("doc_ids"),

@@ -181,3 +181,170 @@ def create_app(facade: Facade):
         return _reply(facade.ingest_document(library_id, body), response)
 
     return app
+
+
+# ---------------------------------------------------------------------------
+# Stdlib twin (r11 verdict #5): the same route table served by
+# http.server — zero dependencies, so the live-HTTP workflow the
+# reference's TestClient integration suite exercises
+# (tests/integration/test_app_integration.py:52-116) has an executable
+# counterpart in containers without fastapi. One route spec drives the
+# whole server; create_app above stays the production surface (typed
+# request models, 422 shapes) — this twin trades the Pydantic layer for
+# runnability, which is exactly what the facade's own validation already
+# covers (dict in → {"status": ...} out).
+
+def _qi(q: dict, key: str, default: int) -> int:
+    try:
+        return int(q[key][0])
+    except (KeyError, IndexError, ValueError):
+        return default
+
+
+# (method, path template, handler(facade, params, query, json_body)) —
+# ordered most-specific-first so a literal tail (":move", "/chunks",
+# "with-chunks") wins over a bare {param} capture.
+STDLIB_ROUTES: list[tuple] = [
+    ("GET", "/health", lambda f, p, q, b: f.health()),
+    ("POST", "/libraries/{library_id}/documents/with-chunks",
+     lambda f, p, q, b: f.create_document_with_chunks(p["library_id"], b)),
+    ("POST", "/libraries/{library_id}/documents/ingest-text",
+     lambda f, p, q, b: f.ingest_document(p["library_id"], b)),
+    ("POST", "/libraries/{library_id}/documents/{document_id}:move",
+     lambda f, p, q, b: f.move_document(p["library_id"], p["document_id"], b)),
+    ("POST", "/libraries/{library_id}/documents/{document_id}/chunks",
+     lambda f, p, q, b: f.upsert_chunk(p["library_id"], p["document_id"], b)),
+    ("DELETE",
+     "/libraries/{library_id}/documents/{document_id}/chunks/{chunk_id}",
+     lambda f, p, q, b: f.delete_chunk(
+         p["library_id"], p["document_id"], p["chunk_id"])),
+    ("POST", "/libraries/{library_id}/documents",
+     lambda f, p, q, b: f.create_document(p["library_id"], b)),
+    ("GET", "/libraries/{library_id}/documents",
+     lambda f, p, q, b: f.list_documents(
+         p["library_id"], offset=_qi(q, "offset", 0),
+         limit=_qi(q, "limit", 50),
+         has_tag=(q.get("has_tag") or [None])[0])),
+    ("GET", "/libraries/{library_id}/documents/{document_id}",
+     lambda f, p, q, b: f.get_document(p["document_id"], p["library_id"])),
+    ("DELETE", "/libraries/{library_id}/documents/{document_id}",
+     lambda f, p, q, b: f.delete_document(p["library_id"], p["document_id"])),
+    ("POST", "/libraries/{library_id}/rebuild-index",
+     lambda f, p, q, b: f.rebuild_index(p["library_id"])),
+    ("PATCH", "/libraries/{library_id}/index-config",
+     lambda f, p, q, b: f.update_index_config(p["library_id"], b)),
+    ("POST", "/libraries/{library_id}/chunks",
+     lambda f, p, q, b: f.bulk_upsert_chunks(p["library_id"], b)),
+    ("POST", "/libraries/{library_id}/search",
+     lambda f, p, q, b: f.search(p["library_id"], b)),
+    ("POST", "/libraries", lambda f, p, q, b: f.create_library(b)),
+    ("GET", "/libraries",
+     lambda f, p, q, b: f.list_libraries(
+         offset=_qi(q, "offset", 0), limit=_qi(q, "limit", 50))),
+    ("GET", "/libraries/{library_id}",
+     lambda f, p, q, b: f.get_library(p["library_id"])),
+    ("DELETE", "/libraries/{library_id}",
+     lambda f, p, q, b: f.delete_library(p["library_id"])),
+    ("PATCH", "/documents/{document_id}/metadata",
+     lambda f, p, q, b: f.update_document_metadata(p["document_id"], b)),
+    ("GET", "/documents/{document_id}",
+     lambda f, p, q, b: f.get_document(p["document_id"])),
+    ("GET", "/chunks/{chunk_id}",
+     lambda f, p, q, b: f.get_chunk(p["chunk_id"])),
+]
+
+
+def create_stdlib_server(facade: Facade, host: str = "127.0.0.1",
+                         port: int = 0):
+    """A ``ThreadingHTTPServer`` serving :data:`STDLIB_ROUTES` over the
+    Facade. ``port=0`` binds an ephemeral port (read it back from
+    ``server.server_address``). Caller owns the lifecycle::
+
+        srv = create_stdlib_server(facade)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        ...
+        srv.shutdown(); srv.server_close()
+
+    Single-process like the reference's in-process FastAPI (main.py:31-43):
+    the SparkSession behind the facade is the engine; handler threads only
+    submit jobs to it (thread-safe in Spark)."""
+    import json as _json
+    import re as _re
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlsplit
+
+    compiled = [
+        (method, _re.compile(
+            "^" + _re.sub(r"\{([a-z_]+)\}", r"(?P<\1>[^/]+)", tpl) + "$"),
+         handler)
+        for method, tpl, handler in STDLIB_ROUTES
+    ]
+
+    class Handler(BaseHTTPRequestHandler):
+        # keep the smoke-test output clean; real deployments front this
+        # with their own access logging
+        def log_message(self, *args) -> None:  # noqa: D102
+            pass
+
+        def _dispatch(self, method: str) -> None:
+            parts = urlsplit(self.path)
+            query = parse_qs(parts.query)
+            body = None
+            length = int(self.headers.get("Content-Length") or 0)
+            if length:
+                try:
+                    body = _json.loads(self.rfile.read(length))
+                except ValueError:
+                    self._send({"status": 400, "error": "invalid JSON body"})
+                    return
+            for m, rx, handler in compiled:
+                if m != method:
+                    continue
+                hit = rx.match(parts.path)
+                if hit:
+                    try:
+                        resp = handler(facade, hit.groupdict(), query, body)
+                    except Exception as e:  # facade contracts violated
+                        resp = {"status": 500, "error": f"{type(e).__name__}: {e}"}
+                    self._send(resp)
+                    return
+            self._send({"status": 404,
+                        "error": f"no route for {method} {parts.path}"})
+
+        def _send(self, resp: dict) -> None:
+            # FastAPI's jsonable_encoder parity for the shapes the facade
+            # actually emits: datetimes (chunk/document stamps) go ISO;
+            # anything else unknown degrades to str() rather than killing
+            # the connection mid-reply with a TypeError
+            import datetime as _dt
+
+            def _default(o):
+                if isinstance(o, (_dt.datetime, _dt.date)):
+                    return o.isoformat()
+                return str(o)
+
+            status = int(resp.get("status", 200))
+            # RFC 7230: 204/304 carry no body (FastAPI does the same for
+            # the delete routes' 204 envelopes)
+            payload = b"" if status in (204, 304) else _json.dumps(
+                resp, default=_default).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            if payload:
+                self.wfile.write(payload)
+
+        def do_GET(self):  # noqa: N802
+            self._dispatch("GET")
+
+        def do_POST(self):  # noqa: N802
+            self._dispatch("POST")
+
+        def do_DELETE(self):  # noqa: N802
+            self._dispatch("DELETE")
+
+        def do_PATCH(self):  # noqa: N802
+            self._dispatch("PATCH")
+
+    return ThreadingHTTPServer((host, port), Handler)
