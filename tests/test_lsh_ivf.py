@@ -507,3 +507,57 @@ def test_ivfflat_assignments_search_parity(clustered_df, clustered_vectors):
     finally:
         a_id.unpersist()
         a_v.unpersist()
+
+
+def test_self_join_auto_routes_probe_on_clustered_exact_on_random(spark):
+    """r11 verdict #6 pin: the self-join router picks the measured-cheaper
+    plan on both BENCH_SCALE regimes WITHOUT the user knowing their
+    corpus's geometry. Clustered → the probe plan at the smallest p that
+    meets the bar (recall>=0.8 at candidate fraction <=0.1 — BENCH_SCALE
+    measured p=1 / 0.904 / 0.014 there); random/isotropic → every p fails
+    the bar (p=1-2 recall-starved, p=4-8 scan-bound) and the EXACT numpy
+    plan serves. The dispatched results must equal the plan called
+    directly."""
+    from vector_db_api_spark.operators.ivf import IVFIndex
+    from vector_db_api_spark.operators.knn import knn_batch_numpy
+    from vector_db_api_spark.sources.synthetic_vectors import clustered_corpus
+    from vector_db_api_spark.sources.tables import load_table
+
+    cdf = clustered_corpus(spark, 1000, dim=64, n_clusters=64,
+                           spread=0.05).cache()
+    cdf.count()
+    civf = IVFIndex.auto_train(cdf, n_rows=1000, seed=42)
+    dec: dict = {}
+    auto = civf.self_join_auto(cdf, 4, sample_queries=48, decision_out=dec)
+    assert dec["plan"] == "probe" and dec["nprobe_sym"] == 1
+    assert dec["sampled_recall"][1] >= 0.8
+    assert dec["candidate_fraction"][1] <= 0.1
+    direct = civf.self_join(cdf, 4, nprobe_sym=1)
+    key = lambda rows: sorted((r["query_id"], r["id"]) for r in rows)  # noqa: E731
+    assert key(auto.collect()) == key(direct.collect())
+    cdf.unpersist()
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    n = emb.count()
+    rivf = IVFIndex.auto_train(emb, n_rows=n, seed=42)
+    dec2: dict = {}
+    auto2 = rivf.self_join_auto(emb, 4, id_col="vec_id", sample_queries=48,
+                                decision_out=dec2)
+    assert dec2["plan"] == "exact" and dec2["nprobe_sym"] is None
+    # p=1 passed the fraction gate but failed recall; p>=4 never even got a
+    # recall measurement (candidate fraction alone disqualified it)
+    assert dec2["sampled_recall"].get(1, 1.0) < 0.8
+    assert dec2["candidate_fraction"][8] > 0.1
+    qv = [(str(r["vec_id"]), [float(x) for x in r["embedding"]])
+          for r in emb.collect()]
+    exact = knn_batch_numpy(emb, qv, 4, id_col="vec_id")
+    key2 = lambda rows: sorted((r["query_id"], r["vec_id"]) for r in rows)  # noqa: E731
+    assert key2(auto2.collect()) == key2(exact.collect())
+    # and the scan-bound + over-limit case refuses loudly instead of
+    # running an n^2 job behind the caller's back
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scan-bound"):
+        rivf.self_join_auto(emb, 4, id_col="vec_id", sample_queries=48,
+                            exact_collect_limit=10)
+    emb.unpersist()

@@ -31,7 +31,7 @@ from collections.abc import Sequence
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_db_api_spark.operators.knn import knn
@@ -398,11 +398,17 @@ class IVFIndex:
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
         nprobe: int | None = None,
+        with_rank: bool = False,
     ) -> DataFrame:
-        """(query_id, centroid_id) probe pairs for a BATCH of queries — the
-        distributed analogue of :meth:`probe_centroids` (top-nprobe by dot
-        with the unit query; the centroid matrix broadcast when large).
-        Zero-vector queries produce no probe rows."""
+        """(query_id, centroid_id[, probe_rank]) probe pairs for a BATCH of
+        queries — the distributed analogue of :meth:`probe_centroids`
+        (top-nprobe by dot with the unit query; the centroid matrix
+        broadcast when large). Zero-vector queries produce no probe rows.
+
+        ``with_rank=True`` adds ``probe_rank`` (0 = nearest cell): the
+        selection is already a stable descending sort, so ranks are free —
+        one pass at the LARGEST nprobe then serves every smaller p via
+        ``probe_rank < p`` (the self-join auto-router's trick)."""
         import pandas as pd
 
         from vector_db_api_spark.functions.ship import ship_model
@@ -411,6 +417,8 @@ class IVFIndex:
         nprobe = min(nprobe or self.nprobe, len(self.centroids))
         id_type = queries.schema[query_id_col].dataType.simpleString()
         out_schema = f"{query_id_col} {id_type}, centroid_id int"
+        if with_rank:
+            out_schema += ", probe_rank int"
 
         def probe_batches(batches):
             cent = shipped.get()
@@ -431,16 +439,17 @@ class IVFIndex:
                     # the same cells on every engine (r11 advice)
                     top = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
                 else:
-                    top = np.broadcast_to(
-                        np.arange(scores.shape[1]), (len(unit), scores.shape[1])
-                    )
+                    top = np.argsort(-scores, axis=1, kind="stable")
                 ids = pdf[query_id_col].to_numpy()[keep]
-                yield pd.DataFrame(
-                    {
-                        query_id_col: np.repeat(ids, top.shape[1]),
-                        "centroid_id": top.reshape(-1).astype(np.int32),
-                    }
-                )
+                cols = {
+                    query_id_col: np.repeat(ids, top.shape[1]),
+                    "centroid_id": top.reshape(-1).astype(np.int32),
+                }
+                if with_rank:
+                    cols["probe_rank"] = np.tile(
+                        np.arange(top.shape[1], dtype=np.int32), len(ids)
+                    )
+                yield pd.DataFrame(cols)
 
         return queries.filter(F.col(query_vec_col).isNotNull()).mapInPandas(
             probe_batches, schema=out_schema
@@ -518,6 +527,192 @@ class IVFIndex:
             corpus, queries, pairs, k, metric=metric, id_col=id_col,
             vec_col=vec_col, broadcast_queries=False,
         )
+
+    def route_self_join(
+        self,
+        corpus: DataFrame,
+        k: int,
+        metric: str = "cosine",
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        nprobe_candidates: tuple[int, ...] = (1, 2, 4, 8),
+        recall_bar: float = 0.8,
+        max_candidate_fraction: float = 0.1,
+        sample_queries: int = 256,
+        seed: int = 42,
+    ) -> dict:
+        """Decide probe-vs-exact for the approximate kNN self-join by
+        MEASURING the serving bar on a query sample (r11 verdict #6: the
+        regime bar in BENCH_SCALE.md required the USER to know whether
+        their corpus is clustered; the engine has the data to decide).
+
+        The bar (BENCH_SCALE.md "self-join recall curve"): the probe plan
+        serves when some p in ``nprobe_candidates`` reaches sampled
+        recall@k >= ``recall_bar`` at candidate fraction <=
+        ``max_candidate_fraction``; otherwise the corpus is scan-bound
+        (random/isotropic regime — sub-scan recall is information-
+        theoretically unavailable) and the EXACT plan is the honest one.
+
+        Cost shape — every step is O(n), never the probe plan's
+        Σ|bucket|² candidate join:
+
+        - ONE ranked probe pass over the corpus at max(p) (``probe_rank``
+          filters serve every smaller p for free);
+        - per p, the exact directed-pair count Σ_cells c_p(cell)² from a
+          cell histogram (one partial agg) → candidate fraction;
+        - per p, sampled recall: ``sample_queries`` hash-picked vectors
+          get exact top-k (one JVM kNN-batch pass) and probe-plan top-k
+          (sample-side probes broadcast against the corpus probe table —
+          the sample's candidates only, never all pairs).
+
+        Returns the decision record: ``{"plan": "probe"|"exact",
+        "nprobe_sym": p|None, "sampled_recall": {p: r}, and
+        "candidate_fraction": {p: f}}`` — callers log it; ``self_join_auto``
+        dispatches on it."""
+        from vector_db_api_spark.operators.knn import knn_batch, rerank_pairs
+
+        queries = corpus.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("query_vec"),
+        )
+        n = queries.count()
+        decision: dict = {"plan": "exact", "nprobe_sym": None, "n": int(n),
+                          "sampled_recall": {}, "candidate_fraction": {},
+                          "recall_bar": recall_bar,
+                          "max_candidate_fraction": max_candidate_fraction}
+        if n == 0:
+            return decision
+        p_max = min(max(nprobe_candidates), len(self.centroids))
+        probes = self.assign_queries(queries, nprobe=p_max, with_rank=True)
+        probes = probes.localCheckpoint(eager=True)  # reused per candidate p
+        # deterministic sample: hash-ordered ids, stable across retries
+        sample = (
+            queries.orderBy(F.xxhash64(F.col("query_id"), F.lit(seed)))
+            .limit(sample_queries)
+        ).localCheckpoint(eager=True)
+        m = sample.count()
+        # exact top-k of the sample against the FULL corpus (the ground
+        # truth recall denominator) — self-pairs excluded like dedup callers
+        exact = (
+            knn_batch(corpus, sample, k + 1, metric=metric,
+                      id_col=id_col, vec_col=vec_col)
+            .filter(F.col("query_id") != F.col(id_col))
+            .withColumn("__rk", F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("score"), F.col(id_col).asc())))
+            .filter(F.col("__rk") <= k)
+            .groupBy("query_id")
+            .agg(F.collect_set(id_col).alias("ids"))
+            .collect()
+        )
+        exact_by_q = {r["query_id"]: set(r["ids"]) for r in exact}
+        sample_probe_all = self.assign_queries(
+            sample, nprobe=p_max, with_rank=True
+        ).localCheckpoint(eager=True)
+        for p in sorted(set(min(p, p_max) for p in nprobe_candidates)):
+            # exact directed-pair count at this p: Σ_cells count² over the
+            # (already computed) ranked probe table
+            hist = (
+                probes.filter(F.col("probe_rank") < p)
+                .groupBy("centroid_id").agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.sum(F.col("c") * F.col("c")).alias("pairs"))
+                .collect()[0]["pairs"]
+            )
+            frac = float(hist) / (float(n) * float(n))
+            decision["candidate_fraction"][p] = round(frac, 6)
+            if frac > max_candidate_fraction:
+                continue  # scan-bound at this p; larger p only grows it
+            sp = sample_probe_all.filter(F.col("probe_rank") < p)
+            cand = (
+                F.broadcast(sp.select("query_id", "centroid_id"))
+                .join(
+                    probes.filter(F.col("probe_rank") < p).select(
+                        F.col("query_id").alias(id_col), "centroid_id"),
+                    "centroid_id")
+                .select("query_id", id_col)
+                .distinct()
+            )
+            hits = (
+                rerank_pairs(corpus, sample, cand, k + 1, metric=metric,
+                             id_col=id_col, vec_col=vec_col)
+                .filter(F.col("query_id") != F.col(id_col))
+                .withColumn("__rk", F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.desc("score"), F.col(id_col).asc())))
+                .filter(F.col("__rk") <= k)
+                .groupBy("query_id")
+                .agg(F.collect_set(id_col).alias("ids"))
+                .collect()
+            )
+            got_by_q = {r["query_id"]: set(r["ids"]) for r in hits}
+            num = den = 0
+            for qid, want in exact_by_q.items():
+                num += len(want & got_by_q.get(qid, set()))
+                den += len(want)
+            recall = num / den if den else 1.0
+            decision["sampled_recall"][p] = round(recall, 4)
+            if recall >= recall_bar:
+                decision["plan"] = "probe"
+                decision["nprobe_sym"] = p
+                break
+        _ = m  # sample size recorded for the log line
+        decision["sample_size"] = int(m)
+        return decision
+
+    def self_join_auto(
+        self,
+        corpus: DataFrame,
+        k: int,
+        metric: str = "cosine",
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        exact_collect_limit: int = 1_000_000,
+        decision_out: dict | None = None,
+        **route_kw,
+    ) -> DataFrame:
+        """kNN self-join with the plan picked by :meth:`route_self_join`:
+        the symmetric multi-probe plan at the smallest p that meets the
+        measured bar, else the exact Arrow/numpy plan (the honest choice
+        in the scan-bound regime — at sf1 BENCH_SCALE measured exact 99s
+        vs probe 325s on random 20k×64d).
+
+        The exact fallback collects the query side to the driver
+        (``knn_batch_numpy``'s contract), bounded by
+        ``exact_collect_limit``: above it a scan-bound corpus has NO fast
+        plan at the requested bar, and silently running an n² job or a
+        recall-starved probe would both be lies — the error says which
+        knobs exist (lower ``recall_bar``, raise ``max_candidate_fraction``,
+        or call ``self_join`` with an explicit p). Pass ``decision_out={}``
+        to receive the routing record."""
+        decision = self.route_self_join(
+            corpus, k, metric=metric, id_col=id_col, vec_col=vec_col,
+            **route_kw)
+        if decision_out is not None:
+            decision_out.update(decision)
+        if decision["plan"] == "probe":
+            return self.self_join(
+                corpus, k, metric=metric, id_col=id_col, vec_col=vec_col,
+                nprobe_sym=decision["nprobe_sym"])
+        if decision["n"] > exact_collect_limit:
+            raise ValueError(
+                f"self-join on {decision['n']} rows is scan-bound (sampled "
+                f"recall {decision['sampled_recall']} below bar "
+                f"{decision['recall_bar']} within candidate fraction "
+                f"{decision['max_candidate_fraction']}) and exceeds "
+                f"exact_collect_limit={exact_collect_limit}: no plan meets "
+                f"the bar. Lower recall_bar / raise max_candidate_fraction "
+                f"to accept approximate results, or call self_join() with "
+                f"an explicit nprobe_sym."
+            )
+        from vector_db_api_spark.operators.knn import knn_batch_numpy
+
+        rows = corpus.filter(F.col(vec_col).isNotNull()).select(
+            id_col, vec_col).collect()
+        all_queries = [
+            (str(r[id_col]), [float(x) for x in r[vec_col]]) for r in rows
+        ]
+        return knn_batch_numpy(corpus, all_queries, k, metric=metric,
+                               id_col=id_col, vec_col=vec_col)
 
     def search_batch(
         self,
