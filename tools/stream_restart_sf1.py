@@ -1,0 +1,255 @@
+"""Restart-under-fire at sf1 (r11 verdict #7): compose the r9 mid-drain
+crash harness (tests/test_streaming_restart.py) with the r10/r11 sf1 drain
+sweep (tools/stream_sf1.py) — kill each custom stateful streaming operator
+at the worst moment INSIDE an sf1 drain and assert the served state still
+matches its oracle.
+
+Crash point (the real at-least-once window): the drain has committed half
+its epochs, the newest epoch's STATE is fully written, but the engine dies
+before committing ``commits/N`` in the checkpoint. The restarted drain
+replays epoch N against state that already contains N's writes, then
+ingests the remaining files. Idempotence mechanisms under test, now at
+50k docs / 1M events / 20k vectors:
+
+- bm25 postings + KMV: epoch-stamped dynamic partition overwrite — the
+  replay overwrites exactly its own partition;
+- SemDeDup: the admission read excludes the epoch being written, so the
+  replay recomputes the identical partition;
+- first_seen (applyInPandasWithState): state-store version rollback + the
+  parquet sink's commit log (exactly-once output). No arrival-order-free
+  SQL oracle exists for first-seen winners, so its bar is equality with an
+  UNINTERRUPTED sf1 reference drain; the other three check the registry's
+  DuckDB oracle.
+
+Prints a markdown section for CORRECTNESS_LOCAL.md's streaming notes.
+
+Usage: python tools/stream_restart_sf1.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.join(HERE, "tools"))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from check_correctness import canon, duck_con  # noqa: E402
+from vector_db_api_spark import suite  # noqa: E402
+from vector_db_api_spark.session import get_spark  # noqa: E402
+from vector_db_api_spark.sources.tables import load_table  # noqa: E402
+
+
+def _crash_after_state_write(ckpt: str) -> int:
+    """Delete the newest checkpoint commit (state already written) — the
+    same simulation tests/test_streaming_restart.py pins at gate scale."""
+    cdir = os.path.join(ckpt, "commits")
+    ids = sorted(int(n) for n in os.listdir(cdir) if n.lstrip("-").isdigit())
+    os.remove(os.path.join(cdir, str(ids[-1])))
+    crc = os.path.join(cdir, f".{ids[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    return ids[-1]
+
+
+def _oracle_ok(con, name: str, df) -> tuple[bool, int]:
+    sql = suite.SUITE[name][1]
+    srows, scols = canon([tuple(r) for r in df.collect()], df.columns)
+    res = con.execute(sql)
+    drows, dcols = canon(res.fetchall(), [d[0] for d in res.description])
+    return (srows == drows and [c.lower() for c in scols]
+            == [c.lower() for c in dcols]), len(srows)
+
+
+def run_bm25(spark, con, sf_dir, report):
+    from vector_db_api_spark.operators.keyword import bm25_scores_postings
+    from vector_db_api_spark.streaming.ingest import (
+        incremental_postings_ingest,
+        latest_rows,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sf1_restart_bm25_")
+    src, pp, dp, ck = (f"{tmp}/{d}" for d in ("src", "postings", "doclens", "ck"))
+    docs = suite._docs(spark, sf_dir).select("doc_id", "text")
+    schema = "doc_id bigint, text string"
+    t0 = time.time()
+    # first half: 4 files -> 4 epochs, then crash after epoch 3's state write
+    docs.filter(F.col("doc_id") % 2 == 0).repartition(4) \
+        .write.mode("append").parquet(src)
+    q = incremental_postings_ingest(spark, src, schema, pp, dp, ck,
+                                    max_files_per_trigger=1)
+    suite._await_stream(q, seconds=3600)
+    replayed = _crash_after_state_write(ck)
+    # second half arrives while we were down; restart replays + continues
+    docs.filter(F.col("doc_id") % 2 == 1).repartition(4) \
+        .write.mode("append").parquet(src)
+    q = incremental_postings_ingest(spark, src, schema, pp, dp, ck,
+                                    max_files_per_trigger=1)
+    suite._await_stream(q, seconds=3600)
+    wall = time.time() - t0
+    served = bm25_scores_postings(
+        latest_rows(spark.read.parquet(pp)),
+        latest_rows(spark.read.parquet(dp)),
+        suite.BM25_QUERY,
+    )
+    ok, n = _oracle_ok(con, "stream_bm25_state", served)
+    report("stream_bm25", wall, replayed, ok, n, "DuckDB oracle")
+
+
+def run_kmv(spark, con, sf_dir, report):
+    from vector_db_api_spark.streaming.ingest import (
+        incremental_kmv_ingest,
+        served_kmv_estimates,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sf1_restart_kmv_")
+    src, sp, ck = (f"{tmp}/{d}" for d in ("src", "state", "ck"))
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    schema = "event_type string, user_id bigint"
+    t0 = time.time()
+    ev.filter(F.col("user_id") % 2 == 0).repartition(4) \
+        .write.mode("append").parquet(src)
+    q = incremental_kmv_ingest(spark, src, schema, sp, ck, ["event_type"],
+                               "user_id", k=suite._KMV_K,
+                               max_files_per_trigger=1)
+    suite._await_stream(q, seconds=3600)
+    replayed = _crash_after_state_write(ck)
+    ev.filter(F.col("user_id") % 2 == 1).repartition(4) \
+        .write.mode("append").parquet(src)
+    q = incremental_kmv_ingest(spark, src, schema, sp, ck, ["event_type"],
+                               "user_id", k=suite._KMV_K,
+                               max_files_per_trigger=1)
+    suite._await_stream(q, seconds=3600)
+    wall = time.time() - t0
+    served = served_kmv_estimates(
+        spark, sp, ["event_type"], k=suite._KMV_K
+    ).withColumnRenamed("est_distinct", "est_users")
+    ok, n = _oracle_ok(con, "stream_kmv_state", served)
+    report("stream_kmv", wall, replayed, ok, n, "DuckDB oracle")
+
+
+def run_semdedup(spark, con, sf_dir, report):
+    from vector_db_api_spark.streaming.dedup import incremental_semdedup_ingest
+
+    tmp = tempfile.mkdtemp(prefix="sf1_restart_semdedup_")
+    a, b, sp = f"{tmp}/a", f"{tmp}/b", f"{tmp}/state"
+    emb = suite._emb(spark, sf_dir).select("vec_id", "embedding")
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(a)
+    emb.filter(F.col("vec_id") % 2 == 1).write.mode("overwrite").parquet(b)
+    cent = suite._semdedup_fixed_centroids()
+    t0 = time.time()
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>").parquet(a)
+    q = incremental_semdedup_ingest(
+        stream, sp, f"{tmp}/ck0", cent, suite.NEARDUP_THRESHOLD,
+        id_col="vec_id", epoch_offset=0)
+    suite._await_stream(q, seconds=3600)
+    # crash after epoch 0's admission partition landed but before its commit
+    replayed = _crash_after_state_write(f"{tmp}/ck0")
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>").parquet(a)
+    q = incremental_semdedup_ingest(
+        stream, sp, f"{tmp}/ck0", cent, suite.NEARDUP_THRESHOLD,
+        id_col="vec_id", epoch_offset=0)
+    suite._await_stream(q, seconds=3600)  # replays epoch 0 idempotently
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>").parquet(b)
+    q = incremental_semdedup_ingest(
+        stream, sp, f"{tmp}/ck1", cent, suite.NEARDUP_THRESHOLD,
+        id_col="vec_id", epoch_offset=1_000_000)
+    suite._await_stream(q, seconds=3600)
+    wall = time.time() - t0
+    served = spark.read.parquet(sp).select("vec_id")
+    ok, n = _oracle_ok(con, "stream_semdedup_state", served)
+    report("stream_semdedup", wall, replayed, ok, n, "DuckDB oracle")
+
+
+def run_first_seen(spark, sf_dir, report):
+    from vector_db_api_spark.streaming.dedup import (
+        content_fingerprint,
+        first_seen_dedup,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sf1_restart_firstseen_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("event_type").alias("payload")
+    ).withColumn("fp", content_fingerprint("payload"))
+    schema = "event_id bigint, payload string, fp string"
+
+    def run(src, out, ck):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            first_seen_dedup(stream, "fp", "event_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        suite._await_stream(q, seconds=3600)
+
+    # sequential single-file writes: FileStreamSource orders files by
+    # modification time, and first-seen WINNERS depend on arrival order —
+    # multi-file same-mtime writes would make the reference and the
+    # interrupted run disagree for reasons unrelated to the crash (the
+    # gate-scale test's _three_files uses the same trick)
+    quarters = [ev.filter(F.col("event_id") % 4 == i) for i in range(4)]
+    t0 = time.time()
+    rsrc, rout = f"{tmp}/rsrc", f"{tmp}/rout"
+    for qd in quarters:
+        qd.coalesce(1).write.mode("append").parquet(rsrc)
+    run(rsrc, rout, f"{tmp}/rck")
+    want = {(r["fp"], r["event_id"])
+            for r in spark.read.parquet(rout).collect()}
+    # interrupted drain: half the files, crash, rest arrives, restart
+    src, out, ck = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ck"
+    for qd in quarters[:2]:
+        qd.coalesce(1).write.mode("append").parquet(src)
+    run(src, out, ck)
+    replayed = _crash_after_state_write(ck)
+    for qd in quarters[2:]:
+        qd.coalesce(1).write.mode("append").parquet(src)
+    run(src, out, ck)
+    wall = time.time() - t0
+    got = {(r["fp"], r["event_id"])
+           for r in spark.read.parquet(out).collect()}
+    report("stream_first_seen", wall, replayed, got == want, len(got),
+           "uninterrupted-reference equality (no arrival-order-free oracle)")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    spark = get_spark("stream-restart-sf1")
+    con = duck_con(sf_dir)
+    lines = [f"\n### Restart-under-fire at {sf_dir} "
+             f"(tools/stream_restart_sf1.py)\n"]
+
+    def report(name, wall, replayed, ok, n, bar):
+        lines.append(
+            f"- **{name}**: mid-drain crash after epoch {replayed}'s state "
+            f"write (commit deleted), restarted drain replayed it + "
+            f"ingested the rest in {wall:.1f}s total; served {n} rows, "
+            f"{bar} " + ("**MATCH**" if ok else "**MISMATCH**")
+        )
+        print(lines[-1], flush=True)
+
+    run_kmv(spark, con, sf_dir, report)
+    run_bm25(spark, con, sf_dir, report)
+    run_semdedup(spark, con, sf_dir, report)
+    run_first_seen(spark, sf_dir, report)
+    print("\n".join(lines))
+    with open("/tmp/stream_restart_sf1_section.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\nwritten: /tmp/stream_restart_sf1_section.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
