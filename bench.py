@@ -267,6 +267,7 @@ _BAND_MIN_SAMPLE = 8
 # adjudicated against the python band automatically.
 PYTHON_AXIS_QUERIES = frozenset({
     "knn_batch_numpy_top5", "knn_quantized_top10", "knn_self_join_np",
+    "knn_self_join_auto",
     "pq_build", "pq_search", "pq_search_batch32", "ivfpq_search",
     "ivf_search_np8", "embedding_neardup_np", "embedding_neardup_mp_np",
     "semdedup_drop_np", "semdedup_drop_np_hotcell", "doc_winnowing_np",
@@ -888,6 +889,14 @@ def main() -> None:
     ]
     thunks["knn_self_join_np"] = lambda: _force(
         knn_batch_numpy(emb, all_queries, 4, id_col="vec_id")
+    )
+    # auto-routed self-join (r12): the measured wall INCLUDES the routing
+    # probe (ranked probe pass + per-p pair-count histograms + sampled
+    # recall) plus whichever plan it dispatches — on this isotropic corpus
+    # that is the exact numpy plan, so the delta vs knn_self_join_np IS the
+    # router's decision cost
+    thunks["knn_self_join_auto"] = lambda: _force(
+        ivf.self_join_auto(emb, 4, id_col="vec_id", sample_queries=64)
     )
 
     # -- cold pass + three timed passes (median) --------------------------
