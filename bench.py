@@ -58,6 +58,8 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "simhash",
     "exact_duplicates",
+    # r12: cross-document duplicated-span removal (substring dedup)
+    "doc_span_dedup",
     "embedding_neardup",
     "embedding_neardup_np",
     "embedding_neardup_mp",
@@ -112,6 +114,9 @@ HEADLINE = [
     "corpus_vocabulary",
     "doc_lm_nll",
     "doc_lm_nll_join",
+    # r12: CCNet perplexity buckets (exact-NTILE oracle twin benched;
+    # the approx production twin is pytest-pinned plan-only)
+    "doc_ccnet_buckets",
     "multimodal_embed",
     "doc_leakage_split",
     "events_anomalies",

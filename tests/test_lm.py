@@ -115,3 +115,86 @@ def test_lm_quality_filter_drops_high_perplexity(spark):
         r["doc_id"] for r in LM.lm_quality_filter(docs, bar + 1e-9).collect()
     )
     assert kept == list(range(9))
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def graded_docs(spark):
+    """30 docs with strictly increasing OOV share -> strictly increasing
+    per-token NLL under a model trained on common tokens only."""
+    rows = []
+    for i in range(30):
+        common = ["the"] * (30 - i)
+        rare = [f"rare{i}_{j}" for j in range(i)]
+        rows.append((i, " ".join(common + rare)))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_perplexity_buckets_exact_tiling(spark, graded_docs):
+    model, oov = LM.train_unigram(graded_docs)
+    out = LM.perplexity_buckets(graded_docs, model, oov).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    # equal thirds, and the NLL ranges are ordered head < middle < tail
+    assert {k: len(v) for k, v in by_bucket.items()} == {
+        "head": 10, "middle": 10, "tail": 10
+    }
+    assert max(r["nll_per_token"] for r in by_bucket["head"]) <= min(
+        r["nll_per_token"] for r in by_bucket["middle"]
+    )
+    assert max(r["nll_per_token"] for r in by_bucket["middle"]) <= min(
+        r["nll_per_token"] for r in by_bucket["tail"]
+    )
+
+
+def test_perplexity_buckets_tie_break_is_id(spark):
+    # identical docs -> identical NLL; NTILE order falls back to doc_id
+    docs = spark.createDataFrame(
+        [(i, "same text here") for i in range(1, 7)],
+        "doc_id bigint, text string",
+    )
+    model, oov = LM.train_unigram(docs)
+    out = {r["doc_id"]: r["bucket"] for r in
+           LM.perplexity_buckets(docs, model, oov).collect()}
+    assert out == {1: "head", 2: "head", 3: "middle", 4: "middle",
+                   5: "tail", 6: "tail"}
+
+
+def test_perplexity_buckets_approx_matches_exact_away_from_cuts(
+    spark, graded_docs
+):
+    """The production twin must agree with the exact NTILE everywhere the
+    sketch tolerance cannot bite: with 30 well-separated NLL values and
+    relative_error 0.001, every assignment is identical."""
+    model, oov = LM.train_unigram(graded_docs)
+    model_df, oov2 = LM.train_unigram_df(graded_docs)
+    assert oov2 == pytest.approx(oov)
+    exact = {r["doc_id"]: r["bucket"] for r in
+             LM.perplexity_buckets(graded_docs, model, oov).collect()}
+    approx = {r["doc_id"]: r["bucket"] for r in
+              LM.perplexity_buckets_approx(graded_docs, model_df, oov2).collect()}
+    assert approx == exact
+
+
+def test_perplexity_buckets_approx_has_no_global_sort(spark, graded_docs):
+    """Scale pin: the approx twin's PLAN contains no single-partition
+    window/sort (the exact twin's documented cost). Assignment must be a
+    projection over the scored scan."""
+    model_df, oov = LM.train_unigram_df(graded_docs)
+    plan = (
+        LM.perplexity_buckets_approx(graded_docs, model_df, oov)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
+
+
+def test_perplexity_buckets_custom_bucket_count(spark, graded_docs):
+    model, oov = LM.train_unigram(graded_docs)
+    out = LM.perplexity_buckets(graded_docs, model, oov, num_buckets=5)
+    counts = {r["bucket"]: r["c"] for r in
+              out.groupBy("bucket").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"b1": 6, "b2": 6, "b3": 6, "b4": 6, "b5": 6}

@@ -104,6 +104,16 @@ MUST_BE_IN_WINDOW = {
     # #3) — first-class, oracle-backed, in-window from its first round
     # (displaced doc_packing after its r10 driver-green row)
     "knn_self_join_ivf_sym",
+    # r12 NEW operators, in-window from their first round: cross-document
+    # duplicated-span removal (Lee et al. 2022 substring dedup —
+    # operators/span_dedup.py) and CCNet head/middle/tail perplexity
+    # buckets (operators/lm.py perplexity_buckets). Displaced:
+    # topk_per_label (per-group top-k runs inside every in-window ANN
+    # rerank) and doc_lang_id (driver-green r2-r11; text-analysis class
+    # keeps corpus_profile/doc_chunking/doc_token_count_bpe) — both keep
+    # full value oracles out-of-window.
+    "doc_span_dedup",
+    "doc_ccnet_buckets",
 }
 
 

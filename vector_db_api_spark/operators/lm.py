@@ -202,3 +202,81 @@ def lm_quality_filter(
         (F.col("n_tokens") > 0) & (F.col("nll_per_token") <= max_nll_per_token)
     ).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    model: dict[str, float],
+    oov_logprob: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 3,
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing: rank every doc by per-token NLL
+    (most fluent first) and NTILE into equal-size buckets — the artifact
+    CCNet publishes per language and downstream pipelines sample from.
+
+    ORACLE TWIN: the ranking is a GLOBAL NTILE (ties broken by id, so the
+    assignment is a pure function of the data), which Spark executes as a
+    single-partition window sort — exact, deterministic, replayable in SQL,
+    and NOT the 100 TB plan. At scale use :func:`perplexity_buckets_approx`:
+    same output schema, thresholds from approxQuantile, corpus-linear.
+    Bucket names: 3 buckets get CCNet's head/middle/tail; other counts get
+    b1..bN."""
+    from pyspark.sql import Window
+
+    scored = doc_nll(docs, model, oov_logprob, id_col, text_col)
+    w = Window.orderBy(F.col("nll_per_token").asc(), F.col(id_col).asc())
+    tiled = scored.withColumn("__tile", F.ntile(num_buckets).over(w))
+    return tiled.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("nll_per_token"),
+        _bucket_name("__tile", num_buckets).alias("bucket"),
+    )
+
+
+def _bucket_name(tile_col: str, num_buckets: int):
+    if num_buckets == 3:
+        return (
+            F.when(F.col(tile_col) == 1, F.lit("head"))
+            .when(F.col(tile_col) == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    return F.concat(F.lit("b"), F.col(tile_col).cast("string"))
+
+
+def perplexity_buckets_approx(
+    docs: DataFrame,
+    model_df: DataFrame,
+    oov_logprob: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 3,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Production twin of :func:`perplexity_buckets`: bucket thresholds come
+    from ``approxQuantile`` (Greenwald-Khanna sketch, one distributed pass,
+    ±relative_error rank accuracy) and assignment is a map-side comparison —
+    no global sort anywhere, corpus-linear at any size. Near a threshold the
+    assignment can differ from the exact NTILE by the sketch tolerance
+    (bucket POPULATIONS are equal only to ±ε·n); that is the documented,
+    industry-standard trade (CCNet itself buckets on sampled thresholds).
+
+    The model ships as a DataFrame via the join path (any vocabulary size).
+    Returns the same (id, n_tokens, nll_per_token, bucket) schema."""
+    scored = doc_nll_join(docs, model_df, oov_logprob, id_col, text_col)
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    cuts = scored.approxQuantile("nll_per_token", probs, relative_error)
+    expr = F.lit(num_buckets)  # above every cut -> last bucket
+    for i in range(num_buckets - 1, 0, -1):
+        expr = F.when(
+            F.col("nll_per_token") <= F.lit(cuts[i - 1]), F.lit(i)
+        ).otherwise(expr)
+    tiled = scored.withColumn("__tile", expr)
+    return tiled.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("nll_per_token"),
+        _bucket_name("__tile", num_buckets).alias("bucket"),
+    )

@@ -277,6 +277,66 @@ FROM documents d LEFT JOIN s USING (doc_id)
 """
 
 
+SPAN_N = 8
+
+
+def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span removal (operators/span_dedup.py,
+    Lee et al. 2022 semantics): every non-first occurrence of a duplicated
+    word 8-gram is removed, overlapping/adjacent removals merged into
+    maximal spans, text reassembled. All-integer/string output — the
+    oracle replays universe, hash, keep-first and merge rules exactly."""
+    from vector_db_api_spark.operators.span_dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), n=SPAN_N)
+
+
+def _sql_doc_span_dedup() -> str:
+    n = O.normalize_text("text")
+    N = SPAN_N
+    return f"""
+WITH d AS (SELECT doc_id, COALESCE(string_split({n}, ' '), []) AS toks
+           FROM documents),
+occ0 AS (SELECT doc_id, unnest(range(0, len(toks) - {N} + 1)) AS st, toks
+         FROM d WHERE len(toks) >= {N}),
+occ AS (SELECT doc_id, st,
+               {O.h60(f"array_to_string(toks[st + 1 : st + {N}], ' ')")} AS gh
+        FROM occ0),
+ranked AS (SELECT doc_id, st, gh,
+                  ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, st) AS rn
+           FROM occ),
+ivl AS (SELECT doc_id, st AS lo, st + {N} - 1 AS hi FROM ranked WHERE rn > 1),
+pm AS (SELECT doc_id, lo, hi,
+              MAX(hi) OVER (PARTITION BY doc_id ORDER BY lo, hi
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_hi
+       FROM ivl),
+isl AS (SELECT doc_id, lo, hi,
+               SUM(CASE WHEN lo > COALESCE(prev_hi, -1) + 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY lo, hi
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM pm),
+spans AS (SELECT doc_id, island, MIN(lo) AS lo, MAX(hi) AS hi
+          FROM isl GROUP BY 1, 2),
+cov AS (SELECT doc_id, unnest(range(lo, hi + 1)) AS pos FROM spans),
+tok0 AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, toks FROM d),
+tok AS (SELECT doc_id, pos, toks[pos + 1] AS tok FROM tok0),
+keep AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+         LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         WHERE c.pos IS NULL),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        FROM keep GROUP BY 1),
+sp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+              CAST(SUM(hi - lo + 1) AS BIGINT) AS n_removed
+       FROM spans GROUP BY 1)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       COALESCE(sp.n_removed, 0) AS n_tokens_removed,
+       COALESCE(sp.n_spans, 0) AS n_spans,
+       COALESCE(agg.clean_text, '') AS clean_text
+FROM d LEFT JOIN sp USING (doc_id) LEFT JOIN agg USING (doc_id)
+"""
+
+
 BM25_QUERY = "vector hash join"
 
 
@@ -1874,6 +1934,30 @@ def q_doc_lm_nll_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     model_df, oov = train_unigram_df(docs)
     return doc_nll_join(docs, model_df, oov)
+
+
+def q_doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity buckets (operators/lm.py
+    perplexity_buckets): self-trained unigram LM, global NTILE(3) over
+    per-token NLL with id tiebreak. This exact-rank form is the oracle
+    twin; perplexity_buckets_approx is the corpus-linear production path
+    (pytest-pinned to agree away from the thresholds)."""
+    from vector_db_api_spark.operators.lm import perplexity_buckets, train_unigram
+
+    docs = _docs(spark, sf_dir)
+    model, oov = train_unigram(docs)
+    return perplexity_buckets(docs, model, oov)
+
+
+def _sql_doc_ccnet_buckets() -> str:
+    return f"""
+WITH lm AS ({_sql_doc_lm_nll()})
+SELECT doc_id, n_tokens, nll_per_token,
+       CASE NTILE(3) OVER (ORDER BY nll_per_token ASC, doc_id ASC)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM lm
+"""
 
 
 # DSIR (operators/dsir.py): target = the 'src0' slice (the curated
@@ -4627,12 +4711,16 @@ FROM binned GROUP BY bin
 SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- in-window: exact kNN (FlatIndex parity) ---
     "knn_cosine_top10": (_q_knn("cosine"), _sql_knn("cosine")),
-    "topk_per_label": (q_topk_per_label, _sql_topk_per_label()),
-    # --- in-window: text analysis ---
-    "doc_lang_id": (
-        q_doc_lang_id,
-        f"SELECT doc_id, {O.lang_id('text')} AS lang_pred FROM documents",
-    ),
+    # --- in-window: r12 NEW operators, in-window from their first round
+    # (the knn_self_join_ivf_sym precedent). Displaced to make room, both
+    # driver-green r2-r11 (TEN consecutive window rounds) with full value
+    # oracles kept out-of-window: topk_per_label (per-group top-k runs
+    # inside every in-window ANN entry's rerank via topk_per_group) and
+    # doc_lang_id (the n-gram lang-id heuristic stays oracle-swept
+    # out-of-window and pytest-pinned; the text-analysis class keeps
+    # corpus_profile + doc_chunking + doc_token_count_bpe in-window) ---
+    "doc_span_dedup": (q_doc_span_dedup, _sql_doc_span_dedup()),
+    "doc_ccnet_buckets": (q_doc_ccnet_buckets, _sql_doc_ccnet_buckets()),
     "corpus_profile": (q_corpus_profile, _sql_corpus_profile()),
     "doc_chunking": (q_doc_chunking, _sql_doc_chunking()),
     # --- in-window: dedup ---
@@ -4781,6 +4869,13 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # ngram_jaccard ⊂ the 4 in-window dedup entries, first_seen /
     # type_stats ⊂ events_hourly + stream state, pricing_rollup ⊂
     # pricing_summary, mixture_sample ⊂ temperature_sample pytest.
+    # rotated out in round 12 for the two new operators above (both were
+    # driver-green r2-r11; see the displacement note at the window head)
+    "topk_per_label": (q_topk_per_label, _sql_topk_per_label()),
+    "doc_lang_id": (
+        q_doc_lang_id,
+        f"SELECT doc_id, {O.lang_id('text')} AS lang_pred FROM documents",
+    ),
     "vec_norm_argmax": (q_vec_norm_argmax, _sql_vec_norm_argmax()),
     "embed_knn_top10": (q_embed_knn, _sql_embed_knn()),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _sql_ngram_jaccard_pairs()),
