@@ -277,6 +277,77 @@ FROM documents d LEFT JOIN s USING (doc_id)
 """
 
 
+def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText structure rules (operators/gopher.py): the seven
+    published word/line gates as per-doc stats + the composed keep flag
+    (published thresholds)."""
+    from vector_db_api_spark.operators import gopher as G
+
+    stats = G.gopher_stats(_docs(spark, sf_dir))
+    return stats.withColumn("keep", G.gopher_keep(stats))
+
+
+def _sql_doc_gopher_rules() -> str:
+    n = O.normalize_text("text")
+    words = f"list_filter(string_split({n}, ' '), t -> t <> '')"
+    lines = "COALESCE(string_split(text, chr(10)), [])"
+    sym = (
+        "(CAST((length(text) - length(replace(text, '#', ''))) / 1 AS BIGINT)"
+        " + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT))"
+    )
+    stop_hits = " + ".join(
+        f"CASE WHEN list_contains(w.words, '{sw}') THEN 1 ELSE 0 END"
+        for sw in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    return f"""
+WITH w AS (SELECT doc_id, text, {words} AS words, {lines} AS lines
+           FROM documents),
+m AS (SELECT doc_id,
+             CAST(COALESCE(len(words), 0) AS BIGINT) AS n_words,
+             COALESCE(list_sum(list_transform(words, x -> length(x))), 0)
+               AS word_chars,
+             len(list_filter(lines,
+                 ln -> regexp_matches(trim(ln), '^[-*•]'))) AS bullet_lines,
+             len(list_filter(lines,
+                 ln -> regexp_matches(rtrim(ln), '(\\.\\.\\.|…)$')))
+               AS ellipsis_lines,
+             len(lines) AS n_lines,
+             COALESCE({sym}, 0) AS symbols,
+             len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+               AS alpha_words,
+             CAST({stop_hits} AS BIGINT) AS n_stopwords_present
+      FROM w),
+r AS (SELECT doc_id, n_words,
+             CASE WHEN n_words = 0 THEN 0.0
+                  ELSE CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+             END AS mean_word_len,
+             CASE WHEN n_words = 0 THEN 0.0
+                  ELSE CAST(symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+             END AS symbol_word_ratio,
+             CASE WHEN n_lines = 0 THEN 0.0
+                  ELSE CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+             END AS bullet_line_frac,
+             CASE WHEN n_lines = 0 THEN 0.0
+                  ELSE CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+             END AS ellipsis_line_frac,
+             CASE WHEN n_words = 0 THEN 0.0
+                  ELSE CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+             END AS alpha_word_frac,
+             n_stopwords_present
+      FROM m)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+       ellipsis_line_frac, alpha_word_frac, n_stopwords_present,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND n_stopwords_present >= 2) AS keep
+FROM r
+"""
+
+
 SPAN_N = 8
 
 
@@ -4869,6 +4940,10 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # ngram_jaccard ⊂ the 4 in-window dedup entries, first_seen /
     # type_stats ⊂ events_hourly + stream state, pricing_rollup ⊂
     # pricing_summary, mixture_sample ⊂ temperature_sample pytest.
+    # NEW r12, first past the window (both r12 window slots went to
+    # doc_span_dedup + doc_ccnet_buckets): the Gopher/MassiveText word/line
+    # structure rules — top rotation candidate for r13's window
+    "doc_gopher_rules": (q_doc_gopher_rules, _sql_doc_gopher_rules()),
     # rotated out in round 12 for the two new operators above (both were
     # driver-green r2-r11; see the displacement note at the window head)
     "topk_per_label": (q_topk_per_label, _sql_topk_per_label()),
