@@ -315,3 +315,96 @@ def test_incremental_semdedup_dedups_ids_within_batch(spark, tmp_path):
     ids = [r["doc_id"] for r in state.collect()]
     assert len(ids) == len(set(ids)), f"duplicate state rows: {sorted(ids)}"
     assert set(ids) == {0, 1, 2, 3, 4, 50}
+
+
+# ---------------------------------------------------------------------------
+# continuous span dedup (incremental_span_dedup_ingest)
+# ---------------------------------------------------------------------------
+
+def _span_docs(spark):
+    shared = "alpha beta gamma delta"
+    rows = [
+        (1, f"{shared} first copy stays intact here"),
+        (2, f"early prefix {shared} later words follow"),
+        (3, "completely unrelated text in this one"),
+        # second half (streams in the later batch)
+        (10, f"batch two opens with {shared} inside"),
+        (11, "batch two unique sentence with fresh words"),
+        (12, f"{shared} again at the very start"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _run_span_stream(spark, tmp_path, docs, split_id, n=4, runs=(0, 1)):
+    from vector_db_api_spark.streaming.dedup import incremental_span_dedup_ingest
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    docs.filter(F.col("doc_id") <= split_id).write.mode("overwrite").parquet(a)
+    docs.filter(F.col("doc_id") > split_id).write.mode("overwrite").parquet(b)
+    for i, src in zip(runs, (a, b)):
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        q = incremental_span_dedup_ingest(
+            stream, str(tmp_path / "state"), str(tmp_path / "out"),
+            str(tmp_path / f"ck{i}"), n=n, epoch_offset=i * 1_000_000,
+        )
+        assert q.awaitTermination(300)
+    return str(tmp_path / "out")
+
+
+def test_span_stream_matches_batch(spark, tmp_path):
+    from vector_db_api_spark.operators.span_dedup import span_dedup
+
+    docs = _span_docs(spark)
+    out = _run_span_stream(spark, tmp_path, docs, split_id=3)
+    cols = ["doc_id", "n_tokens", "n_tokens_removed", "n_spans", "clean_text"]
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(out).select(*cols).collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in cols) for r in span_dedup(docs, n=4).collect()
+    )
+    assert got == want
+    # and the state hit actually fired: doc 10/12 lost the shared span
+    by_id = {t[0]: t for t in got}
+    assert by_id[1][2] == 0            # first copy intact
+    assert by_id[10][2] == 4 and by_id[12][2] == 4
+
+
+def test_span_stream_second_run_overwrites_its_epoch(spark, tmp_path):
+    """Replaying batch B as a fresh run with the SAME epoch ids must leave
+    the out/state tables unchanged (dynamic epoch overwrite + current-epoch
+    exclusion on the state read): at-least-once delivery cannot
+    double-remove or double-admit."""
+    docs = _span_docs(spark)
+    out = _run_span_stream(spark, tmp_path, docs, split_id=3)
+    first_out = sorted(map(tuple, spark.read.parquet(out).collect()))
+    first_state = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "state")).collect())
+    )
+    # re-run batch B against the same state dir with the same epoch_offset
+    from vector_db_api_spark.streaming.dedup import incremental_span_dedup_ingest
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+        str(tmp_path / "b")
+    )
+    q = incremental_span_dedup_ingest(
+        stream, str(tmp_path / "state"), out, str(tmp_path / "ck_retry"),
+        n=4, epoch_offset=1 * 1_000_000,
+    )
+    assert q.awaitTermination(300)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == first_out
+    assert sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "state")).collect())
+    ) == first_state
+
+
+def test_span_stream_state_holds_one_row_per_admitted_gram(spark, tmp_path):
+    docs = _span_docs(spark)
+    _run_span_stream(spark, tmp_path, docs, split_id=3)
+    state = spark.read.parquet(str(tmp_path / "state"))
+    ghs = [r["__gh"] for r in state.select("__gh").collect()]
+    assert len(ghs) == len(set(ghs)), "a gram was admitted twice"
+    # the shared 4-gram's first occurrence is doc 1 start 0
+    firsts = {(r["first_id"], r["first_start"]) for r in state.collect()}
+    assert (1, 0) in firsts

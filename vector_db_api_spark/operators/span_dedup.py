@@ -47,6 +47,11 @@ Plan shape / 100 TB honesty:
     remove a false span; production at that scale should widen the key
     (full md5) — the hash seam is a single expression.
 
+The building blocks (:func:`gram_occurrences`, :func:`merge_intervals`,
+:func:`remove_spans`) are exposed so the CONTINUOUS variant
+(streaming/dedup.py ``incremental_span_dedup_ingest``) composes the same
+code against a persisted seen-gram state instead of a same-frame window.
+
 Reference has no counterpart (extension per the builder's brief); the
 DuckDB oracle in suite.py replays the same universe, hash, keep-first
 rule, and merge rule bit-for-bit (all-integer/string outputs — no float
@@ -71,17 +76,16 @@ def _tokens(text_col: str):
     )
 
 
-def duplicated_spans(
+def gram_occurrences(
     docs: DataFrame,
     n: int = DEFAULT_SPAN_NGRAM,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Maximal removal spans: one row per ``(id, lo, hi)`` token interval
-    covered by non-first duplicated n-gram occurrences, overlapping or
-    adjacent intervals merged. Docs shorter than ``n`` tokens contribute
-    no grams (a short doc equal to another short doc is whole-doc dedup's
-    business, not span surgery)."""
+    """(id, start, __gh): one row per full word n-gram occurrence, keyed by
+    the portable 60-bit gram hash. Map-side only — no shuffle. Docs shorter
+    than ``n`` tokens contribute no grams (a short doc equal to another
+    short doc is whole-doc dedup's business, not span surgery)."""
     if n < 1:
         raise ValueError(f"span n-gram length must be >= 1, got {n}")
     toks = _tokens(text_col).alias("__toks")
@@ -100,7 +104,38 @@ def duplicated_spans(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("start", "__gram"),
     )
-    occ = grams.select(id_col, "start", H.h60("__gram").alias("__gh"))
+    return grams.select(id_col, "start", H.h60("__gram").alias("__gh"))
+
+
+def merge_intervals(intervals: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Gaps-and-islands merge of (id, lo, hi) token intervals: overlapping
+    or ADJACENT intervals collapse to maximal spans. Partitions by doc id —
+    scales with the duplicated-interval table, never the corpus."""
+    w = Window.partitionBy(id_col).orderBy("lo", "hi")
+    prev_max_hi = F.max("hi").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = intervals.withColumn(
+        "__new",
+        F.when(F.col("lo") > F.coalesce(prev_max_hi, F.lit(-1)) + 1, 1).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(id_col, "__island")
+        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+        .select(id_col, "lo", "hi")
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = DEFAULT_SPAN_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal removal spans: one row per ``(id, lo, hi)`` token interval
+    covered by non-first duplicated n-gram occurrences."""
+    occ = gram_occurrences(docs, n, id_col, text_col)
     # keep-first: the ONE corpus-scale shuffle — every occurrence after
     # the (doc_id, start)-first of its gram class is a duplicate. A window
     # row_number does this in a single pass; the alternative
@@ -122,36 +157,19 @@ def duplicated_spans(
             (F.col("start") + F.lit(n - 1)).alias("hi"),
         )
     )
-    # gaps-and-islands over the duplicated intervals only: new island when
-    # lo opens a gap past every previous interval's end (+1 merges adjacent)
-    w = Window.partitionBy(id_col).orderBy("lo", "hi")
-    prev_max_hi = F.max("hi").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    flagged = dup.withColumn(
-        "__new",
-        F.when(F.col("lo") > F.coalesce(prev_max_hi, F.lit(-1)) + 1, 1).otherwise(0),
-    ).withColumn(
-        "__island",
-        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return (
-        flagged.groupBy(id_col, "__island")
-        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
-        .select(id_col, "lo", "hi")
-    )
+    return merge_intervals(dup, id_col)
 
 
-def span_dedup(
+def remove_spans(
     docs: DataFrame,
-    n: int = DEFAULT_SPAN_NGRAM,
+    spans: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """One row per input doc: ``(id, n_tokens, n_tokens_removed, n_spans,
-    clean_text)`` — duplicated spans surgically removed, first occurrence
-    kept verbatim. The token table itself never shuffles: spans ride back
-    to the scan as one array per affected doc and the removal is a pure
-    array expression."""
-    spans = duplicated_spans(docs, n, id_col, text_col)
+    """Apply (id, lo, hi) removal spans to the docs: one row per input doc,
+    ``(id, n_tokens, n_tokens_removed, n_spans, clean_text)``. The token
+    table itself never shuffles: spans ride back to the scan as one array
+    per affected doc and the removal is a pure array expression."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("lo", "hi")).alias("__spans"),
         F.count(F.lit(1)).alias("__n_spans"),
@@ -175,4 +193,17 @@ def span_dedup(
         ),
         F.coalesce(F.col("__n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
         clean.alias("clean_text"),
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    n: int = DEFAULT_SPAN_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per input doc: duplicated spans surgically removed, first
+    occurrence kept verbatim. Composition of the three building blocks."""
+    return remove_spans(
+        docs, duplicated_spans(docs, n, id_col, text_col), id_col, text_col
     )

@@ -488,3 +488,116 @@ def incremental_semdedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_span_dedup_ingest(
+    doc_stream: DataFrame,
+    state_path: str,
+    out_path: str,
+    checkpoint: str,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    epoch_offset: int = 0,
+):
+    """Continuous cross-document duplicated-span removal: the streaming
+    form of ``operators/span_dedup.span_dedup`` (same building blocks,
+    same semantics when documents arrive in id order).
+
+    Per micro-batch:
+
+    * gram the batch (``gram_occurrences`` — map-side);
+    * an occurrence is DUPLICATED if its gram was admitted by an earlier
+      epoch (state hit) OR it is not the batch's (id, start)-first of its
+      gram class (the batch-internal window);
+    * merge intervals, surgically clean the batch's docs, land them in
+      ``out_path`` (epoch-partitioned);
+    * admit the batch-first occurrences of UNSEEN grams into the seen-gram
+      state (epoch-partitioned parquet at ``state_path``).
+
+    Equivalence contract (pinned by the suite oracle): when batches
+    partition the corpus in non-decreasing id order, the drained stream's
+    out_path equals the batch ``span_dedup`` output row-for-row — the
+    cross-epoch "state hit" rule and the batch window compose to the same
+    global keep-first.
+
+    Idempotence: foreachBatch is at-least-once; both sinks stamp ``epoch``
+    and write dynamic-partition overwrite, and the state read excludes the
+    CURRENT epoch, so a replayed batch overwrites its own output instead
+    of double-removing or double-admitting (the incremental_neardup_ingest
+    pattern). ``epoch_offset`` keeps epochs distinct across multiple runs
+    sharing one state dir.
+
+    Scale: state is one 8-byte hash row per distinct admitted gram — the
+    same asymptotics as the batch window's shuffle, queryable as a plain
+    parquet table, partitioned by epoch for cheap compaction
+    (streaming/ingest.py compact_epoch_state applies).
+    """
+    from pyspark.sql import Window
+
+    from vector_db_api_spark.operators.span_dedup import (
+        gram_occurrences,
+        merge_intervals,
+        remove_spans,
+    )
+    from vector_db_api_spark.streaming.ingest import resolve_state_dir
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        epoch = epoch_id + epoch_offset
+        spark = batch_df.sparkSession
+        occ = gram_occurrences(batch_df, n, id_col, text_col)
+        w = Window.partitionBy("__gh").orderBy(id_col, "start")
+        ranked = occ.withColumn("__rn", F.row_number().over(w))
+        existing = _read_state_or_none(spark, state_path)
+        if existing is not None:
+            prior = (
+                existing.filter(F.col("epoch") != epoch)
+                .select("__gh").distinct()
+                .withColumn("__seen", F.lit(True))
+            )
+            flagged = ranked.join(prior, "__gh", "left").persist()
+        else:
+            flagged = ranked.withColumn(
+                "__seen", F.lit(None).cast("boolean")
+            ).persist()
+        try:
+            dup = flagged.filter(
+                (F.col("__rn") > 1) | F.col("__seen").isNotNull()
+            ).select(
+                F.col(id_col),
+                F.col("start").alias("lo"),
+                (F.col("start") + F.lit(n - 1)).alias("hi"),
+            )
+            cleaned = remove_spans(
+                batch_df, merge_intervals(dup, id_col), id_col, text_col
+            )
+            (
+                cleaned.withColumn("epoch", F.lit(epoch))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(out_path)
+            )
+            admitted = flagged.filter(
+                (F.col("__rn") == 1) & F.col("__seen").isNull()
+            ).select("__gh", F.col(id_col).alias("first_id"),
+                     F.col("start").alias("first_start"))
+            (
+                admitted.withColumn("epoch", F.lit(epoch))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(resolve_state_dir(state_path))
+            )
+        finally:
+            flagged.unpersist()
+
+    writer = doc_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -408,6 +408,36 @@ FROM d LEFT JOIN sp USING (doc_id) LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_stream_span_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous duplicated-span removal (streaming/dedup.py
+    incremental_span_dedup_ingest): the corpus streams in as two id-ordered
+    availableNow batches against one seen-gram state; the drained out_path
+    must equal the BATCH span_dedup answer row-for-row (same oracle as
+    doc_span_dedup — the cross-epoch state-hit rule composes with the
+    in-batch window to the same global keep-first)."""
+    import tempfile
+
+    from vector_db_api_spark.streaming.dedup import incremental_span_dedup_ingest
+
+    tmp = tempfile.mkdtemp(prefix="stream_span_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    mid = (lo + hi) // 2
+    a, b = f"{tmp}/a", f"{tmp}/b"
+    docs.filter(F.col("doc_id") <= mid).write.mode("overwrite").parquet(a)
+    docs.filter(F.col("doc_id") > mid).write.mode("overwrite").parquet(b)
+    for i, src in enumerate((a, b)):
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        q = incremental_span_dedup_ingest(
+            stream, f"{tmp}/state", f"{tmp}/out", f"{tmp}/ck{i}",
+            n=SPAN_N, epoch_offset=i * 1_000_000,
+        )
+        _await_stream(q)
+    return spark.read.parquet(f"{tmp}/out").select(
+        "doc_id", "n_tokens", "n_tokens_removed", "n_spans", "clean_text"
+    )
+
+
 BM25_QUERY = "vector hash join"
 
 
@@ -4944,6 +4974,9 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # doc_span_dedup + doc_ccnet_buckets): the Gopher/MassiveText word/line
     # structure rules — top rotation candidate for r13's window
     "doc_gopher_rules": (q_doc_gopher_rules, _sql_doc_gopher_rules()),
+    # NEW r12: continuous span dedup — stream-built state vs the SAME batch
+    # oracle as doc_span_dedup (r13 rotation candidate alongside gopher)
+    "stream_span_dedup_state": (q_stream_span_dedup_state, _sql_doc_span_dedup()),
     # rotated out in round 12 for the two new operators above (both were
     # driver-green r2-r11; see the displacement note at the window head)
     "topk_per_label": (q_topk_per_label, _sql_topk_per_label()),
