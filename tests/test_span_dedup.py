@@ -128,3 +128,63 @@ def test_removal_pass_never_explodes_the_token_table(spark):
     docs = _docs(spark, [(i, f"tok{i} " * 12) for i in range(1, 5)])
     plan = span_dedup(docs, n=N)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# hot-gram routing (the window's skew guard)
+# ---------------------------------------------------------------------------
+
+def _hot_fixture(spark):
+    """60 copies of one boilerplate 4-gram (a guaranteed heavy hitter at
+    any sample) + a cold duplicated gram + unique docs."""
+    boiler = "call now operators waiting"
+    rows = [(i, f"doc {i} opens uniquely then {boiler} closes") for i in range(1, 61)]
+    rows += [(100, "cold pair x y z w here"), (101, "other cold pair x y z w too")]
+    rows += [(200, "totally unique text nothing shared")]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_hot_routing_is_output_invariant(spark):
+    docs = _hot_fixture(spark)
+    cols = ["doc_id", "n_tokens", "n_tokens_removed", "n_spans", "clean_text"]
+    base = sorted(tuple(r[c] for c in cols)
+                  for r in span_dedup(docs, n=N).collect())
+    for thr in (2, 10, 1000):
+        routed = span_dedup(docs, n=N, hot_threshold=thr)
+        got = sorted(tuple(r[c] for c in cols) for r in routed.collect())
+        assert got == base, f"hot_threshold={thr} changed the OUTPUT"
+
+
+def test_hot_routing_partition_invariant(spark):
+    docs = _hot_fixture(spark)
+    outs = []
+    for parts in (1, 5):
+        df = span_dedup(docs.repartition(parts), n=N, hot_threshold=8)
+        outs.append(sorted(map(tuple, df.collect())))
+    assert outs[0] == outs[1]
+
+
+def test_hot_path_really_routes(spark):
+    """With full-sample routing and threshold 2, the boilerplate gram's
+    occurrences must take the min-aggregate path: the plan gains a
+    partial_min aggregate keyed on __gh, and the window still exists for
+    the cold tail."""
+    from vector_db_api_spark.operators.span_dedup import (
+        duplicated_occurrences, gram_occurrences,
+    )
+    docs = _hot_fixture(spark)
+    occ = gram_occurrences(docs, n=N)
+    plan = (
+        duplicated_occurrences(occ, hot_threshold=2, sample_fraction=1.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_min" in plan or "min(" in plan, plan
+    assert "row_number" in plan, "cold tail lost its window path"
+
+
+def test_hot_threshold_validates(spark):
+    from vector_db_api_spark.operators.span_dedup import duplicated_occurrences
+    docs = _hot_fixture(spark)
+    from vector_db_api_spark.operators.span_dedup import gram_occurrences
+    with pytest.raises(ValueError):
+        duplicated_occurrences(gram_occurrences(docs, n=N), hot_threshold=1)

@@ -31,9 +31,10 @@ Plan shape / 100 TB honesty:
     the scan+explode on the join's probe side).
   * ONE corpus-scale shuffle: a keep-first window over the gram hash —
     the same key class as minhash banding. Hot-gram skew (one boilerplate
-    gram duplicated ~10^9 times sorts in one task) is the documented
-    cliff; the mitigation seam is a sampled heavy-hitter pre-pass routing
-    ultra-hot gram classes through a sortless min-aggregate.
+    gram duplicated ~10^9 times sorts in one task) has a built-in guard:
+    ``hot_threshold`` routes sampled heavy-hitter gram classes through a
+    map-side-combining min-aggregate (no sort anywhere) — output
+    invariant, plan-only (:func:`duplicated_occurrences`).
   * The interval-merge window partitions by doc_id over the DUPLICATED
     intervals only (a small fraction of the corpus), never the tokens.
   * Token removal never shuffles the token table: merged spans collect
@@ -127,35 +128,88 @@ def merge_intervals(intervals: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def duplicated_occurrences(
+    occ: DataFrame,
+    id_col: str = "doc_id",
+    hot_threshold: int | None = None,
+    sample_fraction: float = 0.01,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, start, __gh) rows that are NOT the (id, start)-first of their
+    gram class — the keep-first core, factored over an occurrence table.
+
+    Default plan: ONE corpus-scale shuffle — a row_number window over the
+    gram hash (same key class as minhash banding). The rejected
+    groupBy(min)+join formulation shuffles occ TWICE and recomputes the
+    scan+explode on the probe side (verified on the physical plan).
+
+    ``hot_threshold`` closes the window's one scale cliff: a boilerplate
+    gram duplicated ~10^9 times sorts all its occurrences in ONE window
+    task. When set, a sampled pass (fraction ``sample_fraction``) flags
+    gram classes whose estimated count reaches the threshold; their
+    occurrences route through a map-side-combining min-aggregate (skew
+    IMMUNE — each map partition collapses a hot gram to one partial row,
+    no sort anywhere) + an equi-join that AQE broadcasts while the hot
+    set is small. The long tail stays on the window. Routing is
+    plan-only: both paths apply the identical keep-first rule, so the
+    OUTPUT is invariant to the threshold, the sample, and partitioning —
+    pinned by tests. False positives from the generous sampling gate just
+    take the min-aggregate path harmlessly."""
+    if hot_threshold is None:
+        keep_first = Window.partitionBy("__gh").orderBy(id_col, "start")
+        return (
+            occ.withColumn("__rn", F.row_number().over(keep_first))
+            .filter(F.col("__rn") > 1)
+            .drop("__rn")
+        )
+    if hot_threshold < 2:
+        raise ValueError(f"hot_threshold must be >= 2, got {hot_threshold}")
+    # a gram with true count c appears ~Binomial(c, f) times in the sample;
+    # flagging at a quarter of the expected sampled count keeps false
+    # NEGATIVES (a real heavy hitter missing the gate) vanishingly rare
+    min_sampled = max(1, int(hot_threshold * sample_fraction / 4))
+    hot = (
+        occ.sample(fraction=sample_fraction, seed=seed)
+        .groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_sampled)
+        .select("__gh", F.lit(True).alias("__hot"))
+    )
+    tagged = occ.join(hot, "__gh", "left")
+    cold = tagged.filter(F.col("__hot").isNull()).drop("__hot")
+    hot_occ = tagged.filter(F.col("__hot").isNotNull()).drop("__hot")
+    cold_dup = duplicated_occurrences(cold, id_col)
+    first_hot = hot_occ.groupBy("__gh").agg(
+        F.min(F.struct(F.col(id_col), F.col("start"))).alias("__first")
+    )
+    hot_dup = (
+        hot_occ.join(first_hot, "__gh")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"__first.{id_col}"))
+                & (F.col("start") == F.col("__first.start"))
+            )
+        )
+        .select(id_col, "start", "__gh")
+    )
+    return cold_dup.unionByName(hot_dup)
+
+
 def duplicated_spans(
     docs: DataFrame,
     n: int = DEFAULT_SPAN_NGRAM,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Maximal removal spans: one row per ``(id, lo, hi)`` token interval
-    covered by non-first duplicated n-gram occurrences."""
+    covered by non-first duplicated n-gram occurrences. See
+    :func:`duplicated_occurrences` for the ``hot_threshold`` skew guard."""
     occ = gram_occurrences(docs, n, id_col, text_col)
-    # keep-first: the ONE corpus-scale shuffle — every occurrence after
-    # the (doc_id, start)-first of its gram class is a duplicate. A window
-    # row_number does this in a single pass; the alternative
-    # groupBy(min)+join is more skew-robust but shuffles occ TWICE and
-    # recomputes the scan+explode on the probe side (verified on the
-    # physical plan) — strictly worse except for a pathological gram
-    # duplicated ~10^9 times, whose occurrences all sort in one task. If a
-    # corpus has such boilerplate, pre-split it: a sampled heavy-hitter
-    # pass can route ultra-hot gram classes through a min-aggregate
-    # (their keep-first winner needs no sort) and leave the long tail on
-    # this window.
-    keep_first = Window.partitionBy("__gh").orderBy(id_col, "start")
-    dup = (
-        occ.withColumn("__rn", F.row_number().over(keep_first))
-        .filter(F.col("__rn") > 1)
-        .select(
-            F.col(id_col),
-            F.col("start").alias("lo"),
-            (F.col("start") + F.lit(n - 1)).alias("hi"),
-        )
+    dup = duplicated_occurrences(occ, id_col, hot_threshold).select(
+        F.col(id_col),
+        F.col("start").alias("lo"),
+        (F.col("start") + F.lit(n - 1)).alias("hi"),
     )
     return merge_intervals(dup, id_col)
 
@@ -201,9 +255,15 @@ def span_dedup(
     n: int = DEFAULT_SPAN_NGRAM,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """One row per input doc: duplicated spans surgically removed, first
-    occurrence kept verbatim. Composition of the three building blocks."""
+    occurrence kept verbatim. Composition of the three building blocks;
+    ``hot_threshold`` routes boilerplate-grade gram classes around the
+    window sort (output-invariant — see :func:`duplicated_occurrences`)."""
     return remove_spans(
-        docs, duplicated_spans(docs, n, id_col, text_col), id_col, text_col
+        docs,
+        duplicated_spans(docs, n, id_col, text_col, hot_threshold),
+        id_col,
+        text_col,
     )
