@@ -287,7 +287,7 @@ def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.withColumn("keep", G.gopher_keep(stats))
 
 
-def _sql_doc_gopher_rules() -> str:
+def _sql_doc_gopher_rules(table: str = "documents") -> str:
     n = O.normalize_text("text")
     words = f"list_filter(string_split({n}, ' '), t -> t <> '')"
     lines = "COALESCE(string_split(text, chr(10)), [])"
@@ -301,7 +301,7 @@ def _sql_doc_gopher_rules() -> str:
     )
     return f"""
 WITH w AS (SELECT doc_id, text, {words} AS words, {lines} AS lines
-           FROM documents),
+           FROM {table}),
 m AS (SELECT doc_id,
              CAST(COALESCE(len(words), 0) AS BIGINT) AS n_words,
              COALESCE(list_sum(list_transform(words, x -> length(x))), 0)
@@ -362,12 +362,12 @@ def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), n=SPAN_N)
 
 
-def _sql_doc_span_dedup() -> str:
+def _sql_doc_span_dedup(table: str = "documents") -> str:
     n = O.normalize_text("text")
     N = SPAN_N
     return f"""
 WITH d AS (SELECT doc_id, COALESCE(string_split({n}, ' '), []) AS toks
-           FROM documents),
+           FROM {table}),
 occ0 AS (SELECT doc_id, unnest(range(0, len(toks) - {N} + 1)) AS st, toks
          FROM d WHERE len(toks) >= {N}),
 occ AS (SELECT doc_id, st,
@@ -436,6 +436,95 @@ def q_stream_span_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{tmp}/out").select(
         "doc_id", "n_tokens", "n_tokens_removed", "n_spans", "clean_text"
     )
+
+
+CURATE_MIN_WORDS = 20     # corpus-tuned (synthetic docs run 10-99 words
+CURATE_MIN_STOPWORDS = 1  # and carry only 'the' from the Gopher stop set)
+
+
+def q_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern curation pipeline in one query, each stage an r12
+    operator: Gopher structure gates (corpus-tuned thresholds) → CCNet
+    perplexity bucketing on the survivors (self-trained LM, drop the
+    'tail' third) → cross-document duplicated-SPAN removal → minhash-LSH
+    near-dup components over the CLEANED text, keep the min-id
+    representative. The oracle replays all four stages (including the
+    recursive closure) over the same CTE chain.
+
+    Stage boundaries are localCheckpoint()ed: every stage's output feeds
+    2-3 downstream branches (the LM trainer + the bucket join; the span
+    finder + the removal scan; the shingle side + the anti-join side), so
+    without materialization upstream stages re-execute per branch —
+    measured 12.1s -> 8.4s at sf0.1 from the checkpoints alone (the
+    remainder is the span window + CC iterations). A production run of this
+    pipeline materializes stage outputs to storage for the same reason
+    (and for restartability); localCheckpoint is the in-session form."""
+    from vector_db_api_spark.operators import gopher as G
+    from vector_db_api_spark.operators.lm import perplexity_buckets, train_unigram
+    from vector_db_api_spark.operators.span_dedup import span_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    s1 = G.gopher_filter(
+        docs, min_words=CURATE_MIN_WORDS, min_stopwords=CURATE_MIN_STOPWORDS
+    ).localCheckpoint()
+    model, oov = train_unigram(s1)
+    buckets = perplexity_buckets(s1, model, oov)
+    s2 = s1.join(
+        buckets.filter(F.col("bucket") != "tail").select("doc_id"), "doc_id"
+    ).localCheckpoint()
+    cleaned = span_dedup(s2, n=SPAN_N).select(
+        "doc_id", F.col("clean_text").alias("text")
+    ).localCheckpoint()
+    return D.dedup_near(
+        cleaned, num_hashes=MINHASH_P, bands=MINHASH_BANDS, k=JACCARD_K
+    ).select("doc_id")
+
+
+def _sql_corpus_curate_full() -> str:
+    # every chain CTE is MATERIALIZED: the stage bodies reference their
+    # predecessor 3+ times (tok/d/d2 in the LM stage, occ0/tok0/final in
+    # the span stage), and DuckDB's default inlining re-evaluates the
+    # WHOLE upstream pipeline per reference — measured 547s inlined vs
+    # 0.6s materialized at sf0.01 on this exact query
+    ctes, select = _minhash_pairs_sql_parts(table="cdocs")
+    for name in ("sh AS (", "sigs AS (", "stacked AS ("):
+        ctes = ctes.replace(name, name.replace("AS (", "AS MATERIALIZED ("))
+    return f"""
+WITH RECURSIVE
+g AS MATERIALIZED ({_sql_doc_gopher_rules()}),
+s1 AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d JOIN g USING (doc_id)
+       WHERE g.n_words BETWEEN {CURATE_MIN_WORDS} AND 100000
+         AND g.mean_word_len BETWEEN 3.0 AND 10.0
+         AND g.symbol_word_ratio <= 0.1
+         AND g.bullet_line_frac <= 0.9
+         AND g.ellipsis_line_frac <= 0.3
+         AND g.alpha_word_frac >= 0.8
+         AND g.n_stopwords_present >= {CURATE_MIN_STOPWORDS}),
+lm AS MATERIALIZED ({_sql_doc_lm_nll('s1')}),
+b AS MATERIALIZED (SELECT doc_id,
+             NTILE(3) OVER (ORDER BY nll_per_token ASC, doc_id ASC) AS tile
+      FROM lm),
+s2 AS MATERIALIZED (SELECT s1.doc_id, s1.text FROM s1 JOIN b USING (doc_id)
+       WHERE b.tile <> 3),
+sd AS MATERIALIZED ({_sql_doc_span_dedup('s2')}),
+cdocs AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM sd),
+{ctes},
+pairs AS MATERIALIZED ({select}),
+edges AS (
+  SELECT left_id AS src, right_id AS dst FROM pairs
+  UNION
+  SELECT right_id AS src, left_id AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT c.doc_id FROM cdocs c WHERE c.doc_id NOT IN (SELECT id FROM comp)
+UNION ALL
+SELECT id AS doc_id FROM comp WHERE id = component
+"""
 
 
 BM25_QUERY = "vector hash join"
@@ -1994,15 +2083,15 @@ def q_doc_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_nll(docs, model, oov)
 
 
-def _sql_doc_lm_nll() -> str:
+def _sql_doc_lm_nll(table: str = "documents") -> str:
     n = O.normalize_text("text")
     toks = f"list_filter(string_split({n}, ' '), t -> t <> '')"
     return f"""
-WITH tok AS (SELECT unnest({toks}) AS t FROM documents),
+WITH tok AS (SELECT unnest({toks}) AS t FROM {table}),
 c AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
 s AS (SELECT CAST(SUM(c) AS BIGINT) + CAST(COUNT(*) AS BIGINT) + 1 AS denom FROM c),
 lp AS (SELECT t, ln((c + 1.0) / denom) AS lp FROM c, s),
-d AS (SELECT doc_id, {toks} AS toks FROM documents),
+d AS (SELECT doc_id, {toks} AS toks FROM {table}),
 e AS (SELECT d.doc_id, u.pos, u.t FROM d,
       LATERAL unnest(list_transform(range(1, len(toks) + 1),
                      i -> struct_pack(pos := i, t := toks[i]))) AS x(u)),
@@ -2020,7 +2109,7 @@ SELECT d2.doc_id,
        COALESCE(f.nll, 0.0) AS nll,
        CASE WHEN COALESCE(f.n_toks, 0) > 0 THEN f.nll / f.n_toks
             ELSE 0.0 END AS nll_per_token
-FROM documents d2 LEFT JOIN folded f USING (doc_id)
+FROM {table} d2 LEFT JOIN folded f USING (doc_id)
 """
 
 
@@ -2050,9 +2139,9 @@ def q_doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(docs, model, oov)
 
 
-def _sql_doc_ccnet_buckets() -> str:
+def _sql_doc_ccnet_buckets(table: str = "documents") -> str:
     return f"""
-WITH lm AS ({_sql_doc_lm_nll()})
+WITH lm AS ({_sql_doc_lm_nll(table)})
 SELECT doc_id, n_tokens, nll_per_token,
        CASE NTILE(3) OVER (ORDER BY nll_per_token ASC, doc_id ASC)
             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
@@ -4977,6 +5066,10 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # NEW r12: continuous span dedup — stream-built state vs the SAME batch
     # oracle as doc_span_dedup (r13 rotation candidate alongside gopher)
     "stream_span_dedup_state": (q_stream_span_dedup_state, _sql_doc_span_dedup()),
+    # NEW r12: the four-stage modern curation pipeline (gopher → ccnet
+    # tail-drop → span dedup → near-dup reps over CLEANED text) — the
+    # composition flagship for the r12 family (r13 rotation candidate)
+    "corpus_curate_full": (q_corpus_curate_full, _sql_corpus_curate_full()),
     # rotated out in round 12 for the two new operators above (both were
     # driver-green r2-r11; see the displacement note at the window head)
     "topk_per_label": (q_topk_per_label, _sql_topk_per_label()),
