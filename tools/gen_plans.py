@@ -267,6 +267,45 @@ def main() -> None:
                 id_col="vec_id",
             ))(),
         ),
+        (
+            "Cross-document span dedup (span_dedup, r12)",
+            "ONE Generate (the gram explosion) feeding ONE corpus-scale "
+            "Exchange (the keep-first window on the gram hash); the "
+            "interval merge windows over duplicated intervals only; token "
+            "removal is a filter-with-index array expression inside the "
+            "final projection — the token table is never exploded or "
+            "shuffled (pinned: exactly one Generate in the plan).",
+            (lambda: __import__(
+                "vector_db_api_spark.operators.span_dedup",
+                fromlist=["span_dedup"],
+            ).span_dedup(docs, n=8))(),
+        ),
+        (
+            "Gopher structure rules (gopher_stats, r12)",
+            "All seven rule inputs are Column expressions over ONE scan — "
+            "no Exchange, no Generate, no Window, no Sort (pinned by "
+            "test_gopher): the gates cost a read and prune everything "
+            "downstream of a curation pipeline.",
+            (lambda: __import__(
+                "vector_db_api_spark.operators.gopher",
+                fromlist=["gopher_stats"],
+            ).gopher_stats(docs))(),
+        ),
+        (
+            "CCNet perplexity buckets — production twin "
+            "(perplexity_buckets_approx, r12)",
+            "Thresholds come from approxQuantile (one distributed pass, "
+            "driver gets two scalars); assignment is a projection over the "
+            "broadcast-join scoring scan — NO Window anywhere (pinned), "
+            "unlike the exact-NTILE oracle twin whose global sort is the "
+            "documented fixture-scale shape.",
+            (lambda _lm=__import__(
+                "vector_db_api_spark.operators.lm",
+                fromlist=["train_unigram_df", "perplexity_buckets_approx"],
+            ): _lm.perplexity_buckets_approx(
+                docs, *_lm.train_unigram_df(docs)
+            ))(),
+        ),
     ]
 
     out = [
