@@ -4971,7 +4971,11 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # --- in-window: hybrid retrieval ---
     "doc_hybrid_rrf": (q_hybrid_rrf, _sql_hybrid_rrf()),
     # --- in-window: events / streaming batch-paths / skew ---
-    "events_hourly": (q_events_hourly, _SQL_EVENTS_HOURLY),
+    # r12 in-window swap: the Gopher structure-rule gate takes the slot of
+    # events_hourly (driver-green r1-r11; the windowed-rollup class keeps
+    # events_sessions in-window AND stream_trending_state — the SAME hourly
+    # rollup built in-stream against the batch oracle)
+    "doc_gopher_rules": (q_doc_gopher_rules, _sql_doc_gopher_rules()),
     "events_sessions": (q_events_sessions, _SQL_EVENTS_SESSIONS),
     "skew_salted_agg": (q_skew_salted_agg, _SQL_SKEW_SALTED_AGG),
     # --- in-window: stream-built state vs batch oracle ---
@@ -4999,7 +5003,12 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "rel_priority_returns": (q_rel_priority_returns, _SQL_REL_PRIORITY_RETURNS),
     "rel_idle_customers": (q_rel_idle_customers, _SQL_REL_IDLE_CUSTOMERS),
     # --- in-window: CRUD / mutation layer + composed search ---
-    "crud_upsert": (q_crud_upsert, _SQL_CRUD_UPSERT),
+    # r12 in-window swap: continuous span dedup (stream-built state vs the
+    # SAME batch oracle as doc_span_dedup) takes the slot of crud_upsert
+    # (driver-green r2-r11; the mutation class keeps crud_cas +
+    # crud_delete_cascade in-window, and both crud_engine_* entries drive
+    # upsert_chunks through the Engine on every run)
+    "stream_span_dedup_state": (q_stream_span_dedup_state, _sql_doc_span_dedup()),
     "crud_cas": (q_crud_cas, _SQL_CRUD_CAS),
     "crud_delete_cascade": (q_crud_delete_cascade, _SQL_CRUD_DELETE_CASCADE),
     # r7 rotation: the Engine-level delete→tombstone→maintenance→move
@@ -5011,7 +5020,11 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     ),
     "search_e2e": (q_search_e2e, _sql_search_e2e()),
     # --- in-window: similarity join + end-to-end corpus clean ---
-    "knn_self_join_top3": (q_knn_self_join, _sql_knn_self_join()),
+    # r12 in-window swap: the four-stage curation composition takes the
+    # slot of knn_self_join_top3 (driver-green r2-r11; the self-join class
+    # keeps knn_self_join_ivf_sym in-window, whose exact re-rank tail is
+    # the same rerank_pairs kernel)
+    "corpus_curate_full": (q_corpus_curate_full, _sql_corpus_curate_full()),
     "corpus_clean_near": (q_corpus_clean_near, _sql_corpus_clean_near()),
     # --- in-window: r11 rotation slots — the subword (char-ngram) semantic
     # embedder pipeline (r10 verdict #4: the morphology-modeling recipe,
@@ -5059,19 +5072,14 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # ngram_jaccard ⊂ the 4 in-window dedup entries, first_seen /
     # type_stats ⊂ events_hourly + stream state, pricing_rollup ⊂
     # pricing_summary, mixture_sample ⊂ temperature_sample pytest.
-    # NEW r12, first past the window (both r12 window slots went to
-    # doc_span_dedup + doc_ccnet_buckets): the Gopher/MassiveText word/line
-    # structure rules — top rotation candidate for r13's window
-    "doc_gopher_rules": (q_doc_gopher_rules, _sql_doc_gopher_rules()),
-    # NEW r12: continuous span dedup — stream-built state vs the SAME batch
-    # oracle as doc_span_dedup (r13 rotation candidate alongside gopher)
-    "stream_span_dedup_state": (q_stream_span_dedup_state, _sql_doc_span_dedup()),
-    # NEW r12: the four-stage modern curation pipeline (gopher → ccnet
-    # tail-drop → span dedup → near-dup reps over CLEANED text) — the
-    # composition flagship for the r12 family (r13 rotation candidate)
-    "corpus_curate_full": (q_corpus_curate_full, _sql_corpus_curate_full()),
-    # rotated out in round 12 for the two new operators above (both were
+    # rotated out in round 12 for the r12 operator family (all five r12
+    # entries are in-window from their first round): knn_self_join_top3 /
+    # events_hourly / crud_upsert were driver-green r2-r11 (see the
+    # in-window swap notes above); topk_per_label / doc_lang_id were
     # driver-green r2-r11; see the displacement note at the window head)
+    "knn_self_join_top3": (q_knn_self_join, _sql_knn_self_join()),
+    "events_hourly": (q_events_hourly, _SQL_EVENTS_HOURLY),
+    "crud_upsert": (q_crud_upsert, _SQL_CRUD_UPSERT),
     "topk_per_label": (q_topk_per_label, _sql_topk_per_label()),
     "doc_lang_id": (
         q_doc_lang_id,
