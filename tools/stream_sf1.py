@@ -131,6 +131,39 @@ def run_kmv(spark, con, sf_dir, report):
     report("stream_kmv (8 epochs)", wall, _batches(q), _du_mb(sp), ok, n)
 
 
+def run_span_dedup(spark, con, sf_dir, report):
+    """r12: continuous span dedup, 8 id-ordered micro-batches. Epoch
+    granularity: the batch-oracle equality needs non-decreasing ids across
+    batches, so the corpus is written as 8 sequential single-file id-range
+    parquets (FileStreamSource orders by mtime — the run_first_seen trick)
+    and drained with maxFilesPerTrigger=1."""
+    from vector_db_api_spark.streaming.dedup import incremental_span_dedup_ingest
+
+    tmp = tempfile.mkdtemp(prefix="sf1_stream_span_")
+    src, sp, out, ck = (f"{tmp}/{d}" for d in ("src", "state", "out", "ck"))
+    docs = suite._docs(spark, sf_dir).select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    step = (hi - lo + 8) // 8
+    for i in range(8):
+        docs.filter(
+            (F.col("doc_id") >= lo + i * step)
+            & (F.col("doc_id") < lo + (i + 1) * step)
+        ).coalesce(1).write.mode("append").parquet(src)
+    t0 = time.time()
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = incremental_span_dedup_ingest(stream, sp, out, ck, n=suite.SPAN_N)
+    suite._await_stream(q, seconds=3600)
+    wall = time.time() - t0
+    served = spark.read.parquet(out).select(
+        "doc_id", "n_tokens", "n_tokens_removed", "n_spans", "clean_text"
+    )
+    ok, n = _oracle_ok(con, "stream_span_dedup_state", served)
+    report("stream_span_dedup (8 id-ordered epochs)", wall, _batches(q),
+           _du_mb(sp), ok, n)
+
+
 def run_semdedup(spark, con, sf_dir, report):
     from vector_db_api_spark.streaming.dedup import incremental_semdedup_ingest
 
@@ -194,6 +227,7 @@ def main() -> None:
     run_bm25(spark, con, sf_dir, report)
     run_trending(spark, con, sf_dir, report)
     run_semdedup(spark, con, sf_dir, report)
+    run_span_dedup(spark, con, sf_dir, report)
     print("\n".join(lines))
     with open("/tmp/stream_sf1_section.md", "w") as f:
         f.write("\n".join(lines) + "\n")
