@@ -188,3 +188,66 @@ def test_hot_threshold_validates(spark):
     from vector_db_api_spark.operators.span_dedup import gram_occurrences
     with pytest.raises(ValueError):
         duplicated_occurrences(gram_occurrences(docs, n=N), hot_threshold=1)
+
+
+def test_differential_vs_python_reference(spark):
+    """Third-implementation check: the Spark operator vs an independent
+    pure-python reference (not the DuckDB oracle — that shares this
+    module's SQL formulation; a from-scratch reimplementation guards the
+    SEMANTICS) over seeded random corpora with planted shared runs."""
+    import random
+    import re
+
+    def ref(rows, n):
+        toks = {
+            i: (re.sub(" +", " ", t.strip().lower()).split(" ") if t is not None else [])
+            for i, t in rows
+        }
+        first, dup = {}, []
+        for i in sorted(toks):
+            tk = toks[i]
+            for s in range(len(tk) - n + 1):
+                g = " ".join(tk[s:s + n])
+                if g in first:
+                    dup.append((i, s))
+                else:
+                    first[g] = (i, s)
+        ivl = {}
+        for i, s in dup:
+            ivl.setdefault(i, []).append((s, s + n - 1))
+        out = {}
+        for i in sorted(toks):
+            spans = []
+            for lo, hi in sorted(ivl.get(i, [])):
+                if spans and lo <= spans[-1][1] + 1:
+                    spans[-1] = (spans[-1][0], max(spans[-1][1], hi))
+                else:
+                    spans.append((lo, hi))
+            cov = {p for lo, hi in spans for p in range(lo, hi + 1)}
+            tk = toks[i]
+            out[i] = (
+                len(tk),
+                sum(hi - lo + 1 for lo, hi in spans),
+                len(spans),
+                " ".join(t for p, t in enumerate(tk) if p not in cov),
+            )
+        return out
+
+    rng = random.Random(99)
+    vocab = [f"w{k}" for k in range(12)]
+    for trial in range(3):
+        n = rng.choice([3, 4, 5])
+        rows = []
+        for i in range(50):
+            rows.append((i, " ".join(rng.choice(vocab)
+                                     for _ in range(rng.randint(0, 25)))))
+        shared = " ".join(rng.choice(vocab) for _ in range(n + 3))
+        for i in rng.sample(range(50), 8):
+            rows[i] = (i, rows[i][1] + " " + shared)
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_tokens_removed"],
+                          r["n_spans"], r["clean_text"])
+            for r in span_dedup(df, n=n).collect()
+        }
+        assert got == ref(rows, n), f"trial {trial} n={n}"
