@@ -716,8 +716,13 @@ def _carry_root_causes(old_body: str | None,
     if idx == -1:
         return ""
     section = old_body[idx:]
-    # drop any banner a previous regeneration inserted (never stack them)
+    # drop any banner / rewrite skeleton a previous regeneration inserted
+    # (never stack them — each regen re-derives both from ITS table)
     section = re.sub(r"\n> \*\*STALE[^\n]*\*\*\n", "", section)
+    section = re.sub(
+        r"\n<!-- adjudication-skeleton:start -->.*?"
+        r"<!-- adjudication-skeleton:end -->\n",
+        "", section, flags=re.S)
     banner = None
     m = re.search(r"## Root-cause adjudication \(r(\d+)", section)
     if current_round is not None and m and int(m.group(1)) != current_round:
@@ -742,8 +747,65 @@ def _carry_root_causes(old_body: str | None,
             )
     if banner is not None:
         hdr_end = section.index("\n", section.index("## Root-cause"))
-        section = section[:hdr_end + 1] + banner + section[hdr_end + 1:]
+        skeleton = _adjudication_skeleton(fresh_delta_md, current_round)
+        section = (section[:hdr_end + 1] + banner + skeleton
+                   + section[hdr_end + 1:])
     return section
+
+
+def _adjudication_skeleton(fresh_delta_md: str | None,
+                           current_round: int | None) -> str:
+    """Machine-written rewrite skeleton emitted next to a STALE banner
+    (r12 verdict #1): per-flag rows pre-filled with axis, band, over-band
+    ratio and pin status from the fresh machine table, so a driver regen
+    leaves the next builder a fill-in, not a from-scratch rewrite. The
+    skeleton deliberately never contains the literal ``Adjudicated
+    bands: `` line — only the filled-in prose may carry it, so a skeleton
+    can never satisfy the bands-equality staleness check by itself."""
+    import re
+
+    if not fresh_delta_md:
+        return ""
+    fresh = re.search(r"\(this run: ([^)]+)\)", fresh_delta_md)
+    rows = re.findall(
+        r"\| (\S+) \| ([\d.]+x) \((\w+)\) \| ([\d.]+x|—) \| ([\d.]+x|—) "
+        r"\| ([^|]+) \|",
+        fresh_delta_md,
+    )
+    if not fresh or not rows:
+        return ""
+    rn = f"r{current_round}" if current_round is not None else "r<N>"
+    lines = [
+        "\n<!-- adjudication-skeleton:start -->",
+        "",
+        f"**Machine-written rewrite skeleton** — replace this whole "
+        f"section with a fresh `## Root-cause adjudication ({rn} builder "
+        f"run)` whose `Adjudicated bands:` line reads exactly "
+        f"`{fresh.group(1).strip()}`, delete the banner and this "
+        f"skeleton, then fill the TODO causes below (protocol: 5-warm-run "
+        f"re-measure on this tree, compare steady-state raw vs the prior "
+        f"round's raw, then name settling-head / host-asymmetry / "
+        f"plan-change):",
+        "",
+    ]
+    for name, ratio, axis, band, over, verdict in rows:
+        verdict = verdict.strip()
+        if "NEEDS-HUMAN" in verdict:
+            tail = ("**TODO: name the root cause** (no plan pin — "
+                    "a human cause is REQUIRED before commit)")
+        elif verdict.startswith("pinned-residual"):
+            pin = verdict[len("pinned-residual"):].strip() or "(pin)"
+            tail = (f"TODO: carry or restate the prior cause — plan "
+                    f"frozen by {pin}, silent plan regression excluded")
+        else:
+            tail = ("band-member — moved with the machine; no prose "
+                    "needed unless the band itself needs explaining")
+        lines.append(
+            f"- {name} {ratio} ({axis} axis), band {band}, "
+            f"over band {over}: {tail}"
+        )
+    lines += ["", "<!-- adjudication-skeleton:end -->"]
+    return "\n".join(lines) + "\n"
 
 
 def _current_round(here: str) -> int | None:

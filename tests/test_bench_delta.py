@@ -506,3 +506,56 @@ def test_best_prior_cites_only_committed_artifacts(tmp_path):
     # every round label in the table is r<N> or detail@<committed sha>
     for m in re.finditer(r"\| (r\d+|detail@[0-9a-f]+|prev-detail) \|", out2):
         assert m.group(1) != "prev-detail"
+
+
+def test_stale_banner_comes_with_a_machine_written_skeleton():
+    """r12 verdict #1 (structural half): when a regen banners the carried
+    adjudication STALE, it must also emit a rewrite skeleton — per-flag
+    rows pre-filled with axis, band, over-band ratio and pin status from
+    the FRESH table — so the next builder fills in causes instead of
+    rewriting from scratch. The skeleton must never satisfy the
+    bands-equality staleness check itself (it spells the band string
+    without the literal 'Adjudicated bands: ' line), and regens never
+    stack skeletons."""
+    carry = _load_bench_ns()["_carry_root_causes"]
+    fresh = (
+        "table...\n### Flag adjudication (machine-written)\n"
+        "Band = ... (this run: jvm 0.90x/70q, python 1.40x/70q). ...\n"
+        "| flag | ratio (axis) | band | over band | verdict |\n"
+        "|---|---|---|---|---|\n"
+        "| q_pinned | 2.10x (python) | 1.40x | 1.50x | pinned-residual "
+        "(`test_q_pinned_plan`) |\n"
+        "| q_human | 1.90x (python) | 1.40x | 1.36x | **NEEDS-HUMAN** — "
+        "name a root cause below |\n"
+        "| q_band | 1.50x (jvm) | 0.90x | 1.11x | band-member |\n"
+    )
+    prose_stale = (
+        "# x\n## Root-cause adjudication (r11)\n\n"
+        "Adjudicated bands: jvm 1.42x/74q, python 1.31x/74q\n\ncauses\n"
+    )
+    out = carry(prose_stale, 11, fresh_delta_md=fresh)
+    assert "STALE" in out
+    assert "adjudication-skeleton:start" in out
+    # per-flag rows pre-filled: name, ratio, axis, band, over-band, status
+    assert "- q_human 1.90x (python axis), band 1.40x, over band 1.36x" in out
+    assert "**TODO: name the root cause**" in out
+    assert "plan frozen by (`test_q_pinned_plan`)" in out
+    assert "- q_band 1.50x (jvm axis)" in out and "band-member" in out
+    # the fresh band string is spelled for copy-paste...
+    assert "jvm 0.90x/70q, python 1.40x/70q" in out
+    # ...but never as the literal line the staleness check keys on
+    skel = out.split("adjudication-skeleton:start", 1)[1]
+    skel = skel.split("adjudication-skeleton:end", 1)[0]
+    assert "Adjudicated bands: " not in skel
+    # a re-carry of the skeleton-bearing section stays bannered (the
+    # skeleton must not count as a rewrite) and nothing stacks
+    again = carry("# x\n" + out, 11, fresh_delta_md=fresh)
+    assert again.count("STALE") == 1
+    assert again.count("adjudication-skeleton:start") == 1
+    # a matching (rewritten) section gets neither banner nor skeleton
+    prose_ok = (
+        "# x\n## Root-cause adjudication (r11)\n\n"
+        "Adjudicated bands: jvm 0.90x/70q, python 1.40x/70q\n\ncauses\n"
+    )
+    clean = carry(prose_ok, 11, fresh_delta_md=fresh)
+    assert "STALE" not in clean and "adjudication-skeleton" not in clean
