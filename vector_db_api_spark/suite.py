@@ -4908,23 +4908,67 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # inside every in-window ANN entry's rerank via topk_per_group) and
     # doc_lang_id (the n-gram lang-id heuristic stays oracle-swept
     # out-of-window and pytest-pinned; the text-analysis class keeps
-    # corpus_profile + doc_chunking + doc_token_count_bpe in-window) ---
+    # doc_token_count_bpe in-window — corpus_profile/doc_chunking rotated
+    # out r13 after 10 green rounds each) ---
     "doc_span_dedup": (q_doc_span_dedup, _sql_doc_span_dedup()),
     "doc_ccnet_buckets": (q_doc_ccnet_buckets, _sql_doc_ccnet_buckets()),
-    "corpus_profile": (q_corpus_profile, _sql_corpus_profile()),
-    "doc_chunking": (q_doc_chunking, _sql_doc_chunking()),
+    # --- in-window: r13 rotation (VERDICT r12 #2: the numpy/production
+    # twins a real user actually runs — pass-local for many rounds but
+    # never driver-checked; the never-checked set is now MACHINE-DERIVED
+    # from committed CORRECTNESS_r*.json by tools/never_checked.py, which
+    # counted 24 where the r12 hand ledger said <=22). Ten swaps, each
+    # displacing a multiply-driver-green entry whose class keeps an
+    # in-window rep (usually the incoming twin itself — the same-oracle
+    # overlap ADVICE r12 #4 asked for; unlike r12's first-round
+    # promotions, every incoming entry here has been green in the local
+    # 136/136 sweeps since at least r8):
+    #   simhash_np            IN for simhash_hamming_pairs (green r1-r12)
+    #   embedding_neardup_mp_np IN for embedding_neardup   (green r1-r12)
+    #   semdedup_drop_np      IN for semdedup_drop         (green r4-r12)
+    #   doc_quality_model     IN for doc_quality_model_join (green r5-r12;
+    #                         SAME oracle — join==literal pinned by pytest)
+    #   doc_dsir_select_fast  IN for doc_dsir_select       (green r8-r12)
+    #   corpus_clean_modern   IN for corpus_clean_near     (green r3-r12)
+    #   doc_winnowing_np      IN for corpus_profile        (green r2-r12;
+    #                         text class keeps doc_token_count_bpe)
+    #   doc_repetition_np     IN for doc_chunking          (green r2-r12;
+    #                         chunking keeps its full oracle + pytest)
+    #   knn_batch_numpy_top5  IN for doc_listing_page      (green r1-r12;
+    #                         listing keeps doc_listing_has_more's oracle
+    #                         + the facade pagination tests)
+    #   multimodal_embed      IN for crud_cas              (green r2-r12;
+    #                         CAS keeps crud_cas_conflicts' oracle +
+    #                         pytest, and both crud_engine_* entries stay)
+    # ---
+    "doc_winnowing_np": (
+        q_doc_winnowing_np,
+        f"SELECT doc_id, COALESCE(array_to_string(winnow_fps, ','), '') "
+        f"AS winnow_fps_csv FROM ({O.winnowing_sql()})",
+    ),
+    "doc_repetition_np": (
+        lambda spark, sf_dir: __import__(
+            "vector_db_api_spark.functions.kernels", fromlist=["repetition_stats_np"]
+        ).repetition_stats_np(_docs(spark, sf_dir)),
+        _sql_doc_repetition(),
+    ),
     # --- in-window: dedup ---
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh_pairs()),
     "dedup_components": (q_dedup_components, _sql_dedup_components()),
-    "simhash_hamming_pairs": (q_simhash_hamming_pairs, _sql_simhash_hamming_pairs()),
-    "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup()),
+    "simhash_np": (
+        q_simhash_np,
+        f"{O.simhash_sql('documents', 'doc_id', 'text')}",
+    ),
+    "embedding_neardup_mp_np": (
+        q_embedding_neardup_mp_np,
+        f"SELECT left_id, right_id FROM ({_sql_embedding_neardup_mp()})",
+    ),
     "doc_decontaminate": (q_doc_decontaminate, _sql_doc_decontaminate()),
     # --- in-window: semantic dedup (SemDeDup, round-4 class) ---
-    "semdedup_drop": (q_semdedup_drop, _sql_semdedup()),
+    "semdedup_drop_np": (q_semdedup_drop_np, _sql_semdedup(ids_only=True)),
     # --- in-window: round-4 family rotation (VERDICT r4 #3: first
     # driver-checked rows for sketches / profiler / quality model /
     # canonicalization / continuous semdedup) ---
-    "doc_quality_model_join": (q_doc_quality_model_join, _sql_doc_quality_model()),
+    "doc_quality_model": (q_doc_quality_model, _sql_doc_quality_model()),
     "stream_semdedup_state": (
         q_stream_semdedup_state,
         _sql_stream_semdedup_state(),
@@ -4965,9 +5009,12 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # displaced: events_distinct_kmv (driver-green r5-r7; KMV estimator
     # still oracle-swept below + stream_kmv_state) and ivfpq_search_top10
     # (driver-green r6-r7; a composition of in-window ivf + pq) ---
-    "doc_dsir_select": (q_doc_dsir_select, _sql_doc_dsir_select()),
-    # --- in-window: listing / pagination ---
-    "doc_listing_page": (q_doc_listing_page, _SQL_DOC_LISTING_PAGE),
+    "doc_dsir_select_fast": (
+        q_doc_dsir_select_fast,
+        _sql_doc_dsir_select_fast(),
+    ),
+    # --- in-window: exact kNN batch, numpy production twin (r13) ---
+    "knn_batch_numpy_top5": (q_knn_batch_numpy, _sql_knn_batch_scored()),
     # --- in-window: hybrid retrieval ---
     "doc_hybrid_rrf": (q_hybrid_rrf, _sql_hybrid_rrf()),
     # --- in-window: events / streaming batch-paths / skew ---
@@ -5009,7 +5056,10 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # crud_delete_cascade in-window, and both crud_engine_* entries drive
     # upsert_chunks through the Engine on every run)
     "stream_span_dedup_state": (q_stream_span_dedup_state, _sql_doc_span_dedup()),
-    "crud_cas": (q_crud_cas, _SQL_CRUD_CAS),
+    # r13 in-window swap: the multimodal embed pipeline (decode → feature →
+    # embed over binary columns) takes the slot of crud_cas — see the r13
+    # rotation note at the top of the window
+    "multimodal_embed": (q_multimodal_embed, _sql_multimodal_embed()),
     "crud_delete_cascade": (q_crud_delete_cascade, _SQL_CRUD_DELETE_CASCADE),
     # r7 rotation: the Engine-level delete→tombstone→maintenance→move
     # lifecycle (subsumes the pure-operator crud_move_document, now past
@@ -5025,7 +5075,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # keeps knn_self_join_ivf_sym in-window, whose exact re-rank tail is
     # the same rerank_pairs kernel)
     "corpus_curate_full": (q_corpus_curate_full, _sql_corpus_curate_full()),
-    "corpus_clean_near": (q_corpus_clean_near, _sql_corpus_clean_near()),
+    "corpus_clean_modern": (q_corpus_clean_modern, _sql_corpus_clean_modern()),
     # --- in-window: r11 rotation slots — the subword (char-ngram) semantic
     # embedder pipeline (r10 verdict #4: the morphology-modeling recipe,
     # previously pytest-only; its oracle replays word + 3-gram + 4-gram
@@ -5095,10 +5145,7 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "embedding_neardup_np": (q_embedding_neardup_np, _sql_embedding_neardup_ids()),
     # multi-probe (top-2 cell) blocking — the boundary-recall upgrade
     "embedding_neardup_mp": (q_embedding_neardup_mp, _sql_embedding_neardup_mp()),
-    "embedding_neardup_mp_np": (
-        q_embedding_neardup_mp_np,
-        f"SELECT left_id, right_id FROM ({_sql_embedding_neardup_mp()})",
-    ),
+    "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup()),
     "skew_salted_join": (q_skew_salted_join, _SQL_SKEW_SALTED_JOIN),
     "corpus_clean": (q_corpus_clean, _sql_corpus_clean()),
     # r10 rotation: displaced from the window (classes covered in-window —
@@ -5187,22 +5234,12 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "doc_listing_has_more": (q_doc_listing_has_more, _SQL_DOC_LISTING_HAS_MORE),
     "emb_quantize_roundtrip": (q_emb_quantize_roundtrip, _sql_emb_quantize_roundtrip()),
     "knn_batch_numpy_ids_top5": (q_knn_batch_numpy_ids, _sql_knn_batch_ids()),
-    # numpy throughput twins — same oracles as their expression twins
-    "doc_repetition_np": (
-        lambda spark, sf_dir: __import__(
-            "vector_db_api_spark.functions.kernels", fromlist=["repetition_stats_np"]
-        ).repetition_stats_np(_docs(spark, sf_dir)),
-        _sql_doc_repetition(),
-    ),
-    "simhash_np": (
-        q_simhash_np,
-        f"{O.simhash_sql('documents', 'doc_id', 'text')}",
-    ),
-    "doc_winnowing_np": (
-        q_doc_winnowing_np,
-        f"SELECT doc_id, COALESCE(array_to_string(winnow_fps, ','), '') "
-        f"AS winnow_fps_csv FROM ({O.winnowing_sql()})",
-    ),
+    # r13 rotation: displaced from the window after 10-12 green rounds
+    # each (see the r13 rotation note at the top of the window) — full
+    # value oracles kept; simhash class keeps simhash_np in-window
+    "doc_chunking": (q_doc_chunking, _sql_doc_chunking()),
+    "simhash_hamming_pairs": (q_simhash_hamming_pairs, _sql_simhash_hamming_pairs()),
+    "corpus_profile": (q_corpus_profile, _sql_corpus_profile()),
     # round-6 rotation: displaced to make room for the ANN search family —
     # each was driver-green in r5 and keeps its full value oracle here
     "events_quantile_sketch": (
@@ -5216,15 +5253,19 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "dedup_canonical": (q_dedup_canonical, _sql_dedup_canonical()),
     "events_table_profile": (q_events_table_profile, _sql_events_table_profile()),
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL_STATS),
-    "knn_batch_numpy_top5": (q_knn_batch_numpy, _sql_knn_batch_scored()),
-    "multimodal_embed": (q_multimodal_embed, _sql_multimodal_embed()),
+    # r13 rotation: listing page (green r1-r12; doc_listing_has_more +
+    # chunks_by_document keep the family's oracles) and CAS (green
+    # r1-r12; crud_cas_conflicts keeps the conflict oracle) displaced
+    "doc_listing_page": (q_doc_listing_page, _SQL_DOC_LISTING_PAGE),
+    "crud_cas": (q_crud_cas, _SQL_CRUD_CAS),
     # r9 rotation: displaced from the window (classes covered in-window by
     # doc_listing_page and rel_revenue_by_nation/rel_pricing_summary) —
     # full value oracles kept
     "chunks_by_document": (q_chunks_by_document, _sql_chunks_by_document()),
     "rel_ship_priority": (q_rel_ship_priority, _SQL_REL_SHIP_PRIORITY),
-    # SemDeDup BLAS twin (expression path is in-window; shared drop set)
-    "semdedup_drop_np": (q_semdedup_drop_np, _sql_semdedup(ids_only=True)),
+    # SemDeDup expression-shaped oracle twin (the BLAS production twin
+    # semdedup_drop_np is in-window since r13; shared drop set)
+    "semdedup_drop": (q_semdedup_drop, _sql_semdedup()),
     # hot-cell panel tiling, same oracle (exact blocked gram — round 5)
     "semdedup_drop_np_hotcell": (
         q_semdedup_drop_np_hotcell,
@@ -5237,23 +5278,19 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_stream_semdedup_compacted,
         _sql_stream_semdedup_state(),
     ),
-    # literal twin of the in-window doc_quality_model_join (shared oracle;
-    # join==literal bit-equality additionally pinned by pytest)
-    "doc_quality_model": (q_doc_quality_model, _sql_doc_quality_model()),
-    # the modern pipeline end-to-end (gates + classifier + dedup + canonical)
-    "corpus_clean_modern": (q_corpus_clean_modern, _sql_corpus_clean_modern()),
+    # broadcast-join scale twin of the in-window doc_quality_model (shared
+    # oracle; join==literal bit-equality additionally pinned by pytest)
+    "doc_quality_model_join": (q_doc_quality_model_join, _sql_doc_quality_model()),
+    # near-dup pipeline composition (corpus_clean_modern is in-window r13)
+    "corpus_clean_near": (q_corpus_clean_near, _sql_corpus_clean_near()),
     # r8 rotation: displaced from the window (driver-green r5-r7 / r6-r7;
     # KMV class stays covered by stream_kmv_state's shared estimator and
     # IVFPQ by its in-window ivf + pq constituents) — full value oracles kept
     "events_distinct_kmv": (q_events_distinct_kmv, _sql_events_distinct_kmv()),
     "ivfpq_search_top10": (q_ivfpq_search, _sql_ivfpq_search()),
-    # production-shape DSIR twin (r8 verdict #4): plain-SUM scoring, no
-    # per-document ordered-fold array materialization; result carries only
-    # order-independent columns so the oracle hash is float-order-safe
-    "doc_dsir_select_fast": (
-        q_doc_dsir_select_fast,
-        _sql_doc_dsir_select_fast(),
-    ),
+    # ordered-fold expression-shaped DSIR oracle twin (the plain-SUM
+    # production twin doc_dsir_select_fast is in-window since r13)
+    "doc_dsir_select": (q_doc_dsir_select, _sql_doc_dsir_select()),
 }
 
 
