@@ -561,3 +561,42 @@ def test_self_join_auto_routes_probe_on_clustered_exact_on_random(spark):
         rivf.self_join_auto(emb, 4, id_col="vec_id", sample_queries=48,
                             exact_collect_limit=10)
     emb.unpersist()
+
+
+def test_self_join_auto_collect_limit_is_byte_aware(spark):
+    """r12 verdict #3: the exact-fallback bound must reason in BYTES, not
+    rows — 1M rows under the row limit at dim 8192 is ~65 GB of query
+    vectors on the driver. A corpus comfortably under the row limit must
+    still refuse when rows × dim × 8 exceeds exact_collect_bytes, and the
+    error must name the estimate and both knobs."""
+    import pytest as _pytest
+
+    from vector_db_api_spark.operators.ivf import IVFIndex
+    from vector_db_api_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    n = emb.count()
+    rivf = IVFIndex.auto_train(emb, n_rows=n, seed=42)
+    # dim 64, n≈500 → ~256 KB estimate; a 1 KB byte bound trips while the
+    # row limit (default 1M) never would
+    with _pytest.raises(ValueError) as ei:
+        rivf.self_join_auto(emb, 4, id_col="vec_id", sample_queries=48,
+                            exact_collect_bytes=1024)
+    msg = str(ei.value)
+    assert "dim 64" in msg and "exact_collect_bytes=1024" in msg
+    assert "exact_collect_limit" in msg
+    emb.unpersist()
+
+
+def test_knn_batch_numpy_bounds_the_broadcast_query_matrix():
+    """The same byte audit on knn_batch_numpy's contract: the query
+    matrix is broadcast to EVERY executor, so the guard trips on
+    len(queries) × dim × 8 before any job runs (no Spark session work
+    needed — the estimate is driver-side arithmetic)."""
+    import pytest as _pytest
+
+    from vector_db_api_spark.operators.knn import knn_batch_numpy
+
+    queries = [(f"q{i}", [0.0] * 128) for i in range(16)]  # 16 KiB est
+    with _pytest.raises(ValueError, match="max_query_matrix_bytes=1024"):
+        knn_batch_numpy(None, queries, 5, max_query_matrix_bytes=1024)

@@ -667,6 +667,7 @@ class IVFIndex:
         id_col: str = "id",
         vec_col: str = "embedding",
         exact_collect_limit: int = 1_000_000,
+        exact_collect_bytes: int = 2 << 30,
         decision_out: dict | None = None,
         **route_kw,
     ) -> DataFrame:
@@ -677,13 +678,19 @@ class IVFIndex:
         vs probe 325s on random 20k×64d).
 
         The exact fallback collects the query side to the driver
-        (``knn_batch_numpy``'s contract), bounded by
-        ``exact_collect_limit``: above it a scan-bound corpus has NO fast
-        plan at the requested bar, and silently running an n² job or a
-        recall-starved probe would both be lies — the error says which
-        knobs exist (lower ``recall_bar``, raise ``max_candidate_fraction``,
-        or call ``self_join`` with an explicit p). Pass ``decision_out={}``
-        to receive the routing record."""
+        (``knn_batch_numpy``'s contract), bounded by BOTH
+        ``exact_collect_limit`` (rows) and ``exact_collect_bytes``
+        (estimated rows × dim × 8 — r12 verdict #3: a row-only bound is
+        byte-blind; 1M rows at the reference's max embedding_dim 8192 is
+        ~65 GB of query vectors on the driver, the OOM the limit exists
+        to prevent; at the bench's 64-d the same rows are ~0.5 GB). The
+        dim estimate reads ``size(vec_col)`` from one row. Above either
+        bound a scan-bound corpus has NO fast plan at the requested bar,
+        and silently running an n² job or a recall-starved probe would
+        both be lies — the error says which knobs exist (lower
+        ``recall_bar``, raise ``max_candidate_fraction``, or call
+        ``self_join`` with an explicit p). Pass ``decision_out={}`` to
+        receive the routing record."""
         decision = self.route_self_join(
             corpus, k, metric=metric, id_col=id_col, vec_col=vec_col,
             **route_kw)
@@ -693,13 +700,22 @@ class IVFIndex:
             return self.self_join(
                 corpus, k, metric=metric, id_col=id_col, vec_col=vec_col,
                 nprobe_sym=decision["nprobe_sym"])
-        if decision["n"] > exact_collect_limit:
+        dim_row = (
+            corpus.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("d")).first()
+        )
+        dim = int(dim_row["d"]) if dim_row else 0
+        est_bytes = decision["n"] * dim * 8
+        if decision["n"] > exact_collect_limit or est_bytes > exact_collect_bytes:
             raise ValueError(
-                f"self-join on {decision['n']} rows is scan-bound (sampled "
-                f"recall {decision['sampled_recall']} below bar "
+                f"self-join on {decision['n']} rows × dim {dim} "
+                f"(~{est_bytes / 2**30:.1f} GiB of query vectors on the "
+                f"driver) is scan-bound (sampled recall "
+                f"{decision['sampled_recall']} below bar "
                 f"{decision['recall_bar']} within candidate fraction "
                 f"{decision['max_candidate_fraction']}) and exceeds "
-                f"exact_collect_limit={exact_collect_limit}: no plan meets "
+                f"exact_collect_limit={exact_collect_limit} rows or "
+                f"exact_collect_bytes={exact_collect_bytes}: no plan meets "
                 f"the bar. Lower recall_bar / raise max_candidate_fraction "
                 f"to accept approximate results, or call self_join() with "
                 f"an explicit nprobe_sym."

@@ -142,6 +142,7 @@ def knn_batch_numpy(
     metric: str = "cosine",
     id_col: str = "id",
     vec_col: str = "embedding",
+    max_query_matrix_bytes: int = 2 << 30,
 ) -> DataFrame:
     """Arrow-vectorized exact kNN: numpy matmul per Arrow batch via
     mapInPandas, then window top-k. The fast path for large query batches
@@ -149,11 +150,29 @@ def knn_batch_numpy(
 
     Partial top-k happens inside each batch (heap-free: argpartition), so
     only ~k rows per (batch, query) reach the shuffle.
+
+    Contract (r12 verdict #3 byte audit): the query matrix rides a
+    broadcast — EVERY executor materializes len(queries) × dim × 8 bytes,
+    and each Arrow batch additionally holds a (batch_rows × len(queries))
+    float64 score block. ``max_query_matrix_bytes`` bounds the broadcast
+    estimate up front (a row count alone is byte-blind — 1M queries at
+    dim 8192 is ~65 GB per executor); past it, chunk the queries and call
+    this per chunk, or use an ANN index path.
     """
     import numpy as np
 
     from vector_db_api_spark.functions.ship import ship_model
 
+    if queries:
+        est = len(queries) * len(queries[0][1]) * 8
+        if est > max_query_matrix_bytes:
+            raise ValueError(
+                f"query matrix {len(queries)} × {len(queries[0][1])} "
+                f"(~{est / 2**30:.1f} GiB) exceeds max_query_matrix_bytes="
+                f"{max_query_matrix_bytes}; every executor holds a full "
+                f"copy via broadcast. Chunk the query batch or use an ANN "
+                f"index path."
+            )
     qids = [str(qid) for qid, _ in queries]
     # big query batches ride a broadcast, not every task's closure
     shipped = ship_model(corpus, np.asarray([v for _, v in queries], dtype=np.float64))
