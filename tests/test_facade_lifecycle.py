@@ -506,3 +506,86 @@ def test_selfcontained_layout_lifecycle(spark, tmp_path_factory):
         eng.indexes.rebuild(
             "S", eng._library_chunks("S"),
             IndexConfig("flat", {"layout": "selfcontained"}), 4)
+
+
+def test_self_join_routing_decision_is_cached_through_the_catalog(
+    spark, tmp_path, clustered_df, monkeypatch
+):
+    """r12 verdict #4: `self_join_auto` re-measured the serving bar on
+    every call (two O(n) passes) although the lifecycle already versions
+    everything the decision depends on. The catalog now persists the
+    decision under the live version keyed by the corpus fingerprint:
+
+    - second call with unchanged corpus dispatches the recorded plan with
+      the probe SKIPPED (route_self_join poisoned to prove it), and its
+      physical plan equals the directly-dispatched probe plan;
+    - an upsert through apply_delta moves the live chunks fingerprint, so
+      the next call re-measures;
+    - a rebuild bumps the version directory, so even an identical corpus
+      re-measures into the fresh namespace."""
+    from vector_db_api_spark.operators.ivf import IVFIndex
+
+    lc = IndexLifecycle(spark, str(tmp_path / "idx"))
+    chunks = clustered_df.withColumnRenamed("vec_id", "id").cache()
+    chunks.count()
+    lc.rebuild("libJ", chunks, IndexConfig("ivf", {"num_centroids": 16}),
+               dim=32)
+
+    dec1: dict = {}
+    first = lc.self_join_auto("libJ", chunks, 3, decision_out=dec1,
+                              sample_queries=32)
+    assert dec1["routing_source"] == "measured"
+    rows1 = sorted((r["query_id"], r["id"]) for r in first.collect())
+
+    def _poisoned(self, *a, **kw):  # pragma: no cover - must not run
+        raise AssertionError("probe re-measured on a cache hit")
+
+    monkeypatch.setattr(IVFIndex, "route_self_join", _poisoned)
+    dec2: dict = {}
+    second = lc.self_join_auto("libJ", chunks, 3, decision_out=dec2,
+                               sample_queries=32)
+    assert dec2["routing_source"] == "cached"
+    assert dec2["plan"] == dec1["plan"]
+    assert dec2["nprobe_sym"] == dec1["nprobe_sym"]
+    assert sorted((r["query_id"], r["id"]) for r in second.collect()) == rows1
+    # plan-pin: the cached dispatch executes the SAME physical plan shape
+    # as the measured first call (the probe cost is gone, the served plan
+    # is unchanged). Compare executed-plan operator sequences — exprIds,
+    # codegen-stage numbers and AQE stage artifacts are allocation-order
+    # noise, and exchange-reuse between separately-built equivalent trees
+    # is nondeterministic, so the first call (same builder path) is the
+    # right reference, not a hand-rebuilt twin.
+    import re as _re
+
+    def _shape(df):
+        s = df._jdf.queryExecution().executedPlan().toString()
+        out = []
+        for line in s.splitlines():
+            m = _re.match(r"^([ +:-]*)(?:\*\(\d+\) )?([A-Za-z]+)", line)
+            if m:
+                out.append((len(m.group(1)), m.group(2)))
+        return out
+
+    assert _shape(second) == _shape(first)
+    monkeypatch.undo()
+
+    # invalidation by mutation: an upserted chunk moves the fingerprint
+    delta = spark.createDataFrame(
+        [(999_999, [float(i) for i in range(32)])],
+        "id bigint, embedding array<double>",
+    )
+    lc.apply_delta("libJ", delta)
+    mutated = chunks.unionByName(delta, allowMissingColumns=True)
+    dec3: dict = {}
+    lc.self_join_auto("libJ", mutated, 3, decision_out=dec3,
+                      sample_queries=32)
+    assert dec3["routing_source"] == "measured"
+
+    # invalidation by rebuild: fresh version namespace, same corpus
+    lc.rebuild("libJ", chunks, IndexConfig("ivf", {"num_centroids": 16}),
+               dim=32)
+    dec4: dict = {}
+    lc.self_join_auto("libJ", chunks, 3, decision_out=dec4,
+                      sample_queries=32)
+    assert dec4["routing_source"] == "measured"
+    chunks.unpersist()

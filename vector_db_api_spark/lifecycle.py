@@ -459,3 +459,107 @@ class IndexLifecycle:
             return ivf.search(chunks, assignments, query_vec, k, metric=metric,
                               id_col=id_col, vec_col=vec_col)
         raise NotFoundError(f"no usable index for library {library_id!r}")
+
+    # -- routed self-join with a catalog-persisted decision -------------------
+
+    def corpus_fingerprint(
+        self, chunks: DataFrame, id_col: str = "id",
+        vec_col: str = "embedding",
+    ) -> dict:
+        """Order-independent fingerprint of the embedded corpus: row count
+        + BIT_XOR of xxhash64(id, embedding) (xor, not sum — the session
+        runs ANSI mode where a long SUM of hashes overflows). One
+        partial-agg scan — far cheaper than the routing probe's
+        ranked-probe + sampled-recall passes it lets repeat callers skip.
+        Any upsert that changes an (id, embedding) pair, adds one, or
+        removes one moves the xor (paired with the count for the
+        duplicate-row edge); a no-op rewrite of identical rows keeps it
+        (the decision stays valid by construction)."""
+        row = (
+            chunks.filter(F.col(vec_col).isNotNull())
+            .select(
+                F.xxhash64(
+                    F.col(id_col).cast("string"),
+                    F.col(vec_col).cast("array<double>"),
+                ).alias("__h")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(__h)").alias("h"),
+            )
+            .collect()[0]
+        )
+        return {"n": int(row["n"]), "h": int(row["h"] or 0)}
+
+    def self_join_auto(
+        self,
+        library_id: str,
+        chunks: DataFrame,
+        k: int,
+        metric: str = "cosine",
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        decision_out: dict | None = None,
+        **route_kw,
+    ) -> DataFrame:
+        """kNN self-join routed like ``IVFIndex.self_join_auto`` but with
+        the decision record PERSISTED through the catalog (r12 verdict #4:
+        the router re-measured the bar on every call — ~0.7-1.6s at sf0.1,
+        two O(n) passes at scale — although the lifecycle already versions
+        everything the decision depends on).
+
+        Cache key = (live index version, corpus fingerprint, k, metric,
+        route knobs): the record lives under the version directory
+        (``v=N/routing/``), so a rebuild starts a fresh namespace, and the
+        fingerprint covers mutations — an upsert/delete lands in the live
+        chunks table, moves the fingerprint, and the next call re-measures
+        (stale records are dead weight vacuumed with their version). On a
+        hit the probe is skipped entirely and the recorded plan dispatches
+        directly; ``decision_out["routing_source"]`` says which happened
+        (``"cached"`` vs ``"measured"``)."""
+        desc = self.current(library_id)
+        if desc is None or desc["type"] != "ivf":
+            raise NotFoundError(
+                f"self_join_auto needs a live IVF index for library "
+                f"{library_id!r} (found: {desc and desc['type']!r})"
+            )
+        vdir = os.path.join(self._lib_dir(library_id), f"v={desc['version']}")
+        ivf = IVFIndex.from_frame(
+            self.spark.read.parquet(os.path.join(vdir, "ivf_centroids")),
+            nprobe=desc["params"]["nprobe"],
+        )
+        fp = self.corpus_fingerprint(chunks, id_col=id_col, vec_col=vec_col)
+        knobs = {k_: route_kw[k_] for k_ in sorted(route_kw)}
+        cache_path = os.path.join(
+            vdir, "routing",
+            f"selfjoin_k{k}_{metric}_n{fp['n']}_"
+            f"h{fp['h'] & 0xFFFFFFFFFFFFFFFF:016x}.json",
+        )
+        cached = fsio.read_json(self._fs, cache_path)
+        if cached is not None and cached.get("route_kw") == {
+            str(a): b for a, b in knobs.items()
+        }:
+            decision = dict(cached["decision"])
+            decision["routing_source"] = "cached"
+            if decision_out is not None:
+                decision_out.update(decision)
+            return ivf.dispatch_self_join(
+                chunks, decision, k, metric=metric, id_col=id_col,
+                vec_col=vec_col)
+        decision = ivf.route_self_join(
+            chunks, k, metric=metric, id_col=id_col, vec_col=vec_col,
+            **route_kw)
+        self._fs.makedirs(os.path.join(vdir, "routing"))
+        fsio.write_json_atomic(
+            self._fs, cache_path,
+            {"decision": decision, "fingerprint": fp,
+             "route_kw": {str(a): b for a, b in knobs.items()},
+             "measured_at": time.time()},
+        )
+        decision = dict(decision)
+        decision["routing_source"] = "measured"
+        if decision_out is not None:
+            decision_out.update(decision)
+        return ivf.dispatch_self_join(
+            chunks, decision, k, metric=metric, id_col=id_col,
+            vec_col=vec_col)

@@ -696,6 +696,28 @@ class IVFIndex:
             **route_kw)
         if decision_out is not None:
             decision_out.update(decision)
+        return self.dispatch_self_join(
+            corpus, decision, k, metric=metric, id_col=id_col,
+            vec_col=vec_col, exact_collect_limit=exact_collect_limit,
+            exact_collect_bytes=exact_collect_bytes)
+
+    def dispatch_self_join(
+        self,
+        corpus: DataFrame,
+        decision: dict,
+        k: int,
+        metric: str = "cosine",
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        exact_collect_limit: int = 1_000_000,
+        exact_collect_bytes: int = 2 << 30,
+    ) -> DataFrame:
+        """Execute a routing decision record from :meth:`route_self_join` —
+        or from a catalog cache (r12 verdict #4: repeat callers reuse the
+        decision through ``IndexLifecycle.self_join_auto`` instead of
+        re-paying the two O(n) routing passes per call). The exact branch
+        re-applies the row/byte gates against the decision's n — a cached
+        record never weakens the bound."""
         if decision["plan"] == "probe":
             return self.self_join(
                 corpus, k, metric=metric, id_col=id_col, vec_col=vec_col,
