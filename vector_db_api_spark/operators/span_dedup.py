@@ -166,8 +166,14 @@ def duplicated_occurrences(
         raise ValueError(f"hot_threshold must be >= 2, got {hot_threshold}")
     # a gram with true count c appears ~Binomial(c, f) times in the sample;
     # flagging at a quarter of the expected sampled count keeps false
-    # NEGATIVES (a real heavy hitter missing the gate) vanishingly rare
-    min_sampled = max(1, int(hot_threshold * sample_fraction / 4))
+    # NEGATIVES (a real heavy hitter missing the gate) vanishingly rare.
+    # Floor at 2 (ADVICE r12 #3): a floor of 1 degenerates whenever
+    # hot_threshold * sample_fraction < 4 — EVERY gram seen once in the
+    # sample would route down the hot path, bloating the join side the
+    # guard assumes is small. Size hot_threshold * sample_fraction >> 1
+    # so true heavy hitters expect multiple sampled hits; output is
+    # invariant either way, the floor is plan protection only.
+    min_sampled = max(2, int(hot_threshold * sample_fraction / 4))
     hot = (
         occ.sample(fraction=sample_fraction, seed=seed)
         .groupBy("__gh")
