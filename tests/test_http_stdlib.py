@@ -135,3 +135,68 @@ def test_stdlib_routes_cover_every_create_app_route():
         r'@app\.(get|post|delete|patch)\(\s*"([^"]+)"\s*\)', app_src))
     stdlib_routes = {(m.lower(), t) for m, t, _ in httpmod.STDLIB_ROUTES}
     assert stdlib_routes == fastapi_routes
+
+
+def _raw(addr, method, path, payload: bytes, ctype="application/json"):
+    conn = http.client.HTTPConnection(*addr, timeout=120)
+    conn.request(method, path, body=payload, headers={"Content-Type": ctype})
+    resp = conn.getresponse()
+    raw = resp.read()
+    out = json.loads(raw) if raw else None
+    status = resp.status
+    conn.close()
+    return status, out
+
+
+def test_live_http_error_taxonomy(server):
+    """r12 verdict #6: the reference's router tests exhaustively assert
+    the 404/409/422 shapes (tests/unit/routers/*); drive the same taxonomy
+    over a real socket — each error body carries the envelope's `error`
+    string and HTTP status equals the facade envelope status. Uses its own
+    library id so the happy-path workflow test stays independent."""
+    # -- setup: a library + one document to mutate against ----------------
+    st, _ = _req(server, "POST", "/libraries",
+                 {"id": "LE", "name": "err", "embedding_dim": 4})
+    assert st == 201
+    st, _ = _req(server, "POST", "/libraries/LE/documents", {"id": "DE"})
+    assert st == 201
+
+    # 404: unknown library point get
+    st, out = _req(server, "GET", "/libraries/ghost")
+    assert st == 404 and "ghost" in out["error"]
+    # 404: search against an unknown library
+    st, out = _req(server, "POST", "/libraries/ghost/search",
+                   {"query_embedding": [1.0, 0, 0, 0], "k": 1})
+    assert st == 404 and out["error"]
+    # 409: duplicate document create (services/document.py:99 taxonomy)
+    st, out = _req(server, "POST", "/libraries/LE/documents", {"id": "DE"})
+    assert st == 409 and "DE" in out["error"]
+    # 409: CAS metadata update with a stale expected_version
+    st, out = _req(server, "PATCH", "/documents/DE/metadata",
+                   {"expected_version": 999, "author": "x"})
+    assert st == 409 and out["error"]
+    # 422: query dim mismatch against the library's embedding_dim
+    st, out = _req(server, "POST", "/libraries/LE/search",
+                   {"query_embedding": [1.0, 0.0], "k": 1})
+    assert st == 422 and out["error"]
+    # 422: k above the reference's 1000 cap
+    st, out = _req(server, "POST", "/libraries/LE/search",
+                   {"query_embedding": [1.0, 0, 0, 0], "k": 1001})
+    assert st == 422 and out["error"]
+    # 422: unknown field rejected (Pydantic extra='forbid' parity)
+    st, out = _req(server, "POST", "/libraries/LE/documents",
+                   {"id": "D2", "surprise": 1})
+    assert st == 422 and "surprise" in out["error"]
+    # 400: malformed JSON body never reaches the facade
+    st, out = _raw(server, "POST", "/libraries/LE/search", b"{not json")
+    assert st == 400 and "invalid JSON" in out["error"]
+    # 404: delete-then-get — document gone through BOTH get shapes
+    st, _ = _req(server, "DELETE", "/libraries/LE/documents/DE")
+    assert st in (200, 204)
+    st, out = _req(server, "GET", "/documents/DE")
+    assert st == 404 and out["error"]
+    st, out = _req(server, "GET", "/libraries/LE/documents/DE")
+    assert st == 404 and out["error"]
+    # 404: a path outside the route table entirely
+    st, out = _req(server, "GET", "/no/such/route")
+    assert st == 404
