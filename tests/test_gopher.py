@@ -27,7 +27,8 @@ def test_good_doc_passes_all_rules(spark):
     s = _stats(spark, [(1, GOOD)])[1]
     assert s["n_words"] == 58
     assert 3.0 <= s["mean_word_len"] <= 10.0
-    assert s["symbol_word_ratio"] == 0.0
+    assert s["hash_word_ratio"] == 0.0
+    assert s["ellipsis_word_ratio"] == 0.0
     assert s["bullet_line_frac"] == 0.0 and s["ellipsis_line_frac"] == 0.0
     assert s["alpha_word_frac"] == 1.0
     assert s["n_stopwords_present"] >= 2
@@ -41,11 +42,33 @@ def test_word_count_and_mean_length_hand_computed(spark):
     assert s["mean_word_len"] == pytest.approx(8 / 3)
 
 
-def test_symbol_ratio_counts_hash_and_ellipsis(spark):
+def test_symbol_ratios_count_hash_and_ellipsis_separately(spark):
     s = _stats(spark, [(1, "see # and ... plus #tag here now")])[1]
-    # 2 '#' + 1 '...' over 8 words
+    # 2 '#' and 1 '...' over 8 words — two independent ratios (Rae et al.
+    # table A1 thresholds each symbol separately; r12 advice)
     assert s["n_words"] == 8
-    assert s["symbol_word_ratio"] == pytest.approx(3 / 8)
+    assert s["hash_word_ratio"] == pytest.approx(2 / 8)
+    assert s["ellipsis_word_ratio"] == pytest.approx(1 / 8)
+
+
+def test_symbol_gate_is_per_symbol_not_combined(spark):
+    """0.06 + 0.06 must PASS (each ratio under 0.1) — the combined-ratio
+    formulation this replaces failed it."""
+    from vector_db_api_spark.operators.gopher import gopher_keep, gopher_stats
+
+    words = ["the", "be", "to", "of", "and", "that", "have", "with"] * 7
+    # 56 alphabetic words + 4 hashes + 4 ellipses attached to the FIRST
+    # word (no new words; not line-final, so the ellipsis LINE gate —
+    # a different rule — stays quiet)
+    text = words[0] + "#" * 4 + "..." * 4 + " " + " ".join(words[1:])
+    import vector_db_api_spark.operators.gopher as G
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    stats = G.gopher_stats(docs)
+    row = stats.collect()[0]
+    assert 0.05 < row["hash_word_ratio"] <= 0.1
+    assert 0.05 < row["ellipsis_word_ratio"] <= 0.1
+    kept = stats.filter(gopher_keep(stats)).count()
+    assert kept == 1
 
 
 def test_bullet_and_ellipsis_line_fractions(spark):

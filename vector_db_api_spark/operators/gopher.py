@@ -8,7 +8,11 @@ STRUCTURE half:
 
   1. word count inside [min_words, max_words]        (50 .. 100 000)
   2. mean word length inside [3, 10]
-  3. symbol-to-word ratio ('#' or '...') <= 0.1
+  3. symbol-to-word ratio <= 0.1 for EACH of '#' and '...' separately
+     (Rae et al. table A1 thresholds the hash ratio and the ellipsis
+     ratio independently — r12 advice: the first cut of this module
+     summed the two counts into one ratio, which was STRICTER than the
+     published rule, e.g. 0.06 + 0.06 passes Gopher but failed here)
   4. <= 90% of lines start with a bullet character
   5. <= 30% of lines end with an ellipsis
   6. >= 80% of words contain at least one alphabetic character
@@ -54,8 +58,9 @@ def gopher_stats(
     text_col: str = "text",
 ) -> DataFrame:
     """One row per doc with the seven rule inputs:
-    (id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
-    ellipsis_line_frac, alpha_word_frac, n_stopwords_present)."""
+    (id, n_words, mean_word_len, hash_word_ratio, ellipsis_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    n_stopwords_present)."""
     words = T.scoring_tokens(text_col)
     n_words = F.coalesce(F.size(words), F.lit(0))
     word_chars = F.aggregate(
@@ -75,10 +80,8 @@ def gopher_stats(
     ellipsis_lines = F.size(
         F.filter(lines, lambda ln: F.rtrim(ln).rlike("(\\.\\.\\.|…)$"))
     )
-    symbols = (
-        T.substring_occurrences(text_col, "#")
-        + T.substring_occurrences(text_col, "...")
-    )
+    hash_symbols = T.substring_occurrences(text_col, "#")
+    ellipsis_symbols = T.substring_occurrences(text_col, "...")
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
     stop_hits: Column = F.lit(0)
     for sw in GOPHER_STOPWORDS:
@@ -89,7 +92,8 @@ def gopher_stats(
         F.col(id_col),
         n_words.cast("bigint").alias("n_words"),
         _ratio(word_chars, n_words).alias("mean_word_len"),
-        _ratio(symbols, n_words).alias("symbol_word_ratio"),
+        _ratio(hash_symbols, n_words).alias("hash_word_ratio"),
+        _ratio(ellipsis_symbols, n_words).alias("ellipsis_word_ratio"),
         _ratio(bullet_lines, n_lines).alias("bullet_line_frac"),
         _ratio(ellipsis_lines, n_lines).alias("ellipsis_line_frac"),
         _ratio(alpha_words, n_words).alias("alpha_word_frac"),
@@ -110,12 +114,15 @@ def gopher_keep(
     min_stopwords: int = 2,
 ) -> Column:
     """The Gopher keep predicate over a :func:`gopher_stats` frame —
-    exposed separately so pipelines can flag instead of drop."""
+    exposed separately so pipelines can flag instead of drop.
+    ``max_symbol_word_ratio`` gates the hash ratio AND the ellipsis ratio
+    independently (the published rule's shape)."""
     del stats  # signature documents the expected frame; predicate is pure
     return (
         F.col("n_words").between(min_words, max_words)
         & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
-        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("hash_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("ellipsis_word_ratio") <= max_symbol_word_ratio)
         & (F.col("bullet_line_frac") <= max_bullet_line_frac)
         & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
         & (F.col("alpha_word_frac") >= min_alpha_word_frac)

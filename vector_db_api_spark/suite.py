@@ -291,10 +291,8 @@ def _sql_doc_gopher_rules(table: str = "documents") -> str:
     n = O.normalize_text("text")
     words = f"list_filter(string_split({n}, ' '), t -> t <> '')"
     lines = "COALESCE(string_split(text, chr(10)), [])"
-    sym = (
-        "(CAST((length(text) - length(replace(text, '#', ''))) / 1 AS BIGINT)"
-        " + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT))"
-    )
+    hash_sym = "CAST((length(text) - length(replace(text, '#', ''))) / 1 AS BIGINT)"
+    ell_sym = "CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)"
     stop_hits = " + ".join(
         f"CASE WHEN list_contains(w.words, '{sw}') THEN 1 ELSE 0 END"
         for sw in ("the", "be", "to", "of", "and", "that", "have", "with")
@@ -312,7 +310,8 @@ m AS (SELECT doc_id,
                  ln -> regexp_matches(rtrim(ln), '(\\.\\.\\.|…)$')))
                AS ellipsis_lines,
              len(lines) AS n_lines,
-             COALESCE({sym}, 0) AS symbols,
+             COALESCE({hash_sym}, 0) AS hash_symbols,
+             COALESCE({ell_sym}, 0) AS ellipsis_symbols,
              len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
                AS alpha_words,
              CAST({stop_hits} AS BIGINT) AS n_stopwords_present
@@ -322,8 +321,11 @@ r AS (SELECT doc_id, n_words,
                   ELSE CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
              END AS mean_word_len,
              CASE WHEN n_words = 0 THEN 0.0
-                  ELSE CAST(symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
-             END AS symbol_word_ratio,
+                  ELSE CAST(hash_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+             END AS hash_word_ratio,
+             CASE WHEN n_words = 0 THEN 0.0
+                  ELSE CAST(ellipsis_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+             END AS ellipsis_word_ratio,
              CASE WHEN n_lines = 0 THEN 0.0
                   ELSE CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
              END AS bullet_line_frac,
@@ -335,11 +337,13 @@ r AS (SELECT doc_id, n_words,
              END AS alpha_word_frac,
              n_stopwords_present
       FROM m)
-SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+SELECT doc_id, n_words, mean_word_len, hash_word_ratio, ellipsis_word_ratio,
+       bullet_line_frac,
        ellipsis_line_frac, alpha_word_frac, n_stopwords_present,
        (n_words BETWEEN 50 AND 100000
         AND mean_word_len BETWEEN 3.0 AND 10.0
-        AND symbol_word_ratio <= 0.1
+        AND hash_word_ratio <= 0.1
+        AND ellipsis_word_ratio <= 0.1
         AND bullet_line_frac <= 0.9
         AND ellipsis_line_frac <= 0.3
         AND alpha_word_frac >= 0.8
@@ -495,7 +499,8 @@ g AS MATERIALIZED ({_sql_doc_gopher_rules()}),
 s1 AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d JOIN g USING (doc_id)
        WHERE g.n_words BETWEEN {CURATE_MIN_WORDS} AND 100000
          AND g.mean_word_len BETWEEN 3.0 AND 10.0
-         AND g.symbol_word_ratio <= 0.1
+         AND g.hash_word_ratio <= 0.1
+         AND g.ellipsis_word_ratio <= 0.1
          AND g.bullet_line_frac <= 0.9
          AND g.ellipsis_line_frac <= 0.3
          AND g.alpha_word_frac >= 0.8
