@@ -10,8 +10,14 @@ corpus-wide; this module is that operator re-expressed for Spark.
 
 Semantics (deterministic, total-order keep-first):
 
-  * Token universe: words of the normalized text (same ``normalize_text``
-    + split-on-space universe every text operator in this repo uses).
+  * Token universe: ``normalize_text`` + split-on-space, KEEPING empty
+    tokens — split of an empty string is [''], so an empty/whitespace doc
+    reports ``n_tokens=1`` (r12 advice: this deviates from the
+    repo-canonical ``scoring_tokens``, which drops empties; kept as-is
+    because token POSITIONS must index into the removal array exactly as
+    split produces them, the oracle and the independent python reference
+    both pin this universe, and an empty doc can never form an n>=2 gram
+    anyway — the quirk is visible only in the n_tokens stat).
   * A *duplicated occurrence* is any word n-gram occurrence that is NOT
     the globally first occurrence of that n-gram, "first" meaning the
     lexicographically smallest ``(doc_id, start_pos)`` — so exactly one
@@ -71,7 +77,10 @@ DEFAULT_SPAN_NGRAM = 8
 
 
 def _tokens(text_col: str):
-    """Normalized word array; null text -> empty array (not null)."""
+    """Normalized word array; null text -> empty array (not null). Empty
+    tokens are KEPT (split('') == ['']) — positions must index the split
+    output verbatim for removal; see the module docstring's universe
+    note."""
     return F.coalesce(
         F.split(T.normalize_text(text_col), " "), F.array().cast("array<string>")
     )
