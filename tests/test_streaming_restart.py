@@ -241,3 +241,58 @@ def test_first_seen_restart_replays_batch_exactly_once(spark, tmp_path):
     got = {(r["fp"], r["event_id"])
            for r in spark.read.parquet(out).collect()}
     assert got == want
+
+
+def test_composed_curate_restart_replays_epoch_idempotently(spark, tmp_path):
+    """r12 verdict #8: the COMPOSED curation stream (Gopher gate → span
+    dedup → near-dup admission, streaming/curate.py) under the same
+    mid-batch crash: epoch 0's gram state, bucket state AND admitted
+    output all landed, the checkpoint commit did not. The replay must
+    reproduce all three sinks bit-for-bit and the final admitted set must
+    equal the uninterrupted run's."""
+    from vector_db_api_spark.streaming.curate import incremental_curate_ingest
+
+    boiler = "the shared boilerplate span that repeats across documents verbatim"
+    rows = []
+    for i in range(36):
+        body = " ".join(f"the unique{i} w{i}x{j}" for j in range(8))
+        # docs 24..35 carry the boilerplate (span dedup work across the
+        # crash boundary); docs 30..35 duplicate 24..29's cleaned text
+        # closely enough to share minhash buckets (near-dup admissions)
+        if i >= 24:
+            body = f"{boiler} {body if i < 30 else rows[i - 6][1].split(boiler)[1].strip()}"
+        rows.append((i, body))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    splits = [F.col("doc_id") < 12,
+              (F.col("doc_id") >= 12) & (F.col("doc_id") < 24),
+              F.col("doc_id") >= 24]
+    schema = "doc_id bigint, text string"
+    gates = {"min_words": 5, "min_stopwords": 1}
+
+    def run(src, st, out, ck):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = incremental_curate_ingest(
+            stream, st, out, ck, n=4, gopher_thresholds=gates)
+        q.awaitTermination(300)
+
+    def admitted(out):
+        return sorted(
+            (r["doc_id"], r["text"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    ref = {d: str(tmp_path / f"r{d}") for d in ("src", "st", "out", "ck")}
+    _three_files(df, ref["src"], splits)
+    run(ref["src"], ref["st"], ref["out"], ref["ck"])
+    want = admitted(ref["out"])
+    assert want, "reference run admitted nothing — fixture broken"
+    assert len(want) < 36, "nothing was ever gated/deduped — fixture weak"
+
+    live = {d: str(tmp_path / d) for d in ("src", "st", "out", "ck")}
+    _three_files(df, live["src"], splits[:1])
+    run(live["src"], live["st"], live["out"], live["ck"])
+    assert _crash_after_state_write(live["ck"]) == 0
+    _three_files(df, live["src"], splits[1:])
+    run(live["src"], live["st"], live["out"], live["ck"])
+    assert admitted(live["out"]) == want

@@ -202,6 +202,46 @@ def run_span_dedup(spark, con, sf_dir, report):
     report("stream_span_dedup", wall, replayed, ok, n, "DuckDB oracle")
 
 
+def run_curate(spark, con, sf_dir, report):
+    """r13 (VERDICT r12 #8): the COMPOSED curation stream (Gopher gate →
+    span dedup → near-dup admission) under the same crash — all THREE
+    sinks (gram state, bucket state, admitted output) must replay
+    idempotently for the composed drain to stay oracle-exact."""
+    from vector_db_api_spark.streaming.curate import incremental_curate_ingest
+
+    tmp = tempfile.mkdtemp(prefix="sf1_restart_curate_")
+    a, b, sp, out = f"{tmp}/a", f"{tmp}/b", f"{tmp}/state", f"{tmp}/out"
+    docs = suite._docs(spark, sf_dir).select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    mid = (lo + hi) // 2
+    docs.filter(F.col("doc_id") <= mid).write.mode("overwrite").parquet(a)
+    docs.filter(F.col("doc_id") > mid).write.mode("overwrite").parquet(b)
+
+    def drain(src, ck, off):
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        q = incremental_curate_ingest(
+            stream, sp, out, ck, n=suite.SPAN_N, num_hashes=suite.MINHASH_P,
+            bands=suite.MINHASH_BANDS, k=suite.JACCARD_K,
+            gopher_thresholds={
+                "min_words": suite.CURATE_MIN_WORDS,
+                "min_stopwords": suite.CURATE_MIN_STOPWORDS,
+            },
+            epoch_offset=off)
+        suite._await_stream(q, seconds=3600)
+
+    t0 = time.time()
+    drain(a, f"{tmp}/ck0", 0)
+    replayed = _crash_after_state_write(f"{tmp}/ck0")
+    drain(a, f"{tmp}/ck0", 0)  # restart replays epoch 0 idempotently
+    drain(b, f"{tmp}/ck1", 1_000_000)
+    wall = time.time() - t0
+    served = spark.read.parquet(out).select(
+        "doc_id", "n_tokens", "n_tokens_removed", "n_spans",
+        F.col("text").alias("clean_text"))
+    ok, n = _oracle_ok(con, "stream_curate_state", served)
+    report("stream_curate composed", wall, replayed, ok, n, "DuckDB oracle")
+
+
 def run_first_seen(spark, sf_dir, report):
     from vector_db_api_spark.streaming.dedup import (
         content_fingerprint,
@@ -277,6 +317,7 @@ def main() -> None:
     run_bm25(spark, con, sf_dir, report)
     run_semdedup(spark, con, sf_dir, report)
     run_span_dedup(spark, con, sf_dir, report)
+    run_curate(spark, con, sf_dir, report)
     run_first_seen(spark, sf_dir, report)
     print("\n".join(lines))
     with open("/tmp/stream_restart_sf1_section.md", "w") as f:

@@ -203,6 +203,47 @@ def run_trending(spark, con, sf_dir, report):
            wall, [], None, ok, n)
 
 
+def run_curate(spark, con, sf_dir, report):
+    """r13 (VERDICT r12 #8): the COMPOSED curation stream — Gopher gate →
+    continuous span dedup → near-dup admission in one foreachBatch
+    pipeline — drained as 8 id-ordered micro-batches (the span stage's
+    batch-oracle equality needs non-decreasing ids, and under id order
+    the admission rule equals the oracle's smaller-id bucket check)."""
+    from vector_db_api_spark.streaming.curate import incremental_curate_ingest
+
+    tmp = tempfile.mkdtemp(prefix="sf1_stream_curate_")
+    src, sp, out, ck = (f"{tmp}/{d}" for d in ("src", "state", "out", "ck"))
+    docs = suite._docs(spark, sf_dir).select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    step = (hi - lo + 8) // 8
+    for i in range(8):
+        docs.filter(
+            (F.col("doc_id") >= lo + i * step)
+            & (F.col("doc_id") < lo + (i + 1) * step)
+        ).coalesce(1).write.mode("append").parquet(src)
+    t0 = time.time()
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = incremental_curate_ingest(
+        stream, sp, out, ck, n=suite.SPAN_N, num_hashes=suite.MINHASH_P,
+        bands=suite.MINHASH_BANDS, k=suite.JACCARD_K,
+        gopher_thresholds={
+            "min_words": suite.CURATE_MIN_WORDS,
+            "min_stopwords": suite.CURATE_MIN_STOPWORDS,
+        },
+    )
+    suite._await_stream(q, seconds=3600)
+    wall = time.time() - t0
+    served = spark.read.parquet(out).select(
+        "doc_id", "n_tokens", "n_tokens_removed", "n_spans",
+        F.col("text").alias("clean_text"),
+    )
+    ok, n = _oracle_ok(con, "stream_curate_state", served)
+    report("stream_curate composed (8 id-ordered epochs)", wall,
+           _batches(q), _du_mb(sp), ok, n)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     spark = get_spark("stream-sf1")
@@ -228,6 +269,7 @@ def main() -> None:
     run_trending(spark, con, sf_dir, report)
     run_semdedup(spark, con, sf_dir, report)
     run_span_dedup(spark, con, sf_dir, report)
+    run_curate(spark, con, sf_dir, report)
     print("\n".join(lines))
     with open("/tmp/stream_sf1_section.md", "w") as f:
         f.write("\n".join(lines) + "\n")

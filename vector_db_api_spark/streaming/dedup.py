@@ -534,6 +534,47 @@ def incremental_span_dedup_ingest(
     parquet table, partitioned by epoch for cheap compaction
     (streaming/ingest.py compact_epoch_state applies).
     """
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        epoch = epoch_id + epoch_offset
+        cleaned = span_dedup_epoch(
+            batch_df, state_path, epoch, n=n, id_col=id_col,
+            text_col=text_col,
+        )
+        (
+            cleaned.withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_path)
+        )
+
+    writer = doc_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def span_dedup_epoch(
+    batch_df: DataFrame,
+    state_path: str,
+    epoch: int,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One micro-batch of continuous span dedup, factored out so composed
+    pipelines (streaming/curate.py, r12 verdict #8) run the identical
+    stage: clean ``batch_df`` against the seen-gram state (excluding the
+    CURRENT epoch — replay-safe), ADMIT the batch-first occurrences of
+    unseen grams into the state (epoch-partitioned dynamic overwrite),
+    and return the cleaned frame MATERIALIZED (localCheckpoint — the
+    caller owns the output sink; returning a lazy plan after unpersisting
+    the flagged table would recompute the whole stage per downstream
+    action)."""
     from pyspark.sql import Window
 
     from vector_db_api_spark.operators.span_dedup import (
@@ -543,61 +584,44 @@ def incremental_span_dedup_ingest(
     )
     from vector_db_api_spark.streaming.ingest import resolve_state_dir
 
-    def process(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        epoch = epoch_id + epoch_offset
-        spark = batch_df.sparkSession
-        occ = gram_occurrences(batch_df, n, id_col, text_col)
-        w = Window.partitionBy("__gh").orderBy(id_col, "start")
-        ranked = occ.withColumn("__rn", F.row_number().over(w))
-        existing = _read_state_or_none(spark, state_path)
-        if existing is not None:
-            prior = (
-                existing.filter(F.col("epoch") != epoch)
-                .select("__gh").distinct()
-                .withColumn("__seen", F.lit(True))
-            )
-            flagged = ranked.join(prior, "__gh", "left").persist()
-        else:
-            flagged = ranked.withColumn(
-                "__seen", F.lit(None).cast("boolean")
-            ).persist()
-        try:
-            dup = flagged.filter(
-                (F.col("__rn") > 1) | F.col("__seen").isNotNull()
-            ).select(
-                F.col(id_col),
-                F.col("start").alias("lo"),
-                (F.col("start") + F.lit(n - 1)).alias("hi"),
-            )
-            cleaned = remove_spans(
-                batch_df, merge_intervals(dup, id_col), id_col, text_col
-            )
-            (
-                cleaned.withColumn("epoch", F.lit(epoch))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("epoch")
-                .parquet(out_path)
-            )
-            admitted = flagged.filter(
-                (F.col("__rn") == 1) & F.col("__seen").isNull()
-            ).select("__gh", F.col(id_col).alias("first_id"),
-                     F.col("start").alias("first_start"))
-            (
-                admitted.withColumn("epoch", F.lit(epoch))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("epoch")
-                .parquet(resolve_state_dir(state_path))
-            )
-        finally:
-            flagged.unpersist()
-
-    writer = doc_stream.writeStream.foreachBatch(process).option(
-        "checkpointLocation", checkpoint
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    spark = batch_df.sparkSession
+    occ = gram_occurrences(batch_df, n, id_col, text_col)
+    w = Window.partitionBy("__gh").orderBy(id_col, "start")
+    ranked = occ.withColumn("__rn", F.row_number().over(w))
+    existing = _read_state_or_none(spark, state_path)
+    if existing is not None:
+        prior = (
+            existing.filter(F.col("epoch") != epoch)
+            .select("__gh").distinct()
+            .withColumn("__seen", F.lit(True))
+        )
+        flagged = ranked.join(prior, "__gh", "left").persist()
+    else:
+        flagged = ranked.withColumn(
+            "__seen", F.lit(None).cast("boolean")
+        ).persist()
+    try:
+        dup = flagged.filter(
+            (F.col("__rn") > 1) | F.col("__seen").isNotNull()
+        ).select(
+            F.col(id_col),
+            F.col("start").alias("lo"),
+            (F.col("start") + F.lit(n - 1)).alias("hi"),
+        )
+        cleaned = remove_spans(
+            batch_df, merge_intervals(dup, id_col), id_col, text_col
+        ).localCheckpoint(eager=True)
+        admitted = flagged.filter(
+            (F.col("__rn") == 1) & F.col("__seen").isNull()
+        ).select("__gh", F.col(id_col).alias("first_id"),
+                 F.col("start").alias("first_start"))
+        (
+            admitted.withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(resolve_state_dir(state_path))
+        )
+        return cleaned
+    finally:
+        flagged.unpersist()

@@ -532,6 +532,77 @@ SELECT id AS doc_id FROM comp WHERE id = component
 """
 
 
+def q_stream_curate_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed streaming curation (streaming/curate.py, r12 verdict #8):
+    Gopher gate → continuous span dedup → near-dup admission in ONE
+    foreachBatch pipeline, drained as two id-ordered availableNow batches
+    against shared gram + bucket state. The oracle replays the composed
+    semantics: gated docs → batch span dedup (id order makes the
+    cross-epoch state rule equal the global keep-first) → admit iff no
+    band bucket is shared with a smaller-id doc (the online admission
+    rule — direct-edge, not the batch pipeline's transitive components,
+    which an arrival-order pipeline cannot know; the deliberate semantic
+    difference is documented in streaming/curate.py)."""
+    import tempfile
+
+    from vector_db_api_spark.streaming.curate import incremental_curate_ingest
+
+    tmp = tempfile.mkdtemp(prefix="stream_curate_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    mid = (lo + hi) // 2
+    a, b = f"{tmp}/a", f"{tmp}/b"
+    docs.filter(F.col("doc_id") <= mid).write.mode("overwrite").parquet(a)
+    docs.filter(F.col("doc_id") > mid).write.mode("overwrite").parquet(b)
+    for i, src in enumerate((a, b)):
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        q = incremental_curate_ingest(
+            stream, f"{tmp}/state", f"{tmp}/out", f"{tmp}/ck{i}",
+            n=SPAN_N, num_hashes=MINHASH_P, bands=MINHASH_BANDS,
+            k=JACCARD_K,
+            gopher_thresholds={
+                "min_words": CURATE_MIN_WORDS,
+                "min_stopwords": CURATE_MIN_STOPWORDS,
+            },
+            epoch_offset=i * 1_000_000,
+        )
+        _await_stream(q)
+    return spark.read.parquet(f"{tmp}/out").select(
+        "doc_id", "n_tokens", "n_tokens_removed", "n_spans",
+        F.col("text").alias("clean_text"),
+    )
+
+
+def _sql_stream_curate_state() -> str:
+    # the same MATERIALIZED discipline as _sql_corpus_curate_full: stage
+    # CTEs are referenced multiple times and default inlining re-evaluates
+    # the upstream chain per reference
+    ctes, _ = _minhash_pairs_sql_parts(table="cdocs")
+    for name in ("sh AS (", "sigs AS (", "stacked AS ("):
+        ctes = ctes.replace(name, name.replace("AS (", "AS MATERIALIZED ("))
+    return f"""
+WITH g AS MATERIALIZED ({_sql_doc_gopher_rules()}),
+s1 AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d JOIN g USING (doc_id)
+       WHERE g.n_words BETWEEN {CURATE_MIN_WORDS} AND 100000
+         AND g.mean_word_len BETWEEN 3.0 AND 10.0
+         AND g.hash_word_ratio <= 0.1
+         AND g.ellipsis_word_ratio <= 0.1
+         AND g.bullet_line_frac <= 0.9
+         AND g.ellipsis_line_frac <= 0.3
+         AND g.alpha_word_frac >= 0.8
+         AND g.n_stopwords_present >= {CURATE_MIN_STOPWORDS}),
+sd AS MATERIALIZED ({_sql_doc_span_dedup('s1')}),
+cdocs AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM sd),
+{ctes},
+dup AS (SELECT DISTINCT b.doc_id FROM stacked a JOIN stacked b
+        ON a.band_no = b.band_no AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id)
+SELECT sd.doc_id, sd.n_tokens, sd.n_tokens_removed, sd.n_spans, sd.clean_text
+FROM sd LEFT JOIN dup ON sd.doc_id = dup.doc_id
+WHERE dup.doc_id IS NULL
+"""
+
+
 BM25_QUERY = "vector hash join"
 
 
@@ -5283,6 +5354,12 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_stream_semdedup_compacted,
         _sql_stream_semdedup_state(),
     ),
+    # r13 NEW: the composed streaming curation (Gopher gate -> continuous
+    # span dedup -> near-dup admission in one foreachBatch pipeline).
+    # Registered OUT-of-window for its first round — the staged promotion
+    # ADVICE r12 #4 asked for (oracle-swept locally + judge sweep first;
+    # promote after a green round)
+    "stream_curate_state": (q_stream_curate_state, _sql_stream_curate_state()),
     # broadcast-join scale twin of the in-window doc_quality_model (shared
     # oracle; join==literal bit-equality additionally pinned by pytest)
     "doc_quality_model_join": (q_doc_quality_model_join, _sql_doc_quality_model()),
