@@ -603,6 +603,43 @@ WHERE dup.doc_id IS NULL
 """
 
 
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal (operators/lines.py):
+    a line whose normalized hash occurs in >= 2 distinct documents is
+    removed from EVERY document (no survivor — the semantic difference
+    from span dedup's keep-first, stated in the module docstring)."""
+    from vector_db_api_spark.operators.lines import line_dedup
+
+    return line_dedup(_docs(spark, sf_dir))
+
+
+def _sql_doc_line_dedup(table: str = "documents") -> str:
+    nrm = O.normalize_text("ls[pos + 1]")
+    return f"""
+WITH d AS (SELECT doc_id, COALESCE(string_split(text, chr(10)), []) AS ls
+           FROM {table}),
+occ0 AS (SELECT doc_id, unnest(range(0, len(ls))) AS pos, ls
+         FROM d WHERE len(ls) > 0),
+occ AS (SELECT doc_id, pos, {nrm} AS nrm FROM occ0),
+occn AS (SELECT doc_id, pos, {O.h60('nrm')} AS lh FROM occ WHERE nrm <> ''),
+hot AS (SELECT lh FROM occn GROUP BY lh HAVING COUNT(DISTINCT doc_id) >= 2),
+rm AS (SELECT o.doc_id, o.pos FROM occn o JOIN hot USING (lh)),
+tok0 AS (SELECT doc_id, unnest(range(0, len(ls))) AS pos, ls FROM d),
+tok AS (SELECT doc_id, pos, ls[pos + 1] AS ln FROM tok0),
+keep AS (SELECT t.doc_id, t.pos, t.ln FROM tok t
+         LEFT JOIN rm ON t.doc_id = rm.doc_id AND t.pos = rm.pos
+         WHERE rm.pos IS NULL),
+agg AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS clean_text
+        FROM keep GROUP BY doc_id),
+cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines_removed
+        FROM rm GROUP BY doc_id)
+SELECT d.doc_id, CAST(len(d.ls) AS BIGINT) AS n_lines,
+       COALESCE(cnt.n_lines_removed, 0) AS n_lines_removed,
+       COALESCE(agg.clean_text, '') AS clean_text
+FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN cnt USING (doc_id)
+"""
+
+
 BM25_QUERY = "vector hash join"
 
 
@@ -5360,6 +5397,9 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # ADVICE r12 #4 asked for (oracle-swept locally + judge sweep first;
     # promote after a green round)
     "stream_curate_state": (q_stream_curate_state, _sql_stream_curate_state()),
+    # r13 NEW: CCNet-style line-level boilerplate removal (out-of-window
+    # first round, same staged promotion as stream_curate_state)
+    "doc_line_dedup": (q_doc_line_dedup, _sql_doc_line_dedup()),
     # broadcast-join scale twin of the in-window doc_quality_model (shared
     # oracle; join==literal bit-equality additionally pinned by pytest)
     "doc_quality_model_join": (q_doc_quality_model_join, _sql_doc_quality_model()),
