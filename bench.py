@@ -235,6 +235,9 @@ PLAN_PINS = {
     "pq_search_batch32": "test_pq_search_candidate_selection_is_take_ordered",
     "ivfpq_search": "test_ivfpq_search_cells_prunes_codes_and_keeps_take_ordered_tail",
     "knn_self_join_np": "test_knn_batch_numpy_partial_topk_single_exchange",
+    # the cached route dispatches the same exact plan on this corpus
+    # (random regime -> exact), with the probe skipped
+    "knn_self_join_auto_cached": "test_knn_batch_numpy_partial_topk_single_exchange",
     "doc_lm_nll": "test_doc_nll_literal_scoring_is_zero_shuffle_pure_expressions",
     "doc_temperature_sample": "test_temperature_sample_is_windowed_no_join",
     "crud_upsert": "test_upsert_is_equi_joins_and_union_no_cartesian",
@@ -272,7 +275,7 @@ _BAND_MIN_SAMPLE = 8
 # adjudicated against the python band automatically.
 PYTHON_AXIS_QUERIES = frozenset({
     "knn_batch_numpy_top5", "knn_quantized_top10", "knn_self_join_np",
-    "knn_self_join_auto",
+    "knn_self_join_auto", "knn_self_join_auto_cached",
     "pq_build", "pq_search", "pq_search_batch32", "ivfpq_search",
     "ivf_search_np8", "embedding_neardup_np", "embedding_neardup_mp_np",
     "semdedup_drop_np", "semdedup_drop_np_hotcell", "doc_winnowing_np",
@@ -964,6 +967,23 @@ def main() -> None:
     # router's decision cost
     thunks["knn_self_join_auto"] = lambda: _force(
         ivf.self_join_auto(emb, 4, id_col="vec_id", sample_queries=64)
+    )
+    # r13: the repeat-caller path — the routing decision persisted through
+    # the catalog (IndexLifecycle.self_join_auto). The bench protocol's
+    # warm pass measures + caches the decision; the timed pass hits the
+    # cache, so this row IS the probe-skipped second call. Delta vs
+    # knn_self_join_auto = the per-call routing cost the cache removes
+    # (minus one fingerprint scan).
+    import tempfile as _tf
+
+    from vector_db_api_spark.lifecycle import IndexConfig, IndexLifecycle
+
+    _lc = IndexLifecycle(spark, _tf.mkdtemp(prefix="bench_lc_"))
+    _lc.rebuild("benchlib", emb, IndexConfig("ivf", {}), dim=64,
+                id_col="vec_id")
+    thunks["knn_self_join_auto_cached"] = lambda: _force(
+        _lc.self_join_auto("benchlib", emb, 4, id_col="vec_id",
+                           sample_queries=64)
     )
 
     # -- cold pass + three timed passes (median) --------------------------
