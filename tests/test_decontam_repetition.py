@@ -124,3 +124,66 @@ FROM t JOIN b USING (shingle_hash) GROUP BY 1, 2
         ).fetchall()
     )
     assert got == want
+
+
+def test_semantic_contamination_catches_paraphrase_leak(spark):
+    """The embedding form's reason to exist: a paraphrased benchmark doc
+    shares no 8-word shingle with its source (lexical decontamination is
+    blind to it) but its embedding sits in the eval doc's cosine ball."""
+    import math
+
+    from vector_db_api_spark.operators.decontaminate import (
+        contaminated_ids,
+        semantic_contamination_pairs,
+        semantic_decontaminate,
+    )
+
+    # eval doc e1 and its paraphrase t1: near-identical vectors, zero
+    # shared text; t2 is orthogonal; t3 has a null embedding (never flags)
+    bench = spark.createDataFrame(
+        [("e1", "the quick brown fox jumps over the lazy dog today",
+          [1.0, 0.02, 0.0, 0.0])],
+        "bench_id string, text string, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [("t1", "a fast auburn vulpine leaps above a sleepy canine",
+          [0.99, 0.0, 0.01, 0.0]),
+         ("t2", "completely unrelated document about databases",
+          [0.0, 0.0, 1.0, 0.0]),
+         ("t3", "no vector here", None)],
+        "doc_id string, text string, embedding array<double>",
+    )
+    # lexical form: blind to the paraphrase
+    assert contaminated_ids(train, bench).count() == 0
+    pairs = semantic_contamination_pairs(train, bench, 0.9).collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in pairs] == [("t1", "e1")]
+    assert math.isclose(
+        pairs[0]["cosine"],
+        (0.99 * 1.0 + 0.02 * 0.0 + 0.01 * 0.0)
+        / (math.sqrt(1.0 + 0.02**2) * math.sqrt(0.99**2 + 0.01**2)),
+        rel_tol=1e-12,
+    )
+    kept = {r["doc_id"] for r in
+            semantic_decontaminate(train, bench, 0.9).collect()}
+    assert kept == {"t2", "t3"}
+
+
+def test_semantic_contamination_plan_broadcasts_eval_no_corpus_shuffle(spark):
+    """Scale pin: the eval side rides a broadcast (BroadcastNestedLoopJoin
+    — exact recall needs no join key) and the training corpus reaches it
+    without an Exchange."""
+    from vector_db_api_spark.operators.decontaminate import (
+        semantic_contamination_pairs,
+    )
+
+    bench = spark.createDataFrame(
+        [("e1", [1.0, 0.0])], "bench_id string, embedding array<double>")
+    train = spark.createDataFrame(
+        [(f"t{i}", [float(i), 1.0]) for i in range(50)],
+        "doc_id string, embedding array<double>")
+    plan = (
+        semantic_contamination_pairs(train, bench, 0.9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Exchange" not in plan.split("BroadcastNestedLoopJoin")[0], plan

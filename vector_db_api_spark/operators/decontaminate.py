@@ -103,3 +103,71 @@ def decontaminate(
         train, benchmark, id_col, bench_id_col, text_col, k, min_shared
     ).select(F.col("train_id").alias(id_col))
     return train.join(flagged, id_col, "left_anti")
+
+
+def semantic_contamination_pairs(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    vec_col: str = "embedding",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(train id, bench id, cosine) for every pair with cosine >=
+    ``threshold`` — the EMBEDDING form of contamination (r13): paraphrased
+    or lightly-rewritten benchmark text shares no 8-word shingle with its
+    source, but its embedding still sits in the eval doc's cosine ball
+    (the SemDeDup observation applied to decontamination).
+
+    Scale shape mirrors the lexical form: eval sets are small, so the
+    UNIT-NORMALIZED benchmark side broadcasts and the training corpus is
+    scanned once through a BroadcastNestedLoopJoin — linear in |train| ×
+    |bench|, with NO shuffle of the corpus and no join key needed. That
+    is the right plan while |bench| stays benchmark-sized (10^3-10^5
+    rows); past that, block both sides with
+    ``operators/dedup.block_by_ivf`` and use the cell-keyed
+    ``embedding_neardup`` machinery instead — this function intentionally
+    has no blocking so its recall is EXACT (a decontamination miss is a
+    benchmark leak, the one error class the pipeline must not make).
+
+    Zero/null vectors on either side never match (cosine undefined —
+    same rule as the kNN kernels)."""
+    from vector_db_api_spark.functions import vector as V
+
+    t = train.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        V.normalize(F.col(vec_col).cast("array<double>")).alias("__tu"),
+    ).filter(F.col("__tu").isNotNull())
+    b = benchmark.filter(F.col(vec_col).isNotNull()).select(
+        F.col(bench_id_col),
+        V.normalize(F.col(vec_col).cast("array<double>")).alias("__bu"),
+    ).filter(F.col("__bu").isNotNull())
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    cos = V.dot("__tu", "__bu")
+    return (
+        t.crossJoin(b)
+        .filter(cos >= F.lit(float(threshold)))
+        .select(id_col, bench_id_col, cos.alias("cosine"))
+    )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Training rows minus the semantically contaminated ids — broadcast
+    anti-join on the (small) flagged-id set, shuffle-free on the corpus."""
+    flagged = (
+        semantic_contamination_pairs(
+            train, benchmark, threshold, id_col, bench_id_col, vec_col
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(F.broadcast(flagged), id_col, "left_anti")

@@ -603,6 +603,56 @@ WHERE dup.doc_id IS NULL
 """
 
 
+SEMDECON_THRESHOLD = 0.38  # ≈ top 0.1% of cross-split cosines on the
+# synthetic corpus (measured max 0.446 at sf0.01) — high enough to mean
+# "same content", low enough that the entry value-checks real pairs
+SEMDECON_EVAL_MOD = 20  # ~5% hash-picked eval side
+
+
+def q_doc_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-based decontamination (operators/decontaminate.py r13
+    extension): paraphrased benchmark text shares no 8-word shingle with
+    its source but still sits in the eval doc's cosine ball. Eval side =
+    a ~5% hash-picked split of the embeddings table (portable h32, the
+    doc_leakage_split convention); output = the contamination pairs the
+    anti-join would act on — the value-checkable artifact (cosines are
+    deterministic fold sums; ids are exact)."""
+    from vector_db_api_spark.operators.decontaminate import (
+        semantic_contamination_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_eval = (
+        F.pmod(H.h32(F.concat(F.col("vec_id").cast("string"),
+                              F.lit(":semdecon"))), SEMDECON_EVAL_MOD) == 0
+    )
+    return semantic_contamination_pairs(
+        emb.filter(~is_eval), emb.filter(is_eval).withColumnRenamed(
+            "vec_id", "bench_id"),
+        SEMDECON_THRESHOLD, id_col="vec_id", bench_id_col="bench_id",
+    )
+
+
+def _sql_doc_semantic_decontaminate() -> str:
+    unit = (
+        f"list_transform(range(1, len(embedding)+1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) / {O.norm('embedding')})"
+    )
+    key = "CAST(vec_id AS VARCHAR) || ':semdecon'"
+    split = f"{O.h32(key)} % {SEMDECON_EVAL_MOD} = 0"
+    d = O.dot("t.u", "b.u")
+    return f"""
+WITH u AS (
+  SELECT vec_id, {split} AS is_eval, {unit} AS u
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND {O.norm('embedding')} != 0.0
+)
+SELECT t.vec_id, b.vec_id AS bench_id, {d} AS cosine
+FROM u t JOIN u b ON t.is_eval = FALSE AND b.is_eval = TRUE
+WHERE {d} >= {SEMDECON_THRESHOLD}
+"""
+
+
 def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style line-level boilerplate removal (operators/lines.py):
     a line whose normalized hash occurs in >= 2 distinct documents is
@@ -5400,6 +5450,11 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # r13 NEW: CCNet-style line-level boilerplate removal (out-of-window
     # first round, same staged promotion as stream_curate_state)
     "doc_line_dedup": (q_doc_line_dedup, _sql_doc_line_dedup()),
+    # r13 NEW: embedding-based decontamination (the paraphrase leak the
+    # shingle form can't see) — out-of-window first round
+    "doc_semantic_decontaminate": (
+        q_doc_semantic_decontaminate, _sql_doc_semantic_decontaminate(),
+    ),
     # broadcast-join scale twin of the in-window doc_quality_model (shared
     # oracle; join==literal bit-equality additionally pinned by pytest)
     "doc_quality_model_join": (q_doc_quality_model_join, _sql_doc_quality_model()),
