@@ -60,6 +60,8 @@ HEADLINE = [
     "exact_duplicates",
     # r12: cross-document duplicated-span removal (substring dedup)
     "doc_span_dedup",
+    # r13: CCNet-style line-level boilerplate removal
+    "doc_line_dedup",
     "embedding_neardup",
     "embedding_neardup_np",
     "embedding_neardup_mp",
@@ -96,6 +98,8 @@ HEADLINE = [
     "events_gapfill",
     # decontamination / repetition / lexical+hybrid retrieval
     "doc_decontaminate",
+    # r13: the embedding form (paraphrase leaks; broadcast-NLJ eval side)
+    "doc_semantic_decontaminate",
     "doc_repetition",
     "doc_repetition_np",
     "doc_bm25",
