@@ -99,7 +99,9 @@ HEADLINE = [
     # decontamination / repetition / lexical+hybrid retrieval
     "doc_decontaminate",
     # r13: the embedding form (paraphrase leaks; broadcast-NLJ eval side)
+    # — fold oracle twin + Arrow/BLAS production twin
     "doc_semantic_decontaminate",
+    "doc_semantic_decontaminate_np",
     "doc_repetition",
     "doc_repetition_np",
     "doc_bm25",
@@ -280,6 +282,7 @@ _BAND_MIN_SAMPLE = 8
 PYTHON_AXIS_QUERIES = frozenset({
     "knn_batch_numpy_top5", "knn_quantized_top10", "knn_self_join_np",
     "knn_self_join_auto", "knn_self_join_auto_cached",
+    "doc_semantic_decontaminate_np",
     "pq_build", "pq_search", "pq_search_batch32", "ivfpq_search",
     "ivf_search_np8", "embedding_neardup_np", "embedding_neardup_mp_np",
     "semdedup_drop_np", "semdedup_drop_np_hotcell", "doc_winnowing_np",

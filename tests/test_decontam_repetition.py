@@ -187,3 +187,35 @@ def test_semantic_contamination_plan_broadcasts_eval_no_corpus_shuffle(spark):
     )
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "Exchange" not in plan.split("BroadcastNestedLoopJoin")[0], plan
+
+
+def test_semantic_contamination_np_twin_matches_fold(spark):
+    """Twin equivalence (the embedding_neardup_np convention): identical
+    pair SET, cosines within 1e-9 (matmul vs sequential fold summation
+    order)."""
+    import numpy as np
+
+    from vector_db_api_spark.operators.decontaminate import (
+        semantic_contamination_pairs,
+        semantic_contamination_pairs_np,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16))
+    bench_rows = [(f"e{i}", [float(x) for x in base[i]]) for i in range(4)]
+    train_rows = [
+        (f"t{i}", [float(x) for x in (base[i % 6] + 0.05 * rng.standard_normal(16))])
+        for i in range(36)
+    ] + [("tz", [0.0] * 16), ("tn", None)]
+    bench = spark.createDataFrame(
+        bench_rows, "bench_id string, embedding array<double>")
+    train = spark.createDataFrame(
+        train_rows, "doc_id string, embedding array<double>")
+    fold = {(r["doc_id"], r["bench_id"]): r["cosine"]
+            for r in semantic_contamination_pairs(train, bench, 0.8).collect()}
+    blas = {(r["doc_id"], r["bench_id"]): r["cosine"]
+            for r in semantic_contamination_pairs_np(train, bench, 0.8).collect()}
+    assert fold, "fixture produced no contaminated pairs — weaken threshold"
+    assert set(fold) == set(blas)
+    for k in fold:
+        assert abs(fold[k] - blas[k]) < 1e-9

@@ -91,3 +91,50 @@ def test_plan_one_corpus_shuffle_docs_never_shuffle(spark):
     plan = L.line_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_count(distinct" in plan or "count(distinct" in plan, plan
+
+
+def test_keep_first_first_doc_keeps_every_later_copy_removed(spark):
+    rows = [
+        (1, f"{BOILER}\nunique one"),
+        (2, f"{BOILER}\nunique two"),
+        (3, f"unique three\n{BOILER}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in L.line_dedup_keep_first(df).collect()}
+    assert out[1]["clean_text"] == f"{BOILER}\nunique one"  # first keeps it
+    assert out[2]["clean_text"] == "unique two"
+    assert out[3]["clean_text"] == "unique three"
+    # within-doc repetition still exempt (strictly smaller id)
+    solo = spark.createDataFrame(
+        [(9, "twice\ntwice")], "doc_id bigint, text string")
+    got = L.line_dedup_keep_first(solo).collect()[0]
+    assert got["clean_text"] == "twice\ntwice"
+
+
+def test_streaming_line_dedup_equals_batch_keep_first(spark, tmp_path):
+    """Drained over id-ordered batches, the continuous form equals the
+    batch keep-first answer row-for-row — including a boilerplate line
+    whose first occurrence is in batch 1 and later copies in batch 2."""
+    from vector_db_api_spark.streaming.dedup import incremental_line_dedup_ingest
+
+    rows = [(i, f"{BOILER}\nbody {i}" if i % 3 == 0 else f"solo {i}\nbody {i}")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    want = sorted(map(tuple, L.line_dedup_keep_first(df).collect()))
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    df.filter("doc_id < 10").write.parquet(a)
+    df.filter("doc_id >= 10").write.parquet(b)
+    st, out = str(tmp_path / "st"), str(tmp_path / "out")
+    for i, src in enumerate((a, b)):
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        q = incremental_line_dedup_ingest(
+            stream, st, out, str(tmp_path / f"ck{i}"),
+            epoch_offset=i * 1_000_000)
+        q.awaitTermination(300)
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out)
+        .select("doc_id", "n_lines", "n_lines_removed", "clean_text")
+        .collect()
+    )
+    assert got == want

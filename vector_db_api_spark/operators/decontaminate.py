@@ -171,3 +171,71 @@ def semantic_decontaminate(
         .distinct()
     )
     return train.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def semantic_contamination_pairs_np(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/BLAS production twin of :func:`semantic_contamination_pairs`:
+    the eval matrix ships once per executor (broadcast), each Arrow batch
+    of the corpus runs ONE numpy matmul against it, and only the
+    >= threshold pairs are emitted. Same pair SET as the fold twin by
+    construction; cosines differ only in summation order (matmul vs
+    sequential fold) — the knn_batch_numpy / embedding_neardup_np
+    convention, so oracle checks project to ids and pytest pins 1e-9
+    cosine agreement. Memory contract: every executor holds the
+    |bench| × dim eval matrix and a (batch_rows × |bench|) score block —
+    benchmark-sized by assumption (see the fold twin's docstring)."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_db_api_spark.functions.ship import ship_model
+
+    rows = benchmark.filter(F.col(vec_col).isNotNull()).select(
+        bench_id_col, vec_col
+    ).collect()
+    bids = [r[bench_id_col] for r in rows]
+    bmat = np.asarray([list(map(float, r[vec_col])) for r in rows],
+                      dtype=np.float64)
+    if len(bids) == 0:
+        return train.sparkSession.createDataFrame(
+            [], f"{id_col} string, {bench_id_col} string, cosine double")
+    bnorm = np.linalg.norm(bmat, axis=1)
+    keep = bnorm > 0
+    bids = [b for b, k in zip(bids, keep) if k]
+    bunit = bmat[keep] / bnorm[keep][:, None]
+    shipped = ship_model(train, bunit)
+    id_type = train.schema[id_col].dataType.simpleString()
+    bid_type = benchmark.schema[bench_id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {bench_id_col} {bid_type}, cosine double"
+
+    def score(batches):
+        bu = shipped.get()
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            ok = norms > 0
+            if not ok.any():
+                continue
+            unit = mat[ok] / norms[ok][:, None]
+            scores = unit @ bu.T
+            ti, bi = np.nonzero(scores >= threshold)
+            if len(ti) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()[ok]
+            yield pd.DataFrame({
+                id_col: ids[ti],
+                bench_id_col: [bids[j] for j in bi],
+                "cosine": scores[ti, bi],
+            })
+
+    return train.filter(F.col(vec_col).isNotNull()).mapInPandas(
+        score, schema=out_schema
+    )

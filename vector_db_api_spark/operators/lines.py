@@ -9,8 +9,10 @@ it. This is a different axis from the repo's other dedup operators:
 - ``operators/span_dedup``  removes duplicated word n-gram SPANS
   (keep-first — one copy survives);
 - ``operators/dedup``       drops whole near-duplicate DOCUMENTS;
-- THIS module removes duplicated LINES from every document (no survivor
-  — boilerplate is noise, not content; CCNet's rule).
+- THIS module removes duplicated LINES: :func:`line_dedup` from every
+  document (no survivor — boilerplate is noise, not content; CCNet's
+  rule), :func:`line_dedup_keep_first` from every document AFTER the
+  first (the streamable sibling — see its docstring).
 
 Semantics (deterministic, partition-invariant):
 
@@ -129,3 +131,49 @@ def line_dedup(
     # size() of the coalesced empty array is 0, but size(NULL split) via
     # the raw column would be -1 — the coalesce in _lines already guards
     return out
+
+
+def line_dedup_keep_first(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep-first line dedup — the STREAMABLE sibling of :func:`line_dedup`:
+    a line occurrence is removed iff some SMALLER-id document carries the
+    same normalized line, so the first document to carry a line keeps it
+    and every later copy is removed. ``line_dedup`` (CCNet rule, no
+    survivor) cannot stream — an ingest pipeline cannot retro-remove the
+    first occurrence it already emitted — so the continuous form
+    (``streaming/dedup.incremental_line_dedup_ingest``) implements THIS
+    rule, and this batch twin is its equivalence oracle under id-ordered
+    arrival. Within-doc repetition is still exempt (strictly smaller id),
+    as are blank lines. Same output shape as :func:`line_dedup`.
+
+    Plan: one shuffle for the per-hash MIN(doc id) (map-side combining
+    min — no distinct-count state), equi-join, per-doc regroup of removed
+    positions; the document table never shuffles."""
+    occ = line_occurrences(docs, id_col, text_col)
+    first = occ.groupBy("__lh").agg(F.min(id_col).alias("__first_id"))
+    removed = (
+        occ.join(first, "__lh")
+        .filter(F.col(id_col) > F.col("__first_id"))
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__rm"))
+    )
+    lines = _lines(text_col)
+    return docs.join(removed, id_col, "left").select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.coalesce(F.size("__rm"), F.lit(0)).cast("bigint").alias(
+            "n_lines_removed"
+        ),
+        F.array_join(
+            F.filter(
+                lines,
+                lambda ln, i: F.when(
+                    F.col("__rm").isNull(), F.lit(True)
+                ).otherwise(~F.array_contains(F.col("__rm"), i)),
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )

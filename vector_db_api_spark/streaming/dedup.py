@@ -625,3 +625,120 @@ def span_dedup_epoch(
         return cleaned
     finally:
         flagged.unpersist()
+
+
+def incremental_line_dedup_ingest(
+    doc_stream: DataFrame,
+    state_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    epoch_offset: int = 0,
+):
+    """Continuous keep-first line dedup: the streaming form of
+    ``operators/lines.line_dedup_keep_first`` (r13). A batch's line
+    occurrence is removed iff its normalized-line hash was admitted by an
+    EARLIER epoch (state hit) or a smaller-id doc of the same batch
+    carries it; the first-seen doc keeps its copy, and the batch-first
+    occurrences of unseen hashes are admitted into the seen-line state.
+    (The batch ``line_dedup`` CCNet rule — remove from EVERY doc — cannot
+    stream: an ingest pipeline cannot retro-remove the first occurrence
+    it already emitted.)
+
+    Equivalence contract (the suite oracle): with batches arriving in
+    non-decreasing id order, the drained out_path equals the BATCH
+    ``line_dedup_keep_first`` answer row-for-row.
+
+    Idempotence: epoch-stamped dynamic overwrite on both sinks; the state
+    read excludes the CURRENT epoch (the span/semdedup pattern), so an
+    at-least-once replay reproduces its own partitions. State is one
+    8-byte hash row (+ first-doc provenance) per distinct admitted line,
+    epoch-partitioned for ``compact_epoch_state``."""
+    from vector_db_api_spark.operators.lines import (
+        _lines,
+        line_occurrences,
+    )
+    from vector_db_api_spark.streaming.ingest import resolve_state_dir
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        epoch = epoch_id + epoch_offset
+        spark = batch_df.sparkSession
+        occ = line_occurrences(batch_df, id_col, text_col)
+        first = occ.groupBy("__lh").agg(
+            F.min(F.col(id_col)).alias("__first_id")
+        )
+        flagged = occ.join(first, "__lh")
+        existing = _read_state_or_none(spark, state_path)
+        if existing is not None:
+            prior = (
+                existing.filter(F.col("epoch") != epoch)
+                .select("__lh").distinct()
+                .withColumn("__seen", F.lit(True))
+            )
+            flagged = flagged.join(prior, "__lh", "left")
+        else:
+            flagged = flagged.withColumn(
+                "__seen", F.lit(None).cast("boolean")
+            )
+        flagged = flagged.persist()
+        try:
+            removed = (
+                flagged.filter(
+                    (F.col(id_col) > F.col("__first_id"))
+                    | F.col("__seen").isNotNull()
+                )
+                .groupBy(id_col)
+                .agg(F.collect_set("pos").alias("__rm"))
+            )
+            lines = _lines(text_col)
+            cleaned = batch_df.join(removed, id_col, "left").select(
+                F.col(id_col),
+                F.size(lines).cast("bigint").alias("n_lines"),
+                F.coalesce(F.size("__rm"), F.lit(0)).cast("bigint").alias(
+                    "n_lines_removed"
+                ),
+                F.array_join(
+                    F.filter(
+                        lines,
+                        lambda ln, i: F.when(
+                            F.col("__rm").isNull(), F.lit(True)
+                        ).otherwise(~F.array_contains(F.col("__rm"), i)),
+                    ),
+                    "\n",
+                ).alias("clean_text"),
+            )
+            (
+                cleaned.withColumn("epoch", F.lit(epoch))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(out_path)
+            )
+            admitted = (
+                flagged.filter(
+                    (F.col(id_col) == F.col("__first_id"))
+                    & F.col("__seen").isNull()
+                )
+                .select("__lh", F.col(id_col).alias("first_id"))
+                .distinct()
+            )
+            (
+                admitted.withColumn("epoch", F.lit(epoch))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(resolve_state_dir(state_path))
+            )
+        finally:
+            flagged.unpersist()
+
+    writer = doc_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

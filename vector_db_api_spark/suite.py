@@ -606,31 +606,74 @@ WHERE dup.doc_id IS NULL
 SEMDECON_THRESHOLD = 0.38  # ≈ top 0.1% of cross-split cosines on the
 # synthetic corpus (measured max 0.446 at sf0.01) — high enough to mean
 # "same content", low enough that the entry value-checks real pairs
-SEMDECON_EVAL_MOD = 20  # ~5% hash-picked eval side
+SEMDECON_EVAL_N = 256  # FIXED-size eval side: real benchmarks don't grow
+# with the training corpus, and a corpus-proportional split makes the
+# exact-recall BNLJ quadratic (measured 46.8x wall at 10x data with a 5%
+# split before this was fixed) — the hash-ranked top-N keeps the entry
+# deterministic AND linear in the corpus
 
 
 def q_doc_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-based decontamination (operators/decontaminate.py r13
     extension): paraphrased benchmark text shares no 8-word shingle with
     its source but still sits in the eval doc's cosine ball. Eval side =
-    a ~5% hash-picked split of the embeddings table (portable h32, the
-    doc_leakage_split convention); output = the contamination pairs the
-    anti-join would act on — the value-checkable artifact (cosines are
-    deterministic fold sums; ids are exact)."""
+    the SEMDECON_EVAL_N lowest (portable-h32, vec_id-tie-broken) rows of
+    the embeddings table — a deterministic FIXED-size benchmark stand-in,
+    so the broadcast-NLJ scan stays linear in the corpus; output = the
+    contamination pairs the anti-join would act on — the value-checkable
+    artifact (cosines are deterministic fold sums; ids are exact)."""
     from vector_db_api_spark.operators.decontaminate import (
         semantic_contamination_pairs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    is_eval = (
-        F.pmod(H.h32(F.concat(F.col("vec_id").cast("string"),
-                              F.lit(":semdecon"))), SEMDECON_EVAL_MOD) == 0
+    hk = H.h32(F.concat(F.col("vec_id").cast("string"), F.lit(":semdecon")))
+    eval_ids = (
+        emb.select(F.col("vec_id").alias("bench_id"), hk.alias("__hk"))
+        .orderBy("__hk", "bench_id").limit(SEMDECON_EVAL_N).drop("__hk")
+    )
+    bench = emb.join(
+        eval_ids, emb["vec_id"] == eval_ids["bench_id"]
+    ).select("bench_id", "embedding")
+    train = emb.join(
+        F.broadcast(eval_ids), emb["vec_id"] == eval_ids["bench_id"],
+        "left_anti",
     )
     return semantic_contamination_pairs(
-        emb.filter(~is_eval), emb.filter(is_eval).withColumnRenamed(
-            "vec_id", "bench_id"),
-        SEMDECON_THRESHOLD, id_col="vec_id", bench_id_col="bench_id",
+        train, bench, SEMDECON_THRESHOLD,
+        id_col="vec_id", bench_id_col="bench_id",
     )
+
+
+def q_doc_semantic_decontaminate_np(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BLAS twin (one Arrow matmul per corpus batch against the shipped
+    eval matrix). Pair SET equals the fold twin by construction; cosines
+    differ only in summation order, so the driver checks the
+    (vec_id, bench_id) projection — the knn_batch_numpy_ids pattern —
+    and pytest pins 1e-9 cosine agreement."""
+    from vector_db_api_spark.operators.decontaminate import (
+        semantic_contamination_pairs_np,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hk = H.h32(F.concat(F.col("vec_id").cast("string"), F.lit(":semdecon")))
+    eval_ids = (
+        emb.select(F.col("vec_id").alias("bench_id"), hk.alias("__hk"))
+        .orderBy("__hk", "bench_id").limit(SEMDECON_EVAL_N).drop("__hk")
+    )
+    bench = emb.join(
+        eval_ids, emb["vec_id"] == eval_ids["bench_id"]
+    ).select("bench_id", "embedding")
+    train = emb.join(
+        F.broadcast(eval_ids), emb["vec_id"] == eval_ids["bench_id"],
+        "left_anti",
+    )
+    return semantic_contamination_pairs_np(
+        train, bench, SEMDECON_THRESHOLD,
+        id_col="vec_id", bench_id_col="bench_id",
+    ).select("vec_id", "bench_id")
 
 
 def _sql_doc_semantic_decontaminate() -> str:
@@ -639,12 +682,16 @@ def _sql_doc_semantic_decontaminate() -> str:
         f"i -> CAST(embedding[i] AS DOUBLE) / {O.norm('embedding')})"
     )
     key = "CAST(vec_id AS VARCHAR) || ':semdecon'"
-    split = f"{O.h32(key)} % {SEMDECON_EVAL_MOD} = 0"
     d = O.dot("t.u", "b.u")
     return f"""
-WITH u AS (
-  SELECT vec_id, {split} AS is_eval, {unit} AS u
+WITH ranked AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY {O.h32(key)}, vec_id) AS hr
   FROM embeddings
+),
+u AS (
+  SELECT e.vec_id, r.hr <= {SEMDECON_EVAL_N} AS is_eval, {unit} AS u
+  FROM embeddings e JOIN ranked r USING (vec_id)
   WHERE embedding IS NOT NULL AND {O.norm('embedding')} != 0.0
 )
 SELECT t.vec_id, b.vec_id AS bench_id, {d} AS cosine
@@ -674,6 +721,63 @@ occ AS (SELECT doc_id, pos, {nrm} AS nrm FROM occ0),
 occn AS (SELECT doc_id, pos, {O.h60('nrm')} AS lh FROM occ WHERE nrm <> ''),
 hot AS (SELECT lh FROM occn GROUP BY lh HAVING COUNT(DISTINCT doc_id) >= 2),
 rm AS (SELECT o.doc_id, o.pos FROM occn o JOIN hot USING (lh)),
+tok0 AS (SELECT doc_id, unnest(range(0, len(ls))) AS pos, ls FROM d),
+tok AS (SELECT doc_id, pos, ls[pos + 1] AS ln FROM tok0),
+keep AS (SELECT t.doc_id, t.pos, t.ln FROM tok t
+         LEFT JOIN rm ON t.doc_id = rm.doc_id AND t.pos = rm.pos
+         WHERE rm.pos IS NULL),
+agg AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS clean_text
+        FROM keep GROUP BY doc_id),
+cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines_removed
+        FROM rm GROUP BY doc_id)
+SELECT d.doc_id, CAST(len(d.ls) AS BIGINT) AS n_lines,
+       COALESCE(cnt.n_lines_removed, 0) AS n_lines_removed,
+       COALESCE(agg.clean_text, '') AS clean_text
+FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN cnt USING (doc_id)
+"""
+
+
+def q_stream_line_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous keep-first line dedup (streaming/dedup.py
+    incremental_line_dedup_ingest): two id-ordered availableNow batches
+    against one seen-line state; the drained out_path must equal the
+    BATCH line_dedup_keep_first answer row-for-row (the oracle below —
+    the CCNet no-survivor rule cannot stream, see operators/lines.py)."""
+    import tempfile
+
+    from vector_db_api_spark.streaming.dedup import incremental_line_dedup_ingest
+
+    tmp = tempfile.mkdtemp(prefix="stream_line_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    mid = (lo + hi) // 2
+    a, b = f"{tmp}/a", f"{tmp}/b"
+    docs.filter(F.col("doc_id") <= mid).write.mode("overwrite").parquet(a)
+    docs.filter(F.col("doc_id") > mid).write.mode("overwrite").parquet(b)
+    for i, src in enumerate((a, b)):
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        q = incremental_line_dedup_ingest(
+            stream, f"{tmp}/state", f"{tmp}/out", f"{tmp}/ck{i}",
+            epoch_offset=i * 1_000_000,
+        )
+        _await_stream(q)
+    return spark.read.parquet(f"{tmp}/out").select(
+        "doc_id", "n_lines", "n_lines_removed", "clean_text"
+    )
+
+
+def _sql_doc_line_dedup_keep_first(table: str = "documents") -> str:
+    nrm = O.normalize_text("ls[pos + 1]")
+    return f"""
+WITH d AS (SELECT doc_id, COALESCE(string_split(text, chr(10)), []) AS ls
+           FROM {table}),
+occ0 AS (SELECT doc_id, unnest(range(0, len(ls))) AS pos, ls
+         FROM d WHERE len(ls) > 0),
+occ AS (SELECT doc_id, pos, {nrm} AS nrm FROM occ0),
+occn AS (SELECT doc_id, pos, {O.h60('nrm')} AS lh FROM occ WHERE nrm <> ''),
+firsts AS (SELECT lh, MIN(doc_id) AS first_id FROM occn GROUP BY lh),
+rm AS (SELECT o.doc_id, o.pos FROM occn o JOIN firsts USING (lh)
+       WHERE o.doc_id > firsts.first_id),
 tok0 AS (SELECT doc_id, unnest(range(0, len(ls))) AS pos, ls FROM d),
 tok AS (SELECT doc_id, pos, ls[pos + 1] AS ln FROM tok0),
 keep AS (SELECT t.doc_id, t.pos, t.ln FROM tok t
@@ -5450,10 +5554,21 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # r13 NEW: CCNet-style line-level boilerplate removal (out-of-window
     # first round, same staged promotion as stream_curate_state)
     "doc_line_dedup": (q_doc_line_dedup, _sql_doc_line_dedup()),
+    # streaming keep-first form vs the batch keep-first oracle (the CCNet
+    # no-survivor rule can't stream — operators/lines.py)
+    "stream_line_dedup_state": (
+        q_stream_line_dedup_state, _sql_doc_line_dedup_keep_first(),
+    ),
     # r13 NEW: embedding-based decontamination (the paraphrase leak the
     # shingle form can't see) — out-of-window first round
     "doc_semantic_decontaminate": (
         q_doc_semantic_decontaminate, _sql_doc_semantic_decontaminate(),
+    ),
+    # BLAS production twin — same pair set, matmul cosines; ids-only
+    # oracle projection (the knn_batch_numpy_ids convention)
+    "doc_semantic_decontaminate_np": (
+        q_doc_semantic_decontaminate_np,
+        f"SELECT vec_id, bench_id FROM ({_sql_doc_semantic_decontaminate()})",
     ),
     # broadcast-join scale twin of the in-window doc_quality_model (shared
     # oracle; join==literal bit-equality additionally pinned by pytest)
