@@ -306,6 +306,38 @@ def main() -> None:
                 docs, *_lm.train_unigram_df(docs)
             ))(),
         ),
+        (
+            "Line-level boilerplate removal (line_dedup, r13)",
+            "ONE Generate (posexplode of the line array), ONE corpus-scale "
+            "Exchange (the per-hash distinct-doc count, map-side partial "
+            "agg), an equi-join against the flagged hashes, and a regroup "
+            "of REMOVED positions only — the document table never "
+            "shuffles; the rebuild is a codegen filter-by-index + "
+            "array_join. No Window anywhere (pinned by test_lines).",
+            (lambda: __import__(
+                "vector_db_api_spark.operators.lines",
+                fromlist=["line_dedup"],
+            ).line_dedup(docs))(),
+        ),
+        (
+            "Semantic decontamination — BLAS twin "
+            "(semantic_contamination_pairs_np, r13)",
+            "The eval matrix ships once (broadcast); the corpus scans "
+            "straight into mapInPandas (one Arrow matmul per batch, "
+            "threshold filter inside) — NO Exchange on the corpus side at "
+            "all. The fold twin replaces mapInPandas with a "
+            "BroadcastNestedLoopJoin of pure expressions (oracle-exact, "
+            "same no-corpus-shuffle property, pinned by "
+            "test_decontam_repetition).",
+            (lambda _d=__import__(
+                "vector_db_api_spark.operators.decontaminate",
+                fromlist=["semantic_contamination_pairs_np"],
+            ): _d.semantic_contamination_pairs_np(
+                emb, emb.limit(8).selectExpr(
+                    "vec_id AS bench_id", "embedding"),
+                0.9, id_col="vec_id",
+            ))(),
+        ),
     ]
 
     out = [
