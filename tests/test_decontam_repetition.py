@@ -219,3 +219,23 @@ def test_semantic_contamination_np_twin_matches_fold(spark):
     assert set(fold) == set(blas)
     for k in fold:
         assert abs(fold[k] - blas[k]) < 1e-9
+
+
+def test_semantic_contamination_np_empty_benchmark_keeps_id_types(spark):
+    """ADVICE r13: the BLAS twin's empty-benchmark early return must carry
+    the INPUT id column types (e.g. bigint ids), not a hardcoded string
+    schema, or the empty-edge frame diverges from the fold twin's schema
+    and breaks downstream unions."""
+    from vector_db_api_spark.operators.decontaminate import (
+        semantic_contamination_pairs_np,
+    )
+
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "doc_id bigint, embedding array<double>")
+    bench = spark.createDataFrame(
+        [], "bench_id bigint, embedding array<double>")
+    out = semantic_contamination_pairs_np(train, bench, 0.9)
+    assert out.count() == 0
+    got = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert got == {"doc_id": "bigint", "bench_id": "bigint",
+                   "cosine": "double"}

@@ -70,6 +70,11 @@ def never_checked(registry_names: list[str], repo: str = HERE) -> list[str]:
 
 
 def main() -> None:
+    import sys
+
+    # same bootstrap the sibling tools use so the documented
+    # `python tools/never_checked.py` works without PYTHONPATH
+    sys.path.insert(0, HERE)
     from vector_db_api_spark import suite
 
     names = list(suite.SUITE)

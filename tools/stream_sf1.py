@@ -78,6 +78,29 @@ def _oracle_ok(con, name: str, df) -> tuple[bool, int]:
             == [c.lower() for c in dcols]), len(srows)
 
 
+def _write_id_ordered_batches(docs, src: str, nb: int = 8) -> None:
+    """Write ``docs`` as ``nb`` sequential single-file id-range parquets
+    whose arrival order under FileStreamSource is EXPLICIT: each append's
+    new files get a strictly increasing mtime stamp. The source orders
+    equal-mtime files by PATH (random part names), so on a coarse-mtime
+    filesystem back-to-back appends could otherwise reorder micro-batches
+    and spuriously fail the id-ordered batch-oracle equality (ADVICE r13)."""
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    step = (hi - lo + nb) // nb
+    stamped: set[str] = set()
+    base = time.time()
+    for i in range(nb):
+        docs.filter(
+            (F.col("doc_id") >= lo + i * step)
+            & (F.col("doc_id") < lo + (i + 1) * step)
+        ).coalesce(1).write.mode("append").parquet(src)
+        for name in os.listdir(src):
+            p = os.path.join(src, name)
+            if p not in stamped and not name.startswith(("_", ".")):
+                os.utime(p, (base + i, base + i))
+                stamped.add(p)
+
+
 def run_bm25(spark, con, sf_dir, report):
     from vector_db_api_spark.operators.keyword import bm25_scores_postings
     from vector_db_api_spark.streaming.ingest import (
@@ -142,13 +165,7 @@ def run_span_dedup(spark, con, sf_dir, report):
     tmp = tempfile.mkdtemp(prefix="sf1_stream_span_")
     src, sp, out, ck = (f"{tmp}/{d}" for d in ("src", "state", "out", "ck"))
     docs = suite._docs(spark, sf_dir).select("doc_id", "text")
-    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
-    step = (hi - lo + 8) // 8
-    for i in range(8):
-        docs.filter(
-            (F.col("doc_id") >= lo + i * step)
-            & (F.col("doc_id") < lo + (i + 1) * step)
-        ).coalesce(1).write.mode("append").parquet(src)
+    _write_id_ordered_batches(docs, src)
     t0 = time.time()
     stream = spark.readStream.schema("doc_id bigint, text string").option(
         "maxFilesPerTrigger", 1
@@ -214,13 +231,7 @@ def run_curate(spark, con, sf_dir, report):
     tmp = tempfile.mkdtemp(prefix="sf1_stream_curate_")
     src, sp, out, ck = (f"{tmp}/{d}" for d in ("src", "state", "out", "ck"))
     docs = suite._docs(spark, sf_dir).select("doc_id", "text")
-    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
-    step = (hi - lo + 8) // 8
-    for i in range(8):
-        docs.filter(
-            (F.col("doc_id") >= lo + i * step)
-            & (F.col("doc_id") < lo + (i + 1) * step)
-        ).coalesce(1).write.mode("append").parquet(src)
+    _write_id_ordered_batches(docs, src)
     t0 = time.time()
     stream = spark.readStream.schema("doc_id bigint, text string").option(
         "maxFilesPerTrigger", 1

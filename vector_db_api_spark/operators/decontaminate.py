@@ -203,8 +203,13 @@ def semantic_contamination_pairs_np(
     bmat = np.asarray([list(map(float, r[vec_col])) for r in rows],
                       dtype=np.float64)
     if len(bids) == 0:
+        # derive the id column types from the inputs (same derivation as
+        # the non-empty path) so an empty benchmark yields the exact
+        # schema the fold twin would — not a hardcoded string frame
+        id_type = train.schema[id_col].dataType.simpleString()
+        bid_type = benchmark.schema[bench_id_col].dataType.simpleString()
         return train.sparkSession.createDataFrame(
-            [], f"{id_col} string, {bench_id_col} string, cosine double")
+            [], f"{id_col} {id_type}, {bench_id_col} {bid_type}, cosine double")
     bnorm = np.linalg.norm(bmat, axis=1)
     keep = bnorm > 0
     bids = [b for b, k in zip(bids, keep) if k]
