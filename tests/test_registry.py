@@ -18,10 +18,16 @@ MUST_BE_IN_WINDOW = {
     "simhash_np",               # simhash banding (r13: np production
                                 # twin takes the slot; expression twin
                                 # green r1-r12, same oracle)
-    "embedding_neardup_mp_np",  # embedding near-dup (r13: multiprobe
-                                # BLAS production twin takes the slot;
-                                # expression twin green r1-r12)
-    "doc_decontaminate",        # benchmark decontamination
+    "embedding_neardup_mp",     # embedding near-dup (r14: the expression
+                                # multiprobe twin takes the slot of its
+                                # BLAS twin, green r13 — same oracle; one
+                                # in-window rep per round, twins alternate)
+    "doc_semantic_decontaminate",  # decontamination (r14: the embedding
+                                # form takes the slot of the 8-shingle
+                                # doc_decontaminate, green r1-r13; the
+                                # shingle oracle stays out-of-window)
+    "doc_semantic_decontaminate_np",  # BLAS production twin (r14, staged
+                                # green r13 — ids-only oracle projection)
     "doc_lm_nll_join",          # LM quality scoring (r12: the broadcast-join
                                 # scale twin takes the literal path's slot —
                                 # same oracle verbatim; doc_repetition also
@@ -41,15 +47,23 @@ MUST_BE_IN_WINDOW = {
                                 # r1-r12, crud_cas_conflicts keeps the
                                 # conflict oracle out-of-window and both
                                 # crud_engine_* entries stay in-window)
-    "crud_delete_cascade",      # cascade delete
+    "events_zorder",            # Z-order interleaved layout key (r14:
+                                # takes crud_delete_cascade's slot — the
+                                # cascade anti-join runs in-window inside
+                                # both crud_engine_* lifecycles and keeps
+                                # its full oracle out-of-window)
     "events_sessions",          # sessionization (events_hourly rotated out
-                                # r12: green r1-r11; stream_trending_state
-                                # builds the same hourly rollup in-stream)
+                                # r12: green r1-r11; the hourly rollup
+                                # oracle stays out-of-window since r14)
     "skew_salted_agg",          # skew mitigation
     "semdedup_drop_np",         # semantic dedup (r13: BLAS production
                                 # twin takes the slot, shared drop set)
     "stream_bm25_state",        # stream-built postings == batch oracle
-    "stream_trending_state",    # stream-built rollup == batch oracle
+    "stream_curate_state",      # composed streaming curation (r14: takes
+                                # stream_trending_state's slot — trending
+                                # was green r1-r13, THIRTEEN windows; the
+                                # streaming-agg class keeps stream_kmv +
+                                # stream_bm25 in-window)
     # round-5 rotation survivors (one rep per class; quantile/histogram/
     # canonical/profiler rotated out in r6 after their r5 driver-green rows)
     "doc_quality_model",        # hashed linear quality classifier (r13:
@@ -110,14 +124,17 @@ MUST_BE_IN_WINDOW = {
     # doc_dsir_select), multimodal_neardup (keeps multimodal_features),
     # doc_winnowing (np twin shares its oracle), emb_quantize_int8
     # (quantization covered by pq_search_top10)
-    "rel_large_orders",
-    "rel_distinct_suppliers",
-    "rel_promo_ratio",
-    "rel_above_avg_orders",
-    "rel_trade_volume",
-    "rel_disjunctive_parts",
+    # r14 rotation: six of the eight r11 rel_* entries rotated out after
+    # three consecutive driver-green rounds (r11-r13); the relational
+    # scan/join/agg class keeps these two in-window and all six keep full
+    # value oracles out-of-window. Their slots drain the never-checked
+    # ledger: doc_sample_hash / span_overlap_pairs / doc_pii (below) plus
+    # the r13 operator family and embedding_neardup_mp / events_zorder.
     "rel_priority_returns",
     "rel_idle_customers",
+    "doc_sample_hash",          # hash-mod deterministic sampling
+    "span_overlap_pairs",       # interval-overlap self-join
+    "doc_pii",                  # PII scrubbing / detection rules
     "embed_subword_knn_top10",
     # the new symmetric multi-probe ANN self-join operator (r10 verdict
     # #3) — first-class, oracle-backed, in-window from its first round
@@ -148,6 +165,11 @@ MUST_BE_IN_WINDOW = {
     # r13 rotation: the exact-kNN numpy batch production twin (FlatIndex
     # class keeps knn_cosine_top10 alongside)
     "knn_batch_numpy_top5",
+    # r14 rotation (VERDICT r13 #1): the remaining r13 operators enter the
+    # window after their staged green round — CCNet line-level boilerplate
+    # removal and its streaming keep-first form
+    "doc_line_dedup",
+    "stream_line_dedup_state",
 }
 
 
@@ -197,13 +219,13 @@ def test_never_checked_ledger_is_machine_derived():
     # every unchecked entry is still oracle-backed (it will face the full
     # value gate when its window round comes, not a weaker rows-only check)
     assert all(suite.SUITE[n][1] is not None for n in never)
-    # monotone drain: r12's committed artifacts leave 24; registering new
-    # entries adds to this bar knowingly (update the bound WITH the entry —
-    # r13 registered stream_curate_state, doc_line_dedup,
-    # doc_semantic_decontaminate + its np twin, and
-    # stream_line_dedup_state, 24 -> 29; the ten r13 window rotations
-    # drain it back to 19 once CORRECTNESS_r13 commits)
-    assert len(never) <= 29, (
+    # monotone drain: the committed CORRECTNESS_r13.json leaves 19 (the ten
+    # r13 window rotations went green). Registering new entries adds to
+    # this bar knowingly — update the bound WITH the entry. The r14
+    # rotation puts TEN of the 19 in-window (the five r13 operators +
+    # embedding_neardup_mp, doc_sample_hash, span_overlap_pairs, doc_pii,
+    # events_zorder), so CORRECTNESS_r14 should drain it to 9.
+    assert len(never) <= 19, (
         f"never-checked grew to {len(never)}: {never}"
     )
     in_window = set(never) & set(names[:50])

@@ -5225,11 +5225,20 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_simhash_np,
         f"{O.simhash_sql('documents', 'doc_id', 'text')}",
     ),
-    "embedding_neardup_mp_np": (
-        q_embedding_neardup_mp_np,
-        f"SELECT left_id, right_id FROM ({_sql_embedding_neardup_mp()})",
+    # r14 rotation: the expression-shaped multiprobe twin takes the slot of
+    # its BLAS production twin embedding_neardup_mp_np (driver-green r13;
+    # SAME ids-only oracle projection — the pair the never-checked ledger
+    # still owed a row)
+    "embedding_neardup_mp": (q_embedding_neardup_mp, _sql_embedding_neardup_mp()),
+    # r14 rotation (VERDICT r13 #1): the five r13 operators enter the window
+    # after their staged green round. Semantic decontamination takes the slot
+    # of doc_decontaminate (the 8-shingle form, driver-green r1-r13; its full
+    # oracle stays out-of-window and pytest pins the shingle rule) — the
+    # decontamination class keeps BOTH forms represented, n-gram via the
+    # out-of-window sweep and embedding-based here.
+    "doc_semantic_decontaminate": (
+        q_doc_semantic_decontaminate, _sql_doc_semantic_decontaminate(),
     ),
-    "doc_decontaminate": (q_doc_decontaminate, _sql_doc_decontaminate()),
     # --- in-window: semantic dedup (SemDeDup, round-4 class) ---
     "semdedup_drop_np": (q_semdedup_drop_np, _sql_semdedup(ids_only=True)),
     # --- in-window: round-4 family rotation (VERDICT r4 #3: first
@@ -5294,7 +5303,13 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "skew_salted_agg": (q_skew_salted_agg, _SQL_SKEW_SALTED_AGG),
     # --- in-window: stream-built state vs batch oracle ---
     "stream_bm25_state": (q_stream_bm25_state, _sql_doc_bm25()),
-    "stream_trending_state": (q_stream_trending_state, _SQL_STREAM_TRENDING),
+    # r14 rotation: the composed streaming curation (Gopher gate → continuous
+    # span dedup → near-dup admission in one foreachBatch) takes the slot of
+    # stream_trending_state (driver-green r1-r13, THIRTEEN consecutive
+    # windows; the streaming-aggregate class keeps stream_kmv_state +
+    # stream_bm25_state in-window and the hourly-rollup oracle stays
+    # out-of-window with full values)
+    "stream_curate_state": (q_stream_curate_state, _sql_stream_curate_state()),
     # --- in-window: relational family, r11 rotation (r10 verdict #2: the
     # eight rel_* entries below had NEVER had a driver CORRECTNESS row —
     # every other rel entry had been green in some round's window).
@@ -5308,12 +5323,25 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # events_hourly + events_sessions), doc_dsir_sample (green r10; DSIR
     # keeps doc_dsir_select), multimodal_neardup (green r10; multimodal
     # keeps multimodal_features) ---
-    "rel_large_orders": (q_rel_large_orders, _SQL_REL_LARGE_ORDERS),
-    "rel_distinct_suppliers": (q_rel_distinct_suppliers, _SQL_REL_DISTINCT_SUPPLIERS),
-    "rel_promo_ratio": (q_rel_promo_ratio, _SQL_REL_PROMO_RATIO),
-    "rel_above_avg_orders": (q_rel_above_avg_orders, _SQL_REL_ABOVE_AVG_ORDERS),
-    "rel_trade_volume": (q_rel_trade_volume, _SQL_REL_TRADE_VOLUME),
-    "rel_disjunctive_parts": (q_rel_disjunctive_parts, _SQL_REL_DISJUNCTIVE_PARTS),
+    # r14 rotation (VERDICT r13 #1): six of the eight r11 rel_* entries
+    # rotate out after THREE consecutive driver-green rounds (r11-r13); the
+    # relational scan/join/agg class keeps rel_priority_returns +
+    # rel_idle_customers in-window and all six keep full value oracles
+    # out-of-window. Their slots go to the remaining r13 operators and the
+    # five longest-waiting never-driver-checked entries (the r13 verdict's
+    # minimum drain list: embedding_neardup_mp above, plus doc_sample_hash /
+    # span_overlap_pairs / doc_pii / events_zorder below).
+    "doc_semantic_decontaminate_np": (
+        q_doc_semantic_decontaminate_np,
+        f"SELECT vec_id, bench_id FROM ({_sql_doc_semantic_decontaminate()})",
+    ),
+    "stream_line_dedup_state": (
+        q_stream_line_dedup_state, _sql_doc_line_dedup_keep_first(),
+    ),
+    "doc_line_dedup": (q_doc_line_dedup, _sql_doc_line_dedup()),
+    "doc_sample_hash": (q_doc_sample_hash, _sql_doc_sample_hash()),
+    "span_overlap_pairs": (q_span_overlap_pairs, _sql_span_overlap_pairs()),
+    "doc_pii": (q_doc_pii, _sql_doc_pii()),
     "rel_priority_returns": (q_rel_priority_returns, _SQL_REL_PRIORITY_RETURNS),
     "rel_idle_customers": (q_rel_idle_customers, _SQL_REL_IDLE_CUSTOMERS),
     # --- in-window: CRUD / mutation layer + composed search ---
@@ -5327,7 +5355,12 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # embed over binary columns) takes the slot of crud_cas — see the r13
     # rotation note at the top of the window
     "multimodal_embed": (q_multimodal_embed, _sql_multimodal_embed()),
-    "crud_delete_cascade": (q_crud_delete_cascade, _SQL_CRUD_DELETE_CASCADE),
+    # r14 rotation: the Z-order interleaved layout key takes the slot of
+    # crud_delete_cascade (driver-green r1-r13, THIRTEEN windows; the
+    # cascade-delete anti-join still runs in-window inside BOTH
+    # crud_engine_* lifecycles — the Engine delete path IS the cascade —
+    # and the full cascade oracle stays out-of-window)
+    "events_zorder": (q_events_zorder, _sql_events_zorder()),
     # r7 rotation: the Engine-level delete→tombstone→maintenance→move
     # lifecycle (subsumes the pure-operator crud_move_document, now past
     # the window — the engine drive moves a document through store AND index)
@@ -5410,8 +5443,13 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     "rel_pricing_rollup": (q_rel_pricing_rollup, _SQL_REL_PRICING_ROLLUP),
     "doc_mixture_sample": (q_doc_mixture_sample, _sql_doc_mixture_sample()),
     "embedding_neardup_np": (q_embedding_neardup_np, _sql_embedding_neardup_ids()),
-    # multi-probe (top-2 cell) blocking — the boundary-recall upgrade
-    "embedding_neardup_mp": (q_embedding_neardup_mp, _sql_embedding_neardup_mp()),
+    # r14 rotation: the BLAS multiprobe production twin rotates out after its
+    # r13 driver-green row — the expression-shaped multiprobe twin (same
+    # ids-only oracle) takes the in-window slot it had been waiting behind
+    "embedding_neardup_mp_np": (
+        q_embedding_neardup_mp_np,
+        f"SELECT left_id, right_id FROM ({_sql_embedding_neardup_mp()})",
+    ),
     "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup()),
     "skew_salted_join": (q_skew_salted_join, _SQL_SKEW_SALTED_JOIN),
     "corpus_clean": (q_corpus_clean, _sql_corpus_clean()),
@@ -5424,10 +5462,18 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         _sql_ivf_search(extra_where=" AND e.label < 5"),
     ),
     "events_interval_join": (q_events_interval_join, _SQL_EVENTS_INTERVAL_JOIN),
-    "doc_sample_hash": (q_doc_sample_hash, _sql_doc_sample_hash()),
-    "span_overlap_pairs": (q_span_overlap_pairs, _sql_span_overlap_pairs()),
-    "doc_pii": (q_doc_pii, _sql_doc_pii()),
-    "events_zorder": (q_events_zorder, _sql_events_zorder()),
+    # r14 rotation: displaced from the window after multi-round green runs
+    # (classes covered in-window — see the r14 swap notes above); every one
+    # keeps its full value oracle here and stays in the local full sweeps
+    "doc_decontaminate": (q_doc_decontaminate, _sql_doc_decontaminate()),
+    "stream_trending_state": (q_stream_trending_state, _SQL_STREAM_TRENDING),
+    "crud_delete_cascade": (q_crud_delete_cascade, _SQL_CRUD_DELETE_CASCADE),
+    "rel_large_orders": (q_rel_large_orders, _SQL_REL_LARGE_ORDERS),
+    "rel_distinct_suppliers": (q_rel_distinct_suppliers, _SQL_REL_DISTINCT_SUPPLIERS),
+    "rel_promo_ratio": (q_rel_promo_ratio, _SQL_REL_PROMO_RATIO),
+    "rel_above_avg_orders": (q_rel_above_avg_orders, _SQL_REL_ABOVE_AVG_ORDERS),
+    "rel_trade_volume": (q_rel_trade_volume, _SQL_REL_TRADE_VOLUME),
+    "rel_disjunctive_parts": (q_rel_disjunctive_parts, _SQL_REL_DISJUNCTIVE_PARTS),
     "doc_temperature_sample": (q_doc_temperature_sample, _sql_doc_temperature_sample()),
     "doc_quality": (
         q_doc_quality,
@@ -5545,31 +5591,8 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_stream_semdedup_compacted,
         _sql_stream_semdedup_state(),
     ),
-    # r13 NEW: the composed streaming curation (Gopher gate -> continuous
-    # span dedup -> near-dup admission in one foreachBatch pipeline).
-    # Registered OUT-of-window for its first round — the staged promotion
-    # ADVICE r12 #4 asked for (oracle-swept locally + judge sweep first;
-    # promote after a green round)
-    "stream_curate_state": (q_stream_curate_state, _sql_stream_curate_state()),
-    # r13 NEW: CCNet-style line-level boilerplate removal (out-of-window
-    # first round, same staged promotion as stream_curate_state)
-    "doc_line_dedup": (q_doc_line_dedup, _sql_doc_line_dedup()),
-    # streaming keep-first form vs the batch keep-first oracle (the CCNet
-    # no-survivor rule can't stream — operators/lines.py)
-    "stream_line_dedup_state": (
-        q_stream_line_dedup_state, _sql_doc_line_dedup_keep_first(),
-    ),
-    # r13 NEW: embedding-based decontamination (the paraphrase leak the
-    # shingle form can't see) — out-of-window first round
-    "doc_semantic_decontaminate": (
-        q_doc_semantic_decontaminate, _sql_doc_semantic_decontaminate(),
-    ),
-    # BLAS production twin — same pair set, matmul cosines; ids-only
-    # oracle projection (the knn_batch_numpy_ids convention)
-    "doc_semantic_decontaminate_np": (
-        q_doc_semantic_decontaminate_np,
-        f"SELECT vec_id, bench_id FROM ({_sql_doc_semantic_decontaminate()})",
-    ),
+    # (the five r13 operators moved IN-window for r14 after their staged
+    # green round — see the r14 rotation notes at their window slots)
     # broadcast-join scale twin of the in-window doc_quality_model (shared
     # oracle; join==literal bit-equality additionally pinned by pytest)
     "doc_quality_model_join": (q_doc_quality_model_join, _sql_doc_quality_model()),
