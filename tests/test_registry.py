@@ -233,3 +233,29 @@ def test_never_checked_ledger_is_machine_derived():
         f"rotation stalled: only {sorted(in_window)} of {len(never)} "
         f"never-checked entries are in the check window"
     )
+
+
+def test_ledger_prose_is_machine_written():
+    """r13 verdict #3: the drain paragraph CORRECTNESS_LOCAL.md embeds
+    must be the VERBATIM output of tools/never_checked.py --prose — the
+    r12 hand ledger and the r13 hand prose each drifted from the
+    committed artifacts within one round of being written."""
+    import os
+    import re
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    from tools.never_checked import drain_prose
+
+    md = open(os.path.join(root, "CORRECTNESS_LOCAL.md")).read()
+    m = re.search(
+        r"<!-- never-checked-prose:begin -->\n(.*?)\n"
+        r"<!-- never-checked-prose:end -->",
+        md, re.S,
+    )
+    assert m, "CORRECTNESS_LOCAL.md lost its machine-written ledger block"
+    assert m.group(1) == drain_prose(list(suite.SUITE)), (
+        "ledger prose drifted from tools/never_checked.py --prose — "
+        "regenerate the block, never hand-edit it"
+    )

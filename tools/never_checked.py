@@ -69,6 +69,38 @@ def never_checked(registry_names: list[str], repo: str = HERE) -> list[str]:
     return [n for n in registry_names if n not in green]
 
 
+def drain_prose(registry_names: list[str], repo: str = HERE) -> str:
+    """The drain paragraph CORRECTNESS_LOCAL.md embeds, machine-written
+    (r13 verdict #3: the r12 hand ledger said <=22 where the artifacts
+    said 24, and the r13 hand prose said 'drains 24 -> 17' where the tool
+    said 19 — the PROSE itself must come from this tool, pinned by
+    tests/test_registry.py::test_ledger_prose_is_machine_written)."""
+    never = never_checked(registry_names, repo)
+    window = set(registry_names[:50])
+    inw = [n for n in never if n in window]
+    outw = [n for n in never if n not in window]
+    lines = [
+        f"Never-driver-checked (machine-derived from the committed "
+        f"CORRECTNESS_r*.json by `tools/never_checked.py`): **{len(never)}** "
+        f"of {len(registry_names)} registry entries.",
+    ]
+    if inw:
+        lines.append(
+            f"In the next driver window ({len(inw)}, drain to "
+            f"{len(never) - len(inw)} expected): "
+            + ", ".join(f"`{n}`" for n in inw) + "."
+        )
+    if outw:
+        lines.append(
+            f"Still queued out-of-window ({len(outw)}): "
+            + ", ".join(f"`{n}`" for n in outw) + "."
+        )
+    if not never:
+        lines.append("Queue empty: every registry entry has a committed "
+                     "driver-green row.")
+    return "\n".join(lines)
+
+
 def main() -> None:
     import sys
 
@@ -78,6 +110,9 @@ def main() -> None:
     from vector_db_api_spark import suite
 
     names = list(suite.SUITE)
+    if "--prose" in sys.argv[1:]:
+        print(drain_prose(names))
+        return
     never = never_checked(names)
     window = set(names[:50])
     print(f"registry entries: {len(names)}")
