@@ -265,6 +265,12 @@ PLAN_PINS = {
     "events_value_histogram": "test_histogram_two_scans_no_sort",
     "doc_dsir_select": "test_dsir_scoring_broadcasts_model_and_takes_ordered_topk",
     "doc_dsir_select_fast": "test_dsir_scoring_broadcasts_model_and_takes_ordered_topk",
+    # r13 verdict #4: the four r13 NEEDS-HUMAN flags get shape pins so
+    # future regens machine-classify them
+    "knn_quantized_top10": "test_knn_quantized_two_stage_scan_then_semi_rerank",
+    "embedding_neardup": "test_embedding_neardup_blocked_join_is_equi_keyed_no_cartesian",
+    "events_interval_join": "test_interval_join_is_binned_equi_join_no_nested_loop",
+    "ivf_build": "test_ivf_build_assign_is_single_scan_no_shuffle",
 }
 
 # a machine band estimated from fewer shared queries than this is noise —

@@ -201,12 +201,15 @@ def test_plan_pins_name_real_plan_shape_tests():
         {t for t in pins.values() if f"def {t}(" not in src}
     )
     assert not missing, f"PLAN_PINS reference missing tests: {missing}"
-    # and every pinned bench name is a real thunk name: HEADLINE or one of
-    # the ANN thunks bench.py registers by string literal
+    # and every pinned bench name is a real bench row: HEADLINE, one of the
+    # ANN thunks bench.py registers by string literal, or a timed index
+    # build (build["..."] — r14: ivf_build got a pin)
     bench_src = open(os.path.join(HERE, "bench.py")).read()
     unknown = sorted(
         n for n in pins
-        if n not in ns["HEADLINE"] and f'thunks["{n}"]' not in bench_src
+        if n not in ns["HEADLINE"]
+        and f'thunks["{n}"]' not in bench_src
+        and f'build["{n}"]' not in bench_src
     )
     assert not unknown, f"PLAN_PINS name unknown bench queries: {unknown}"
 

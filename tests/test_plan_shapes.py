@@ -716,3 +716,92 @@ def test_upsert_is_equi_joins_and_union_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_embedding_neardup_blocked_join_is_equi_keyed_no_cartesian(spark, emb):
+    """`embedding_neardup` pin (r13 verdict #4): the label-blocked cosine
+    self-join must stay an equi-join on the block key (pair work =
+    Σ|block|², never N²), with the unit vectors precomputed BEFORE the join
+    and the threshold predicate evaluated inside it."""
+    import re
+
+    from vector_db_api_spark.operators.dedup import embedding_neardup_pairs
+
+    plan = _plan(
+        embedding_neardup_pairs(
+            emb, threshold=0.3, id_col="vec_id", block_col="label"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[__blk", plan
+    )
+    join_line = next(
+        l for l in plan.splitlines()
+        if "HashJoin [__blk" in l or "MergeJoin [__blk" in l
+    )
+    assert ">= 0.3" in join_line
+
+
+def test_interval_join_is_binned_equi_join_no_nested_loop(spark):
+    """`events_interval_join` pin (r13 verdict #4): the manufactured time
+    bin turns the range join into an equi-join on (key, bin) — a
+    BroadcastNestedLoopJoin here is exactly the quadratic plan the
+    operator exists to replace. The left side explodes to ≤2 bins per row
+    (Generate), the exact range predicate rides inside the join."""
+    import re
+
+    from vector_db_api_spark import suite as S
+
+    plan = _plan(S.queries()["events_interval_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[user_id\S*, __bin",
+        plan,
+    )
+    assert "Generate explode" in plan
+    join_line = next(
+        l for l in plan.splitlines()
+        if re.search(r"(Hash|Merge)Join \[user_id", l)
+    )
+    assert "__rts" in join_line and ">=" in join_line and "<=" in join_line
+
+
+def test_knn_quantized_two_stage_scan_then_semi_rerank(spark):
+    """`knn_quantized_top10` pin (r13 verdict #4): stage 1 is a partial
+    top-(oversample·k) over the quantized codes (TakeOrderedAndProject —
+    never a global sort), stage 2 re-ranks ONLY the broadcast survivors
+    via a left-semi join; no shuffle exchange anywhere (both stages are
+    scan → fold → partial top-k)."""
+    from vector_db_api_spark import suite as S
+
+    plan = _plan(S.queries()["knn_quantized_top10"](spark, SF_DIR))
+    assert plan.count("TakeOrderedAndProject") == 2  # limit=40 then limit=10
+    assert "LeftSemi" in plan
+    assert "Sort " not in plan  # top-k never global-sorts
+    # the only exchange is the ≤40-row survivor broadcast — the corpus
+    # never shuffles in either stage
+    import re
+    non_broadcast_exchanges = [
+        l for l in plan.splitlines()
+        if re.search(r"\bExchange\b", l) and "BroadcastExchange" not in l
+    ]
+    assert non_broadcast_exchanges == []
+
+
+def test_ivf_build_assign_is_single_scan_no_shuffle(spark, emb):
+    """`ivf_build` pin (r13 verdict #4): the corpus-scale piece of an IVF
+    build is assign() — it must be ONE Arrow-batched pass directly over
+    the scan (MapInPandas; centroid matrix rides a broadcast variable, not
+    a plan-side exchange), with the null-embedding filter pushed to
+    parquet. No Exchange: the posting table partitioning is decided by the
+    WRITER (partitionBy(centroid_id)), never by a build-side shuffle."""
+    from vector_db_api_spark.operators.ivf import IVFIndex
+
+    ivf = IVFIndex.train(emb, num_centroids=8, nprobe=2, seed=42)
+    plan = _plan(ivf.assign(emb, id_col="vec_id", include_vectors=True))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "PushedFilters: [IsNotNull(embedding)]" in plan
