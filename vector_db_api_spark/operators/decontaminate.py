@@ -173,6 +173,177 @@ def semantic_decontaminate(
     return train.join(F.broadcast(flagged), id_col, "left_anti")
 
 
+def semantic_contamination_pairs_blocked(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    centroids,
+    nprobe: int = 2,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    vec_col: str = "embedding",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Cell-blocked production path of :func:`semantic_contamination_pairs`
+    for LARGE eval sides (r13 verdict #5): both sides are assigned to their
+    top-``nprobe`` centroid cells (``dedup.multiprobe_cells`` — the same
+    iterated mask-and-argmax the near-dup multiprobe entries replay in the
+    oracle), and a (train, bench) pair is scored only when the two vectors
+    share a cell. The exact BroadcastNestedLoopJoin compares every train
+    row against ALL |bench| rows; this compares it against the bench rows
+    of its probed cells (~nprobe² · |bench| / K in expectation), so the
+    per-row cost stops growing with |bench| once |bench|/K exceeds the
+    K-dot probe overhead — the measured crossover lives in
+    BENCH_SCALE.md (tools/semdecon_crossover.py).
+
+    The price is RECALL < 1: a pair whose two vectors share no top-nprobe
+    cell is never scored — a decontamination MISS, i.e. a benchmark leak.
+    That risk is a measured number, not a vibe: the suite pins blocked ⊆
+    exact and the sweep records recall per |bench| the same way LSH/IVF
+    are measured against flat. Keep the exact NLJ while |bench| is
+    benchmark-sized (10³–10⁴); switch here only when the sweep's wall
+    crossover justifies the measured recall.
+
+    Join shape: the bench side's (cell, unit) rows broadcast
+    (``broadcast_benchmark=True``, the default — eval sets fit executor
+    memory by assumption), so the corpus is scanned once through a
+    BroadcastHashJoin keyed on cell and NEVER shuffles. A pair co-blocked
+    in both probed cells scores once (the fold cosine is deterministic,
+    so DISTINCT collapses exact duplicates — the
+    embedding_neardup_pairs_multiprobe convention)."""
+    from vector_db_api_spark.functions import vector as V
+
+    from .dedup import multiprobe_cells
+
+    t = multiprobe_cells(
+        train, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    ).select("cell", F.col(id_col), F.col("__u").alias("__tu"))
+    b = multiprobe_cells(
+        benchmark, centroids, nprobe=nprobe, id_col=bench_id_col,
+        vec_col=vec_col,
+    ).select("cell", F.col(bench_id_col), F.col("__u").alias("__bu"))
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    cos = V.dot("__tu", "__bu")
+    return (
+        t.join(b, "cell")
+        .filter(cos >= F.lit(float(threshold)))
+        .select(id_col, bench_id_col, cos.alias("cosine"))
+        .distinct()
+    )
+
+
+def semantic_contamination_pairs_blocked_np(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    centroids,
+    nprobe: int = 2,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BLAS twin of :func:`semantic_contamination_pairs_blocked`: the bench
+    side is probed ONCE on the driver (eval sets are small by assumption)
+    into per-cell unit submatrices, the whole cell map ships via
+    ``ship_model``, and each Arrow batch of the corpus probes its own
+    top-``nprobe`` cells with one matmul and then matmuls only against the
+    bench submatrices of those cells — so per-row work is
+    O(K + nprobe²·|bench|/K) instead of the exact twin's O(|bench|),
+    with NO corpus shuffle or join at all (probe + score fused in one
+    ``mapInPandas`` pass over the scan).
+
+    Pair SET equals the fold blocked twin up to argmax ulp ties
+    (measure-zero for continuous embeddings — the
+    embedding_neardup_pairs_multiprobe_numpy contract); cosines are
+    projected away for the same reason. Returns (id, bench_id) DISTINCT
+    (a pair co-blocked in several cells scores once)."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_db_api_spark.functions.ship import ship_model
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    np_probe = min(nprobe, len(cent))
+    rows = benchmark.filter(F.col(vec_col).isNotNull()).select(
+        bench_id_col, vec_col
+    ).collect()
+    bids = np.asarray([r[bench_id_col] for r in rows])
+    id_type = train.schema[id_col].dataType.simpleString()
+    bid_type = benchmark.schema[bench_id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {bench_id_col} {bid_type}"
+    if len(bids) == 0:
+        return train.sparkSession.createDataFrame([], out_schema)
+    bmat = np.asarray([list(map(float, r[vec_col])) for r in rows],
+                      dtype=np.float64)
+    bnorm = np.linalg.norm(bmat, axis=1)
+    keep = bnorm > 0
+    bids, bmat = bids[keep], bmat[keep]
+    bunit = bmat / np.linalg.norm(bmat, axis=1)[:, None]
+    bdots = bunit @ cent.T  # argmax is scale-invariant; unit side is fine
+    if np_probe < bdots.shape[1]:
+        btop = np.argpartition(-bdots, np_probe - 1, axis=1)[:, :np_probe]
+    else:
+        btop = np.broadcast_to(
+            np.arange(bdots.shape[1]), (len(bunit), bdots.shape[1])
+        )
+    # per-cell row-index map: tiny (≤ |bench|·nprobe ints), so it rides the
+    # closure; the dense matrices ship via ship_model (bids ride the
+    # closure like the exact _np twin's)
+    cell_rows = {
+        int(c): np.nonzero((btop == c).any(axis=1))[0]
+        for c in np.unique(btop)
+    }
+    shipped_cent = ship_model(train, cent)
+    shipped_bunit = ship_model(train, bunit)
+    thr = float(threshold)
+
+    def score(batches):
+        cent_m = shipped_cent.get()
+        bunit_m = shipped_bunit.get()
+        cells = {c: (bids[ix], bunit_m[ix]) for c, ix in cell_rows.items()}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            ok = norms > 0
+            if not ok.any():
+                continue
+            unit = mat[ok] / norms[ok][:, None]
+            ids = pdf[id_col].to_numpy()[ok]
+            dots = unit @ cent_m.T
+            if np_probe < dots.shape[1]:
+                top = np.argpartition(-dots, np_probe - 1, axis=1)[:, :np_probe]
+            else:
+                top = np.broadcast_to(
+                    np.arange(dots.shape[1]), (len(unit), dots.shape[1])
+                )
+            out_t, out_b = [], []
+            for c in np.unique(top):
+                hit = cells.get(int(c))
+                if hit is None:
+                    continue
+                ridx = np.nonzero((top == c).any(axis=1))[0]
+                cbids, cbunit = hit
+                scores = unit[ridx] @ cbunit.T
+                ti, bj = np.nonzero(scores >= thr)
+                if len(ti):
+                    out_t.append(ids[ridx][ti])
+                    out_b.append(cbids[bj])
+            if out_t:
+                yield pd.DataFrame({
+                    id_col: np.concatenate(out_t),
+                    bench_id_col: np.concatenate(out_b),
+                }).drop_duplicates()
+
+    return (
+        train.filter(F.col(vec_col).isNotNull())
+        .mapInPandas(score, schema=out_schema)
+        .distinct()
+    )
+
+
 def semantic_contamination_pairs_np(
     train: DataFrame,
     benchmark: DataFrame,

@@ -613,19 +613,11 @@ SEMDECON_EVAL_N = 256  # FIXED-size eval side: real benchmarks don't grow
 # deterministic AND linear in the corpus
 
 
-def q_doc_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-based decontamination (operators/decontaminate.py r13
-    extension): paraphrased benchmark text shares no 8-word shingle with
-    its source but still sits in the eval doc's cosine ball. Eval side =
+def _semdecon_split(spark: SparkSession, sf_dir: str):
+    """(train, bench) for the semantic-decontamination entries: eval side =
     the SEMDECON_EVAL_N lowest (portable-h32, vec_id-tie-broken) rows of
     the embeddings table — a deterministic FIXED-size benchmark stand-in,
-    so the broadcast-NLJ scan stays linear in the corpus; output = the
-    contamination pairs the anti-join would act on — the value-checkable
-    artifact (cosines are deterministic fold sums; ids are exact)."""
-    from vector_db_api_spark.operators.decontaminate import (
-        semantic_contamination_pairs,
-    )
-
+    so the corpus-side scan stays linear in the corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
     hk = H.h32(F.concat(F.col("vec_id").cast("string"), F.lit(":semdecon")))
     eval_ids = (
@@ -639,6 +631,22 @@ def q_doc_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(eval_ids), emb["vec_id"] == eval_ids["bench_id"],
         "left_anti",
     )
+    return train, bench
+
+
+def q_doc_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-based decontamination (operators/decontaminate.py r13
+    extension): paraphrased benchmark text shares no 8-word shingle with
+    its source but still sits in the eval doc's cosine ball. Eval side =
+    the deterministic fixed-size _semdecon_split benchmark stand-in, so
+    the broadcast-NLJ scan stays linear in the corpus; output = the
+    contamination pairs the anti-join would act on — the value-checkable
+    artifact (cosines are deterministic fold sums; ids are exact)."""
+    from vector_db_api_spark.operators.decontaminate import (
+        semantic_contamination_pairs,
+    )
+
+    train, bench = _semdecon_split(spark, sf_dir)
     return semantic_contamination_pairs(
         train, bench, SEMDECON_THRESHOLD,
         id_col="vec_id", bench_id_col="bench_id",
@@ -657,23 +665,57 @@ def q_doc_semantic_decontaminate_np(
         semantic_contamination_pairs_np,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    hk = H.h32(F.concat(F.col("vec_id").cast("string"), F.lit(":semdecon")))
-    eval_ids = (
-        emb.select(F.col("vec_id").alias("bench_id"), hk.alias("__hk"))
-        .orderBy("__hk", "bench_id").limit(SEMDECON_EVAL_N).drop("__hk")
-    )
-    bench = emb.join(
-        eval_ids, emb["vec_id"] == eval_ids["bench_id"]
-    ).select("bench_id", "embedding")
-    train = emb.join(
-        F.broadcast(eval_ids), emb["vec_id"] == eval_ids["bench_id"],
-        "left_anti",
-    )
+    train, bench = _semdecon_split(spark, sf_dir)
     return semantic_contamination_pairs_np(
         train, bench, SEMDECON_THRESHOLD,
         id_col="vec_id", bench_id_col="bench_id",
     ).select("vec_id", "bench_id")
+
+
+def q_doc_semantic_decontaminate_blocked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cell-blocked production path for LARGE eval sides (r13 verdict #5):
+    both splits probe their top-SEMDECON_NPROBE cells of the seeded
+    _mprobe_centroids and only cell-sharing (train, bench) pairs are
+    scored — the corpus rides a BroadcastHashJoin on cell instead of the
+    exact twin's NLJ. Recall < 1 BY DESIGN (boundary-straddling pairs are
+    never scored); it is a measured number: pytest pins blocked ⊆ exact +
+    the sf0.01 recall floor (0.9, measured 0.932 at nprobe=6), and
+    tools/semdecon_crossover.py sweeps recall and the NLJ/blocked wall
+    crossover over |bench| (BENCH_SCALE.md). The oracle replays the same
+    probe assignment from the centroid literals — the embedding_neardup_mp
+    pattern crossed with the is_eval split."""
+    from vector_db_api_spark.operators.decontaminate import (
+        semantic_contamination_pairs_blocked,
+    )
+
+    train, bench = _semdecon_split(spark, sf_dir)
+    return semantic_contamination_pairs_blocked(
+        train, bench, SEMDECON_THRESHOLD, _mprobe_centroids(),
+        nprobe=SEMDECON_NPROBE,
+        id_col="vec_id", bench_id_col="bench_id",
+    )
+
+
+def q_doc_semantic_decontaminate_blocked_np(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BLAS twin of the blocked path: bench side probed once on the driver
+    into per-cell submatrices, corpus probes + scores in ONE fused
+    mapInPandas pass (no join, no corpus shuffle). Identical pair SET up
+    to argmax ulp ties; checked as the (vec_id, bench_id) projection of
+    the fold blocked oracle — the embedding_neardup_mp_np pattern."""
+    from vector_db_api_spark.operators.decontaminate import (
+        semantic_contamination_pairs_blocked_np,
+    )
+
+    train, bench = _semdecon_split(spark, sf_dir)
+    return semantic_contamination_pairs_blocked_np(
+        train, bench, SEMDECON_THRESHOLD, _mprobe_centroids(),
+        nprobe=SEMDECON_NPROBE,
+        id_col="vec_id", bench_id_col="bench_id",
+    )
 
 
 def _sql_doc_semantic_decontaminate() -> str:
@@ -696,6 +738,79 @@ u AS (
 )
 SELECT t.vec_id, b.vec_id AS bench_id, {d} AS cosine
 FROM u t JOIN u b ON t.is_eval = FALSE AND b.is_eval = TRUE
+WHERE {d} >= {SEMDECON_THRESHOLD}
+"""
+
+
+SEMDECON_NPROBE = 6  # of the 32 _mprobe_centroids cells — measured recall
+# 0.932 vs the exact NLJ at sf0.01 / threshold 0.38 (nprobe 2 → 0.41,
+# 4 → 0.78, 8 → 1.0; tools/semdecon_crossover.py re-measures the curve),
+# i.e. the same bounded-recall regime the LSH/IVF entries pin ≥0.9 in.
+# The synthetic threshold sits at near-orthogonal cosines, the WORST case
+# for cell blocking — a real paraphrase-decon threshold (≥0.7) clusters
+# tighter and recalls higher at the same nprobe.
+
+
+def _sql_doc_semantic_decontaminate_blocked(
+    nprobe: int = SEMDECON_NPROBE,
+) -> str:
+    # the embedding_neardup_mp probe replay (iterated mask-and-argmax from
+    # the centroid literals, loop-generated to arbitrary nprobe) crossed
+    # with the semdecon is_eval split
+    cent = _mprobe_centroids()
+    nrm = O.norm("embedding")
+    dl = O.dots_const_list("embedding", cent)
+    unit = (
+        f"list_transform(range(1, len(embedding)+1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) / {nrm})"
+    )
+    key = "CAST(vec_id AS VARCHAR) || ':semdecon'"
+    d = O.dot("t.u", "b.u")
+    ctes = [
+        f"""ranked AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY {O.h32(key)}, vec_id) AS hr
+  FROM embeddings
+)""",
+        f"""p0 AS (
+  SELECT e.vec_id, r.hr <= {SEMDECON_EVAL_N} AS is_eval,
+         {unit} AS u, {dl} AS dl0
+  FROM embeddings e JOIN ranked r USING (vec_id)
+  WHERE embedding IS NOT NULL AND {nrm} != 0.0
+)""",
+    ]
+    sels = []
+    for r in range(nprobe):
+        ctes.append(
+            f"""q{r} AS (
+  SELECT *, list_position(dl{r}, list_max(dl{r})) AS pos{r} FROM p{r}
+)"""
+        )
+        sels.append(
+            f"SELECT vec_id, is_eval, u, CAST(pos{r} - 1 AS INTEGER) AS cell"
+            f" FROM q{r}"
+        )
+        if r + 1 < nprobe:
+            ctes.append(
+                f"""p{r + 1} AS (
+  SELECT vec_id, is_eval, u,
+         list_transform(range(1, len(dl{r})+1),
+                        i -> CASE WHEN i = pos{r}
+                             THEN CAST('-infinity' AS DOUBLE)
+                             ELSE dl{r}[i] END) AS dl{r + 1}
+  FROM q{r}
+)"""
+            )
+    joined = ",\n".join(ctes)
+    probes = "\n  UNION ALL\n  ".join(sels)
+    return f"""
+WITH {joined},
+probes AS (
+  {probes}
+)
+SELECT DISTINCT t.vec_id, b.vec_id AS bench_id, {d} AS cosine
+FROM probes t JOIN probes b
+  ON t.cell = b.cell AND t.is_eval = FALSE AND b.is_eval = TRUE
 WHERE {d} >= {SEMDECON_THRESHOLD}
 """
 
@@ -5606,6 +5721,21 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     # ordered-fold expression-shaped DSIR oracle twin (the plain-SUM
     # production twin doc_dsir_select_fast is in-window since r13)
     "doc_dsir_select": (q_doc_dsir_select, _sql_doc_dsir_select()),
+    # --- r14 additions (staged out-of-window one green round, the r12
+    # ADVICE #4 policy) ---
+    # cell-blocked semantic decontamination (r13 verdict #5): the production
+    # path when the eval side outgrows the exact NLJ; its oracle replays the
+    # same multiprobe blocking, and recall vs the exact twin is a pinned
+    # pytest number + a BENCH_SCALE sweep (tools/semdecon_crossover.py)
+    "doc_semantic_decontaminate_blocked": (
+        q_doc_semantic_decontaminate_blocked,
+        _sql_doc_semantic_decontaminate_blocked(),
+    ),
+    "doc_semantic_decontaminate_blocked_np": (
+        q_doc_semantic_decontaminate_blocked_np,
+        "SELECT vec_id, bench_id FROM "
+        f"({_sql_doc_semantic_decontaminate_blocked()})",
+    ),
 }
 
 
