@@ -429,3 +429,93 @@ def test_state_read_tolerates_empty_or_crashed_dir(spark, tmp_path):
     (empty / "_SUCCESS").write_text("")
     (empty / "_temporary").mkdir()
     assert state_read_or_none(spark, str(empty)) is None
+
+def test_set_state_compaction_collapses_epochs_and_preserves_reads(
+    spark, tmp_path
+):
+    """compact_set_state (r13 verdict #6): the seen-gram state after two
+    streamed epochs collapses to ONE epoch partition (COMPACT_EPOCH),
+    the distinct-key read is identical before/after, and a THIRD batch
+    ingested after compaction makes the same dedup decisions it would
+    have made against uncompacted history (span_dedup_epoch's state-hit
+    path drives the read)."""
+    from vector_db_api_spark.streaming.dedup import span_dedup_epoch
+    from vector_db_api_spark.streaming.ingest import (
+        COMPACT_EPOCH,
+        compact_set_state,
+    )
+
+    sp = str(tmp_path / "grams")
+    batch = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id bigint, text string")
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "iota kappa lam mu nu xi omicron pi"
+    span_dedup_epoch(batch([(1, a), (2, b)]), sp, epoch=0, n=8)
+    span_dedup_epoch(batch([(3, a + " extra tail words here now ok")]),
+                     sp, epoch=1, n=8)
+    before = {r["__gh"] for r in
+              spark.read.parquet(sp).select("__gh").distinct().collect()}
+    epochs_before = {r["epoch"] for r in
+                     spark.read.parquet(sp).select("epoch").distinct().collect()}
+    assert epochs_before == {0, 1}
+    compact_set_state(spark, sp)
+    after_df = spark.read.parquet(sp)
+    assert {r["epoch"] for r in after_df.select("epoch").distinct().collect()} \
+        == {COMPACT_EPOCH}
+    assert {r["__gh"] for r in after_df.select("__gh").distinct().collect()} \
+        == before
+    # a post-compaction batch repeating doc 1's text must still be fully
+    # flagged (the compacted rows count as prior-epoch state)
+    cleaned = span_dedup_epoch(batch([(9, a)]), sp, epoch=2, n=8).collect()
+    assert cleaned[0]["n_tokens_removed"] == 8
+
+
+def test_set_state_compaction_keeps_band_layout_and_all_seen_rows(
+    spark, tmp_path
+):
+    """The curate bucket state compacts DISTINCT rows (seen-set
+    semantics), NOT latest_rows' max-epoch-per-doc — a doc re-ingested in
+    a later epoch keeps its EARLIER epoch's bucket rows poisoning future
+    admissions; and the band_no partition layout survives the rewrite
+    with epoch LAST (the append layout)."""
+    import glob as _glob
+
+    from vector_db_api_spark.streaming.ingest import (
+        COMPACT_EPOCH,
+        compact_set_state,
+    )
+
+    sp = str(tmp_path / "buckets")
+    rows = [(0, 1, 11, 0), (0, 1, 22, 1), (1, 2, 33, 0), (1, 2, 33, 1)]
+    df = spark.createDataFrame(
+        rows, "band_no int, doc_id bigint, bucket bigint, epoch int")
+    (df.write.mode("overwrite").partitionBy("band_no", "epoch").parquet(sp))
+    seen_before = {(r["band_no"], r["bucket"]) for r in
+                   spark.read.parquet(sp)
+                   .select("band_no", "bucket").distinct().collect()}
+    compact_set_state(spark, sp, partition_by=("band_no",))
+    after = spark.read.parquet(sp)
+    # doc 1's epoch-0 bucket 11 must survive (latest_rows would drop it)
+    assert {(r["band_no"], r["bucket"]) for r in
+            after.select("band_no", "bucket").distinct().collect()} \
+        == seen_before
+    # duplicate (band,doc,bucket) rows collapse; epoch is COMPACT everywhere
+    assert after.count() == 3
+    assert {r["epoch"] for r in after.select("epoch").distinct().collect()} \
+        == {COMPACT_EPOCH}
+    # physical layout: band_no outer, epoch inner (the append layout)
+    assert _glob.glob(f"{sp}/band_no=0/epoch={COMPACT_EPOCH}")
+    assert not _glob.glob(f"{sp}/epoch=*/band_no=*")
+
+
+def test_set_state_compaction_refuses_missing_partition_column(
+    spark, tmp_path
+):
+    from vector_db_api_spark.streaming.ingest import compact_set_state
+
+    sp = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [(1, 0)], "k bigint, epoch int"
+    ).write.partitionBy("epoch").parquet(sp)
+    with pytest.raises(ValueError, match="partition column"):
+        compact_set_state(spark, sp, partition_by=("band_no",))

@@ -553,6 +553,50 @@ def compact_epoch_state(
     _swap_in(collapsed, path, ("epoch", *partition_by), mode=mode)
 
 
+def compact_set_state(
+    spark: SparkSession,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "rename",
+) -> None:
+    """Compaction for the SET-semantics dedup states: the seen-gram table
+    (``incremental_span_dedup_ingest`` / the curate gram stage), the
+    seen-line table (``incremental_line_dedup_ingest``) and the curate
+    seen-bucket table. These states only ever GROW — a gram/line/bucket
+    admitted once stays admitted, nothing is superseded — and every read
+    side DISTINCTs the key columns over ALL epochs. So the collapse is a
+    row-level DISTINCT of the epoch-stripped table rewritten as the single
+    :data:`COMPACT_EPOCH`, NOT :func:`latest_rows`' max-epoch-per-id dedup
+    (which would silently DROP a re-ingested doc's earlier bucket rows
+    that the seen-reads still honor — seen ≠ latest). A read before and
+    after compaction is identical, while epoch-partition count and the
+    per-batch state-scan input drop to O(distinct keys).
+
+    At 100 TB the seen-gram table IS the big table (r13 verdict #6): it
+    grows monotonically with the corpus' distinct grams, and without
+    compaction every micro-batch's semi-join rescans one partition per
+    historical epoch forever.
+
+    ``partition_by`` preserves the secondary layout through the rewrite
+    (``("band_no",)`` for the curate bucket state — the rewrite keeps the
+    append layout's column order, epoch LAST, so post-compaction epochs
+    land in the same directory shape). Same operational contract as
+    :func:`compact_epoch_state`: run from a maintenance window, never
+    inside the foreachBatch appending to this path — the replay-safety of
+    the CURRENT-epoch exclusion assumes no in-flight epoch spans the swap.
+    """
+    df = spark.read.parquet(resolve_state_dir(path))
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"state at {path} lacks partition column(s) {missing}"
+        )
+    collapsed = (
+        df.drop("epoch").distinct().withColumn("epoch", F.lit(COMPACT_EPOCH))
+    )
+    _swap_in(collapsed, path, (*partition_by, "epoch"), mode=mode)
+
+
 def compact_kmv_state(
     spark: SparkSession,
     path: str,

@@ -442,6 +442,68 @@ def q_stream_span_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_span_dedup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_stream_span_dedup_state's exact pipeline with compact_set_state
+    run on the seen-gram state BETWEEN the two availableNow runs (and
+    again after): compaction must be INVISIBLE to every subsequent
+    batch's dedup decisions (same batch oracle as doc_span_dedup) while
+    physically collapsing the epoch partitions — the r13 verdict #6
+    contract, stream_bm25_compacted's pattern applied to a SET-semantics
+    state."""
+    import tempfile
+
+    from vector_db_api_spark.streaming.dedup import incremental_span_dedup_ingest
+    from vector_db_api_spark.streaming.ingest import compact_set_state
+
+    tmp = tempfile.mkdtemp(prefix="stream_span_c_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    mid = (lo + hi) // 2
+    a, b = f"{tmp}/a", f"{tmp}/b"
+    docs.filter(F.col("doc_id") <= mid).write.mode("overwrite").parquet(a)
+    docs.filter(F.col("doc_id") > mid).write.mode("overwrite").parquet(b)
+    for i, src in enumerate((a, b)):
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        q = incremental_span_dedup_ingest(
+            stream, f"{tmp}/state", f"{tmp}/out", f"{tmp}/ck{i}",
+            n=SPAN_N, epoch_offset=i * 1_000_000,
+        )
+        _await_stream(q)
+        compact_set_state(spark, f"{tmp}/state")
+    return spark.read.parquet(f"{tmp}/out").select(
+        "doc_id", "n_tokens", "n_tokens_removed", "n_spans", "clean_text"
+    )
+
+
+def q_stream_line_dedup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_stream_line_dedup_state with compact_set_state on the seen-line
+    state between (and after) the two runs — same keep-first batch oracle;
+    the collapse must not change any later batch's removals."""
+    import tempfile
+
+    from vector_db_api_spark.streaming.dedup import incremental_line_dedup_ingest
+    from vector_db_api_spark.streaming.ingest import compact_set_state
+
+    tmp = tempfile.mkdtemp(prefix="stream_line_c_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    mid = (lo + hi) // 2
+    a, b = f"{tmp}/a", f"{tmp}/b"
+    docs.filter(F.col("doc_id") <= mid).write.mode("overwrite").parquet(a)
+    docs.filter(F.col("doc_id") > mid).write.mode("overwrite").parquet(b)
+    for i, src in enumerate((a, b)):
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        q = incremental_line_dedup_ingest(
+            stream, f"{tmp}/state", f"{tmp}/out", f"{tmp}/ck{i}",
+            epoch_offset=i * 1_000_000,
+        )
+        _await_stream(q)
+        compact_set_state(spark, f"{tmp}/state")
+    return spark.read.parquet(f"{tmp}/out").select(
+        "doc_id", "n_lines", "n_lines_removed", "clean_text"
+    )
+
+
 CURATE_MIN_WORDS = 20     # corpus-tuned (synthetic docs run 10-99 words
 CURATE_MIN_STOPWORDS = 1  # and carry only 'the' from the Gopher stop set)
 
@@ -567,6 +629,46 @@ def q_stream_curate_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             epoch_offset=i * 1_000_000,
         )
         _await_stream(q)
+    return spark.read.parquet(f"{tmp}/out").select(
+        "doc_id", "n_tokens", "n_tokens_removed", "n_spans",
+        F.col("text").alias("clean_text"),
+    )
+
+
+def q_stream_curate_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_stream_curate_state with compact_set_state run on BOTH composed
+    states (seen-gram, seen-bucket — the bucket collapse preserving the
+    band_no layout) between and after the two runs; the admitted set must
+    replay the same composed oracle."""
+    import tempfile
+
+    from vector_db_api_spark.streaming.curate import incremental_curate_ingest
+    from vector_db_api_spark.streaming.ingest import compact_set_state
+
+    tmp = tempfile.mkdtemp(prefix="stream_curate_c_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    mid = (lo + hi) // 2
+    a, b = f"{tmp}/a", f"{tmp}/b"
+    docs.filter(F.col("doc_id") <= mid).write.mode("overwrite").parquet(a)
+    docs.filter(F.col("doc_id") > mid).write.mode("overwrite").parquet(b)
+    for i, src in enumerate((a, b)):
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        q = incremental_curate_ingest(
+            stream, f"{tmp}/state", f"{tmp}/out", f"{tmp}/ck{i}",
+            n=SPAN_N, num_hashes=MINHASH_P, bands=MINHASH_BANDS,
+            k=JACCARD_K,
+            gopher_thresholds={
+                "min_words": CURATE_MIN_WORDS,
+                "min_stopwords": CURATE_MIN_STOPWORDS,
+            },
+            epoch_offset=i * 1_000_000,
+        )
+        _await_stream(q)
+        compact_set_state(spark, f"{tmp}/state/grams")
+        compact_set_state(
+            spark, f"{tmp}/state/buckets", partition_by=("band_no",)
+        )
     return spark.read.parquet(f"{tmp}/out").select(
         "doc_id", "n_tokens", "n_tokens_removed", "n_spans",
         F.col("text").alias("clean_text"),
@@ -5735,6 +5837,19 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_doc_semantic_decontaminate_blocked_np,
         "SELECT vec_id, bench_id FROM "
         f"({_sql_doc_semantic_decontaminate_blocked()})",
+    ),
+    # set-state compaction twins (r13 verdict #6): compact_set_state run
+    # mid-stream must be invisible to every later batch — same oracles as
+    # the uncompacted streams (the stream_bm25_compacted pattern for the
+    # monotone seen-gram / seen-line / seen-bucket states)
+    "stream_span_dedup_compacted": (
+        q_stream_span_dedup_compacted, _sql_doc_span_dedup(),
+    ),
+    "stream_line_dedup_compacted": (
+        q_stream_line_dedup_compacted, _sql_doc_line_dedup_keep_first(),
+    ),
+    "stream_curate_compacted": (
+        q_stream_curate_compacted, _sql_stream_curate_state(),
     ),
 }
 
