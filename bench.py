@@ -102,6 +102,10 @@ HEADLINE = [
     # — fold oracle twin + Arrow/BLAS production twin
     "doc_semantic_decontaminate",
     "doc_semantic_decontaminate_np",
+    # r14: the cell-blocked production path for large eval sides
+    # (fold oracle twin + probe-and-score-fused BLAS twin)
+    "doc_semantic_decontaminate_blocked",
+    "doc_semantic_decontaminate_blocked_np",
     "doc_repetition",
     "doc_repetition_np",
     "doc_bm25",
@@ -271,6 +275,11 @@ PLAN_PINS = {
     "embedding_neardup": "test_embedding_neardup_blocked_join_is_equi_keyed_no_cartesian",
     "events_interval_join": "test_interval_join_is_binned_equi_join_no_nested_loop",
     "ivf_build": "test_ivf_build_assign_is_single_scan_no_shuffle",
+    # r14: blocked semantic decontamination (cell equi-join / fused kernel)
+    "doc_semantic_decontaminate_blocked":
+        "test_semantic_contamination_blocked_plan_broadcast_hash_no_corpus_shuffle",
+    "doc_semantic_decontaminate_blocked_np":
+        "test_semantic_contamination_blocked_np_plan_is_fused_single_pass",
 }
 
 # a machine band estimated from fewer shared queries than this is noise —
@@ -289,6 +298,7 @@ PYTHON_AXIS_QUERIES = frozenset({
     "knn_batch_numpy_top5", "knn_quantized_top10", "knn_self_join_np",
     "knn_self_join_auto", "knn_self_join_auto_cached",
     "doc_semantic_decontaminate_np",
+    "doc_semantic_decontaminate_blocked_np",
     "pq_build", "pq_search", "pq_search_batch32", "ivfpq_search",
     "ivf_search_np8", "embedding_neardup_np", "embedding_neardup_mp_np",
     "semdedup_drop_np", "semdedup_drop_np_hotcell", "doc_winnowing_np",

@@ -294,37 +294,6 @@ def test_semantic_contamination_blocked_subset_and_recall_floor(spark):
     assert len(blocked & exact) / len(exact) >= 0.9
 
 
-def test_semantic_contamination_blocked_plan_broadcast_hash_no_corpus_shuffle(spark):
-    """Scale pin: the blocked path joins on cell through a
-    BroadcastHashJoin (bench side broadcasts) and the corpus reaches the
-    join without an Exchange — the whole point of blocking is that the
-    corpus neither shuffles nor NLJ-scans the full eval side."""
-    import numpy as np
-
-    from vector_db_api_spark.operators.decontaminate import (
-        semantic_contamination_pairs_blocked,
-    )
-
-    rng = np.random.default_rng(3)
-    cent = rng.standard_normal((4, 8))
-    bench = spark.createDataFrame(
-        [("e1", [1.0] * 8)], "bench_id string, embedding array<double>")
-    train = spark.createDataFrame(
-        [(f"t{i}", [float(i + j) for j in range(8)]) for i in range(40)],
-        "doc_id string, embedding array<double>")
-    plan = (
-        semantic_contamination_pairs_blocked(train, bench, 0.9, cent)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "BroadcastHashJoin" in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    # the only SHUFFLE in the whole plan is the final DISTINCT over the
-    # (tiny) pair rows — it prints above the join; below the join sit the
-    # corpus scan (shuffle-free) and the bench side's BroadcastExchange
-    assert plan.count("Exchange hashpartitioning") == 1, plan
-    assert "Exchange hashpartitioning" not in plan.split(
-        "BroadcastHashJoin")[-1], plan
-
 def test_semantic_contamination_blocked_np_twin_matches_fold(spark):
     """Twin equivalence (the embedding_neardup_mp_np convention): the
     probe-and-score-fused BLAS twin emits the identical pair SET as the

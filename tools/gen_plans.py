@@ -16,6 +16,8 @@ from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as _np
+
 from pyspark.sql import functions as F
 
 from vector_db_api_spark import suite
@@ -336,6 +338,31 @@ def main() -> None:
                 emb, emb.limit(8).selectExpr(
                     "vec_id AS bench_id", "embedding"),
                 0.9, id_col="vec_id",
+            ))(),
+        ),
+        (
+            "Semantic decontamination — cell-blocked path "
+            "(semantic_contamination_pairs_blocked, r14)",
+            "Both sides probe their top-nprobe centroid cells "
+            "(multiprobe_cells — iterated mask-and-argmax over the "
+            "centroid literals, scan-fused); the bench side's (cell, "
+            "unit) rows BROADCAST, so the corpus rides a "
+            "BroadcastHashJoin keyed on cell with NO corpus Exchange — "
+            "per-row work O(K + nprobe²·|bench|/K) instead of the exact "
+            "twin's O(|bench|). The only shuffle is the final DISTINCT "
+            "over the (tiny) pair rows. Recall < 1 by design — measured "
+            "in BENCH_SCALE.md (tools/semdecon_crossover.py), pinned "
+            "≥ 0.9 at the registry setting. The BLAS twin fuses probe + "
+            "per-cell matmul into ONE mapInPandas with no join at all "
+            "(pinned by test_plan_shapes).",
+            (lambda _d=__import__(
+                "vector_db_api_spark.operators.decontaminate",
+                fromlist=["semantic_contamination_pairs_blocked"],
+            ): _d.semantic_contamination_pairs_blocked(
+                emb, emb.limit(8).selectExpr(
+                    "vec_id AS bench_id", "embedding"),
+                0.9, _np.random.default_rng(3).standard_normal((8, 64)),
+                nprobe=2, id_col="vec_id",
             ))(),
         ),
     ]
