@@ -408,3 +408,59 @@ def test_span_stream_state_holds_one_row_per_admitted_gram(spark, tmp_path):
     # the shared 4-gram's first occurrence is doc 1 start 0
     firsts = {(r["first_id"], r["first_start"]) for r in state.collect()}
     assert (1, 0) in firsts
+
+
+def test_streaming_semantic_decontaminate_matches_batch(spark, tmp_path):
+    """r14: the embedding gate's per-batch flags union to the batch
+    operator's exact pair set (stateless — the benchmark is static), for
+    BOTH kernels: exact fused-matmul default and the cell-blocked opt-in
+    at full probing (where blocked == exact by the soundness anchor)."""
+    import numpy as np
+
+    from vector_db_api_spark.operators.decontaminate import (
+        semantic_contamination_pairs,
+    )
+    from vector_db_api_spark.streaming.dedup import (
+        streaming_semantic_decontaminate,
+    )
+
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((20, 8))
+    train = spark.createDataFrame(
+        [(i, [float(x) for x in (base[i % 5] + 0.05 * rng.standard_normal(8))])
+         for i in range(16)] + [(90, [0.0] * 8), (91, None)],
+        "doc_id bigint, embedding array<double>")
+    bench = spark.createDataFrame(
+        [(100 + i, [float(x) for x in base[i]]) for i in range(3)],
+        "bench_id bigint, embedding array<double>")
+    src = str(tmp_path / "vecs")
+    train.write.parquet(src)
+    want = sorted(
+        (r["doc_id"], r["bench_id"])
+        for r in semantic_contamination_pairs(train, bench, 0.8).collect()
+    )
+    assert want, "fixture produced no contaminated pairs"
+
+    q = streaming_semantic_decontaminate(
+        spark, src, "doc_id bigint, embedding array<double>", bench, 0.8,
+        str(tmp_path / "flags"), str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], r["bench_id"])
+        for r in spark.read.parquet(str(tmp_path / "flags")).collect()
+    )
+    assert got == want
+
+    cent = rng.standard_normal((4, 8))
+    q2 = streaming_semantic_decontaminate(
+        spark, src, "doc_id bigint, embedding array<double>", bench, 0.8,
+        str(tmp_path / "flags_blk"), str(tmp_path / "ck_blk"),
+        centroids=cent, nprobe=len(cent),
+    )
+    q2.awaitTermination(120)
+    got_blk = sorted(
+        (r["doc_id"], r["bench_id"])
+        for r in spark.read.parquet(str(tmp_path / "flags_blk")).collect()
+    )
+    assert got_blk == want

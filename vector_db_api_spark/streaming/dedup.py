@@ -280,6 +280,74 @@ def streaming_decontaminate(
     return writer.start()
 
 
+def streaming_semantic_decontaminate(
+    spark,
+    input_path: str,
+    input_schema: str,
+    benchmark: DataFrame,
+    threshold: float,
+    flags_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    nprobe: int = 2,
+    available_now: bool = True,
+):
+    """The EMBEDDING form of :func:`streaming_decontaminate` (r14): flag
+    arriving training docs whose embedding sits in an eval doc's cosine
+    ball — the paraphrase leak the lexical shingle gate can't see — as
+    they arrive. Stateless like the lexical gate (the benchmark is static
+    for the life of the stream), so per-batch flags union to exactly the
+    batch operator's answer and the at-least-once replay discipline is
+    the usual epoch-stamped dynamic overwrite.
+
+    Kernel: with ``centroids=None`` (default), the exact fused-matmul
+    twin (``semantic_contamination_pairs_np`` — exact recall, one Arrow
+    matmul per batch, no corpus shuffle; the right gate while eval sets
+    are benchmark-sized). Pass ``centroids`` (+ ``nprobe``) to switch to
+    the cell-blocked kernel for eval sides past the measured ~10³-10⁴
+    crossover (BENCH_SCALE.md) — recall then < 1 by design; size nprobe
+    to a MEASURED recall first. Flags carry ids only (the matmul twins'
+    convention — summation-order cosines are not oracle-stable)."""
+    from vector_db_api_spark.operators.decontaminate import (
+        semantic_contamination_pairs_blocked_np,
+        semantic_contamination_pairs_np,
+    )
+
+    bench_cached = benchmark.cache()
+    bench_cached.count()  # materialize once; every batch reuses it
+
+    stream = spark.readStream.schema(input_schema).parquet(input_path)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if centroids is None:
+            flags = semantic_contamination_pairs_np(
+                batch_df, bench_cached, threshold,
+                id_col=id_col, bench_id_col=bench_id_col, vec_col=vec_col,
+            ).select(id_col, bench_id_col)
+        else:
+            flags = semantic_contamination_pairs_blocked_np(
+                batch_df, bench_cached, threshold, centroids, nprobe=nprobe,
+                id_col=id_col, bench_id_col=bench_id_col, vec_col=vec_col,
+            )
+        (
+            flags.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(flags_path)
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def semdedup_cell_bucket(cell, num_cell_buckets: int) -> Column:
     """Partition bucket for an admitted-state row: ``pmod(cell, B)``, with
     embedding-less rows (null cell) in the dedicated ``-1`` bucket. A

@@ -917,6 +917,36 @@ WHERE {d} >= {SEMDECON_THRESHOLD}
 """
 
 
+def q_stream_semantic_decontaminate_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous semantic decontamination (streaming/dedup.py
+    streaming_semantic_decontaminate, r14): the training split streams in
+    (availableNow) against the STATIC broadcast eval side; the gate is
+    stateless, so the drained epoch-stamped flags union to exactly the
+    batch operator's pair set whatever the batch granularity — same
+    id-projection oracle as the _np twin (matmul cosines are not
+    oracle-stable). Multi-batch + blocked-kernel forms are pinned by
+    tests/test_streaming_dedup.py."""
+    import tempfile
+
+    from vector_db_api_spark.streaming.dedup import (
+        streaming_semantic_decontaminate,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_semdecon_")
+    train, bench = _semdecon_split(spark, sf_dir)
+    src = f"{tmp}/train"
+    train.select("vec_id", "embedding").write.mode("overwrite").parquet(src)
+    q = streaming_semantic_decontaminate(
+        spark, src, "vec_id bigint, embedding array<float>",
+        bench, SEMDECON_THRESHOLD, f"{tmp}/flags", f"{tmp}/ck",
+        id_col="vec_id", bench_id_col="bench_id",
+    )
+    _await_stream(q)
+    return spark.read.parquet(f"{tmp}/flags").select("vec_id", "bench_id")
+
+
 def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style line-level boilerplate removal (operators/lines.py):
     a line whose normalized hash occurs in >= 2 distinct documents is
@@ -5850,6 +5880,12 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     ),
     "stream_curate_compacted": (
         q_stream_curate_compacted, _sql_stream_curate_state(),
+    ),
+    # continuous semantic decontamination gate (stateless; flags union to
+    # the batch answer — the _np id-projection oracle)
+    "stream_semantic_decontaminate_state": (
+        q_stream_semantic_decontaminate_state,
+        f"SELECT vec_id, bench_id FROM ({_sql_doc_semantic_decontaminate()})",
     ),
 }
 
