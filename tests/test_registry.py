@@ -22,6 +22,32 @@ MUST_BE_IN_WINDOW = {
                                 # multiprobe twin takes the slot of its
                                 # BLAS twin, green r13 — same oracle; one
                                 # in-window rep per round, twins alternate)
+    # r15 rotation (VERDICT r14 #1, extended to the FULL never-checked
+    # ledger): all fifteen never-driver-checked entries enter the window —
+    # the six staged r14 additions plus the nine carried — so the r15
+    # driver run drains the machine ledger to ZERO. Slot-by-slot notes in
+    # suite.py's WINDOW comment; every incoming entry is green in the full
+    # 147/147 sf0.01 sweep and the sf1 sweep on the r14 tree. The five
+    # stream_*_state -> stream_*_compacted swaps and semdedup_drop_np ->
+    # hotcell are SAME-oracle twin handoffs; the ANN layout variants
+    # (selfcontained/flat/quantized, green r12-r14) hand their slots to the
+    # blocked-decon twins + the streaming gate with each family keeping its
+    # batch rep.
+    "doc_semantic_decontaminate_blocked",     # cell-blocked decon fold twin
+    "doc_semantic_decontaminate_blocked_np",  # fused probe+score kernel
+    "stream_semantic_decontaminate_state",    # continuous decon gate
+    "stream_bm25_compacted",        # compaction mid-stream == batch oracle
+    "stream_semdedup_compacted",
+    "stream_span_dedup_compacted",
+    "stream_line_dedup_compacted",
+    "stream_curate_compacted",
+    "semdedup_drop_np_hotcell",     # hot-cell panel tiling, same drop set
+    "knn_batch_numpy_ids_top5",     # ids-only batch twin
+    "doc_temperature_sample",       # temperature-weighted mixture sampling
+    "corpus_vocabulary",            # corpus vocab / token stats
+    "doc_leakage_split",            # train/eval leakage-aware split
+    "events_anomalies",             # rolling-stat anomaly flags
+    "events_pivot",                 # pivoted per-type rollup
     "doc_semantic_decontaminate",  # decontamination (r14: the embedding
                                 # form takes the slot of the 8-shingle
                                 # doc_decontaminate, green r1-r13; the
@@ -56,30 +82,23 @@ MUST_BE_IN_WINDOW = {
                                 # r12: green r1-r11; the hourly rollup
                                 # oracle stays out-of-window since r14)
     "skew_salted_agg",          # skew mitigation
-    "semdedup_drop_np",         # semantic dedup (r13: BLAS production
-                                # twin takes the slot, shared drop set)
-    "stream_bm25_state",        # stream-built postings == batch oracle
-    "stream_curate_state",      # composed streaming curation (r14: takes
-                                # stream_trending_state's slot — trending
-                                # was green r1-r13, THIRTEEN windows; the
-                                # streaming-agg class keeps stream_kmv +
-                                # stream_bm25 in-window)
+    # r15: semdedup_drop_np / stream_bm25_state / stream_curate_state /
+    # stream_semdedup_state handed their slots to same-oracle twins
+    # (hotcell / the three compacted forms) — see suite.py WINDOW notes
     # round-5 rotation survivors (one rep per class; quantile/histogram/
     # canonical/profiler rotated out in r6 after their r5 driver-green rows)
     "doc_quality_model",        # hashed linear quality classifier (r13:
                                 # literal path in; join twin green
                                 # r5-r12, same oracle, pytest-pinned ==)
-    "stream_semdedup_state",    # continuous SemDeDup admission
     # r12 rotation (VERDICT r11 #2): the ANN production variants a real
     # user actually calls take the §2.9 window slots — the single-probe
     # entries (driver-green r6-r11) keep full oracles out-of-window and
-    # stay plan-pinned; each family now has TWO in-window reps
+    # stay plan-pinned. r15: the layout/quantized variants (selfcontained /
+    # IVF-Flat / int8, green r12-r14) handed their slots to the blocked-
+    # decon twins + streaming gate; each family keeps its batch rep.
     "lsh_search_batch_top10",          # one-job 32-query LSH batch
-    "lsh_search_selfcontained_top10",  # in-place bucket layout probe
     "ivf_search_batch_top10",          # one-job 32-query IVF batch
-    "ivf_flat_search_top10",           # IVF-Flat in-place posting layout
     "pq_search_batch_top10",           # batch ADC, one codes pass
-    "knn_quantized_top10",             # int8 two-stage quantized search
     # round-7 rotation: the Engine delete→tombstone→maintenance→move
     # lifecycle (displaced crud_move_document, its pure-operator subset)
     "crud_engine_index_delete",
@@ -90,10 +109,8 @@ MUST_BE_IN_WINDOW = {
     # composition of the in-window ivf + pq entries)
     "doc_dsir_select_fast",     # r13: plain-SUM production twin takes
                                 # the ordered-fold oracle twin's slot
-    # r12: the opt-in selfcontained snapshot layout through the Engine
-    # lifecycle (never driver-checked before) takes the engine-class slot
-    # of crud_engine_with_chunks (driver-green r8-r11; full oracle kept)
-    "crud_engine_selfcontained",
+    # r15: crud_engine_selfcontained (green r12-r14) handed its slot to
+    # doc_leakage_split; the engine class keeps crud_engine_index_delete
     # round-9 rotation: the paper's actual DSIR sampler (Gumbel
     # resampling — pass-local since r8, never driver-green) and the
     # multimodal family's first window slot since r5 (displaced
@@ -111,9 +128,10 @@ MUST_BE_IN_WINDOW = {
     # pin), events_interval_join (temporal class covered by events_asof +
     # events_gapfill)
     "stream_kmv_state",
-    "multimodal_features",
     "doc_token_count_bpe",
-    "embed_semantic_knn_top10",
+    # r15: multimodal_features (green r10-r14) -> events_pivot (class keeps
+    # multimodal_embed); embed_semantic_knn_top10 (green r10-r14) ->
+    # corpus_vocabulary (class keeps embed_subword_knn_top10)
     # round-11 rotation (r10 verdict #2 + #4): the eight never-driver-
     # checked relational entries take the rel-class window slots (the
     # previous three rel headliners were driver-green r1-r10 and keep full
@@ -130,7 +148,8 @@ MUST_BE_IN_WINDOW = {
     # value oracles out-of-window. Their slots drain the never-checked
     # ledger: doc_sample_hash / span_overlap_pairs / doc_pii (below) plus
     # the r13 operator family and embedding_neardup_mp / events_zorder.
-    "rel_priority_returns",
+    # r15: rel_priority_returns (green r11-r14) -> events_anomalies; the
+    # relational class keeps rel_idle_customers
     "rel_idle_customers",
     "doc_sample_hash",          # hash-mod deterministic sampling
     "span_overlap_pairs",       # interval-overlap self-join
@@ -159,17 +178,16 @@ MUST_BE_IN_WINDOW = {
     # the committed artifacts said 24) — it is machine-derived by
     # tools/never_checked.py and pinned in
     # test_never_checked_ledger_is_machine_derived below.
-    "doc_gopher_rules",
-    "stream_span_dedup_state",
+    # r15: doc_gopher_rules (green r12-r14) -> doc_temperature_sample (the
+    # Gopher gate runs inside corpus_curate_full AND stream_curate_compacted);
+    # stream_span_dedup_state / stream_line_dedup_state / knn_batch_numpy_top5
+    # handed slots to same-oracle/same-class twins (see suite.py WINDOW notes)
     "corpus_curate_full",
-    # r13 rotation: the exact-kNN numpy batch production twin (FlatIndex
-    # class keeps knn_cosine_top10 alongside)
-    "knn_batch_numpy_top5",
     # r14 rotation (VERDICT r13 #1): the remaining r13 operators enter the
     # window after their staged green round — CCNet line-level boilerplate
-    # removal and its streaming keep-first form
+    # removal (its streaming keep-first form handed its slot to the
+    # compacted twin in r15)
     "doc_line_dedup",
-    "stream_line_dedup_state",
 }
 
 
@@ -219,17 +237,12 @@ def test_never_checked_ledger_is_machine_derived():
     # every unchecked entry is still oracle-backed (it will face the full
     # value gate when its window round comes, not a weaker rows-only check)
     assert all(suite.SUITE[n][1] is not None for n in never)
-    # monotone drain: the committed CORRECTNESS_r13.json leaves 19 (the ten
-    # r13 window rotations went green). Registering new entries adds to
-    # this bar knowingly — update the bound WITH the entry. The r14
-    # rotation puts TEN of the 19 in-window (the five r13 operators +
-    # embedding_neardup_mp, doc_sample_hash, span_overlap_pairs, doc_pii,
-    # events_zorder), so CORRECTNESS_r14 should drain it to 9; the six
-    # r14 additions (doc_semantic_decontaminate_blocked + _np, the three
-    # set-state compaction twins, and the streaming semantic-decon gate)
-    # stage out-of-window one green round per policy, raising the bar to
-    # 25 until then.
-    assert len(never) <= 25, (
+    # monotone drain: the committed CORRECTNESS_r14.json leaves 15 (the ten
+    # r14 window rotations went green; the six r14 additions staged
+    # out-of-window). Registering new entries adds to this bar knowingly —
+    # update the bound WITH the entry. The r15 rotation puts ALL FIFTEEN
+    # in-window, so CORRECTNESS_r15 drains the ledger to ZERO.
+    assert len(never) <= 15, (
         f"never-checked grew to {len(never)}: {never}"
     )
     in_window = set(never) & set(names[:50])
@@ -263,3 +276,61 @@ def test_ledger_prose_is_machine_written():
         "ledger prose drifted from tools/never_checked.py --prose — "
         "regenerate the block, never hand-edit it"
     )
+
+
+def test_window_is_declared_explicitly():
+    """r15: the window is the WINDOW list in suite.py, and SUITE's insertion
+    order (what the driver actually checks) must match it exactly."""
+    assert len(suite.WINDOW) == 50
+    assert list(suite.SUITE)[:50] == suite.WINDOW
+
+
+def test_rotation_policy_every_class_keeps_a_window_rep():
+    """r14 verdict #8, invariant 1: every operator class present in the
+    registry keeps >=1 rep inside the 50-entry driver window. The ONLY
+    classes allowed to have no rep are the grandfathered exceptions in
+    suite.WINDOW_CLASS_EXCEPTIONS — adding to that dict is a deliberate,
+    reviewed act; a rotation can't silently strand a class."""
+    names = list(suite.SUITE)
+    # the class map must cover the registry exactly (no orphans either way)
+    assert set(suite.OPERATOR_CLASS) == set(names)
+    window = set(names[:50])
+    covered = {suite.OPERATOR_CLASS[n] for n in window}
+    all_classes = set(suite.OPERATOR_CLASS.values())
+    assert all_classes - covered == set(suite.WINDOW_CLASS_EXCEPTIONS), (
+        f"classes without an in-window rep: "
+        f"{sorted(all_classes - covered - set(suite.WINDOW_CLASS_EXCEPTIONS))}"
+        f" (or a grandfathered exception regained a rep and should be "
+        f"removed from WINDOW_CLASS_EXCEPTIONS)"
+    )
+    # and specifically: every entry DISPLACED by a recorded rotation left
+    # its class represented (the form the r11-r15 rotation notes argued)
+    for rnd, swap in suite.ROTATION_LOG.items():
+        for out_name in swap["out"]:
+            cls = suite.OPERATOR_CLASS[out_name]
+            assert cls in covered or cls in suite.WINDOW_CLASS_EXCEPTIONS, (
+                f"r{rnd} displaced {out_name} and left class {cls} "
+                f"unrepresented"
+            )
+
+
+def test_rotation_policy_staged_promotion():
+    """r14 verdict #8, invariant 2: no entry enters the driver window in
+    the round it was first registered — it must sit out-of-window for at
+    least one full-sweep green round first (the r12 ADVICE #4 staged-
+    promotion policy, honored by every rotation since r13)."""
+    for rnd, swap in suite.ROTATION_LOG.items():
+        for in_name in swap["in"]:
+            registered = suite.REGISTERED_ROUND.get(in_name, 0)
+            assert registered < rnd, (
+                f"{in_name} entered the window in r{rnd}, the same round "
+                f"it was registered — stage it out-of-window first"
+            )
+    # the log's "in" entries must actually be in the window for the latest
+    # recorded round (the log can't drift from WINDOW)
+    latest = max(suite.ROTATION_LOG)
+    window = set(list(suite.SUITE)[:50])
+    missing = [n for n in suite.ROTATION_LOG[latest]["in"] if n not in window]
+    assert not missing, f"r{latest} rotation log lists {missing} as promoted, but they are not in WINDOW"
+    stale = [n for n in suite.ROTATION_LOG[latest]["out"] if n in window]
+    assert not stale, f"r{latest} rotation log lists {stale} as displaced, but they are still in WINDOW"

@@ -860,6 +860,9 @@ def _sql_doc_semantic_decontaminate_blocked(
     # the centroid literals, loop-generated to arbitrary nprobe) crossed
     # with the semdecon is_eval split
     cent = _mprobe_centroids()
+    # cap at the centroid count, like multiprobe_cells — past K every cell
+    # is already probed and the masked list is all -inf (ADVICE r14 #2)
+    nprobe = min(nprobe, len(cent))
     nrm = O.norm("embedding")
     dl = O.dots_const_list("embedding", cent)
     unit = (
@@ -5887,6 +5890,355 @@ SUITE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         q_stream_semantic_decontaminate_state,
         f"SELECT vec_id, bench_id FROM ({_sql_doc_semantic_decontaminate()})",
     ),
+}
+
+
+# ---------------------------------------------------------------------------
+# Driver check window — EXPLICIT since r15
+# ---------------------------------------------------------------------------
+# The driver's correctness gate checks the FIRST 50 entries of SUITE in
+# insertion order. Through r14 the window was the dict's literal ordering
+# (the "in-window:" comments above are that history); from r15 the window is
+# declared HERE and SUITE is reordered to match, so a rotation edits this
+# list + ROTATION_LOG and never moves dict entries around. The two
+# invariants every rotation since r13 has honored are machine-pinned by
+# tests/test_registry.py::test_rotation_* against OPERATOR_CLASS /
+# ROTATION_LOG / REGISTERED_ROUND below:
+#   (1) every displaced entry's operator class keeps >=1 in-window rep;
+#   (2) staged promotion — no entry enters the window in the round it was
+#       first registered (it must have >=1 full-sweep green round first).
+#
+# r15 rotation (VERDICT r14 #1, extended): ALL FIFTEEN never-driver-checked
+# entries enter the window, draining the machine ledger to ZERO after the
+# r15 driver run — the six staged r14 additions (both blocked-decon twins,
+# the three set-state compaction twins, the streaming semantic gate) plus
+# the nine carried (semdedup_drop_np_hotcell, knn_batch_numpy_ids_top5,
+# stream_bm25_compacted, stream_semdedup_compacted, doc_temperature_sample,
+# corpus_vocabulary, doc_leakage_split, events_anomalies, events_pivot).
+# Every incoming entry is green in the full 147/147 sf0.01 sweep AND the
+# sf1 sweep on the r14 final tree. Displaced (slot -> incoming), with the
+# class-coverage argument per slot:
+#   stream_bm25_state        -> stream_bm25_compacted      (SAME batch
+#       oracle _sql_doc_bm25; green many rounds thru r14)
+#   stream_semdedup_state    -> stream_semdedup_compacted  (same oracle;
+#       green r4-r14)
+#   stream_span_dedup_state  -> stream_span_dedup_compacted (same oracle;
+#       green r12-r14)
+#   stream_line_dedup_state  -> stream_line_dedup_compacted (same oracle;
+#       green r14 — the embedding_neardup_mp_np precedent: a single-green
+#       entry may hand its slot to its SAME-oracle twin)
+#   stream_curate_state      -> stream_curate_compacted    (same oracle;
+#       green r14, same precedent)
+#   knn_batch_numpy_top5     -> knn_batch_numpy_ids_top5   (exact-kNN batch
+#       class keeps knn_cosine_top10 + the incoming ids twin; green r13-r14)
+#   semdedup_drop_np         -> semdedup_drop_np_hotcell   (same ids-only
+#       oracle / shared drop set; green r13-r14)
+#   lsh_search_selfcontained_top10 -> doc_semantic_decontaminate_blocked
+#       (LSH family keeps lsh_search_batch_top10; green r12-r14)
+#   ivf_flat_search_top10    -> doc_semantic_decontaminate_blocked_np
+#       (IVF family keeps ivf_search_batch_top10; green r12-r14)
+#   knn_quantized_top10      -> stream_semantic_decontaminate_state
+#       (quantized class keeps pq_search_batch_top10; green r12-r14)
+#   rel_priority_returns     -> events_anomalies  (rel class keeps
+#       rel_idle_customers; green r11-r14)
+#   embed_semantic_knn_top10 -> corpus_vocabulary (embedder class keeps
+#       embed_subword_knn_top10; green r10-r14)
+#   crud_engine_selfcontained -> doc_leakage_split (engine class keeps
+#       crud_engine_index_delete, the same store+index lifecycle; green
+#       r12-r14)
+#   doc_gopher_rules         -> doc_temperature_sample (the Gopher gate runs
+#       in-window inside BOTH corpus_curate_full and stream_curate_compacted;
+#       green r12-r14)
+#   multimodal_features      -> events_pivot (multimodal class keeps
+#       multimodal_embed, whose pipeline composes the same decode+feature
+#       kernels; green r10-r14)
+WINDOW: list[str] = [
+    "knn_cosine_top10",
+    "doc_span_dedup",
+    "doc_ccnet_buckets",
+    "doc_winnowing_np",
+    "doc_repetition_np",
+    "minhash_lsh_pairs",
+    "dedup_components",
+    "simhash_np",
+    "embedding_neardup_mp",
+    "doc_semantic_decontaminate",
+    "semdedup_drop_np_hotcell",
+    "doc_quality_model",
+    "stream_semdedup_compacted",
+    "lsh_search_batch_top10",
+    "doc_semantic_decontaminate_blocked",
+    "ivf_search_batch_top10",
+    "doc_semantic_decontaminate_blocked_np",
+    "pq_search_batch_top10",
+    "stream_semantic_decontaminate_state",
+    "doc_lm_nll_join",
+    "doc_leakage_split",
+    "doc_dsir_select_fast",
+    "knn_batch_numpy_ids_top5",
+    "doc_hybrid_rrf",
+    "doc_temperature_sample",
+    "events_sessions",
+    "skew_salted_agg",
+    "stream_bm25_compacted",
+    "stream_curate_compacted",
+    "doc_semantic_decontaminate_np",
+    "stream_line_dedup_compacted",
+    "doc_line_dedup",
+    "doc_sample_hash",
+    "span_overlap_pairs",
+    "doc_pii",
+    "events_anomalies",
+    "rel_idle_customers",
+    "stream_span_dedup_compacted",
+    "multimodal_embed",
+    "events_zorder",
+    "crud_engine_index_delete",
+    "search_e2e",
+    "corpus_curate_full",
+    "corpus_clean_modern",
+    "embed_subword_knn_top10",
+    "knn_self_join_ivf_sym",
+    "stream_kmv_state",
+    "events_pivot",
+    "doc_token_count_bpe",
+    "corpus_vocabulary",
+]
+
+SUITE = {
+    name: SUITE[name]
+    for name in (*WINDOW, *(n for n in SUITE if n not in set(WINDOW)))
+}
+
+
+# Operator-class map for the rotation policy (invariant 1). Classes are at
+# the granularity the r10-r14 rotation notes argued coverage at — fine
+# enough that "keeps a rep" is meaningful (each ANN family is its own
+# class; batch/stream/compacted forms of one operator share a class),
+# coarse enough that production/oracle twins and layout variants of one
+# operator land together. tests/test_registry.py pins: every class keeps
+# >=1 in-window rep, EXCEPT the documented pre-policy exception set.
+OPERATOR_CLASS: dict[str, str] = {
+    # exact kNN + the vector kernels / per-group top-k that every entry's
+    # rerank tail runs
+    **dict.fromkeys(
+        [
+            "knn_cosine_top10", "knn_euclidean_top10", "knn_dot_top10",
+            "knn_batch_top5", "knn_batch_numpy_top5", "knn_batch_numpy_ids_top5",
+            "knn_postfilter", "embed_knn_top10", "vec_norm_argmax",
+            "vec_kernel_scores", "topk_per_label",
+        ],
+        "knn-exact",
+    ),
+    **dict.fromkeys(
+        ["lsh_search_top10", "lsh_search_batch_top10",
+         "lsh_search_selfcontained_top10"],
+        "ann-lsh",
+    ),
+    **dict.fromkeys(
+        ["ivf_search_top10", "ivf_search_batch_top10", "ivf_flat_search_top10",
+         "ivf_search_filtered_top10"],
+        "ann-ivf",
+    ),
+    **dict.fromkeys(
+        ["pq_search_top10", "pq_search_batch_top10", "knn_quantized_top10",
+         "ivfpq_search_top10", "emb_quantize_int8", "emb_quantize_roundtrip"],
+        "ann-quantized",
+    ),
+    **dict.fromkeys(
+        ["knn_self_join_top3", "knn_self_join_ivf_sym"], "ann-selfjoin",
+    ),
+    **dict.fromkeys(
+        ["embed_semantic_knn_top10", "embed_subword_knn_top10"], "embedder",
+    ),
+    "search_e2e": "search-e2e",
+    **dict.fromkeys(
+        ["minhash_lsh_pairs", "minhash_band_buckets", "minhash_signatures",
+         "ngram_jaccard_pairs", "exact_duplicates", "dedup_canonical"],
+        "dedup-text",
+    ),
+    "dedup_components": "dedup-components",
+    **dict.fromkeys(
+        ["simhash", "simhash_np", "simhash_dup_groups",
+         "simhash_hamming_pairs"],
+        "dedup-simhash",
+    ),
+    **dict.fromkeys(
+        ["embedding_neardup", "embedding_neardup_np", "embedding_neardup_mp",
+         "embedding_neardup_mp_np"],
+        "dedup-embedding",
+    ),
+    **dict.fromkeys(
+        ["semdedup_drop", "semdedup_drop_np", "semdedup_drop_np_hotcell"],
+        "semdedup",
+    ),
+    **dict.fromkeys(
+        ["stream_semdedup_state", "stream_semdedup_compacted"],
+        "semdedup-stream",
+    ),
+    **dict.fromkeys(
+        ["doc_decontaminate", "doc_semantic_decontaminate",
+         "doc_semantic_decontaminate_np", "doc_semantic_decontaminate_blocked",
+         "doc_semantic_decontaminate_blocked_np", "doc_leakage_split"],
+        "decontamination",
+    ),
+    "stream_semantic_decontaminate_state": "decontamination-stream",
+    **dict.fromkeys(
+        ["doc_span_dedup", "span_overlap_pairs", "stream_span_dedup_state",
+         "stream_span_dedup_compacted"],
+        "span-dedup",
+    ),
+    **dict.fromkeys(
+        ["doc_line_dedup", "stream_line_dedup_state",
+         "stream_line_dedup_compacted"],
+        "line-dedup",
+    ),
+    **dict.fromkeys(
+        ["doc_quality_model", "doc_quality_model_join", "doc_quality"],
+        "quality-model",
+    ),
+    **dict.fromkeys(
+        ["doc_gopher_rules", "corpus_curate_full", "corpus_clean",
+         "corpus_clean_near", "corpus_clean_modern", "doc_packing"],
+        "curation",
+    ),
+    **dict.fromkeys(
+        ["stream_curate_state", "stream_curate_compacted"], "curation-stream",
+    ),
+    "doc_ccnet_buckets": "ccnet",
+    **dict.fromkeys(["doc_lm_nll", "doc_lm_nll_join"], "lm-scoring"),
+    **dict.fromkeys(
+        ["doc_dsir_select", "doc_dsir_select_fast", "doc_dsir_sample"], "dsir",
+    ),
+    **dict.fromkeys(
+        ["doc_sample_hash", "doc_temperature_sample", "doc_mixture_sample"],
+        "sampling",
+    ),
+    "doc_hybrid_rrf": "hybrid-retrieval",
+    **dict.fromkeys(
+        ["doc_bm25", "stream_bm25_state", "stream_bm25_compacted"], "bm25",
+    ),
+    **dict.fromkeys(
+        ["doc_token_count", "doc_token_count_bpe", "doc_chunking"], "tokenizer",
+    ),
+    **dict.fromkeys(
+        ["doc_text_stats", "corpus_profile", "corpus_vocabulary",
+         "doc_lang_id"],
+        "text-analysis",
+    ),
+    **dict.fromkeys(
+        ["doc_fingerprints", "doc_winnowing", "doc_winnowing_np"],
+        "fingerprinting",
+    ),
+    **dict.fromkeys(["doc_repetition", "doc_repetition_np"], "repetition"),
+    "doc_pii": "pii",
+    **dict.fromkeys(
+        ["multimodal_stats", "multimodal_features", "multimodal_neardup",
+         "multimodal_embed"],
+        "multimodal",
+    ),
+    **dict.fromkeys(
+        ["rel_pricing_rollup", "rel_large_orders", "rel_distinct_suppliers",
+         "rel_promo_ratio", "rel_above_avg_orders", "rel_trade_volume",
+         "rel_disjunctive_parts", "rel_pricing_summary",
+         "rel_revenue_by_nation", "rel_customer_running_total",
+         "rel_top_customers", "rel_ship_priority", "rel_priority_returns",
+         "rel_idle_customers"],
+        "relational",
+    ),
+    **dict.fromkeys(
+        ["events_hourly", "events_type_stats", "events_first_seen",
+         "events_sessions", "events_pivot", "events_anomalies", "events_asof",
+         "events_gapfill", "events_interval_join", "stream_trending_state"],
+        "events-temporal-agg",
+    ),
+    "events_zorder": "events-layout",
+    **dict.fromkeys(
+        ["events_distinct_kmv", "events_quantile_sketch",
+         "events_value_histogram", "events_table_profile", "stream_kmv_state"],
+        "sketches",
+    ),
+    **dict.fromkeys(["skew_salted_agg", "skew_salted_join"], "skew"),
+    **dict.fromkeys(
+        ["crud_upsert", "crud_cas", "crud_cas_conflicts", "crud_delete_cascade",
+         "crud_move_document", "crud_engine_with_chunks",
+         "crud_engine_selfcontained", "crud_engine_index_delete"],
+        "crud-engine",
+    ),
+    **dict.fromkeys(
+        ["doc_listing_page", "doc_listing_has_more", "chunks_by_document"],
+        "listing",
+    ),
+}
+
+# Classes with no in-window rep, each with the round the exception was
+# grandfathered and why. New exceptions require editing this dict — the
+# policy test fails otherwise.
+WINDOW_CLASS_EXCEPTIONS: dict[str, str] = {
+    # r13 displaced doc_listing_page (green r1-r12) for the exact-kNN numpy
+    # batch twin; pagination stays covered by doc_listing_has_more's
+    # out-of-window oracle + the facade pagination pytest suite. Pre-dates
+    # the policy test; kept as the single grandfathered exception.
+    "listing": "r13 — facade pagination pytest + out-of-window oracle",
+}
+
+# Rotation record (invariants are tested against this, r14+). "out" entries
+# left the 50-entry window that round; "in" entries took their slots.
+ROTATION_LOG: dict[int, dict[str, list[str]]] = {
+    14: {
+        "out": [
+            "doc_decontaminate", "stream_trending_state",
+            "crud_delete_cascade", "rel_large_orders",
+            "rel_distinct_suppliers", "rel_promo_ratio",
+            "rel_above_avg_orders", "rel_trade_volume",
+            "rel_disjunctive_parts", "embedding_neardup_mp_np",
+        ],
+        "in": [
+            "doc_semantic_decontaminate", "doc_semantic_decontaminate_np",
+            "stream_curate_state", "stream_line_dedup_state",
+            "doc_line_dedup", "doc_sample_hash", "span_overlap_pairs",
+            "doc_pii", "events_zorder", "embedding_neardup_mp",
+        ],
+    },
+    15: {
+        "out": [
+            "stream_bm25_state", "stream_semdedup_state",
+            "stream_span_dedup_state", "stream_line_dedup_state",
+            "stream_curate_state", "knn_batch_numpy_top5",
+            "semdedup_drop_np", "lsh_search_selfcontained_top10",
+            "ivf_flat_search_top10", "knn_quantized_top10",
+            "rel_priority_returns", "embed_semantic_knn_top10",
+            "crud_engine_selfcontained", "doc_gopher_rules",
+            "multimodal_features",
+        ],
+        "in": [
+            "stream_bm25_compacted", "stream_semdedup_compacted",
+            "stream_span_dedup_compacted", "stream_line_dedup_compacted",
+            "stream_curate_compacted", "knn_batch_numpy_ids_top5",
+            "semdedup_drop_np_hotcell", "doc_semantic_decontaminate_blocked",
+            "doc_semantic_decontaminate_blocked_np",
+            "stream_semantic_decontaminate_state", "events_anomalies",
+            "corpus_vocabulary", "doc_leakage_split",
+            "doc_temperature_sample", "events_pivot",
+        ],
+    },
+}
+
+# First round each entry was REGISTERED in SUITE, for entries registered
+# r13+ (the staged-promotion policy starts there; everything older was
+# registered many rounds before any window promotion it received).
+REGISTERED_ROUND: dict[str, int] = {
+    "doc_semantic_decontaminate": 13,
+    "doc_semantic_decontaminate_np": 13,
+    "stream_curate_state": 13,
+    "doc_line_dedup": 13,
+    "stream_line_dedup_state": 13,
+    "doc_semantic_decontaminate_blocked": 14,
+    "doc_semantic_decontaminate_blocked_np": 14,
+    "stream_span_dedup_compacted": 14,
+    "stream_line_dedup_compacted": 14,
+    "stream_curate_compacted": 14,
+    "stream_semantic_decontaminate_state": 14,
 }
 
 
