@@ -233,6 +233,97 @@ def semantic_contamination_pairs_blocked(
     )
 
 
+class PreparedSemanticBench:
+    """The STATIC eval side of semantic decontamination — collected,
+    zero-filtered, unit-normalized, (optionally) cell-probed, and shipped
+    to executors ONCE — for reuse across many kernel calls. ADVICE r14 #4:
+    a long-lived stream was re-collecting the benchmark and re-shipping
+    the centroid/bench matrices on every micro-batch; build this once
+    outside ``foreachBatch`` and pass it to the ``*_np`` kernels'
+    ``prepared=``. ``release()`` drops any broadcast blobs (resident
+    services; batch jobs can let context teardown reclaim them)."""
+
+    __slots__ = (
+        "bids", "shipped_bunit", "shipped_cent", "cell_rows", "np_probe",
+        "bid_type", "n_bench",
+    )
+
+    def __init__(self, bids, shipped_bunit, shipped_cent, cell_rows,
+                 np_probe, bid_type, n_bench):
+        self.bids = bids
+        self.shipped_bunit = shipped_bunit
+        self.shipped_cent = shipped_cent
+        self.cell_rows = cell_rows
+        self.np_probe = np_probe
+        self.bid_type = bid_type
+        self.n_bench = n_bench
+
+    def release(self) -> None:
+        for shipped in (self.shipped_bunit, self.shipped_cent):
+            if shipped is not None:
+                shipped.release()
+
+
+def prepare_semantic_benchmark(
+    benchmark: DataFrame,
+    centroids=None,
+    nprobe: int = 2,
+    bench_id_col: str = "bench_id",
+    vec_col: str = "embedding",
+) -> PreparedSemanticBench:
+    """Collect + probe + ship the eval side once. With ``centroids`` the
+    bench rows are also assigned their top-``min(nprobe, K)`` cells (the
+    blocked kernel's per-cell submatrix map); without, only the unit
+    matrix ships (the exact fused-matmul kernel's input). Probe ties break
+    by ascending cell index (stable argsort == the fold twin's iterated
+    first-max argmax)."""
+    import numpy as np
+
+    from vector_db_api_spark.functions.ship import ship_model
+
+    bid_type = benchmark.schema[bench_id_col].dataType.simpleString()
+    rows = benchmark.filter(F.col(vec_col).isNotNull()).select(
+        bench_id_col, vec_col
+    ).collect()
+    bids = np.asarray([r[bench_id_col] for r in rows])
+    if len(bids):
+        bmat = np.asarray([list(map(float, r[vec_col])) for r in rows],
+                          dtype=np.float64)
+        bnorm = np.linalg.norm(bmat, axis=1)
+        keep = bnorm > 0
+        bids, bmat = bids[keep], bmat[keep]
+    if len(bids) == 0:
+        return PreparedSemanticBench(bids, None, None, None, 0, bid_type, 0)
+    bunit = bmat / np.linalg.norm(bmat, axis=1)[:, None]
+    shipped_bunit = ship_model(benchmark, bunit)
+    shipped_cent, cell_rows, np_probe = None, None, 0
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+        np_probe = min(nprobe, len(cent))
+        bdots = bunit @ cent.T  # argmax is scale-invariant; unit side is fine
+        if np_probe < bdots.shape[1]:
+            # stable sort == the fold twin's iterated first-max argmax:
+            # equal dots probe in ascending cell order, so exact ties
+            # (duplicate / quantized embeddings) yield the identical
+            # pair SET (ADVICE r14 #3)
+            btop = np.argsort(-bdots, axis=1, kind="stable")[:, :np_probe]
+        else:
+            btop = np.broadcast_to(
+                np.arange(bdots.shape[1]), (len(bunit), bdots.shape[1])
+            )
+        # per-cell row-index map: tiny (≤ |bench|·nprobe ints), rides the
+        # closure; the dense matrices ship via ship_model
+        cell_rows = {
+            int(c): np.nonzero((btop == c).any(axis=1))[0]
+            for c in np.unique(btop)
+        }
+        shipped_cent = ship_model(benchmark, cent)
+    return PreparedSemanticBench(
+        bids, shipped_bunit, shipped_cent, cell_rows, np_probe, bid_type,
+        len(bids),
+    )
+
+
 def semantic_contamination_pairs_blocked_np(
     train: DataFrame,
     benchmark: DataFrame,
@@ -242,6 +333,7 @@ def semantic_contamination_pairs_blocked_np(
     id_col: str = "doc_id",
     bench_id_col: str = "bench_id",
     vec_col: str = "embedding",
+    prepared: PreparedSemanticBench | None = None,
 ) -> DataFrame:
     """BLAS twin of :func:`semantic_contamination_pairs_blocked`: the bench
     side is probed ONCE on the driver (eval sets are small by assumption)
@@ -253,49 +345,35 @@ def semantic_contamination_pairs_blocked_np(
     with NO corpus shuffle or join at all (probe + score fused in one
     ``mapInPandas`` pass over the scan).
 
-    Pair SET equals the fold blocked twin up to argmax ulp ties
-    (measure-zero for continuous embeddings — the
-    embedding_neardup_pairs_multiprobe_numpy contract); cosines are
-    projected away for the same reason. Returns (id, bench_id) DISTINCT
-    (a pair co-blocked in several cells scores once)."""
+    Pair SET equals the fold blocked twin: probe ties break by ascending
+    cell index on BOTH paths (the fold's iterated first-max argmax == the
+    stable argsort here), so exact dot ties — duplicate vectors, quantized
+    or padded embeddings — probe the same cells (ADVICE r14 #3). Cosines
+    are projected away (matmul vs expression-fold ulps are not
+    oracle-stable). Returns (id, bench_id) DISTINCT (a pair co-blocked in
+    several cells scores once)."""
     import numpy as np
     import pandas as pd
 
-    from vector_db_api_spark.functions.ship import ship_model
-
-    cent = np.asarray(centroids, dtype=np.float64)
-    np_probe = min(nprobe, len(cent))
-    rows = benchmark.filter(F.col(vec_col).isNotNull()).select(
-        bench_id_col, vec_col
-    ).collect()
-    bids = np.asarray([r[bench_id_col] for r in rows])
-    id_type = train.schema[id_col].dataType.simpleString()
-    bid_type = benchmark.schema[bench_id_col].dataType.simpleString()
-    out_schema = f"{id_col} {id_type}, {bench_id_col} {bid_type}"
-    if len(bids) == 0:
-        return train.sparkSession.createDataFrame([], out_schema)
-    bmat = np.asarray([list(map(float, r[vec_col])) for r in rows],
-                      dtype=np.float64)
-    bnorm = np.linalg.norm(bmat, axis=1)
-    keep = bnorm > 0
-    bids, bmat = bids[keep], bmat[keep]
-    bunit = bmat / np.linalg.norm(bmat, axis=1)[:, None]
-    bdots = bunit @ cent.T  # argmax is scale-invariant; unit side is fine
-    if np_probe < bdots.shape[1]:
-        btop = np.argpartition(-bdots, np_probe - 1, axis=1)[:, :np_probe]
-    else:
-        btop = np.broadcast_to(
-            np.arange(bdots.shape[1]), (len(bunit), bdots.shape[1])
+    if prepared is None:
+        prepared = prepare_semantic_benchmark(
+            benchmark, centroids=centroids, nprobe=nprobe,
+            bench_id_col=bench_id_col, vec_col=vec_col,
         )
-    # per-cell row-index map: tiny (≤ |bench|·nprobe ints), so it rides the
-    # closure; the dense matrices ship via ship_model (bids ride the
-    # closure like the exact _np twin's)
-    cell_rows = {
-        int(c): np.nonzero((btop == c).any(axis=1))[0]
-        for c in np.unique(btop)
-    }
-    shipped_cent = ship_model(train, cent)
-    shipped_bunit = ship_model(train, bunit)
+    elif prepared.cell_rows is None and prepared.n_bench > 0:
+        raise ValueError(
+            "prepared bench was built without centroids — rebuild with "
+            "prepare_semantic_benchmark(benchmark, centroids=...)"
+        )
+    id_type = train.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {bench_id_col} {prepared.bid_type}"
+    if prepared.n_bench == 0:
+        return train.sparkSession.createDataFrame([], out_schema)
+    bids = prepared.bids
+    cell_rows = prepared.cell_rows
+    np_probe = prepared.np_probe
+    shipped_cent = prepared.shipped_cent
+    shipped_bunit = prepared.shipped_bunit
     thr = float(threshold)
 
     def score(batches):
@@ -314,7 +392,7 @@ def semantic_contamination_pairs_blocked_np(
             ids = pdf[id_col].to_numpy()[ok]
             dots = unit @ cent_m.T
             if np_probe < dots.shape[1]:
-                top = np.argpartition(-dots, np_probe - 1, axis=1)[:, :np_probe]
+                top = np.argsort(-dots, axis=1, kind="stable")[:, :np_probe]
             else:
                 top = np.broadcast_to(
                     np.arange(dots.shape[1]), (len(unit), dots.shape[1])
@@ -351,6 +429,7 @@ def semantic_contamination_pairs_np(
     id_col: str = "doc_id",
     bench_id_col: str = "bench_id",
     vec_col: str = "embedding",
+    prepared: PreparedSemanticBench | None = None,
 ) -> DataFrame:
     """Arrow/BLAS production twin of :func:`semantic_contamination_pairs`:
     the eval matrix ships once per executor (broadcast), each Arrow batch
@@ -365,30 +444,22 @@ def semantic_contamination_pairs_np(
     import numpy as np
     import pandas as pd
 
-    from vector_db_api_spark.functions.ship import ship_model
-
-    rows = benchmark.filter(F.col(vec_col).isNotNull()).select(
-        bench_id_col, vec_col
-    ).collect()
-    bids = [r[bench_id_col] for r in rows]
-    bmat = np.asarray([list(map(float, r[vec_col])) for r in rows],
-                      dtype=np.float64)
-    if len(bids) == 0:
-        # derive the id column types from the inputs (same derivation as
-        # the non-empty path) so an empty benchmark yields the exact
-        # schema the fold twin would — not a hardcoded string frame
-        id_type = train.schema[id_col].dataType.simpleString()
-        bid_type = benchmark.schema[bench_id_col].dataType.simpleString()
-        return train.sparkSession.createDataFrame(
-            [], f"{id_col} {id_type}, {bench_id_col} {bid_type}, cosine double")
-    bnorm = np.linalg.norm(bmat, axis=1)
-    keep = bnorm > 0
-    bids = [b for b, k in zip(bids, keep) if k]
-    bunit = bmat[keep] / bnorm[keep][:, None]
-    shipped = ship_model(train, bunit)
+    if prepared is None:
+        prepared = prepare_semantic_benchmark(
+            benchmark, bench_id_col=bench_id_col, vec_col=vec_col,
+        )
     id_type = train.schema[id_col].dataType.simpleString()
-    bid_type = benchmark.schema[bench_id_col].dataType.simpleString()
-    out_schema = f"{id_col} {id_type}, {bench_id_col} {bid_type}, cosine double"
+    out_schema = (
+        f"{id_col} {id_type}, {bench_id_col} {prepared.bid_type}, "
+        f"cosine double"
+    )
+    if prepared.n_bench == 0:
+        # the id column types are derived from the inputs (same derivation
+        # as the non-empty path) so an empty benchmark yields the exact
+        # schema the fold twin would — not a hardcoded string frame
+        return train.sparkSession.createDataFrame([], out_schema)
+    bids = prepared.bids
+    shipped = prepared.shipped_bunit
 
     def score(batches):
         bu = shipped.get()
@@ -408,7 +479,7 @@ def semantic_contamination_pairs_np(
             ids = pdf[id_col].to_numpy()[ok]
             yield pd.DataFrame({
                 id_col: ids[ti],
-                bench_id_col: [bids[j] for j in bi],
+                bench_id_col: bids[bi],
                 "cosine": scores[ti, bi],
             })
 

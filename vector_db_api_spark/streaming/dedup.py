@@ -294,6 +294,7 @@ def streaming_semantic_decontaminate(
     centroids=None,
     nprobe: int = 2,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """The EMBEDDING form of :func:`streaming_decontaminate` (r14): flag
     arriving training docs whose embedding sits in an eval doc's cosine
@@ -312,25 +313,39 @@ def streaming_semantic_decontaminate(
     to a MEASURED recall first. Flags carry ids only (the matmul twins'
     convention — summation-order cosines are not oracle-stable)."""
     from vector_db_api_spark.operators.decontaminate import (
+        prepare_semantic_benchmark,
         semantic_contamination_pairs_blocked_np,
         semantic_contamination_pairs_np,
     )
 
-    bench_cached = benchmark.cache()
-    bench_cached.count()  # materialize once; every batch reuses it
+    # the benchmark is static for the stream's life: collect + probe +
+    # ship it ONCE here, not per micro-batch (ADVICE r14 #4 — the prior
+    # form re-collected the bench and re-broadcast the matrices every
+    # epoch on a long-lived stream)
+    prepared = prepare_semantic_benchmark(
+        benchmark, centroids=centroids, nprobe=nprobe,
+        bench_id_col=bench_id_col, vec_col=vec_col,
+    )
 
-    stream = spark.readStream.schema(input_schema).parquet(input_path)
+    reader = spark.readStream.schema(input_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():  # ADVICE r14 #5: match the module's sinks
+            return
         if centroids is None:
             flags = semantic_contamination_pairs_np(
-                batch_df, bench_cached, threshold,
+                batch_df, benchmark, threshold,
                 id_col=id_col, bench_id_col=bench_id_col, vec_col=vec_col,
+                prepared=prepared,
             ).select(id_col, bench_id_col)
         else:
             flags = semantic_contamination_pairs_blocked_np(
-                batch_df, bench_cached, threshold, centroids, nprobe=nprobe,
+                batch_df, benchmark, threshold, centroids, nprobe=nprobe,
                 id_col=id_col, bench_id_col=bench_id_col, vec_col=vec_col,
+                prepared=prepared,
             )
         (
             flags.withColumn("epoch", F.lit(epoch_id))
@@ -599,8 +614,11 @@ def incremental_span_dedup_ingest(
 
     Scale: state is one 8-byte hash row per distinct admitted gram — the
     same asymptotics as the batch window's shuffle, queryable as a plain
-    parquet table, partitioned by epoch for cheap compaction
-    (streaming/ingest.py compact_epoch_state applies).
+    parquet table, partitioned by epoch for cheap compaction. The seen-gram
+    state has SET semantics (later epochs re-record grams the gate already
+    honors), so compact with streaming/ingest.py compact_set_state —
+    row-level DISTINCT into one COMPACT_EPOCH partition; compact_epoch_state
+    (max-epoch-per-id) would drop earlier gram rows the seen-reads rely on.
     """
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -722,8 +740,12 @@ def incremental_line_dedup_ingest(
     Idempotence: epoch-stamped dynamic overwrite on both sinks; the state
     read excludes the CURRENT epoch (the span/semdedup pattern), so an
     at-least-once replay reproduces its own partitions. State is one
-    8-byte hash row (+ first-doc provenance) per distinct admitted line,
-    epoch-partitioned for ``compact_epoch_state``."""
+    8-byte hash row (+ first-doc provenance) per distinct admitted line —
+    SET semantics like the seen-gram state, so compact with
+    streaming/ingest.py ``compact_set_state`` (row-level DISTINCT into one
+    COMPACT_EPOCH partition); ``compact_epoch_state``'s max-epoch-per-id
+    dedup would be wrong for any state where the same key may recur across
+    epochs."""
     from vector_db_api_spark.operators.lines import (
         _lines,
         line_occurrences,
