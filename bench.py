@@ -711,9 +711,160 @@ def _round_over_round_delta(
     )
 
 
+# one flag row of the machine adjudication table: name, ratio, axis, band,
+# over-band, verdict — shared by the skeleton, the auto-carry eligibility
+# scan, and the machine-carry section writer
+_FLAG_ROW_RE = (
+    r"\| (\S+) \| ([\d.]+x) \((\w+)\) \| ([\d.]+x|—) \| ([\d.]+x|—) "
+    r"\| ([^|]+) \|"
+)
+
+#: auto-carry spread slack: a raw wall up to this factor above the committed
+#: 5-warm-run max still counts as in-spread (single-shot timer noise on a
+#: multi-run envelope); anything past it demands human prose.
+_SPREAD_SLACK = 1.15
+
+
+def _committed_spreads(here: str):
+    """(spreads dict, short sha) from the COMMITTED BENCH_SPREADS.json —
+    the working-tree file is ignored for the same reason best-prior mining
+    ignores it (r11 verdict #8): only a committed record is a reproducible
+    baseline. Format: {query: {"lo": s, "hi": s, "runs": [...],
+    "round": N, "sf": x}} written by tools/measure_spread.py."""
+    import subprocess
+
+    try:
+        blob = subprocess.run(
+            ["git", "-C", here, "show", "HEAD:BENCH_SPREADS.json"],
+            capture_output=True, text=True, timeout=30,
+        )
+        if blob.returncode != 0:
+            return {}, None
+        sha = subprocess.run(
+            ["git", "-C", here, "log", "-n1", "--format=%h", "--",
+             "BENCH_SPREADS.json"],
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        return json.loads(blob.stdout), sha or None
+    except Exception:
+        return {}, None
+
+
+def _pins_green(here: str, pins) -> bool:
+    """Re-run the named plan-pin tests RIGHT NOW on this tree (one pytest
+    subprocess for the whole set). Green means a silent plan regression is
+    excluded at regen time — not 'was green when someone last ran the
+    suite'. Conservative on any failure mode: non-zero exit, no tests
+    collected, pytest missing — all read as not-green."""
+    import subprocess
+    import sys
+
+    if not pins:
+        return False
+    try:
+        res = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/test_plan_shapes.py",
+             "-q", "--no-header", "-p", "no:cacheprovider",
+             "-k", " or ".join(sorted(pins))],
+            cwd=here, capture_output=True, text=True, timeout=900,
+        )
+        # exit 5 = no tests collected (a renamed pin) — NOT green
+        return res.returncode == 0 and " passed" in res.stdout
+    except Exception:
+        return False
+
+
+def _compute_auto_carry(here: str, fresh_delta_md: str, timings: dict,
+                        pins_green_fn=None) -> dict:
+    """{flag: carried-cause prose} for every flag the regen may carry
+    WITHOUT human prose (r14 verdict #2 — three rounds of STALE banners
+    whose TODOs were machine-derivable). A flag qualifies iff ALL THREE:
+
+    1. its table verdict is pinned-residual (a named plan pin exists);
+    2. that pin test re-runs GREEN on this tree, at regen time;
+    3. its raw wall is within the COMMITTED 5-warm-run spread
+       (BENCH_SPREADS.json, +``_SPREAD_SLACK`` timer slack).
+
+    band-member flags need no carry (covered by the band verdict);
+    NEEDS-HUMAN flags and any pinned flag failing 2 or 3 stay human-owned
+    — their presence forces the STALE banner + skeleton path."""
+    import re
+
+    rows = re.findall(_FLAG_ROW_RE, fresh_delta_md)
+    pinned = [name for name, *_rest, verdict in rows
+              if verdict.strip().startswith("pinned-residual")]
+    if not pinned:
+        return {}
+    spreads, sha = _committed_spreads(here)
+    eligible = []
+    for name in pinned:
+        sp = spreads.get(name)
+        raw = timings.get(name)
+        if sp and raw is not None and raw <= sp["hi"] * _SPREAD_SLACK:
+            eligible.append(name)
+    if not eligible:
+        return {}
+    pins = sorted({PLAN_PINS[n] for n in eligible if n in PLAN_PINS})
+    green = (pins_green_fn or _pins_green)(here, pins)
+    if not green:
+        return {}
+    carry = {}
+    for name in eligible:
+        sp = spreads[name]
+        carry[name] = (
+            f"CARRIED (machine): plan frozen by `{PLAN_PINS[name]}` — "
+            f"re-run GREEN on this tree at regen time; raw "
+            f"{timings[name]:.2f}s inside the committed 5-warm-run spread "
+            f"[{sp['lo']:.2f}, {sp['hi']:.2f}]s "
+            f"(r{sp.get('round', '?')}, spreads@{sha}, "
+            f"+{round((_SPREAD_SLACK - 1) * 100)}% slack); the over-band "
+            f"ratio is probe-normalization inflation, not a plan or raw "
+            f"regression."
+        )
+    return carry
+
+
+def _machine_carry_section(fresh_delta_md: str,
+                           current_round: int | None,
+                           auto_carry: dict) -> str:
+    """The adjudication section the regen writes ITSELF when every flag is
+    band-member or auto-carried — replaces the banner+skeleton cycle for
+    the case where nothing actually needs a human (r14 verdict #2). Carries
+    the fresh ``Adjudicated bands:`` line, so the committed-artifact
+    consistency test passes without a rewrite."""
+    import re
+
+    fresh = re.search(r"\(this run: ([^)]+)\)", fresh_delta_md)
+    rows = re.findall(_FLAG_ROW_RE, fresh_delta_md)
+    rn = f"r{current_round}" if current_round is not None else "r<N>"
+    lines = [
+        f"\n## Root-cause adjudication ({rn} machine carry)\n",
+        "Written BY THE REGEN: every over-band flag in the table above is "
+        "either band-member (moved with the machine) or auto-carried — "
+        "pinned-residual whose plan pin re-ran GREEN on this tree at regen "
+        "time AND whose raw wall sits inside the committed 5-warm-run "
+        "spread (BENCH_SPREADS.json). The pin excludes a silent plan "
+        "regression, the spread excludes a raw regression; what remains is "
+        "probe-normalization inflation, recorded by the band string below. "
+        "A flag failing any condition forces the stale-banner + human "
+        "rewrite path instead of this section.\n",
+    ]
+    for name, ratio, axis, band, over, verdict in rows:
+        if name in auto_carry:
+            lines.append(f"- **{name}** {ratio} ({axis} axis), band {band}, "
+                         f"over band {over}: {auto_carry[name]}")
+        else:
+            lines.append(f"- {name} {ratio} ({axis} axis): band-member — "
+                         f"moved with the machine.")
+    if fresh:
+        lines += ["", f"Adjudicated bands: {fresh.group(1).strip()}", ""]
+    return "\n".join(lines)
+
+
 def _carry_root_causes(old_body: str | None,
                        current_round: int | None = None,
-                       fresh_delta_md: str | None = None) -> str:
+                       fresh_delta_md: str | None = None,
+                       auto_carry: dict | None = None) -> str:
     """The builder writes a '## Root-cause adjudication' section into
     BENCH_DETAIL.md after analyzing a run; bench.py regenerates the file on
     every run (including the driver's end-of-round run), so the section is
@@ -733,7 +884,16 @@ def _carry_root_causes(old_body: str | None,
       whenever the fresh table adjudicates flags.
 
     The builder's rewrite drops the banner by rewriting the whole section
-    (including a fresh ``Adjudicated bands:`` line copied from the table)."""
+    (including a fresh ``Adjudicated bands:`` line copied from the table).
+
+    r15 (r14 verdict #2 — three consecutive rounds ended in a STALE banner
+    whose TODOs were machine-derivable): when ``auto_carry`` is provided
+    and EVERY flag in the fresh table is band-member or auto-carried
+    (see :func:`_compute_auto_carry`), the regen writes the adjudication
+    itself instead of bannering — the banner+skeleton path remains for any
+    table with a NEEDS-HUMAN flag or a pinned flag failing the pin-green /
+    in-spread conditions, with carried causes pre-filled for the flags
+    that do qualify."""
     import re
 
     if not old_body:
@@ -772,15 +932,28 @@ def _carry_root_causes(old_body: str | None,
                 f"line) against the new numbers.**\n"
             )
     if banner is not None:
+        if auto_carry is not None and fresh_delta_md:
+            rows = re.findall(_FLAG_ROW_RE, fresh_delta_md)
+            human_needed = [
+                name for name, *_r, verdict in rows
+                if verdict.strip() != "band-member" and name not in auto_carry
+            ]
+            if rows and not human_needed:
+                # nothing in the fresh table needs a human: the regen
+                # writes the adjudication itself and the cycle ends here
+                return _machine_carry_section(
+                    fresh_delta_md, current_round, auto_carry)
         hdr_end = section.index("\n", section.index("## Root-cause"))
-        skeleton = _adjudication_skeleton(fresh_delta_md, current_round)
+        skeleton = _adjudication_skeleton(fresh_delta_md, current_round,
+                                          auto_carry=auto_carry)
         section = (section[:hdr_end + 1] + banner + skeleton
                    + section[hdr_end + 1:])
     return section
 
 
 def _adjudication_skeleton(fresh_delta_md: str | None,
-                           current_round: int | None) -> str:
+                           current_round: int | None,
+                           auto_carry: dict | None = None) -> str:
     """Machine-written rewrite skeleton emitted next to a STALE banner
     (r12 verdict #1): per-flag rows pre-filled with axis, band, over-band
     ratio and pin status from the fresh machine table, so a driver regen
@@ -793,11 +966,7 @@ def _adjudication_skeleton(fresh_delta_md: str | None,
     if not fresh_delta_md:
         return ""
     fresh = re.search(r"\(this run: ([^)]+)\)", fresh_delta_md)
-    rows = re.findall(
-        r"\| (\S+) \| ([\d.]+x) \((\w+)\) \| ([\d.]+x|—) \| ([\d.]+x|—) "
-        r"\| ([^|]+) \|",
-        fresh_delta_md,
-    )
+    rows = re.findall(_FLAG_ROW_RE, fresh_delta_md)
     if not fresh or not rows:
         return ""
     rn = f"r{current_round}" if current_round is not None else "r<N>"
@@ -816,7 +985,9 @@ def _adjudication_skeleton(fresh_delta_md: str | None,
     ]
     for name, ratio, axis, band, over, verdict in rows:
         verdict = verdict.strip()
-        if "NEEDS-HUMAN" in verdict:
+        if auto_carry and name in auto_carry:
+            tail = auto_carry[name]
+        elif "NEEDS-HUMAN" in verdict:
             tail = ("**TODO: name the root cause** (no plan pin — "
                     "a human cause is REQUIRED before commit)")
         elif verdict.startswith("pinned-residual"):
@@ -832,6 +1003,41 @@ def _adjudication_skeleton(fresh_delta_md: str | None,
         )
     lines += ["", "<!-- adjudication-skeleton:end -->"]
     return "\n".join(lines) + "\n"
+
+
+def _spread_mode_args():
+    """Parse ``--spread q1,q2`` from argv; None when absent (normal run)."""
+    import sys
+
+    if "--spread" in sys.argv:
+        i = sys.argv.index("--spread")
+        if i + 1 < len(sys.argv):
+            return [s for s in sys.argv[i + 1].split(",") if s]
+        return []
+    return None
+
+
+def _write_spreads(here: str, results: dict, sf, rnd) -> None:
+    """Merge 5-warm-run spreads into BENCH_SPREADS.json (working tree —
+    the builder reviews and COMMITS it; the auto-carry reads only the
+    committed blob, mirroring the best-prior rule)."""
+    path = os.path.join(here, "BENCH_SPREADS.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except Exception:
+        data = {}
+    for name, samples in results.items():
+        data[name] = {
+            "runs": samples,
+            "lo": min(samples),
+            "hi": max(samples),
+            "round": rnd,
+            "sf": sf,
+        }
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+        f.write("\n")
 
 
 def _current_round(here: str) -> int | None:
@@ -1019,6 +1225,32 @@ def main() -> None:
         except Exception:
             pass
         time.sleep(0.5)
+
+    # -- spread mode (r14 verdict #2): `bench.py --spread q1,q2` runs ONLY
+    # the named thunks, 5 warm passes each, and records the raw spread in
+    # BENCH_SPREADS.json — the committed envelope _compute_auto_carry reads.
+    # Same session, same caches, same thunk shapes as the normal pass, so
+    # the spread measures exactly what the flag table times.
+    spread_names = _spread_mode_args()
+    if spread_names is not None:
+        missing = sorted(set(spread_names) - set(thunks))
+        assert not missing, f"--spread names not in the thunk list: {missing}"
+        here_ = os.path.dirname(os.path.abspath(__file__))
+        sf_ = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        spread_out: dict[str, list[float]] = {}
+        for name in spread_names:
+            thunks[name]()  # first touch excluded — the 5-WARM-run protocol
+            samples = []
+            for _ in range(5):
+                t0 = time.time()
+                thunks[name]()
+                samples.append(round(time.time() - t0, 3))
+            spread_out[name] = samples
+        _write_spreads(here_, spread_out, sf_, _current_round(here_))
+        print(json.dumps({"metric": "spread_runs", "unit": "sec",
+                          "queries": spread_out, "sf": sf_}))
+        spark.stop()
+        return
 
     cold: dict[str, float] = {}
     for name, thunk in thunks.items():
@@ -1274,10 +1506,16 @@ def main() -> None:
             # delta_md/flagged were computed (and flag-stabilized) above,
             # before any artifact write
             dpath = os.path.join(here, "BENCH_DETAIL.md")
+            # auto-carry eligibility (r14 verdict #2): computed ONLY when
+            # the fresh table flags something — the pin re-run costs one
+            # pytest subprocess, paid per flagged regen, not per run
+            auto = (_compute_auto_carry(here, delta_md, timings)
+                    if flagged else {})
             try:
                 with open(dpath) as f:
                     carry = _carry_root_causes(f.read(), _current_round(here),
-                                               fresh_delta_md=delta_md)
+                                               fresh_delta_md=delta_md,
+                                               auto_carry=auto)
             except OSError:
                 carry = ""
             with open(dpath, "w") as f:

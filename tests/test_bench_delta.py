@@ -562,3 +562,109 @@ def test_stale_banner_comes_with_a_machine_written_skeleton():
     )
     clean = carry(prose_ok, 11, fresh_delta_md=fresh)
     assert "STALE" not in clean and "adjudication-skeleton" not in clean
+
+
+def _fresh_table(rows):
+    """A minimal fresh delta_md with a '(this run: ...)' band string and
+    the given flag-table rows."""
+    body = ["Band = median (this run: jvm 0.93x/75q, python 1.45x/75q).",
+            "| flag | ratio (axis) | band | over band | verdict |",
+            "|---|---|---|---|---|"]
+    body += rows
+    return "\n".join(body) + "\n"
+
+
+def test_auto_carry_green_pin_in_spread_flag_produces_no_banner():
+    """r14 verdict #2 'Done' bar: a pinned-residual flag whose pin is green
+    and whose raw is in the committed spread is CARRIED by the regen itself
+    — no STALE banner, a machine-written section with the fresh bands."""
+    ns = _load_bench_ns()
+    carry = ns["_carry_root_causes"]
+    fresh = _fresh_table([
+        "| pq_search | 1.93x (python) | 1.45x | 1.34x | pinned-residual "
+        "(`test_pq_search_candidate_selection_is_take_ordered`) |",
+        "| simhash_np | 1.43x (python) | 1.45x | 0.99x | band-member |",
+    ])
+    old = ("# x\n## Root-cause adjudication (r14 builder run)\n\nprose\n\n"
+           "Adjudicated bands: jvm 1.01x/82q, python 0.73x/82q\n")
+    auto = {"pq_search": "CARRIED (machine): plan frozen by `pin` — "
+            "re-run GREEN; raw 0.51s inside [0.48, 0.52]s."}
+    out = carry(old, 15, fresh_delta_md=fresh, auto_carry=auto)
+    assert "STALE" not in out
+    assert "machine carry" in out
+    assert "CARRIED (machine)" in out
+    assert "Adjudicated bands: jvm 0.93x/75q, python 1.45x/75q" in out
+    # band-members are covered without prose
+    assert "simhash_np" in out
+    # committed-artifact consistency test's two checks hold by construction
+    import re
+    prose = re.search(r"Adjudicated bands: ([^\n]+)", out)
+    table = re.search(r"\(this run: ([^)]+)\)", fresh)
+    assert prose.group(1).strip() == table.group(1).strip()
+
+
+def test_auto_carry_does_not_swallow_needs_human_flags():
+    """A NEEDS-HUMAN flag (or a pinned flag that failed the pin/spread
+    conditions, i.e. absent from auto_carry) still banners + skeletons —
+    with carried causes PRE-FILLED for the flags that do qualify."""
+    ns = _load_bench_ns()
+    carry = ns["_carry_root_causes"]
+    fresh = _fresh_table([
+        "| pq_search | 1.93x (python) | 1.45x | 1.34x | pinned-residual "
+        "(`test_pq_search_candidate_selection_is_take_ordered`) |",
+        "| events_hourly | 1.50x (jvm) | 0.93x | 1.61x | **NEEDS-HUMAN** "
+        "— name a root cause below |",
+    ])
+    old = ("# x\n## Root-cause adjudication (r14 builder run)\n\nprose\n\n"
+           "Adjudicated bands: jvm 1.01x/82q, python 0.73x/82q\n")
+    auto = {"pq_search": "CARRIED (machine): plan frozen by `pin`."}
+    out = carry(old, 15, fresh_delta_md=fresh, auto_carry=auto)
+    assert "STALE" in out and "adjudication-skeleton" in out
+    assert "CARRIED (machine)" in out          # pre-filled for the carried
+    assert "TODO: name the root cause" in out  # demanded for the human one
+    # a pinned flag NOT in auto_carry keeps its TODO too
+    out2 = carry(old, 15, fresh_delta_md=fresh, auto_carry={})
+    assert "STALE" in out2 and "TODO: carry or restate" in out2
+
+
+def test_compute_auto_carry_conditions():
+    """_compute_auto_carry demands all three conditions: pinned verdict,
+    committed spread containing the raw, green pin re-run."""
+    import subprocess
+    import tempfile
+
+    ns = _load_bench_ns()
+    fn = ns["_compute_auto_carry"]
+    fresh = _fresh_table([
+        "| pq_search | 1.93x (python) | 1.45x | 1.34x | pinned-residual "
+        "(`test_pq_search_candidate_selection_is_take_ordered`) |",
+        "| simhash_np | 1.43x (python) | 1.45x | 0.99x | band-member |",
+    ])
+    with tempfile.TemporaryDirectory() as tmp:
+        subprocess.run(["git", "init", "-q", tmp], check=True)
+        spath = os.path.join(tmp, "BENCH_SPREADS.json")
+        with open(spath, "w") as f:
+            json.dump({"pq_search": {"lo": 0.48, "hi": 0.52,
+                                     "runs": [0.48, 0.5, 0.52],
+                                     "round": 15, "sf": "0.1"}}, f)
+        subprocess.run(["git", "-C", tmp, "add", "-A"], check=True)
+        subprocess.run(
+            ["git", "-C", tmp, "-c", "user.email=t@t", "-c", "user.name=t",
+             "commit", "-qm", "s"], check=True)
+        # in-spread + green pin -> carried, citing pin and spread
+        out = fn(tmp, fresh, {"pq_search": 0.51},
+                 pins_green_fn=lambda here, pins: True)
+        assert set(out) == {"pq_search"}
+        assert "GREEN" in out["pq_search"] and "[0.48, 0.52]s" in out["pq_search"]
+        # raw out of spread -> not carried (1.15 slack: 0.52*1.15 ≈ 0.60)
+        assert fn(tmp, fresh, {"pq_search": 0.7},
+                  pins_green_fn=lambda here, pins: True) == {}
+        # pin not green -> not carried
+        assert fn(tmp, fresh, {"pq_search": 0.51},
+                  pins_green_fn=lambda here, pins: False) == {}
+        # no committed spread for the flag -> not carried
+        out3 = fn(tmp, _fresh_table([
+            "| lsh_search | 1.90x (python) | 1.45x | 1.31x | "
+            "pinned-residual (`test_x`) |"]), {"lsh_search": 0.5},
+            pins_green_fn=lambda here, pins: True)
+        assert out3 == {}
