@@ -519,3 +519,144 @@ def test_set_state_compaction_refuses_missing_partition_column(
     ).write.partitionBy("epoch").parquet(sp)
     with pytest.raises(ValueError, match="partition column"):
         compact_set_state(spark, sp, partition_by=("band_no",))
+
+
+# ---------------------------------------------------------------------------
+# Compaction during crash RECOVERY (r14 verdict #4: the compact-then-crash
+# leg): the at-least-once replay's idempotence rests on the state read
+# excluding the CURRENT epoch — so a compaction run between the crash and
+# the restart must NOT fold the uncommitted epoch's rows into
+# COMPACT_EPOCH. uncommitted_epoch() reads the crash window off the
+# checkpoint; preserve_epochs keeps that epoch excludable.
+# ---------------------------------------------------------------------------
+
+def _crash_after_state_write(ckpt: str) -> int:
+    """Newest epoch's state landed, its commit did not (the
+    tests/test_streaming_restart.py simulation)."""
+    cdir = os.path.join(ckpt, "commits")
+    ids = sorted(int(n) for n in os.listdir(cdir) if n.lstrip("-").isdigit())
+    os.remove(os.path.join(cdir, str(ids[-1])))
+    crc = os.path.join(cdir, f".{ids[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    return ids[-1]
+
+
+_SPAN = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+
+
+def _span_crash_corpus(spark):
+    """doc 1 carries the span first (keep), docs 2-3 repeat it (remove);
+    1+2 arrive in the crashing batch, 3 after the restart."""
+    return spark.createDataFrame(
+        [(1, _SPAN), (2, _SPAN + " tail two"), (3, _SPAN + " other tail")],
+        "doc_id bigint, text string",
+    )
+
+
+def _drain_span(spark, src, sp, out, ck):
+    from vector_db_api_spark.streaming.dedup import incremental_span_dedup_ingest
+
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = incremental_span_dedup_ingest(stream, sp, out, ck, n=8)
+    q.awaitTermination(300)
+
+
+def test_uncommitted_epoch_reads_the_crash_window(spark, tmp_path):
+    from vector_db_api_spark.streaming.ingest import uncommitted_epoch
+
+    docs = _span_crash_corpus(spark)
+    src, sp, out, ck = (str(tmp_path / d) for d in ("src", "sp", "out", "ck"))
+    docs.filter(F.col("doc_id") <= 2).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _drain_span(spark, src, sp, out, ck)
+    assert uncommitted_epoch(ck) is None  # clean drain: nothing to replay
+    assert _crash_after_state_write(ck) == 0
+    assert uncommitted_epoch(ck) == 0
+    assert uncommitted_epoch(ck, epoch_offset=1_000_000) == 1_000_000
+    assert uncommitted_epoch(str(tmp_path / "no_ck")) is None
+
+
+def test_compaction_during_crash_recovery_preserves_replay(spark, tmp_path):
+    """Crash mid-drain -> compact the seen-gram state WITH the uncommitted
+    epoch preserved -> restart replays it -> drain the rest: the served
+    output still equals the batch span_dedup oracle row-for-row."""
+    from vector_db_api_spark.operators.span_dedup import span_dedup
+    from vector_db_api_spark.streaming.ingest import (
+        COMPACT_EPOCH,
+        compact_set_state,
+        uncommitted_epoch,
+    )
+
+    docs = _span_crash_corpus(spark)
+    want = {tuple(r) for r in span_dedup(docs, n=8).select(
+        "doc_id", "n_tokens", "n_tokens_removed", "n_spans", "clean_text"
+    ).collect()}
+
+    src, sp, out, ck = (str(tmp_path / d) for d in ("src", "sp", "out", "ck"))
+    docs.filter(F.col("doc_id") <= 2).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _drain_span(spark, src, sp, out, ck)
+    assert _crash_after_state_write(ck) == 0
+    # maintenance window runs DURING recovery: preserve the replay epoch
+    replay = uncommitted_epoch(ck)
+    compact_set_state(spark, sp, preserve_epochs=[replay])
+    eps = {r["epoch"] for r in
+           spark.read.parquet(sp).select("epoch").distinct().collect()}
+    assert eps == {replay}  # nothing committed yet -> nothing folded
+    docs.filter(F.col("doc_id") == 3).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _drain_span(spark, src, sp, out, ck)  # replays epoch 0, ingests doc 3
+    got = {tuple(r) for r in spark.read.parquet(out).select(
+        "doc_id", "n_tokens", "n_tokens_removed", "n_spans", "clean_text"
+    ).collect()}
+    assert got == want
+    # and a LATER maintenance compaction (no crash pending) folds it all
+    compact_set_state(spark, sp)
+    assert {r["epoch"] for r in
+            spark.read.parquet(sp).select("epoch").distinct().collect()} \
+        == {COMPACT_EPOCH}
+
+
+def test_folding_the_uncommitted_epoch_is_the_pinned_hazard(spark, tmp_path):
+    """The converse, pinned so the preserve contract can't silently rot:
+    folding the uncommitted epoch makes the replayed batch read its OWN
+    admissions as prior state and over-remove — doc 1, the span's
+    keep-first owner, comes back cleaned."""
+    from vector_db_api_spark.streaming.ingest import compact_set_state
+
+    docs = _span_crash_corpus(spark)
+    src, sp, out, ck = (str(tmp_path / d) for d in ("src", "sp", "out", "ck"))
+    docs.filter(F.col("doc_id") <= 2).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _drain_span(spark, src, sp, out, ck)
+    assert _crash_after_state_write(ck) == 0
+    compact_set_state(spark, sp)  # WRONG during recovery: folds epoch 0
+    _drain_span(spark, src, sp, out, ck)  # replay sees itself as prior
+    doc1 = spark.read.parquet(out).filter(F.col("doc_id") == 1).collect()[0]
+    assert doc1["n_tokens_removed"] == 8  # keep-first violated == the hazard
+
+
+def test_epoch_state_compaction_preserve_is_read_identical(spark, tmp_path):
+    """compact_epoch_state's preserve path: the newest (possibly
+    uncommitted) epoch keeps its own partition, latest_rows before ==
+    after — the SemDeDup/postings analogue of the set-state contract."""
+    from vector_db_api_spark.streaming.ingest import (
+        COMPACT_EPOCH,
+        compact_epoch_state,
+        latest_rows,
+    )
+
+    sp = str(tmp_path / "state")
+    rows = [(1, "a", 0), (2, "b", 0), (1, "a2", 1), (3, "c", 2), (2, "b2", 2)]
+    spark.createDataFrame(rows, "doc_id bigint, v string, epoch int") \
+        .write.partitionBy("epoch").parquet(sp)
+    want = {tuple(r) for r in latest_rows(
+        spark.read.parquet(sp)).select("doc_id", "v").collect()}
+    compact_epoch_state(spark, sp, "doc_id", preserve_epochs=[2])
+    after = spark.read.parquet(sp)
+    assert {r["epoch"] for r in after.select("epoch").distinct().collect()} \
+        == {COMPACT_EPOCH, 2}
+    assert {tuple(r) for r in latest_rows(after)
+            .select("doc_id", "v").collect()} == want

@@ -297,6 +297,148 @@ def run_first_seen(spark, sf_dir, report):
            "uninterrupted-reference equality (no arrival-order-free oracle)")
 
 
+def run_line_dedup(spark, con, sf_dir, report):
+    """r15 (VERDICT r14 #4): continuous keep-first line dedup under the
+    same crash — id-ordered median split like span dedup (the batch-oracle
+    equality needs non-decreasing ids)."""
+    from vector_db_api_spark.streaming.dedup import incremental_line_dedup_ingest
+
+    tmp = tempfile.mkdtemp(prefix="sf1_restart_line_")
+    a, b, sp, out = f"{tmp}/a", f"{tmp}/b", f"{tmp}/state", f"{tmp}/out"
+    docs = suite._docs(spark, sf_dir).select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    mid = (lo + hi) // 2
+    docs.filter(F.col("doc_id") <= mid).write.mode("overwrite").parquet(a)
+    docs.filter(F.col("doc_id") > mid).write.mode("overwrite").parquet(b)
+
+    def drain(src, ck, off):
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        q = incremental_line_dedup_ingest(stream, sp, out, ck, epoch_offset=off)
+        suite._await_stream(q, seconds=3600)
+
+    t0 = time.time()
+    drain(a, f"{tmp}/ck0", 0)
+    replayed = _crash_after_state_write(f"{tmp}/ck0")
+    drain(a, f"{tmp}/ck0", 0)  # restart replays epoch 0 idempotently
+    drain(b, f"{tmp}/ck1", 1_000_000)
+    wall = time.time() - t0
+    served = spark.read.parquet(out).select(
+        "doc_id", "n_lines", "n_lines_removed", "clean_text")
+    ok, n = _oracle_ok(con, "stream_line_dedup_state", served)
+    report("stream_line_dedup", wall, replayed, ok, n, "DuckDB oracle")
+
+
+def run_semantic_decon(spark, con, sf_dir, report):
+    """r15 (VERDICT r14 #4): the continuous semantic-decontamination gate
+    under the same crash. The gate is STATELESS (static broadcast bench),
+    so the only idempotence mechanism under test is the epoch-stamped
+    dynamic-overwrite flags sink — the replayed batch must overwrite
+    exactly its own flag partition."""
+    from vector_db_api_spark.streaming.dedup import (
+        streaming_semantic_decontaminate,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sf1_restart_semdecon_")
+    src, fp, ck = f"{tmp}/src", f"{tmp}/flags", f"{tmp}/ck"
+    train, bench = suite._semdecon_split(spark, sf_dir)
+    train = train.select("vec_id", "embedding")
+    schema = "vec_id bigint, embedding array<float>"
+
+    def drain():
+        q = streaming_semantic_decontaminate(
+            spark, src, schema, bench, suite.SEMDECON_THRESHOLD, fp, ck,
+            id_col="vec_id", bench_id_col="bench_id",
+            max_files_per_trigger=1,
+        )
+        suite._await_stream(q, seconds=3600)
+
+    t0 = time.time()
+    train.filter(F.col("vec_id") % 2 == 0).repartition(4) \
+        .write.mode("append").parquet(src)
+    drain()
+    replayed = _crash_after_state_write(ck)
+    train.filter(F.col("vec_id") % 2 == 1).repartition(4) \
+        .write.mode("append").parquet(src)
+    drain()
+    wall = time.time() - t0
+    served = spark.read.parquet(fp).select("vec_id", "bench_id")
+    ok, n = _oracle_ok(con, "stream_semantic_decontaminate_state", served)
+    report("stream_semantic_decon", wall, replayed, ok, n, "DuckDB oracle")
+
+
+def run_span_compact_crash(spark, con, sf_dir, report):
+    """r15 (VERDICT r14 #4, the compact-then-crash leg): the drain dies
+    mid-batch, a maintenance compaction runs DURING recovery (engine
+    down), then the restarted drain replays the uncommitted epoch and
+    ingests the rest. The compaction must preserve the replay epoch
+    (uncommitted_epoch -> preserve_epochs) — folding it would make the
+    replay read its own gram admissions as prior state and over-remove
+    (the hazard tests/test_compaction.py pins at gate scale). Oracle:
+    the same batch span_dedup DuckDB replay as the uncrashed drill."""
+    from vector_db_api_spark.streaming.dedup import incremental_span_dedup_ingest
+    from vector_db_api_spark.streaming.ingest import (
+        compact_set_state,
+        uncommitted_epoch,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sf1_compact_crash_span_")
+    src, sp, out, ck = (f"{tmp}/{d}" for d in ("src", "state", "out", "ck"))
+    docs = suite._docs(spark, sf_dir).select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    step = (hi - lo + 8) // 8
+
+    def write_batches(idx):
+        import os as _os
+        base = time.time()
+        stamped = set()
+        for i in idx:
+            docs.filter(
+                (F.col("doc_id") >= lo + i * step)
+                & (F.col("doc_id") < lo + (i + 1) * step)
+            ).coalesce(1).write.mode("append").parquet(src)
+            for name in _os.listdir(src):
+                p = _os.path.join(src, name)
+                if p not in stamped and not name.startswith(("_", ".")):
+                    _os.utime(p, (base + i, base + i))
+                    stamped.add(p)
+
+    def drain():
+        stream = spark.readStream.schema("doc_id bigint, text string").option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = incremental_span_dedup_ingest(stream, sp, out, ck, n=suite.SPAN_N)
+        suite._await_stream(q, seconds=3600)
+
+    t0 = time.time()
+    write_batches(range(4))     # first half: epochs 0-3
+    drain()
+    replayed = _crash_after_state_write(ck)
+    mb_before = _du_mb(sp)
+    # maintenance compaction DURING recovery: epochs 0-2 fold, 3 preserved
+    compact_set_state(spark, sp, preserve_epochs=[uncommitted_epoch(ck)])
+    mb_after = _du_mb(sp)
+    write_batches(range(4, 8))  # rest arrives while we were down
+    drain()                     # replays epoch 3, ingests epochs 4-7
+    wall = time.time() - t0
+    served = spark.read.parquet(out).select(
+        "doc_id", "n_tokens", "n_tokens_removed", "n_spans", "clean_text")
+    ok, n = _oracle_ok(con, "stream_span_dedup_state", served)
+    report(
+        f"stream_span_dedup COMPACT-then-crash (state {mb_before}->"
+        f"{mb_after} MB mid-recovery)", wall, replayed, ok, n,
+        "DuckDB oracle")
+
+
+def _du_mb(path: str) -> float:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return round(total / 1e6, 2)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     spark = get_spark("stream-restart-sf1")
@@ -319,6 +461,9 @@ def main() -> None:
     run_span_dedup(spark, con, sf_dir, report)
     run_curate(spark, con, sf_dir, report)
     run_first_seen(spark, sf_dir, report)
+    run_line_dedup(spark, con, sf_dir, report)
+    run_semantic_decon(spark, con, sf_dir, report)
+    run_span_compact_crash(spark, con, sf_dir, report)
     print("\n".join(lines))
     with open("/tmp/stream_restart_sf1_section.md", "w") as f:
         f.write("\n".join(lines) + "\n")

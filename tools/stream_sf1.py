@@ -255,6 +255,61 @@ def run_curate(spark, con, sf_dir, report):
            _batches(q), _du_mb(sp), ok, n)
 
 
+def run_line_dedup(spark, con, sf_dir, report):
+    """r15 (VERDICT r14 #4): continuous keep-first line dedup, 8
+    id-ordered micro-batches — the span recipe (id-range single files,
+    explicit mtime order, maxFilesPerTrigger=1) applied to the r13 line
+    stream."""
+    from vector_db_api_spark.streaming.dedup import incremental_line_dedup_ingest
+
+    tmp = tempfile.mkdtemp(prefix="sf1_stream_line_")
+    src, sp, out, ck = (f"{tmp}/{d}" for d in ("src", "state", "out", "ck"))
+    docs = suite._docs(spark, sf_dir).select("doc_id", "text")
+    _write_id_ordered_batches(docs, src)
+    t0 = time.time()
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = incremental_line_dedup_ingest(stream, sp, out, ck)
+    suite._await_stream(q, seconds=3600)
+    wall = time.time() - t0
+    served = spark.read.parquet(out).select(
+        "doc_id", "n_lines", "n_lines_removed", "clean_text"
+    )
+    ok, n = _oracle_ok(con, "stream_line_dedup_state", served)
+    report("stream_line_dedup (8 id-ordered epochs)", wall, _batches(q),
+           _du_mb(sp), ok, n)
+
+
+def run_semantic_decon(spark, con, sf_dir, report):
+    """r15 (VERDICT r14 #4): the continuous semantic-decontamination gate
+    at sf1 — the train split streams in as 8 micro-batches against the
+    static prepared benchmark (collected + shipped ONCE, ADVICE r14 #4);
+    the gate is stateless, so the drained epoch-stamped flags must union
+    to exactly the batch _np twin's pair set at ANY granularity."""
+    from vector_db_api_spark.streaming.dedup import (
+        streaming_semantic_decontaminate,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sf1_stream_semdecon_")
+    src, fp, ck = (f"{tmp}/{d}" for d in ("src", "flags", "ck"))
+    train, bench = suite._semdecon_split(spark, sf_dir)
+    train.select("vec_id", "embedding").repartition(8) \
+        .write.mode("overwrite").parquet(src)
+    t0 = time.time()
+    q = streaming_semantic_decontaminate(
+        spark, src, "vec_id bigint, embedding array<float>",
+        bench, suite.SEMDECON_THRESHOLD, fp, ck,
+        id_col="vec_id", bench_id_col="bench_id", max_files_per_trigger=1,
+    )
+    suite._await_stream(q, seconds=3600)
+    wall = time.time() - t0
+    served = spark.read.parquet(fp).select("vec_id", "bench_id")
+    ok, n = _oracle_ok(con, "stream_semantic_decontaminate_state", served)
+    report("stream_semantic_decon (8 epochs)", wall,
+           _batches(q), _du_mb(fp), ok, n)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     spark = get_spark("stream-sf1")
@@ -281,6 +336,8 @@ def main() -> None:
     run_semdedup(spark, con, sf_dir, report)
     run_span_dedup(spark, con, sf_dir, report)
     run_curate(spark, con, sf_dir, report)
+    run_line_dedup(spark, con, sf_dir, report)
+    run_semantic_decon(spark, con, sf_dir, report)
     print("\n".join(lines))
     with open("/tmp/stream_sf1_section.md", "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -515,12 +515,58 @@ def _swap_in(out: DataFrame, path: str, partition_by, mode: str = "rename") -> N
     shutil.rmtree(old)
 
 
+def uncommitted_epoch(checkpoint: str, epoch_offset: int = 0) -> int | None:
+    """The epoch stamp a restarted drain will REPLAY, or ``None`` when the
+    checkpoint is cleanly committed.
+
+    foreachBatch runs batch N only after batch N-1's commit lands, so at
+    most ONE batch per checkpoint lineage sits inside the at-least-once
+    window at any moment: its ``offsets/N`` entry exists but ``commits/N``
+    does not (the crash the restart drills and
+    tests/test_streaming_restart.py simulate). Pass the lineage's
+    ``epoch_offset`` to translate the batch id into the STATE epoch stamp.
+
+    Why this exists: a compaction run during crash RECOVERY (after the
+    engine died, before the restarted drain) must pass this epoch to the
+    compactors' ``preserve_epochs`` — folding an uncommitted epoch's rows
+    into :data:`COMPACT_EPOCH` defeats the current-epoch exclusion that
+    replay idempotence rests on. The replayed batch would read its own
+    admissions as PRIOR state: over-removal for the set-semantics dedup
+    states (seen-gram/line/bucket), self-rejection for the SemDeDup
+    admitted state. ``tests/test_compaction.py`` pins both the hazard and
+    the preserve fix."""
+    import os
+
+    def _ids(sub: str) -> set[int]:
+        d = os.path.join(checkpoint, sub)
+        if not os.path.isdir(d):
+            return set()
+        return {int(n) for n in os.listdir(d) if n.lstrip("-").isdigit()}
+
+    pending = _ids("offsets") - _ids("commits")
+    return max(pending) + epoch_offset if pending else None
+
+
+def _split_preserved(df: DataFrame, preserve_epochs):
+    """(folded, kept) split for the compactors: rows in ``preserve_epochs``
+    keep their own epoch partitions verbatim; everything else collapses.
+    Reads are epoch-agnostic unions/max-per-id, so the split is invisible
+    to them — its point is that a preserved epoch stays EXCLUDABLE by the
+    replay's ``epoch != current`` filter."""
+    preserve = sorted({int(e) for e in preserve_epochs or ()})
+    if not preserve:
+        return df, None
+    cond = F.col("epoch").isin(preserve)
+    return df.filter(~cond), df.filter(cond)
+
+
 def compact_epoch_state(
     spark: SparkSession,
     path: str,
     id_col: str,
     partition_by: tuple[str, ...] = (),
     mode: str = "rename",
+    preserve_epochs=(),
 ) -> None:
     """Collapse an epoch-appended state table to its served rows, in place.
 
@@ -541,6 +587,14 @@ def compact_epoch_state(
     maintenance window, not inside a foreachBatch — it swaps the
     directory the live stream appends to. Cadence guidance in
     DEPLOYMENT.md.
+
+    ``preserve_epochs``: epochs kept AS THEIR OWN partitions instead of
+    folding (read-identical — those are the newest epochs, so the per-id
+    max is unchanged). Required when compacting during crash RECOVERY:
+    pass :func:`uncommitted_epoch`'s answer so the restarted drain's
+    ``epoch != current`` state read still excludes the batch it replays
+    (the SemDeDup admitted state would otherwise self-reject — each
+    replayed vector finds ITSELF within ε in the folded prior).
     """
     df = spark.read.parquet(resolve_state_dir(path))
     missing = [c for c in partition_by if c not in df.columns]
@@ -549,7 +603,12 @@ def compact_epoch_state(
             f"state at {path} lacks partition column(s) {missing}; migrate "
             "the layout first (e.g. streaming.dedup.migrate_semdedup_state)"
         )
-    collapsed = latest_rows(df, id_col).withColumn("epoch", F.lit(COMPACT_EPOCH))
+    folded, kept = _split_preserved(df, preserve_epochs)
+    collapsed = latest_rows(folded, id_col).withColumn(
+        "epoch", F.lit(COMPACT_EPOCH)
+    )
+    if kept is not None:
+        collapsed = collapsed.unionByName(kept.select(*collapsed.columns))
     _swap_in(collapsed, path, ("epoch", *partition_by), mode=mode)
 
 
@@ -558,6 +617,7 @@ def compact_set_state(
     path: str,
     partition_by: tuple[str, ...] = (),
     mode: str = "rename",
+    preserve_epochs=(),
 ) -> None:
     """Compaction for the SET-semantics dedup states: the seen-gram table
     (``incremental_span_dedup_ingest`` / the curate gram stage), the
@@ -584,6 +644,15 @@ def compact_set_state(
     :func:`compact_epoch_state`: run from a maintenance window, never
     inside the foreachBatch appending to this path — the replay-safety of
     the CURRENT-epoch exclusion assumes no in-flight epoch spans the swap.
+
+    Compacting during crash RECOVERY (engine dead, restart pending) is the
+    one legal in-between, and it MUST pass ``preserve_epochs`` =
+    [:func:`uncommitted_epoch`]: those epochs keep their own partitions
+    (read-identical — set reads DISTINCT over all epochs) so the restarted
+    drain's ``epoch != current`` exclusion still hides the replayed
+    batch's own admissions. Folding them instead makes the replay read its
+    own grams/lines as prior-seen and OVER-REMOVE — the hazard
+    tests/test_compaction.py pins alongside the fix.
     """
     df = spark.read.parquet(resolve_state_dir(path))
     missing = [c for c in partition_by if c not in df.columns]
@@ -591,9 +660,13 @@ def compact_set_state(
         raise ValueError(
             f"state at {path} lacks partition column(s) {missing}"
         )
+    folded, kept = _split_preserved(df, preserve_epochs)
     collapsed = (
-        df.drop("epoch").distinct().withColumn("epoch", F.lit(COMPACT_EPOCH))
+        folded.drop("epoch").distinct()
+        .withColumn("epoch", F.lit(COMPACT_EPOCH))
     )
+    if kept is not None:
+        collapsed = collapsed.unionByName(kept.select(*collapsed.columns))
     _swap_in(collapsed, path, (*partition_by, "epoch"), mode=mode)
 
 
