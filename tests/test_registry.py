@@ -334,3 +334,24 @@ def test_rotation_policy_staged_promotion():
     assert not missing, f"r{latest} rotation log lists {missing} as promoted, but they are not in WINDOW"
     stale = [n for n in suite.ROTATION_LOG[latest]["out"] if n in window]
     assert not stale, f"r{latest} rotation log lists {stale} as displaced, but they are still in WINDOW"
+
+
+def test_sampled_scale_oracles_are_registered_and_seeded():
+    """r14 verdict #7: the two quadratic-oracle self-join entries carry
+    SAMPLED full-scale oracle twins (seeded ~1% query subset, portable
+    h32 on both engines) so sf1+ sweeps hash real values instead of
+    running SPARK-ONLY. Pins: the twins point at real SUITE entries, the
+    sample literal matches on both sides, and the sampled SQL embeds the
+    same ranked/top-k tail as the full oracle."""
+    assert set(suite.SAMPLED_SCALE_ORACLES) == {
+        "knn_self_join_top3", "knn_self_join_ivf_sym"
+    }
+    for name, twin in suite.SAMPLED_SCALE_ORACLES.items():
+        assert name in suite.SUITE
+        assert suite._SJ_SAMPLE_SALT in twin["oracle"]
+        assert f"% {suite._SJ_SAMPLE_MOD} = 0" in twin["oracle"]
+        assert callable(twin["spark_filter"])
+        # the sampled oracle keeps the full oracle's compare columns
+        full = suite.SUITE[name][1]
+        for col in ("query_id", "vec_id", "score"):
+            assert col in twin["oracle"] and col in full

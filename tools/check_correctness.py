@@ -54,17 +54,34 @@ def main() -> int:
     # large-sf sweeps where an oracle is quadratic BY CONSTRUCTION (full
     # n² self-join replays) and its values are already checked at the
     # driver scales. Printed as SPARK-ONLY so the artifact can't overclaim.
+    # --sampled=a,b,c : replace those entries' full oracle with their
+    # suite.SAMPLED_SCALE_ORACLES twin — a seeded ~1% query subset replayed
+    # EXACTLY (portable-h32 sample, identical on both engines; the Spark
+    # output is filtered to the same subset before the canon compare). For
+    # large-sf sweeps where the full oracle is quadratic by construction:
+    # real value hashing at 1/100th the oracle cost, r14 verdict #7's
+    # replacement for --spark-only on the two self-join entries.
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     spark_only: set[str] = set()
+    sampled: set[str] = set()
     for a in sys.argv[1:]:
         if a.startswith("--spark-only="):
             spark_only = {n for n in a.split("=", 1)[1].split(",") if n}
+        if a.startswith("--sampled="):
+            sampled = {n for n in a.split("=", 1)[1].split(",") if n}
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     spark = get_spark("check-correctness")
     con = duck_con(sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if sampled:
+        from vector_db_api_spark.suite import SAMPLED_SCALE_ORACLES
+
+        unknown = sampled - set(SAMPLED_SCALE_ORACLES)
+        if unknown:
+            print(f"no sampled oracle registered for: {sorted(unknown)}")
+            return 2
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -83,6 +100,8 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
+            if name in sampled:
+                sdf = SAMPLED_SCALE_ORACLES[name]["spark_filter"](sdf)
             scols = sdf.columns
             # The driver's canonicalizer (pandas sort_values) cannot sort
             # array/map/struct cells — flag them here before the driver does.
@@ -105,7 +124,9 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
+            osql = (SAMPLED_SCALE_ORACLES[name]["oracle"]
+                    if name in sampled else oracles[name])
+            res = con.execute(osql)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as e:  # noqa: BLE001
@@ -127,7 +148,8 @@ def main() -> int:
             print(f"FAIL  {name}: {len(bad)}/{len(s_canon)} rows differ; first: spark={bad[0][0]} duck={bad[0][1]}")
             n_fail += 1
             continue
-        print(f"PASS  {name}: {len(s_canon)} rows [{time.time()-t0:.1f}s]")
+        tag = " (sampled ~1% oracle)" if name in sampled else ""
+        print(f"PASS  {name}: {len(s_canon)} rows{tag} [{time.time()-t0:.1f}s]")
         n_pass += 1
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
     spark.stop()

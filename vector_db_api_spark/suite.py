@@ -6242,6 +6242,114 @@ REGISTERED_ROUND: dict[str, int] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Sampled full-scale oracles (r14 verdict #7): the two self-join entries'
+# registry oracles replay the FULL n² pair space — exactly right at driver
+# scale, quadratic by construction at sf1+, which is why every full-scale
+# sweep since r10 ran them SPARK-ONLY/excluded. Each now carries a SAMPLED
+# twin: a seeded ~1% of query ids (portable h32, identical literal on both
+# engines) replayed EXACTLY — top-k rows, real value hashing — while the
+# oracle cost drops from n² to n²/100. The Spark side still computes the
+# full join; `spark_filter` restricts its OUTPUT to the sampled queries so
+# the compare stays row-for-row. tools/check_correctness.py --sampled
+# consumes this; the driver-scale entries are untouched.
+# ---------------------------------------------------------------------------
+
+_SJ_SAMPLE_MOD = 100  # ~1% of queries
+_SJ_SAMPLE_SALT = ":sjsample"
+
+
+def _sj_sample_filter(id_expr: Column) -> Column:
+    """True for the seeded sample: h32(id || salt) % 100 == 0."""
+    return (
+        H.h32(F.concat(id_expr.cast("string"), F.lit(_SJ_SAMPLE_SALT)))
+        % _SJ_SAMPLE_MOD == 0
+    )
+
+
+def _sql_sj_sample_cte() -> str:
+    h = O.h32(f"CAST(vec_id AS VARCHAR) || '{_SJ_SAMPLE_SALT}'")
+    return (f"SELECT vec_id FROM embeddings "
+            f"WHERE {h} % {_SJ_SAMPLE_MOD} = 0")
+
+
+def _sql_knn_self_join_sampled() -> str:
+    """_sql_knn_self_join restricted to the sampled query side — same
+    scored/ranked/top-k tail, bit-identical rows for sampled queries."""
+    return f"""
+WITH s AS ({_sql_sj_sample_cte()}),
+scored AS (
+  SELECT CAST(q.vec_id AS VARCHAR) AS query_id, e.vec_id,
+         {O.cosine('e.embedding', 'q.embedding')} AS score
+  FROM embeddings q JOIN s USING (vec_id) JOIN embeddings e
+    ON q.embedding IS NOT NULL AND e.embedding IS NOT NULL
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked
+WHERE rn <= 4 AND query_id <> CAST(vec_id AS VARCHAR)
+"""
+
+
+def _sql_knn_self_join_ivf_sym_sampled(p: int = 2, k: int = 3) -> str:
+    """_sql_knn_self_join_ivf_sym with the PAIR join's query side sampled;
+    probe ranking still runs over the full corpus (it is O(n·K) — the
+    candidate side must stay complete for the intersection semantics)."""
+    model = _ivf_fixed_model()
+    dlist = O.dots_const_list("e.embedding", model.centroids)
+    return f"""
+WITH base AS (
+  SELECT e.vec_id, e.embedding, {dlist} AS dots
+  FROM embeddings e
+  WHERE e.embedding IS NOT NULL AND {O.norm('e.embedding')} <> 0.0
+),
+probe AS (
+  SELECT b.vec_id, t.j - 1 AS centroid_id,
+         row_number() OVER (PARTITION BY b.vec_id
+                            ORDER BY b.dots[t.j] DESC, t.j ASC) AS rk
+  FROM base b CROSS JOIN range(1, {_IVF_FIXED_K} + 1) AS t(j)
+),
+p AS (SELECT vec_id, centroid_id FROM probe WHERE rk <= {p}),
+s AS ({_sql_sj_sample_cte()}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vid
+  FROM p a JOIN s ON a.vec_id = s.vec_id JOIN p b USING (centroid_id)
+),
+scored AS (
+  SELECT pr.qid AS query_id, pr.vid AS vec_id,
+         {O.cosine('cb.embedding', 'ca.embedding')} AS score
+  FROM pairs pr
+  JOIN base ca ON ca.vec_id = pr.qid
+  JOIN base cb ON cb.vec_id = pr.vid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= {k}
+"""
+
+
+SAMPLED_SCALE_ORACLES: dict[str, dict] = {
+    "knn_self_join_top3": {
+        "oracle": _sql_knn_self_join_sampled(),
+        "spark_filter": lambda df: df.filter(
+            _sj_sample_filter(F.col("query_id"))
+        ),
+    },
+    "knn_self_join_ivf_sym": {
+        "oracle": _sql_knn_self_join_ivf_sym_sampled(),
+        "spark_filter": lambda df: df.filter(
+            _sj_sample_filter(F.col("query_id"))
+        ),
+    },
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in SUITE.items()}
 
