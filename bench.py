@@ -250,6 +250,9 @@ PLAN_PINS = {
     "knn_self_join_auto_cached": "test_knn_batch_numpy_partial_topk_single_exchange",
     "doc_lm_nll": "test_doc_nll_literal_scoring_is_zero_shuffle_pure_expressions",
     "doc_temperature_sample": "test_temperature_sample_is_windowed_no_join",
+    "doc_packing": "test_doc_packing_sharded_window_no_global_sort",
+    "embedding_neardup_np":
+        "test_embedding_neardup_np_groups_blocks_no_cross_join",
     "crud_upsert": "test_upsert_is_equi_joins_and_union_no_cartesian",
     "simhash_np": "test_simhash_kernel_is_shuffle_free",
     "multimodal_embed": "test_embed_texts_fuses_with_scan_no_shuffle",

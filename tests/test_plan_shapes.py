@@ -864,3 +864,33 @@ def test_semantic_contamination_blocked_np_plan_is_fused_single_pass(spark):
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
+
+
+def test_doc_packing_sharded_window_no_global_sort(spark):
+    """Sequence packing is num_shards INDEPENDENT cumulative sums: one
+    hash-partition exchange on the shard key feeds the window; a global
+    range sort (Exchange rangepartitioning — the thing that cannot scale
+    to 100 TB of docs) must never appear."""
+    plan = _plan(suite.q_doc_packing(spark, SF_DIR))
+    assert "Exchange rangepartitioning" not in plan
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+    assert "Window" in plan
+
+
+def test_embedding_neardup_np_groups_blocks_no_cross_join(spark, emb):
+    """The BLAS near-dup kernel is a per-block gram matrix inside
+    applyInPandas: ONE hash exchange on the block key, no cartesian /
+    broadcast-nested-loop pair join at any corpus size."""
+    from vector_db_api_spark.operators import dedup as D
+
+    df = D.embedding_neardup_pairs_numpy(
+        emb, threshold=suite.NEARDUP_THRESHOLD, id_col="vec_id",
+        block_col="label",
+    ).select("left_id", "right_id")
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
