@@ -253,6 +253,9 @@ PLAN_PINS = {
     "doc_packing": "test_doc_packing_sharded_window_no_global_sort",
     "embedding_neardup_np":
         "test_embedding_neardup_np_groups_blocks_no_cross_join",
+    "pq_build": "test_pq_encode_fuses_with_scan_no_shuffle",
+    "rel_pricing_summary":
+        "test_rel_pricing_summary_partial_agg_single_exchange",
     "crud_upsert": "test_upsert_is_equi_joins_and_union_no_cartesian",
     "simhash_np": "test_simhash_kernel_is_shuffle_free",
     "multimodal_embed": "test_embed_texts_fuses_with_scan_no_shuffle",
@@ -1089,35 +1092,51 @@ def main() -> None:
     build: dict[str, float] = {}
     n_corpus = emb.count()
 
-    t0 = time.time()
+    # Builds follow the same warm-once-then-time protocol as every query
+    # thunk (r15): through r14 they were timed COLD — the only cold rows
+    # in the table — so a build flag was first-touch JIT/Arrow codegen
+    # noise in three separate rounds (pq_build one-shot 3.19s vs steady
+    # 1.03-1.14s, r13; cold 1.69s vs warm 0.83-0.87s, r15), never a plan
+    # change. The cold head is still visible in cold_first_run_sec.
+    def _warm_build(make):
+        """make() -> (model, cached_df); run once warm, discard, re-run
+        timed — train + layout + cache-materialize, end to end."""
+        _, df = make()
+        df.count()
+        df.unpersist()
+        t0 = time.time()
+        model, df = make()
+        df.count()
+        return model, df, round(time.time() - t0, 3)
+
     # H auto-derived from corpus size (bounded probed-rows per table under
     # the multiprobe-1 default) — the r2 bench's fixed H=8 was sized for
-    # sf0.01 and gave deep buckets / 0.2 recall at sf0.1
-    model = SignLSH.auto_size(n_corpus, dim=64, seed=42)
-    # self-contained bucket table (vectors co-located, the L× space/time
+    # sf0.01 and gave deep buckets / 0.2 recall at sf0.1.
+    # Self-contained bucket table (vectors co-located, the L× space/time
     # trade): single-query probes re-rank in place with NO corpus join —
     # one job instead of probe + broadcast-semi-join (r8 verdict #1)
-    buckets = build_bucket_table(
-        model, emb, id_col="vec_id", include_vectors=True
-    ).cache()
-    buckets.count()
-    build["lsh_build"] = round(time.time() - t0, 3)
+    def _mk_lsh():
+        m = SignLSH.auto_size(n_corpus, dim=64, seed=42)
+        return m, build_bucket_table(
+            m, emb, id_col="vec_id", include_vectors=True).cache()
 
-    t0 = time.time()
-    ivf = IVFIndex.auto_train(emb, n_rows=n_corpus, seed=42)
+    model, buckets, build["lsh_build"] = _warm_build(_mk_lsh)
+
     # IVF-Flat posting layout (vectors in the posting rows, one copy per
     # id): probes re-rank in place with no corpus hydration join
-    assignments = ivf.assign(emb, id_col="vec_id", include_vectors=True).cache()
-    assignments.count()
-    build["ivf_build"] = round(time.time() - t0, 3)
+    def _mk_ivf():
+        m = IVFIndex.auto_train(emb, n_rows=n_corpus, seed=42)
+        return m, m.assign(emb, id_col="vec_id", include_vectors=True).cache()
+
+    ivf, assignments, build["ivf_build"] = _warm_build(_mk_ivf)
 
     from vector_db_api_spark.operators.pq import PQIndex
 
-    t0 = time.time()
-    pqm = PQIndex.train(emb, m=8, k=64, seed=42)
-    pq_codes = pqm.encode(emb, id_col="vec_id").cache()
-    pq_codes.count()
-    build["pq_build"] = round(time.time() - t0, 3)
+    def _mk_pq():
+        m = PQIndex.train(emb, m=8, k=64, seed=42)
+        return m, m.encode(emb, id_col="vec_id").cache()
+
+    pqm, pq_codes, build["pq_build"] = _warm_build(_mk_pq)
 
     thunks = {
         name: (lambda n=name: _force(qs[n](spark, SF_DIR))) for name in HEADLINE
@@ -1236,6 +1255,25 @@ def main() -> None:
     # the spread measures exactly what the flag table times.
     spread_names = _spread_mode_args()
     if spread_names is not None:
+        # build spreads re-run the full build body (train + layout +
+        # cache) on a throwaway cache each pass — the same warm protocol
+        # the flag table times builds with since r15
+        def _rebuild(make):
+            df = make()
+            df.count()
+            df.unpersist()
+
+        thunks = dict(thunks)
+        thunks["lsh_build"] = lambda: _rebuild(
+            lambda: build_bucket_table(
+                SignLSH.auto_size(n_corpus, dim=64, seed=42), emb,
+                id_col="vec_id", include_vectors=True).cache())
+        thunks["ivf_build"] = lambda: _rebuild(
+            lambda: IVFIndex.auto_train(emb, n_rows=n_corpus, seed=42)
+            .assign(emb, id_col="vec_id", include_vectors=True).cache())
+        thunks["pq_build"] = lambda: _rebuild(
+            lambda: PQIndex.train(emb, m=8, k=64, seed=42)
+            .encode(emb, id_col="vec_id").cache())
         missing = sorted(set(spread_names) - set(thunks))
         assert not missing, f"--spread names not in the thunk list: {missing}"
         here_ = os.path.dirname(os.path.abspath(__file__))
