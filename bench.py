@@ -256,6 +256,10 @@ PLAN_PINS = {
     "pq_build": "test_pq_encode_fuses_with_scan_no_shuffle",
     "rel_pricing_summary":
         "test_rel_pricing_summary_partial_agg_single_exchange",
+    "events_first_seen":
+        "test_events_first_seen_partial_group_limit_before_shuffle",
+    "events_asof": "test_events_asof_is_union_window_no_join",
+    "doc_sample_hash": "test_doc_sample_hash_single_stage_no_shuffle",
     "crud_upsert": "test_upsert_is_equi_joins_and_union_no_cartesian",
     "simhash_np": "test_simhash_kernel_is_shuffle_free",
     "multimodal_embed": "test_embed_texts_fuses_with_scan_no_shuffle",

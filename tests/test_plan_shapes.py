@@ -924,3 +924,49 @@ def test_rel_pricing_summary_partial_agg_single_exchange(spark):
     assert "ReadSchema: struct<l_quantity" in plan
     for unread in ("l_orderkey", "l_comment", "l_shipdate"):
         assert unread not in plan, f"scan reads unreferenced {unread}"
+
+
+def test_events_first_seen_partial_group_limit_before_shuffle(spark):
+    """First-seen dedup is a per-fingerprint top-1: the WindowGroupLimit
+    must run map-side (Partial) BEFORE the single hash exchange — at
+    100 TB the shuffle carries one candidate row per (fingerprint,
+    partition), not the raw event stream. No global range sort."""
+    import re
+
+    plan = _plan(suite.q_events_first_seen(spark, SF_DIR))
+    partial = re.search(r"WindowGroupLimit .*Partial", plan)
+    exch = re.search(r"Exchange hashpartitioning", plan)
+    assert partial and exch and partial.start() > exch.start(), \
+        "partial group-limit must sit below (after in plan text) the exchange"
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_events_asof_is_union_window_no_join(spark):
+    """The as-of join is the union-then-window plan: both sides union,
+    ONE hash exchange on the key, last() over the ordered window — no
+    join operator of any kind (a time-travel sort-merge or nested-loop
+    would be the non-scalable alternative), and the build side's literal
+    filter reaches the parquet scan."""
+    import re
+
+    plan = _plan(suite.q_events_asof(spark, SF_DIR))
+    assert "Union" in plan and "Window" in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, f"as-of plan grew a {op}"
+    # one exchange for the union-window key; the suite entry's output
+    # ordering may add at most one more — never a per-side join shuffle
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type," in plan
+
+
+def test_doc_sample_hash_single_stage_no_shuffle(spark):
+    """Hash-mod sampling is one whole-stage-codegen filter fused with the
+    scan: zero exchanges at any corpus size, and the scan reads only the
+    projected columns."""
+    plan = _plan(suite.q_doc_sample_hash(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "WholeStageCodegen" in _plan(
+        suite.q_doc_sample_hash(spark, SF_DIR)) or "*(1)" in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
