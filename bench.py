@@ -1030,7 +1030,13 @@ def _spread_mode_args():
 def _write_spreads(here: str, results: dict, sf, rnd) -> None:
     """Merge 5-warm-run spreads into BENCH_SPREADS.json (working tree —
     the builder reviews and COMMITS it; the auto-carry reads only the
-    committed blob, mirroring the best-prior rule)."""
+    committed blob, mirroring the best-prior rule).
+
+    Samples ACCUMULATE across measurement windows (keep the newest 15):
+    this virtualized host oscillates well past the auto-carry's 15%
+    slack between windows (suite walls 120s and 136s within one evening,
+    r15), so an envelope from a single window under-covers — the honest
+    spread is the union of every window measured at the same sf."""
     path = os.path.join(here, "BENCH_SPREADS.json")
     try:
         with open(path) as f:
@@ -1038,6 +1044,9 @@ def _write_spreads(here: str, results: dict, sf, rnd) -> None:
     except Exception:
         data = {}
     for name, samples in results.items():
+        prior = data.get(name)
+        if prior and prior.get("sf") == sf:
+            samples = (prior.get("runs", []) + samples)[-15:]
         data[name] = {
             "runs": samples,
             "lo": min(samples),
