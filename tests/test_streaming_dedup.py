@@ -464,3 +464,40 @@ def test_streaming_semantic_decontaminate_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "flags_blk")).collect()
     )
     assert got_blk == want
+
+
+def test_streaming_semantic_decontaminate_zero_flags_reads_empty(
+    spark, tmp_path
+):
+    """A drain that flags NOTHING writes no partition at all (dynamic
+    overwrite of an empty frame creates no files), so the flags path may
+    not exist — found by the r15 generated-corpus sweep, where no
+    cross-split cosine clears the threshold. read_flags must serve the
+    typed empty set instead of PATH_NOT_FOUND."""
+    import numpy as np
+
+    from vector_db_api_spark.streaming.dedup import (
+        read_flags,
+        streaming_semantic_decontaminate,
+    )
+
+    rng = np.random.default_rng(5)
+    # orthogonal one-hot train vs bench rows: max cosine 0.0 < threshold
+    train = [(i, [0.0] * i + [1.0] + [0.0] * (7 - i)) for i in range(4)]
+    bench_rows = [(100 + i, [0.0] * (4 + i) + [1.0] + [0.0] * (3 - i))
+                  for i in range(4)]
+    bench = spark.createDataFrame(
+        bench_rows, "bench_id bigint, embedding array<double>")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        train, "doc_id bigint, embedding array<double>"
+    ).write.parquet(src)
+    q = streaming_semantic_decontaminate(
+        spark, src, "doc_id bigint, embedding array<double>", bench, 0.5,
+        str(tmp_path / "flags"), str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    served = read_flags(
+        spark, str(tmp_path / "flags"), "doc_id bigint, bench_id bigint")
+    assert served.count() == 0
+    assert [f.name for f in served.schema.fields] == ["doc_id", "bench_id"]

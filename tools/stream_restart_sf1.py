@@ -335,6 +335,7 @@ def run_semantic_decon(spark, con, sf_dir, report):
     dynamic-overwrite flags sink — the replayed batch must overwrite
     exactly its own flag partition."""
     from vector_db_api_spark.streaming.dedup import (
+        read_flags,
         streaming_semantic_decontaminate,
     )
 
@@ -361,7 +362,9 @@ def run_semantic_decon(spark, con, sf_dir, report):
         .write.mode("append").parquet(src)
     drain()
     wall = time.time() - t0
-    served = spark.read.parquet(fp).select("vec_id", "bench_id")
+    served = read_flags(
+        spark, fp, "vec_id bigint, bench_id bigint"
+    ).select("vec_id", "bench_id")
     ok, n = _oracle_ok(con, "stream_semantic_decontaminate_state", served)
     report("stream_semantic_decon", wall, replayed, ok, n, "DuckDB oracle")
 

@@ -288,6 +288,7 @@ def run_semantic_decon(spark, con, sf_dir, report):
     the gate is stateless, so the drained epoch-stamped flags must union
     to exactly the batch _np twin's pair set at ANY granularity."""
     from vector_db_api_spark.streaming.dedup import (
+        read_flags,
         streaming_semantic_decontaminate,
     )
 
@@ -304,7 +305,9 @@ def run_semantic_decon(spark, con, sf_dir, report):
     )
     suite._await_stream(q, seconds=3600)
     wall = time.time() - t0
-    served = spark.read.parquet(fp).select("vec_id", "bench_id")
+    served = read_flags(
+        spark, fp, "vec_id bigint, bench_id bigint"
+    ).select("vec_id", "bench_id")
     ok, n = _oracle_ok(con, "stream_semantic_decontaminate_state", served)
     report("stream_semantic_decon (8 epochs)", wall,
            _batches(q), _du_mb(fp), ok, n)

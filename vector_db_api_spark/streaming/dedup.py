@@ -363,6 +363,24 @@ def streaming_semantic_decontaminate(
     return writer.start()
 
 
+def read_flags(spark, flags_path: str, schema: str) -> DataFrame:
+    """Typed read of a decontamination-gate flags table that tolerates the
+    zero-flag case: a drain whose every micro-batch flags NOTHING writes no
+    partition (dynamic-partition overwrite of an empty frame creates no
+    files, not even the root dir), so a bare ``spark.read.parquet`` raises
+    PATH_NOT_FOUND — found by the r15 generated-corpus off-axis sweep,
+    where the eval split genuinely has no cosine neighbor above the
+    threshold. Returns an empty frame of ``schema`` (caller-declared id
+    columns, e.g. ``"vec_id bigint, bench_id bigint"``) when no flag has
+    ever been written; drops the ``epoch`` bookkeeping column otherwise."""
+    from vector_db_api_spark.streaming.ingest import state_read_or_none
+
+    df = state_read_or_none(spark, flags_path)
+    if df is None:
+        return spark.createDataFrame([], schema)
+    return df.drop("epoch")
+
+
 def semdedup_cell_bucket(cell, num_cell_buckets: int) -> Column:
     """Partition bucket for an admitted-state row: ``pmod(cell, B)``, with
     embedding-less rows (null cell) in the dedicated ``-1`` bucket. A

@@ -934,6 +934,7 @@ def q_stream_semantic_decontaminate_state(
     import tempfile
 
     from vector_db_api_spark.streaming.dedup import (
+        read_flags,
         streaming_semantic_decontaminate,
     )
 
@@ -947,7 +948,12 @@ def q_stream_semantic_decontaminate_state(
         id_col="vec_id", bench_id_col="bench_id",
     )
     _await_stream(q)
-    return spark.read.parquet(f"{tmp}/flags").select("vec_id", "bench_id")
+    # read_flags, not a bare parquet read: a corpus with no cross-split
+    # neighbor above the threshold writes ZERO flag partitions (r15
+    # generated-corpus sweep) and the gate's answer is the empty set
+    return read_flags(
+        spark, f"{tmp}/flags", "vec_id bigint, bench_id bigint"
+    ).select("vec_id", "bench_id")
 
 
 def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
