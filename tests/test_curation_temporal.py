@@ -22,8 +22,18 @@ SF_DIR = "/root/testdata/sf0.001"
 def docs(spark):
     # unpersist on teardown: a cached full-table plan would otherwise be
     # substituted (InMemoryTableScan) into OTHER test modules' plans and
-    # break their pushdown assertions
-    df = load_table(spark, SF_DIR, "documents").cache()
+    # break their pushdown assertions.
+    # Spread disabled: this module pins OPERATOR plan shapes ("no
+    # Exchange" in hash_sample) — the loader's r15 small-scan spread is
+    # input conditioning, pinned separately in test_tables_spread.py.
+    from vector_db_api_spark.sources import tables as tables_mod
+
+    old = tables_mod.SPREAD_MAX_BYTES
+    tables_mod.SPREAD_MAX_BYTES = 0
+    try:
+        df = load_table(spark, SF_DIR, "documents").cache()
+    finally:
+        tables_mod.SPREAD_MAX_BYTES = old
     yield df
     df.unpersist()
 

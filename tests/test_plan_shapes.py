@@ -15,9 +15,22 @@ from pyspark.sql import functions as F
 
 from vector_db_api_spark import suite
 from vector_db_api_spark.operators import knn as KNN
+from vector_db_api_spark.sources import tables as tables_mod
 from vector_db_api_spark.sources.tables import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _no_scan_spread(monkeypatch):
+    """Pin OPERATOR plan shapes only: the loader's small-input scan spread
+    (tables._spread_small_scan, r15) would add one RoundRobinPartitioning
+    exchange above every tiny single-file scan — input conditioning, not
+    operator cost, and a no-op at any real deployment scale. Disable it
+    here so every 'no Exchange' / exchange-count pin below keeps reading
+    the operator's own shuffles; the spread itself is pinned in
+    tests/test_tables_spread.py."""
+    monkeypatch.setattr(tables_mod, "SPREAD_MAX_BYTES", 0)
 
 
 def _plan(df) -> str:
@@ -30,7 +43,14 @@ def _optimized(df) -> str:
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return load_table(spark, SF_DIR, "embeddings")
+    # module-scoped: instantiates BEFORE the function-scoped autouse
+    # monkeypatch above, so it must disable the spread itself
+    old = tables_mod.SPREAD_MAX_BYTES
+    tables_mod.SPREAD_MAX_BYTES = 0
+    try:
+        return load_table(spark, SF_DIR, "embeddings")
+    finally:
+        tables_mod.SPREAD_MAX_BYTES = old
 
 
 def test_knn_single_is_take_ordered_no_shuffle(spark, emb):

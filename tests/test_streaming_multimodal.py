@@ -184,9 +184,12 @@ def test_media_embeddings_pool_and_search(spark):
     from vector_db_api_spark.operators.knn import knn
     from vector_db_api_spark.operators.multimodal import media_embeddings
 
-    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    # ordered limit: the loader's r15 scan spread makes a bare limit pick
+    # rows from arbitrary partitions — this test needs doc 0 ("m0") in the
+    # set, so pin the subset deterministically
+    docs = load_table(spark, SF_DIR, "documents").orderBy("doc_id").limit(60)
     # plant an exact duplicate payload of doc 0 under a fresh id
-    dup = docs.limit(1).withColumn("doc_id", F.lit(999999))
+    dup = docs.orderBy("doc_id").limit(1).withColumn("doc_id", F.lit(999999))
     media = derive_media(docs.union(dup))
     emb = media_embeddings(media, n_frames=4).cache()
 

@@ -30,6 +30,40 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Scan-spread ceiling (r15, guide §2.5 "input skew: one huge unsplittable
+# file — repartition immediately after the read"): a single parquet file
+# smaller than this is ONE scan split (parquet cannot split inside a row
+# group), so every downstream per-row-expensive stage runs on ONE core
+# while the rest of the machine idles — measured 2-30× of the fold-twin
+# queries' wall at sf0.1 (OPTIMIZATION_r15.md). Files above the ceiling
+# (and directory tables — any real deployment) split naturally and are
+# never touched, so the spread exchange exists exactly where its cost is
+# a few thousand rows and buys the whole machine. Env-tunable so a
+# cluster profile can disable it (0) without a code change.
+SPREAD_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_MAX_BYTES", str(64 << 20))
+)
+# ...and a floor: dimension tables of a few KB (region/nation/supplier) are
+# pure broadcast fodder — spreading 25 rows over 32 tasks only adds an
+# exchange inside every broadcast build. Below this, scans pass through.
+SPREAD_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", str(32 << 10))
+)
+# Only the unstructured-payload tables spread. Their operators (shingling,
+# winnowing, repetition stats, vector fold scoring, probe assignment) burn
+# CPU per row INSIDE the scan stage, so one unsplittable split serializes
+# the whole query — measured 2-5× wall. The relational/events fact tables
+# are the opposite regime: scan-light and shuffle-bound, where a
+# round-robin exchange of the raw rows is pure added cost (measured
+# 2-3× WORSE on rel_pricing_summary / events_hourly / rel_top_customers,
+# OPTIMIZATION_r15.md) — their aggregates and joins redistribute on their
+# own keys anyway.
+SPREAD_TABLES = frozenset(
+    t for t in os.environ.get(
+        "SPARK_GRAFT_SPREAD_TABLES", "documents,embeddings"
+    ).split(",") if t
+)
+
 # Columns stored as parquet TIMESTAMP(NANOS): Spark (with
 # spark.sql.legacy.parquet.nanosAsLong=true) reads them as long nanoseconds;
 # we floor-divide to micros, matching how micro-resolution engines (DuckDB)
@@ -41,17 +75,44 @@ TS_NANO_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _spread_small_scan(
+    spark: SparkSession, df: DataFrame, path: str, name: str
+) -> DataFrame:
+    """Round-robin a tiny single-file scan across the default parallelism.
+
+    A parquet file below one row group is ONE split no matter what
+    ``maxPartitionBytes``/``minPartitionNum`` say, so a scan-fused
+    expression pipeline (the fold twins, probe assignment, pair scoring
+    before the first exchange) runs single-core. The repartition moves a
+    few hundred KB once and unlocks every core for the compute-bound
+    stage. Scale-adaptive: a file above ``SPREAD_MAX_BYTES``, a directory
+    table, or a session already at parallelism 1 all pass through
+    untouched — at deployment scale this function is a no-op by
+    construction, which is why the plan-shape pins treat the
+    RoundRobinPartitioning exchange as input conditioning, not operator
+    cost (tests/test_plan_shapes.py::_plan)."""
+    if SPREAD_MAX_BYTES <= 0 or name not in SPREAD_TABLES:
+        return df
+    if not os.path.isfile(path):
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if par > 1 and SPREAD_MIN_BYTES <= os.path.getsize(path) <= SPREAD_MAX_BYTES:
+        return df.repartition(par)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Self-contained: the testdata parquet stores TIMESTAMP(NANOS), which
     # Spark rejects unless this legacy conf is on. It is runtime-settable,
     # so set it here rather than relying on whoever built the session
     # (external harnesses build their own sessions without it).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     for c in TS_NANO_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return _spread_small_scan(spark, df, path, name)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
