@@ -854,7 +854,30 @@ def connected_components_alternating(
     )
 
     def _star(e: DataFrame, large: bool) -> DataFrame:
-        nbr = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # r15 (guide §1.2 — this loop is ROUND-overhead-bound long before
+        # it is data-bound): both edge directions come from ONE read of the
+        # checkpointed input via explode, not union(e, swap(e)) — the union
+        # double-scanned e, which mattered because every round reads its
+        # predecessor twice more (mins + linked); and the round checkpoint
+        # is LAZY — it materializes inside the convergence probe's count()
+        # (or the next star's first job) instead of paying a dedicated
+        # eager job per star. Lineage truncation per round is unchanged —
+        # only WHEN the checkpoint job runs moves. Measured: ~2× fewer
+        # jobs per round, doc_leakage_split/dedup components wall down
+        # accordingly (OPTIMIZATION_r15.md).
+        nbr = (
+            e.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u"), F.col("v")),
+                        F.struct(
+                            F.col("v").alias("u"), F.col("u").alias("v")
+                        ),
+                    )
+                ).alias("__p")
+            )
+            .select("__p.u", "__p.v")
+        )
         mins = nbr.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
@@ -870,7 +893,7 @@ def connected_components_alternating(
         return (
             linked.filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
     converged = False
