@@ -558,17 +558,23 @@ class IVFIndex:
 
         - ONE ranked probe pass over the corpus at max(p) (``probe_rank``
           filters serve every smaller p for free);
-        - per p, the exact directed-pair count Σ_cells c_p(cell)² from a
-          cell histogram (one partial agg) → candidate fraction;
-        - per p, sampled recall: ``sample_queries`` hash-picked vectors
-          get exact top-k (one JVM kNN-batch pass) and probe-plan top-k
-          (sample-side probes broadcast against the corpus probe table —
-          the sample's candidates only, never all pairs).
+        - ONE aggregation for every candidate p's exact directed-pair
+          count Σ_cells c_p(cell)² (each (cell, rank) count contributes to
+          every p > rank) → candidate fractions;
+        - ONE scoring pass for every eligible p's sampled recall:
+          ``sample_queries`` hash-picked vectors get exact top-k (one JVM
+          kNN-batch pass); each probe-plan candidate pair carries the
+          smallest p at which it is a candidate (__pmin) and is scored
+          once, then one window partitioned by (p, query_id) replays each
+          p's top-k — the sample's candidates only, never all pairs, and
+          never re-scored per p (r15; was one histogram + one rerank JOB
+          per candidate p).
 
         Returns the decision record: ``{"plan": "probe"|"exact",
         "nprobe_sym": p|None, "sampled_recall": {p: r}, and
         "candidate_fraction": {p: f}}`` — callers log it; ``self_join_auto``
         dispatches on it."""
+        from vector_db_api_spark.functions import vector as V
         from vector_db_api_spark.operators.knn import knn_batch, rerank_pairs
 
         queries = corpus.filter(F.col(vec_col).isNotNull()).select(
@@ -609,53 +615,137 @@ class IVFIndex:
         sample_probe_all = self.assign_queries(
             sample, nprobe=p_max, with_rank=True
         ).localCheckpoint(eager=True)
-        for p in sorted(set(min(p, p_max) for p in nprobe_candidates)):
-            # exact directed-pair count at this p: Σ_cells count² over the
-            # (already computed) ranked probe table
-            hist = (
-                probes.filter(F.col("probe_rank") < p)
-                .groupBy("centroid_id").agg(F.count(F.lit(1)).alias("c"))
-                .agg(F.sum(F.col("c") * F.col("c")).alias("pairs"))
-                .collect()[0]["pairs"]
+        ps = sorted(set(min(p, p_max) for p in nprobe_candidates))
+        # -- r15 (guide §1.2): the p-loop below used to run 2 JOBS PER
+        # CANDIDATE p (a filtered histogram+collect, then a full
+        # rerank+window+collect that RE-SCORED the pair set) — 4 candidate
+        # p values = up to 8 sequential small jobs, each re-reading the
+        # probe table. Both loops are now single-pass:
+        #  * every p's exact directed-pair count comes from ONE
+        #    aggregation — a (cell, rank) count row contributes its c to
+        #    every p > rank, so explode it to those p and sum; integers
+        #    throughout, bit-identical to the per-p Σ_cells c_p(cell)²;
+        #  * every eligible p's sampled recall comes from ONE scoring
+        #    pass — each candidate pair carries __pmin = min over shared
+        #    cells of max(sample_rank, corpus_rank)+1 (the smallest p at
+        #    which the pair is a candidate; "candidate at p" ⇔ __pmin ≤
+        #    p), is scored ONCE with rerank_pairs' exact expressions, and
+        #    the per-p top-k replays as one window partitioned by
+        #    (p, query_id) over the pair exploded to its eligible
+        #    p ≥ __pmin. The two-stage rank (top k+1, drop self, top k)
+        #    replicates the old rerank_pairs(k+1)→filter→row_number≤k
+        #    sequence exactly, so the recall numbers — and therefore the
+        #    routing DECISION — are unchanged (pinned by the existing
+        #    routing tests).
+        p_arr = F.array(*[F.lit(int(p)) for p in ps])
+        pair_counts = (
+            probes.groupBy("centroid_id", "probe_rank")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                "centroid_id", "c",
+                F.explode(
+                    F.filter(p_arr, lambda p: p > F.col("probe_rank"))
+                ).alias("__p"),
             )
-            frac = float(hist) / (float(n) * float(n))
-            decision["candidate_fraction"][p] = round(frac, 6)
-            if frac > max_candidate_fraction:
-                continue  # scan-bound at this p; larger p only grows it
-            sp = sample_probe_all.filter(F.col("probe_rank") < p)
+            .groupBy("__p", "centroid_id")
+            .agg(F.sum("c").alias("cp"))
+            .groupBy("__p")
+            .agg(F.sum(F.col("cp") * F.col("cp")).alias("pairs"))
+            .collect()
+        )
+        pairs_at = {int(r["__p"]): int(r["pairs"]) for r in pair_counts}
+        fracs = {
+            p: float(pairs_at.get(p, 0)) / (float(n) * float(n)) for p in ps
+        }
+        eligible = [p for p in ps if fracs[p] <= max_candidate_fraction]
+        recalls: dict[int, float] = {}
+        if eligible:
+            # only ranks below the largest ELIGIBLE p participate — the
+            # candidate set (and the scoring fold) stays exactly the old
+            # loop's union over eligible p, not the p_max superset (on a
+            # scan-bound corpus p_max's candidate fraction can be ~0.7
+            # while the eligible ps sit under 0.05)
+            p_top = max(eligible)
             cand = (
-                F.broadcast(sp.select("query_id", "centroid_id"))
+                F.broadcast(
+                    sample_probe_all.filter(F.col("probe_rank") < p_top)
+                    .select(
+                        "query_id", "centroid_id",
+                        F.col("probe_rank").alias("__rs"),
+                    )
+                )
                 .join(
-                    probes.filter(F.col("probe_rank") < p).select(
-                        F.col("query_id").alias(id_col), "centroid_id"),
-                    "centroid_id")
-                .select("query_id", id_col)
-                .distinct()
+                    probes.filter(F.col("probe_rank") < p_top).select(
+                        F.col("query_id").alias(id_col), "centroid_id",
+                        F.col("probe_rank").alias("__rc"),
+                    ),
+                    "centroid_id",
+                )
+                .groupBy("query_id", id_col)
+                .agg(
+                    (F.min(F.greatest("__rs", "__rc")) + 1).alias("__pmin")
+                )
+            )
+            # scoring expressions == rerank_pairs (operators/knn.py):
+            # corpus hydration join, broadcast query side, similarity fold
+            e = V.as_double_array(vec_col)
+            qside = F.broadcast(
+                sample.select(
+                    "query_id",
+                    V.as_double_array("query_vec").alias("__qv"),
+                )
+            )
+            elig_arr = F.array(*[F.lit(int(p)) for p in eligible])
+            scored = (
+                corpus.join(cand, id_col, "inner")
+                .join(qside, "query_id")
+                .select(
+                    F.col("query_id"), F.col(id_col), F.col("__pmin"),
+                    V.similarity(metric, e, F.col("__qv")).alias("score"),
+                )
+                .select(
+                    "query_id", id_col, "score",
+                    F.explode(
+                        F.filter(elig_arr, lambda p: p >= F.col("__pmin"))
+                    ).alias("__p"),
+                )
+            )
+            w = Window.partitionBy("__p", "query_id").orderBy(
+                F.desc("score"), F.col(id_col).asc()
             )
             hits = (
-                rerank_pairs(corpus, sample, cand, k + 1, metric=metric,
-                             id_col=id_col, vec_col=vec_col)
+                scored.withColumn("__rk1", F.row_number().over(w))
+                .filter(F.col("__rk1") <= k + 1)
                 .filter(F.col("query_id") != F.col(id_col))
-                .withColumn("__rk", F.row_number().over(
-                    Window.partitionBy("query_id").orderBy(
-                        F.desc("score"), F.col(id_col).asc())))
+                .withColumn("__rk", F.row_number().over(w))
                 .filter(F.col("__rk") <= k)
-                .groupBy("query_id")
+                .groupBy("__p", "query_id")
                 .agg(F.collect_set(id_col).alias("ids"))
                 .collect()
             )
-            got_by_q = {r["query_id"]: set(r["ids"]) for r in hits}
-            num = den = 0
-            for qid, want in exact_by_q.items():
-                num += len(want & got_by_q.get(qid, set()))
-                den += len(want)
-            recall = num / den if den else 1.0
-            decision["sampled_recall"][p] = round(recall, 4)
-            if recall >= recall_bar:
+            got_by_pq: dict[int, dict] = {p: {} for p in eligible}
+            for r in hits:
+                got_by_pq[int(r["__p"])][r["query_id"]] = set(r["ids"])
+            for p in eligible:
+                got_by_q = got_by_pq[p]
+                num = den = 0
+                for qid, want in exact_by_q.items():
+                    num += len(want & got_by_q.get(qid, set()))
+                    den += len(want)
+                recalls[p] = num / den if den else 1.0
+        # replay the original control flow over the precomputed numbers so
+        # the decision record is field-for-field what the loop produced
+        # (fracs/recalls after the accepting p stay unrecorded)
+        for p in ps:
+            decision["candidate_fraction"][p] = round(fracs[p], 6)
+            if fracs[p] > max_candidate_fraction:
+                continue  # scan-bound at this p; larger p only grows it
+            decision["sampled_recall"][p] = round(recalls[p], 4)
+            if recalls[p] >= recall_bar:
                 decision["plan"] = "probe"
                 decision["nprobe_sym"] = p
                 break
-        _ = m  # sample size recorded for the log line
+        _ = (m, rerank_pairs)  # sample size recorded; scoring parity noted
         decision["sample_size"] = int(m)
         return decision
 
