@@ -1093,8 +1093,14 @@ def main() -> None:
 
     emb = load_table(spark, SF_DIR, "embeddings").cache()
     emb.count()
-    # corpus-drawn ANN query: "find items similar to this one"
-    qrows = emb.limit(32).collect()
+    # corpus-drawn ANN query: "find items similar to this one".
+    # r16 (r15 verdict #2): sort-then-limit, NOT a bare limit() — the
+    # loader's round-robin spread (r15) made limit() partition-order-
+    # dependent under AQE, which silently moved the recall_at_10 /
+    # candidate_fraction diagnostics between runs. Every query-sampling
+    # site in this file now picks by id order so two same-tree regens
+    # produce identical recall numbers (re-pinned in OPTIMIZATION_r16.md).
+    qrows = emb.orderBy("vec_id").limit(32).collect()
     qv = [float(x) for x in qrows[0]["embedding"]]
     qdf = spark.createDataFrame(
         [(f"q{r['vec_id']}", [float(x) for x in r["embedding"]]) for r in qrows],
@@ -1219,7 +1225,9 @@ def main() -> None:
 
     all_queries = [
         (str(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.collect()
+        # id-ordered so the [:64] recall sample below is deterministic
+        # under the spread's repartitioned row order (r15 verdict #2)
+        for r in emb.orderBy("vec_id").collect()
     ]
     thunks["knn_self_join_np"] = lambda: _force(
         knn_batch_numpy(emb, all_queries, 4, id_col="vec_id")
@@ -1456,7 +1464,7 @@ def main() -> None:
     cpq = PQIndex.train(cdf, m=8, k=64, seed=42)
     ccodes = cpq.encode(cdf).cache()
     ccodes.count()
-    crows = cdf.limit(8).collect()
+    crows = cdf.orderBy("id").limit(8).collect()  # id-ordered: deterministic
     c_lsh_rec, c_lsh_frac, c_ivf_rec, c_ivf_frac = [], [], [], []
     c_pq_rec = []
     for r in crows:
@@ -1487,7 +1495,7 @@ def main() -> None:
     recall["pq_clustered"] = round(sum(c_pq_rec) / len(c_pq_rec), 3)
     # approximate self-join in ITS regime: near-dup corpora are clustered
     # by construction (that's what makes them deduplicable)
-    csq = cdf.limit(64).select(
+    csq = cdf.orderBy("id").limit(64).select(
         F.col("id").cast("string").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("query_vec"),
     )

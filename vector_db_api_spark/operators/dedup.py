@@ -865,6 +865,18 @@ def connected_components_alternating(
         # only WHEN the checkpoint job runs moves. Measured: ~2× fewer
         # jobs per round, doc_leakage_split/dedup components wall down
         # accordingly (OPTIMIZATION_r15.md).
+        #
+        # r16: the LARGE star no longer pays its own distinct shuffle —
+        # only the small star (the round output, which the convergence
+        # probe compares as a set) dedups. Set-equivalence of the round:
+        # the large star emits ≤ one row per directed input edge (the
+        # v>u orientation), so its pre-distinct output is bounded by |e|;
+        # the small star's min() is duplicate-insensitive, its linked rows
+        # are a pure function of the edge SET, and the round-final
+        # distinct collapses whatever duplicates flow through — the round
+        # output set (and therefore every later round and the fixpoint)
+        # is unchanged. One exchange per round removed (5 → 4ish), same
+        # labels.
         nbr = (
             e.select(
                 F.explode(
@@ -890,28 +902,35 @@ def connected_components_alternating(
         if not large:
             # small-star also re-links u itself to its min
             linked = linked.union(mins.select(F.col("u"), F.col("m").alias("v")))
-        return (
-            linked.filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
+        out = linked.filter(F.col("u") != F.col("v"))
+        if not large:
+            out = out.distinct()
+        return out.localCheckpoint(eager=False)
 
     converged = False
     rounds = 0
+    # r16 (guide §1.2): this round's after.count() IS next round's
+    # edges.count() — memoize it instead of re-running a count job per
+    # round (the re-count was cached-read cheap but still one driver
+    # round-trip × rounds; the loop is round-latency-bound)
+    edges_count = edges.count()
     for _ in range(max_iterations):
         rounds += 1
         after = _star(_star(edges, large=True), large=False)
         # fixpoint when the (distinct) edge set is unchanged. Both frames
         # are distinct sets, so equal counts + one-direction containment
-        # (after ⊆ edges) imply equality — the counts read the
-        # localCheckpointed partitions with no shuffle, so non-converged
-        # rounds (counts differ) skip the anti-join probe entirely and the
-        # final round pays ONE exceptAll instead of two
-        if after.count() == edges.count() and after.exceptAll(edges).isEmpty():
+        # (after ⊆ edges) imply equality. after.count() doubles as the
+        # round's checkpoint-materialization job (the per-star checkpoints
+        # are lazy); non-converged rounds (counts differ) skip the
+        # anti-join probe entirely and the final round pays ONE exceptAll
+        # instead of two
+        after_count = after.count()
+        if after_count == edges_count and after.exceptAll(edges).isEmpty():
             edges = after
             converged = True
             break
         edges = after
+        edges_count = after_count
     if stats is not None:
         # observability out-param (scale artifacts report round counts —
         # the O(log²) claim should be measured, not asserted)

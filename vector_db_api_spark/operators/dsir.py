@@ -119,10 +119,16 @@ def dsir_log_ratios(
     _libm_log = libm_log_udf()
     target_counts = target_counts.localCheckpoint(eager=True)
     raw_counts = raw_counts.localCheckpoint(eager=True)
-    t_total = target_counts.agg(F.sum("c")).collect()[0][0] or 0
-    r_total = raw_counts.agg(F.sum("c")).collect()[0][0] or 0
-    t_denom = float(t_total + buckets)
-    r_denom = float(r_total + buckets)
+    # both scalar totals in ONE job (r16, guide §1.2 — the two sequential
+    # agg+collect round-trips were pure driver latency over two cached
+    # KB-scale tables); crossJoin of two 1-row aggregates, same integers
+    totals = (
+        target_counts.agg(F.sum("c").alias("t"))
+        .crossJoin(raw_counts.agg(F.sum("c").alias("r")))
+        .collect()[0]
+    )
+    t_denom = float((totals["t"] or 0) + buckets)
+    r_denom = float((totals["r"] or 0) + buckets)
     joined = raw_counts.select(
         "bucket", F.col("c").alias("rc")
     ).join(

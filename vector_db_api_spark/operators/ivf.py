@@ -461,6 +461,7 @@ class IVFIndex:
         id_col: str = "id",
         vec_col: str = "embedding",
         nprobe_sym: int | None = None,
+        undirected: bool = False,
     ) -> DataFrame:
         """Directed candidate pairs (query_id, ``id_col``) for an
         approximate kNN SELF-join via SYMMETRIC multi-probe (r10 verdict
@@ -484,7 +485,14 @@ class IVFIndex:
         its own nearest neighbor; dedup callers filter it like the exact
         plan does). Candidate work scales as p²/k of the naive n² — the
         recall/cost knob the self-join recall curve in BENCH_SCALE.md
-        measures."""
+        measures.
+
+        ``undirected=True`` (r16): the candidate set is symmetric by
+        construction ((a,b) is a candidate ⇔ (b,a) is — same probe-set
+        intersection), so return only the ``query_id <= id`` orientation
+        — the filter runs BEFORE the distinct, halving the dedup shuffle
+        — for callers that score once per unordered pair and mirror
+        (:meth:`self_join`)."""
         queries = corpus.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("query_vec"),
@@ -493,11 +501,10 @@ class IVFIndex:
         right = probes.select(
             F.col("query_id").alias(id_col), "centroid_id"
         )
-        return (
-            probes.join(right, "centroid_id")
-            .select("query_id", id_col)
-            .distinct()
-        )
+        joined = probes.join(right, "centroid_id")
+        if undirected:
+            joined = joined.filter(F.col("query_id") <= F.col(id_col))
+        return joined.select("query_id", id_col).distinct()
 
     def self_join(
         self,
@@ -513,19 +520,56 @@ class IVFIndex:
         Drop-in for the ``search_batch``-as-self-join plan with strictly
         higher recall at the same nprobe (the candidate set is a
         superset); cost grows with nprobe² instead of nprobe — choose via
-        the measured recall/candidate-fraction curve (BENCH_SCALE.md)."""
-        from vector_db_api_spark.operators.knn import rerank_pairs
+        the measured recall/candidate-fraction curve (BENCH_SCALE.md).
+
+        r16 (guide §1.2): score each UNORDERED candidate pair once and
+        mirror the scored row. The candidate set is symmetric by
+        construction, and every metric here is commutative with
+        bit-identical arithmetic (``x*y == y*x`` per element, identical
+        fold order over the same index positions; cosine's
+        ``norm_a * norm_b`` product likewise commutes bit-exactly), so the
+        mirrored scored multiset — and therefore the per-query top-k — is
+        exactly what scoring every directed pair produced, for half the
+        dedup shuffle, half the hydration joins and half the score folds.
+        Equivalence is pinned by the oracle replay
+        (knn_self_join_ivf_sym) and tests/test_lsh_ivf.py."""
+        from vector_db_api_spark.operators.knn import score_pairs
+        from vector_db_api_spark.operators.topk import topk_per_group
 
         queries = corpus.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("query_vec"),
         )
         pairs = self.self_join_pairs(
-            corpus, id_col=id_col, vec_col=vec_col, nprobe_sym=nprobe_sym
+            corpus, id_col=id_col, vec_col=vec_col, nprobe_sym=nprobe_sym,
+            undirected=True,
         )
-        return rerank_pairs(
-            corpus, queries, pairs, k, metric=metric, id_col=id_col,
+        scored = score_pairs(
+            corpus, queries, pairs, metric=metric, id_col=id_col,
             vec_col=vec_col, broadcast_queries=False,
+        )
+        fwd = F.struct(
+            F.col("query_id").alias("q"),
+            F.col(id_col).alias("i"),
+            F.col("score").alias("s"),
+        )
+        rev = F.struct(
+            F.col(id_col).alias("q"),
+            F.col("query_id").alias("i"),
+            F.col("score").alias("s"),
+        )
+        mirrored = scored.select(
+            F.explode(
+                F.when(F.col("query_id") == F.col(id_col), F.array(fwd))
+                .otherwise(F.array(fwd, rev))
+            ).alias("__p")
+        ).select(
+            F.col("__p.q").alias("query_id"),
+            F.col("__p.i").alias(id_col),
+            F.col("__p.s").alias("score"),
+        )
+        return topk_per_group(
+            mirrored, ["query_id"], [F.desc("score"), F.col(id_col).asc()], k
         )
 
     def route_self_join(
@@ -558,102 +602,105 @@ class IVFIndex:
 
         - ONE ranked probe pass over the corpus at max(p) (``probe_rank``
           filters serve every smaller p for free);
-        - ONE aggregation for every candidate p's exact directed-pair
-          count Σ_cells c_p(cell)² (each (cell, rank) count contributes to
-          every p > rank) → candidate fractions;
-        - ONE scoring pass for every eligible p's sampled recall:
-          ``sample_queries`` hash-picked vectors get exact top-k (one JVM
-          kNN-batch pass); each probe-plan candidate pair carries the
-          smallest p at which it is a candidate (__pmin) and is scored
-          once, then one window partitioned by (p, query_id) replays each
-          p's top-k — the sample's candidates only, never all pairs, and
-          never re-scored per p (r15; was one histogram + one rerank JOB
-          per candidate p).
+        - ONE tiny aggregation for every candidate p's exact directed-pair
+          count Σ_cells c_p(cell)²: the (cell, rank) histogram is at most
+          k_centroids × p_max rows, so it collects and the per-p cumsum/
+          square runs in exact Python integers (r16; the r15 shape paid
+          two more exchanges to do the same integer arithmetic
+          distributedly on <1k rows);
+        - ONE job for every eligible p's sampled recall (r16; was two —
+          an exact-pass collect then a candidate-scoring collect, each
+          shipping per-query id SETS to the driver): the exact top-k of
+          the ``sample_queries`` hash-picked vectors (JVM kNN-batch
+          expressions, bit-stable) joins the probe-plan candidates —
+          each candidate pair carries the smallest p at which it is a
+          candidate (__pmin), is scored once with the norm-hoisted
+          cosine (norms once per row/query, one dot per pair —
+          bit-identical arithmetic to rerank_pairs), and one window
+          partitioned by (p, query_id) replays each p's two-stage top-k.
+          Per-p hit/want intersections reduce distributedly
+          (array_intersect over the collect_set pairs) and ONE collect
+          returns the integer numerators/denominators.
 
         Returns the decision record: ``{"plan": "probe"|"exact",
         "nprobe_sym": p|None, "sampled_recall": {p: r}, and
         "candidate_fraction": {p: f}}`` — callers log it; ``self_join_auto``
         dispatches on it."""
         from vector_db_api_spark.functions import vector as V
-        from vector_db_api_spark.operators.knn import knn_batch, rerank_pairs
+        from vector_db_api_spark.operators.knn import knn_batch
 
         queries = corpus.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("query_vec"),
         )
-        n = queries.count()
+        p_max = min(max(nprobe_candidates), len(self.centroids))
+        # the three setup actions (query count, ranked-probe checkpoint,
+        # sample checkpoint) are mutually independent — submit them as
+        # concurrent jobs (guide §2.6) so the route pays max() of their
+        # walls, not the sum; each is a driver-blocking round-trip on a
+        # route that is job-latency-bound at any scale (r16)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_n = pool.submit(queries.count)
+            f_probes = pool.submit(
+                lambda: self.assign_queries(
+                    queries, nprobe=p_max, with_rank=True
+                ).localCheckpoint(eager=True)  # reused per candidate p
+            )
+            # deterministic sample: hash-ordered ids, stable across retries
+            f_sample = pool.submit(
+                lambda: queries.orderBy(
+                    F.xxhash64(F.col("query_id"), F.lit(seed))
+                ).limit(sample_queries).localCheckpoint(eager=True)
+            )
+            n = f_n.result()
+            probes = f_probes.result()
+            sample = f_sample.result()
         decision: dict = {"plan": "exact", "nprobe_sym": None, "n": int(n),
                           "sampled_recall": {}, "candidate_fraction": {},
                           "recall_bar": recall_bar,
                           "max_candidate_fraction": max_candidate_fraction}
         if n == 0:
             return decision
-        p_max = min(max(nprobe_candidates), len(self.centroids))
-        probes = self.assign_queries(queries, nprobe=p_max, with_rank=True)
-        probes = probes.localCheckpoint(eager=True)  # reused per candidate p
-        # deterministic sample: hash-ordered ids, stable across retries
-        sample = (
-            queries.orderBy(F.xxhash64(F.col("query_id"), F.lit(seed)))
-            .limit(sample_queries)
-        ).localCheckpoint(eager=True)
-        m = sample.count()
-        # exact top-k of the sample against the FULL corpus (the ground
-        # truth recall denominator) — self-pairs excluded like dedup callers
-        exact = (
-            knn_batch(corpus, sample, k + 1, metric=metric,
-                      id_col=id_col, vec_col=vec_col)
-            .filter(F.col("query_id") != F.col(id_col))
-            .withColumn("__rk", F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.desc("score"), F.col(id_col).asc())))
-            .filter(F.col("__rk") <= k)
-            .groupBy("query_id")
-            .agg(F.collect_set(id_col).alias("ids"))
-            .collect()
-        )
-        exact_by_q = {r["query_id"]: set(r["ids"]) for r in exact}
-        sample_probe_all = self.assign_queries(
-            sample, nprobe=p_max, with_rank=True
-        ).localCheckpoint(eager=True)
+        # limit() over the n-row query table — the sample size is known
+        # without a count job (r16; the re-count was one more driver
+        # round-trip per route call)
+        m = min(int(n), int(sample_queries))
         ps = sorted(set(min(p, p_max) for p in nprobe_candidates))
         # -- r15 (guide §1.2): the p-loop below used to run 2 JOBS PER
         # CANDIDATE p (a filtered histogram+collect, then a full
         # rerank+window+collect that RE-SCORED the pair set) — 4 candidate
         # p values = up to 8 sequential small jobs, each re-reading the
-        # probe table. Both loops are now single-pass:
-        #  * every p's exact directed-pair count comes from ONE
-        #    aggregation — a (cell, rank) count row contributes its c to
-        #    every p > rank, so explode it to those p and sum; integers
-        #    throughout, bit-identical to the per-p Σ_cells c_p(cell)²;
-        #  * every eligible p's sampled recall comes from ONE scoring
-        #    pass — each candidate pair carries __pmin = min over shared
-        #    cells of max(sample_rank, corpus_rank)+1 (the smallest p at
-        #    which the pair is a candidate; "candidate at p" ⇔ __pmin ≤
-        #    p), is scored ONCE with rerank_pairs' exact expressions, and
-        #    the per-p top-k replays as one window partitioned by
-        #    (p, query_id) over the pair exploded to its eligible
-        #    p ≥ __pmin. The two-stage rank (top k+1, drop self, top k)
-        #    replicates the old rerank_pairs(k+1)→filter→row_number≤k
-        #    sequence exactly, so the recall numbers — and therefore the
-        #    routing DECISION — are unchanged (pinned by the existing
-        #    routing tests).
-        p_arr = F.array(*[F.lit(int(p)) for p in ps])
-        pair_counts = (
+        # probe table. r15 made both loops single-pass; r16 tightened the
+        # job count again (histogram collected raw, exact+recall fused
+        # into one job, the one-use sample-probe checkpoint and the two
+        # redundant count jobs dropped) — see the docstring cost bullets.
+        #
+        # Every p's exact directed-pair count Σ_cells c_p(cell)² from the
+        # ≤ k_centroids × p_max-row (cell, rank) histogram, cumulated per
+        # cell in exact Python integers — bit-identical to the r15
+        # distributed explode/sum (which was itself bit-identical to the
+        # per-p loop).
+        hist = (
             probes.groupBy("centroid_id", "probe_rank")
             .agg(F.count(F.lit(1)).alias("c"))
-            .select(
-                "centroid_id", "c",
-                F.explode(
-                    F.filter(p_arr, lambda p: p > F.col("probe_rank"))
-                ).alias("__p"),
-            )
-            .groupBy("__p", "centroid_id")
-            .agg(F.sum("c").alias("cp"))
-            .groupBy("__p")
-            .agg(F.sum(F.col("cp") * F.col("cp")).alias("pairs"))
             .collect()
         )
-        pairs_at = {int(r["__p"]): int(r["pairs"]) for r in pair_counts}
+        cell_rank: dict[int, dict[int, int]] = {}
+        for r in hist:
+            cell_rank.setdefault(int(r["centroid_id"]), {})[
+                int(r["probe_rank"])] = int(r["c"])
+        pairs_at = {p: 0 for p in ps}
+        for by_rank in cell_rank.values():
+            cum = 0
+            ranks = sorted(by_rank)
+            ri = 0
+            for p in ps:
+                while ri < len(ranks) and ranks[ri] < p:
+                    cum += by_rank[ranks[ri]]
+                    ri += 1
+                pairs_at[p] += cum * cum
         fracs = {
             p: float(pairs_at.get(p, 0)) / (float(n) * float(n)) for p in ps
         }
@@ -664,8 +711,19 @@ class IVFIndex:
             # candidate set (and the scoring fold) stays exactly the old
             # loop's union over eligible p, not the p_max superset (on a
             # scan-bound corpus p_max's candidate fraction can be ~0.7
-            # while the eligible ps sit under 0.05)
+            # while the eligible ps sit under 0.05).
+            #
+            # NOTE (r15 advice): scoring always runs at p_top =
+            # max(eligible) — the old per-p loop early-exited when a
+            # smaller p already cleared recall_bar, so this batched pass
+            # can score up to the p_top candidate set where the loop
+            # stopped sooner. Accepted tradeoff: the set is bounded by
+            # max_candidate_fraction on a sample_queries-sized sample,
+            # and one pass beats up-to-|ps| sequential jobs.
             p_top = max(eligible)
+            sample_probe_all = self.assign_queries(
+                sample, nprobe=p_max, with_rank=True
+            )  # used once below — no checkpoint job (r16)
             cand = (
                 F.broadcast(
                     sample_probe_all.filter(F.col("probe_rank") < p_top)
@@ -686,22 +744,41 @@ class IVFIndex:
                     (F.min(F.greatest("__rs", "__rc")) + 1).alias("__pmin")
                 )
             )
-            # scoring expressions == rerank_pairs (operators/knn.py):
-            # corpus hydration join, broadcast query side, similarity fold
-            e = V.as_double_array(vec_col)
+            # scoring expressions == rerank_pairs/score_pairs
+            # (operators/knn.py): corpus hydration join with the
+            # double-cast vector and its norm materialized once per row,
+            # broadcast query side carrying its norm, one dot fold per
+            # pair — bit-identical arithmetic to the inline similarity
             qside = F.broadcast(
                 sample.select(
                     "query_id",
                     V.as_double_array("query_vec").alias("__qv"),
+                    V.norm(V.as_double_array("query_vec")).alias("__qn"),
                 )
             )
+            if metric == "cosine":
+                hydr = corpus.select(
+                    F.col(id_col),
+                    V.as_double_array(vec_col).alias("__ev"),
+                ).withColumn("__ne", V.norm("__ev"))
+                score = F.when(
+                    (F.col("__ne") == 0.0) | (F.col("__qn") == 0.0),
+                    F.lit(0.0),
+                ).otherwise(
+                    V.dot("__ev", "__qv") / (F.col("__ne") * F.col("__qn"))
+                )
+            else:
+                hydr = corpus
+                score = V.similarity(
+                    metric, V.as_double_array(vec_col), F.col("__qv")
+                )
             elig_arr = F.array(*[F.lit(int(p)) for p in eligible])
             scored = (
-                corpus.join(cand, id_col, "inner")
+                hydr.join(cand, id_col, "inner")
                 .join(qside, "query_id")
                 .select(
                     F.col("query_id"), F.col(id_col), F.col("__pmin"),
-                    V.similarity(metric, e, F.col("__qv")).alias("score"),
+                    score.alias("score"),
                 )
                 .select(
                     "query_id", id_col, "score",
@@ -713,25 +790,53 @@ class IVFIndex:
             w = Window.partitionBy("__p", "query_id").orderBy(
                 F.desc("score"), F.col(id_col).asc()
             )
-            hits = (
+            got_sets = (
                 scored.withColumn("__rk1", F.row_number().over(w))
                 .filter(F.col("__rk1") <= k + 1)
                 .filter(F.col("query_id") != F.col(id_col))
                 .withColumn("__rk", F.row_number().over(w))
                 .filter(F.col("__rk") <= k)
                 .groupBy("__p", "query_id")
-                .agg(F.collect_set(id_col).alias("ids"))
+                .agg(F.collect_set(id_col).alias("__got"))
+            )
+            # exact top-k of the sample against the FULL corpus (the
+            # ground-truth recall denominator) — self-pairs excluded like
+            # dedup callers. Fused with the candidate pass into ONE job:
+            # per-(p, query) intersections reduce distributedly and one
+            # tiny collect returns integer numerators/denominators — the
+            # same integers the two-collect driver loop summed (r16).
+            want_sets = (
+                knn_batch(corpus, sample, k + 1, metric=metric,
+                          id_col=id_col, vec_col=vec_col)
+                .filter(F.col("query_id") != F.col(id_col))
+                .withColumn("__rk", F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.desc("score"), F.col(id_col).asc())))
+                .filter(F.col("__rk") <= k)
+                .groupBy("query_id")
+                .agg(F.collect_set(id_col).alias("__want"))
+            )
+            id_type = corpus.schema[id_col].dataType.simpleString()
+            empty_ids = F.array().cast(f"array<{id_type}>")
+            rec_rows = (
+                want_sets
+                .select("query_id", "__want",
+                        F.explode(elig_arr).alias("__p"))
+                .join(got_sets, ["__p", "query_id"], "left")
+                .groupBy("__p")
+                .agg(
+                    F.sum(F.size(F.array_intersect(
+                        F.col("__want"),
+                        F.coalesce(F.col("__got"), empty_ids),
+                    ))).alias("num"),
+                    F.sum(F.size("__want")).alias("den"),
+                )
                 .collect()
             )
-            got_by_pq: dict[int, dict] = {p: {} for p in eligible}
-            for r in hits:
-                got_by_pq[int(r["__p"])][r["query_id"]] = set(r["ids"])
+            by_p = {int(r["__p"]): (int(r["num"]), int(r["den"]))
+                    for r in rec_rows}
             for p in eligible:
-                got_by_q = got_by_pq[p]
-                num = den = 0
-                for qid, want in exact_by_q.items():
-                    num += len(want & got_by_q.get(qid, set()))
-                    den += len(want)
+                num, den = by_p.get(p, (0, 0))
                 recalls[p] = num / den if den else 1.0
         # replay the original control flow over the precomputed numbers so
         # the decision record is field-for-field what the loop produced
@@ -745,7 +850,6 @@ class IVFIndex:
                 decision["plan"] = "probe"
                 decision["nprobe_sym"] = p
                 break
-        _ = (m, rerank_pairs)  # sample size recorded; scoring parity noted
         decision["sample_size"] = int(m)
         return decision
 

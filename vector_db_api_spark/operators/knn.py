@@ -204,15 +204,31 @@ def knn_batch_numpy(
             else:
                 raise ValueError(f"Unknown metric: {metric!r}")
             ids = pdf[id_col].to_numpy()
-            frames = []
             kk = min(k, scores.shape[0])
-            for j, qid in enumerate(qids):
-                col = scores[:, j]
-                idx = np.argpartition(-col, kk - 1)[:kk] if kk < col.size else np.arange(col.size)
-                frames.append(
-                    pd.DataFrame({"query_id": qid, id_col: ids[idx], "score": col[idx]})
+            # r16 (guide §4.2): one vectorized argpartition + gather for
+            # the whole batch instead of a Python loop building one tiny
+            # DataFrame per query (Q DataFrame constructions + a Q-way
+            # concat per batch dominated the kernel at large Q — the
+            # corpus-as-queries self-join runs Q = n). argpartition along
+            # axis 0 is the same per-column introselect as the per-query
+            # 1-D call; the selected row SET per query is unchanged.
+            if kk < scores.shape[0]:
+                idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+            else:
+                idx = np.broadcast_to(
+                    np.arange(scores.shape[0])[:, None], scores.shape
                 )
-            yield pd.concat(frames, ignore_index=True)
+            sel_scores = np.take_along_axis(scores, idx, axis=0)
+            qarr = np.asarray(qids, dtype=object)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.broadcast_to(
+                        qarr[None, :], idx.shape
+                    ).ravel(),
+                    id_col: ids[idx].ravel(),
+                    "score": sel_scores.ravel(),
+                }
+            )
 
     partial = corpus.filter(F.col(vec_col).isNotNull()).mapInPandas(
         score_batches, schema=out_schema
@@ -284,24 +300,91 @@ def rerank_pairs(
     the same driver-OOM cliff the r10 sf1 sweep caught in ngram_jaccard —
     leave the join strategy to Catalyst/AQE instead (shuffled hash/SMJ on
     ``query_id_col``, both sides partition cleanly)."""
-    e = V.as_double_array(vec_col)
-    q = queries.select(
-        F.col(query_id_col),
-        V.as_double_array(query_vec_col).alias("__qv"),
+    scored = score_pairs(
+        corpus, queries, pairs, metric=metric, id_col=id_col,
+        vec_col=vec_col, query_id_col=query_id_col,
+        query_vec_col=query_vec_col, vec_in_pairs=vec_in_pairs,
+        broadcast_queries=broadcast_queries,
     )
+    return topk_per_group(
+        scored, [query_id_col], [F.desc("score"), F.col(id_col).asc()], k
+    )
+
+
+def score_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    pairs: DataFrame,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    vec_in_pairs: bool = False,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """The hydration+scoring body of :func:`rerank_pairs` (every batch ANN
+    path), without the final top-k — exposed so symmetric callers (the IVF
+    self-join) can score each unordered pair once and mirror.
+
+    r16 (guide §1.2 per-pair work): the cosine path no longer inlines
+    ``V.similarity`` per pair. The inline expression re-evaluated
+    ``norm(e)`` and ``norm(q)`` in BOTH the zero-guard and the denominator
+    — 4 interpreted norm folds + 1 dot fold per scored pair (HOFs are
+    CodegenFallback, so no codegen CSE saves it; verified in the committed
+    r16 before-plans: the score Project carries four ``SQRT(aggregate(``
+    subtrees). Now the double-cast vector and its norm materialize ONCE
+    per corpus row BELOW the hydration join (the knn_batch pattern), and
+    query norms materialize inside the (broadcast) query build — per pair
+    exactly one dot fold runs. Arithmetic is bit-identical: same cast,
+    same fold order, same ``(norm_e * norm_q)`` product order, same
+    zero-guard ordering."""
+    if metric == "cosine":
+        q = queries.select(
+            F.col(query_id_col),
+            V.as_double_array(query_vec_col).alias("__qv"),
+            V.norm(V.as_double_array(query_vec_col)).alias("__qn"),
+        )
+    else:
+        q = queries.select(
+            F.col(query_id_col),
+            V.as_double_array(query_vec_col).alias("__qv"),
+        )
     if broadcast_queries:
         q = F.broadcast(q)
     if vec_in_pairs:
         cand = pairs.select(query_id_col, id_col, vec_col)
+        if metric == "cosine":
+            # self-contained pair tables carry the vector per pair — the
+            # cast/norm hoist here is per pair, still 4 folds → 2
+            cand = cand.select(
+                query_id_col, id_col,
+                V.as_double_array(vec_col).alias("__ev"),
+            ).withColumn("__ne", V.norm("__ev"))
     else:
-        cand = corpus.join(pairs.select(query_id_col, id_col), id_col, "inner")
-    scored = cand.join(q, query_id_col).select(
+        if metric == "cosine":
+            # cast + norm BELOW the join: once per corpus row, not once
+            # per (corpus row × pair) — the values ride the join
+            hydr = corpus.select(
+                F.col(id_col), V.as_double_array(vec_col).alias("__ev")
+            ).withColumn("__ne", V.norm("__ev"))
+            cand = hydr.join(pairs.select(query_id_col, id_col), id_col, "inner")
+        else:
+            cand = corpus.join(
+                pairs.select(query_id_col, id_col), id_col, "inner"
+            )
+    if metric == "cosine":
+        score = F.when(
+            (F.col("__ne") == 0.0) | (F.col("__qn") == 0.0), F.lit(0.0)
+        ).otherwise(
+            V.dot("__ev", "__qv") / (F.col("__ne") * F.col("__qn"))
+        )
+    else:
+        score = V.similarity(metric, V.as_double_array(vec_col), F.col("__qv"))
+    return cand.join(q, query_id_col).select(
         F.col(query_id_col),
         F.col(id_col),
-        V.similarity(metric, e, F.col("__qv")).alias("score"),
-    )
-    return topk_per_group(
-        scored, [query_id_col], [F.desc("score"), F.col(id_col).asc()], k
+        score.alias("score"),
     )
 
 

@@ -58,10 +58,12 @@ SPREAD_MIN_BYTES = int(
 # 2-3× WORSE on rel_pricing_summary / events_hourly / rel_top_customers,
 # OPTIMIZATION_r15.md) — their aggregates and joins redistribute on their
 # own keys anyway.
+# whitespace-tolerant: 'documents, embeddings' must not silently disable
+# the spread for ' embeddings' (r15 advice — membership is exact)
 SPREAD_TABLES = frozenset(
-    t for t in os.environ.get(
+    t.strip() for t in os.environ.get(
         "SPARK_GRAFT_SPREAD_TABLES", "documents,embeddings"
-    ).split(",") if t
+    ).split(",") if t.strip()
 )
 
 # Columns stored as parquet TIMESTAMP(NANOS): Spark (with
