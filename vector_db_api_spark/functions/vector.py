@@ -115,6 +115,41 @@ def similarity(metric: str, a: ColumnOrName, b: ColumnOrName) -> Column:
     raise ValueError(f"Unknown metric: {metric!r}; expected one of {METRICS}")
 
 
+def _double_sql(x) -> str:
+    """A SQL double literal with the exact bits of the Python float:
+    ``repr`` is the shortest round-trip decimal and Spark's parser
+    (Java ``parseDouble``) is correctly rounded, so the parsed double is
+    bit-identical to ``F.lit(float(x))``."""
+    f = float(x)
+    if f != f or f in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite constant in expression matrix: {x!r}")
+    return repr(f) + "D"
+
+
+def dots_const_matrix(col_name: str, matrix) -> Column:
+    """``array<double>`` of sequential-fold dots of column ``col_name``
+    with each ROW of a constant matrix — the same values as
+    ``F.array(*[dot(col, lit_row) for row in matrix])`` (one left fold
+    per row, bit-identical), built as ONE server-side expression.
+
+    Why (r16, guide §7.3 "very large plans"): building a K×d literal
+    tree through the Python Column API costs K·d py4j round-trips at
+    query CONSTRUCTION time — measured ~2s per query for K=32, d=64,
+    which dominated every multiprobe expression twin's bench wall (the
+    execution itself was ~0.2s). A single parsed SQL string moves the
+    whole tree to the JVM in one call, and the shared ``transform``
+    lambda keeps the analyzed tree ~K× smaller than K separate
+    aggregate subtrees."""
+    mat_sql = "array(%s)" % ",".join(
+        "array(%s)" % ",".join(_double_sql(x) for x in row) for row in matrix
+    )
+    return F.expr(
+        f"transform({mat_sql}, c_ -> aggregate("
+        f"zip_with(`{col_name}`, c_, (x_, y_) -> x_ * y_), "
+        f"0.0D, (acc_, x_) -> acc_ + x_))"
+    )
+
+
 def const_norm(qvec) -> float:
     """The query norm as the IDENTICAL IEEE double the Spark fold would
     produce: Python's left-to-right ``acc += x*x`` is the same operation

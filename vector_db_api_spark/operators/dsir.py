@@ -117,8 +117,16 @@ def dsir_log_ratios(
     from ..functions.libm import libm_log_udf
 
     _libm_log = libm_log_udf()
-    target_counts = target_counts.localCheckpoint(eager=True)
-    raw_counts = raw_counts.localCheckpoint(eager=True)
+    # the two checkpoint materializations are independent full-corpus
+    # featurization scans — run them as concurrent jobs (guide §2.6) so
+    # the fit pays max() of the two walls, not the sum (r16)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_t = pool.submit(lambda: target_counts.localCheckpoint(eager=True))
+        f_r = pool.submit(lambda: raw_counts.localCheckpoint(eager=True))
+        target_counts = f_t.result()
+        raw_counts = f_r.result()
     # both scalar totals in ONE job (r16, guide §1.2 — the two sequential
     # agg+collect round-trips were pure driver latency over two cached
     # KB-scale tables); crossJoin of two 1-row aggregates, same integers

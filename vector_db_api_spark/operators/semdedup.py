@@ -71,8 +71,14 @@ def assign_diversity(
         .withColumn("__d", d)
         .withColumn("__n", V.norm("__d"))
         .filter(F.col("__n") != 0.0)
+        # one server-side expression for the K dots, materialized ONCE in
+        # its own projection (r16, guide §7.3: the per-centroid Column
+        # loop paid K·d py4j calls at construction, and the inline array
+        # was rebuilt in all three consumers below); same fold, same
+        # literal bits, same argmax/csim values
+        .withColumn("__dots", V.dots_const_matrix("__d", centroids))
     )
-    dots = F.array(*[V.dot("__d", _const_vec(c)) for c in centroids])
+    dots = F.col("__dots")
     return e.select(
         F.col(id_col),
         F.transform("__d", lambda x: x / F.col("__n")).alias("__u"),
