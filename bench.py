@@ -539,6 +539,18 @@ def _round_over_round_delta(
     if not prior:
         return "", []
 
+    def _prior_ok(name: str, rnd: str) -> bool:
+        """r15 verdict #7 (recorded r16): the three index-build rows were
+        timed COLD through r14 and WARM from r15 (a22d72e) — a protocol
+        change, not a code change — so pre-r15 build rows are not
+        comparable priors and are excluded from best-prior mining
+        (detail@<sha> priors are the committed r15+ BENCH_DETAIL and
+        already warm-timed)."""
+        if name not in ("lsh_build", "ivf_build", "pq_build"):
+            return True
+        m2 = re.match(r"r(\d+)$", rnd)
+        return not (m2 and int(m2.group(1)) < 15)
+
     lines = [
         "\n## Round-over-round delta (this run vs prior rounds)\n",
         "Normalized unit = seconds / that round's `python_loop_sec` probe "
@@ -549,7 +561,10 @@ def _round_over_round_delta(
         "rows). Raw 'best prior' spans all rounds; every prior is a "
         "COMMITTED artifact — BENCH_r*.json or the committed "
         "BENCH_DETAIL.md, cited as detail@<commit> (r11 verdict #8: the "
-        "working tree is never a best-prior source).\n",
+        "working tree is never a best-prior source). The three build rows "
+        "(lsh/ivf/pq_build) changed timing protocol at r15 — cold-timed "
+        "through r14, warm-timed since — so their best-prior mining "
+        "starts at r15 (r15 verdict #7).\n",
         "| query | now (s) | now (norm) | best prior (s) | round | raw ratio"
         " | best prior (norm) | round | norm ratio | jvm ratio |",
         "|---|---|---|---|---|---|---|---|---|---|",
@@ -558,6 +573,8 @@ def _round_over_round_delta(
     for name, now in timings.items():
         best_val, best_round = None, None
         for rnd, qs in prior.items():
+            if not _prior_ok(name, rnd):
+                continue
             v = qs.get(name)
             if v is not None and v > 0 and (best_val is None or v < best_val):
                 best_val, best_round = v, rnd
@@ -565,6 +582,8 @@ def _round_over_round_delta(
             continue
         bn_val, bn_round = None, None
         for rnd, probe in baselines.items():
+            if not _prior_ok(name, rnd):
+                continue
             v = prior[rnd].get(name)
             if v is not None and v > 0:
                 nv = v / probe
@@ -574,6 +593,8 @@ def _round_over_round_delta(
         # (r8+) participate, so the units never mix with python-loop units
         jn_val = None
         for rnd, jp in baselines_jvm.items():
+            if not _prior_ok(name, rnd):
+                continue
             v = prior[rnd].get(name)
             if v is not None and v > 0:
                 nv = v / jp

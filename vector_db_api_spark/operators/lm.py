@@ -80,6 +80,12 @@ def train_unigram_df(
         .filter(F.col("t") != "")
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
+        # vocab-sized, but its lineage is the full corpus tokenization —
+        # without materialization the scalar collect below AND every
+        # downstream read of model_df each re-tokenize the corpus (the
+        # dsir_log_ratios discipline; one corpus scan saved per training,
+        # r16)
+        .localCheckpoint(eager=True)
     )
     stats = counts.agg(
         F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
