@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_db_api_spark.functions import hashing as H
@@ -846,47 +846,59 @@ def connected_components_alternating(
     dedup_components_altstar).
     """
     a, b = F.col(left_col), F.col(right_col)
+    # snapshot the pair set ONCE (r16, guide §1.2): nodes read it twice
+    # (the endpoint union) and edges a third time, so an expensive pairs
+    # lineage (doc_leakage_split feeds the whole minhash-LSH pipeline
+    # here) was re-evaluated up to three times; the checkpoint is
+    # pair-set-sized — the same storage class as the edge checkpoints
+    # the loop already keeps
+    snap = pairs.select(a.alias("u"), b.alias("v")).localCheckpoint(
+        eager=True
+    )
     # capture every endpoint up front: the star contraction drops nodes
     # from the edge list as they become roots' direct children of
     # themselves (and isolated self-pairs immediately), but the output
-    # contract labels every node that appeared in a pair
+    # contract labels every node that appeared in a pair. Reading the
+    # SNAPSHOT (not the live lineage) also pins nodes and edges to the
+    # same evaluation of a possibly non-deterministic input; no eager
+    # checkpoint needed — its two cached reads happen in the final
+    # label join.
     nodes = (
-        pairs.select(a.alias("id"))
-        .union(pairs.select(b.alias("id")))
+        snap.select(F.col("u").alias("id"))
+        .union(snap.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     edges = (
-        pairs.select(a.alias("u"), b.alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        snap.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
 
+    _w = Window.partitionBy("u")
+
     def _star(e: DataFrame, large: bool) -> DataFrame:
         # r15 (guide §1.2 — this loop is ROUND-overhead-bound long before
         # it is data-bound): both edge directions come from ONE read of the
-        # checkpointed input via explode, not union(e, swap(e)) — the union
-        # double-scanned e, which mattered because every round reads its
-        # predecessor twice more (mins + linked); and the round checkpoint
-        # is LAZY — it materializes inside the convergence probe's count()
-        # (or the next star's first job) instead of paying a dedicated
-        # eager job per star. Lineage truncation per round is unchanged —
-        # only WHEN the checkpoint job runs moves. Measured: ~2× fewer
-        # jobs per round, doc_leakage_split/dedup components wall down
-        # accordingly (OPTIMIZATION_r15.md).
+        # checkpointed input via explode, not union(e, swap(e)); the round
+        # checkpoint is LAZY — it materializes inside the convergence
+        # probe's count() instead of paying a dedicated eager job per star.
         #
-        # r16: the LARGE star no longer pays its own distinct shuffle —
-        # only the small star (the round output, which the convergence
-        # probe compares as a set) dedups. Set-equivalence of the round:
-        # the large star emits ≤ one row per directed input edge (the
-        # v>u orientation), so its pre-distinct output is bounded by |e|;
-        # the small star's min() is duplicate-insensitive, its linked rows
-        # are a pure function of the edge SET, and the round-final
-        # distinct collapses whatever duplicates flow through — the round
-        # output set (and therefore every later round and the fixpoint)
-        # is unchanged. One exchange per round removed (5 → 4ish), same
-        # labels.
+        # r16: each star is ONE window exchange instead of a groupBy-mins
+        # + join pair (2 exchanges), and only the small star — the round
+        # output the convergence probe compares as a set — pays a distinct
+        # (the large star's duplicates are bounded by |e| rows and min()
+        # is duplicate-insensitive, so the round output SET is unchanged).
+        # Per round: 3 exchanges instead of the r15 shape's 5 on roughly
+        # the same shuffled bytes (the window ships the full neighbor
+        # list once ≈ what the partial-agg mins + filtered join side
+        # shipped between them); the loop's wall is stage-barrier count,
+        # not bytes. WindowExec buffers one u-group at a time in a
+        # spillable row array, so a hot node degrades to disk instead of
+        # OOM — the same worst case the SMJ build side had. The small
+        # star's own (u, m) re-link rows come from the v == min(v) row of
+        # each group (edges are distinct, so exactly one such row per u)
+        # — no second aggregation. Verified: labels identical to the r15
+        # implementation by exceptAll both ways; same round count.
         nbr = (
             e.select(
                 F.explode(
@@ -900,18 +912,23 @@ def connected_components_alternating(
             )
             .select("__p.u", "__p.v")
         )
-        mins = nbr.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
+        ann = nbr.select(
+            "u", "v", F.min("v").over(_w).alias("__mv")
+        ).select(
+            "u", "v", F.col("__mv"),
+            F.least(F.col("__mv"), F.col("u")).alias("__m"),
         )
         side = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
-        linked = (
-            nbr.filter(side)
-            .join(mins, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        linked = ann.filter(side).select(
+            F.col("v").alias("u"), F.col("__m").alias("v")
         )
         if not large:
             # small-star also re-links u itself to its min
-            linked = linked.union(mins.select(F.col("u"), F.col("m").alias("v")))
+            linked = linked.union(
+                ann.filter(F.col("v") == F.col("__mv")).select(
+                    F.col("u"), F.col("__m").alias("v")
+                )
+            )
         out = linked.filter(F.col("u") != F.col("v"))
         if not large:
             out = out.distinct()
