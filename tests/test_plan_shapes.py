@@ -207,6 +207,33 @@ def test_ivf_self_join_plan_is_equi_join_no_cartesian(spark, emb):
     assert "WindowGroupLimit" in plan and "Partial" in plan
     # the candidate dedup is a real distinct (rerank_pairs contract)
     assert "HashAggregate" in plan
+    # r16 pins:
+    # (a) each unordered pair is generated once — the pair self-join
+    #     carries the undirected orientation filter as its condition;
+    #     the mirror back to directed rows is the explode Generate
+    assert "query_id#" in plan and "<= vec_id#" in plan.replace("L", "")
+    assert "Generate explode" in plan
+    # (b) one dot fold per scored pair: the corpus-side/query-side norms
+    #     materialize once per ROW below the joins, so the plan carries
+    #     exactly two SQRT(aggregate( folds total — the r15 inline
+    #     similarity carried FOUR in the score projection alone (norms
+    #     re-evaluated in the zero-guard AND the denominator)
+    assert plan.count("SQRT(aggregate(") == 2
+
+
+def test_rerank_pairs_cosine_single_dot_per_pair(spark, emb):
+    """r16 (guide §1.2): every batch-ANN re-rank (LSH/IVF/PQ search_batch)
+    scores a pair with ONE dot fold — row/query norms are hoisted out of
+    the per-pair expression. Four SQRT folds per pair would reappear here
+    if someone inlines V.similarity again."""
+    queries = spark.createDataFrame(
+        suite.QUERY_BATCH, "query_id string, query_vec array<double>"
+    )
+    pairs = emb.select(
+        F.col("vec_id"), F.lit(str(suite.QUERY_BATCH[0][0])).alias("query_id")
+    ).limit(8)
+    plan = _plan(KNN.rerank_pairs(emb, queries, pairs, 3, id_col="vec_id"))
+    assert plan.count("SQRT(aggregate(") == 2  # one per side, once per row
 
 
 def test_bucketed_join_is_shuffle_free(spark, emb, tmp_path):

@@ -72,3 +72,36 @@ def test_euclidean_similarity_bounds(spark):
     assert s == 1.0  # identical vectors → distance 0 → sim 1
     far = _eval(spark, V.euclidean_similarity(_arr([0, 0]), _arr([1000, 1000])))
     assert 0.0 < far < 0.001
+
+
+def test_dots_const_matrix_bit_identical_to_column_api(spark):
+    """r16: the server-side parsed dot matrix must produce the IDENTICAL
+    IEEE doubles as the per-centroid Column-API loop it replaced — the
+    oracle replays the same fold, so an off-by-an-ulp literal rendering
+    (repr round-trip) or a reassociated fold would break hash parity.
+    Exercises negative, subnormal-ish, and exponent-notation literals."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((5, 8))
+    mat[0, 0] = -0.0
+    mat[1, 1] = 1e-15
+    mat[2, 2] = -3.5e5
+    rows = [([float(x) for x in rng.standard_normal(8)],) for _ in range(16)]
+    df = spark.createDataFrame(rows, "v array<double>").withColumn(
+        "__d", V.as_double_array("v")
+    )
+    old_col = F.array(*[
+        V.dot("__d", F.array(*[F.lit(float(x)) for x in c])) for c in mat
+    ])
+    got_old = [r["o"] for r in df.select(old_col.alias("o")).collect()]
+    got_new = [
+        r["n"] for r in
+        df.select(V.dots_const_matrix("__d", mat).alias("n")).collect()
+    ]
+    assert got_old == got_new  # bit-exact, not approx
+
+
+def test_dots_const_matrix_rejects_nonfinite(spark):
+    with pytest.raises(ValueError):
+        V.dots_const_matrix("__d", [[1.0, float("inf")]])
